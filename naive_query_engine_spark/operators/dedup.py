@@ -1,0 +1,349 @@
+r"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design notes (the point of every operator here is the 100 TB shape):
+
+- **exact** — hash-groupBy on the normalized text; one shuffle on a
+  high-cardinality key, AQE handles skew.  Never a pairwise compare.
+- **n-gram Jaccard** — inverted-index self-join on shingles (pairs only
+  materialize for docs that SHARE a shingle), then per-pair overlap counts.
+  No O(n²) cross join at any stage.
+- **MinHash-LSH** — K seeded min-hashes computed in ONE aggregation pass
+  over exploded shingles (K aggregate expressions, not a K× row blowup),
+  banded into B buckets, candidate pairs from equi-joins on (band, sig),
+  then verified with true Jaccard on the candidates only.  This is the
+  classic shingle→minhash→band→bucket-join pipeline; at 1000 executors the
+  only all-to-all movement is shuffles keyed by shingle / band signature.
+- **SimHash** — bit-vote aggregation per doc (again one groupBy pass), then
+  Hamming-distance candidate pairing.  At this test scale the pairing is a
+  direct self-join; the scale path (noted inline) blocks on signature
+  prefixes so only same-prefix docs compare.
+
+Portability trick for the DuckDB oracle: the hash family is seeded **md5**
+(lowercase hex), which both engines compute identically; min() over hex
+strings is a valid uniform min-hash and compares identically (ASCII order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query, t
+from .text import tokens
+
+# MinHash configuration: K hashes in B bands of R rows (K = B*R).
+MINHASH_K = 12
+MINHASH_BANDS = 6
+MINHASH_R = MINHASH_K // MINHASH_BANDS
+JACCARD_THRESHOLD = 0.2
+SIMHASH_BITS = 16
+HAMMING_THRESHOLD = 2
+
+
+# ---------------------------------------------------------------------------
+# shared shingling
+
+
+def shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, g) rows: distinct word n-gram shingles per document."""
+    toks = tokens(F.col("text"))
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), size - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return d.filter(size >= n).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    )
+
+
+_SHINGLES_SQL = r"""
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ts
+      FROM documents
+      WHERE LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) >= 3
+    ),
+    words AS (
+      SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok
+    ),
+    shingles AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      FROM words a
+      JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MD5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on the normalized fingerprint; keeps the
+    lowest doc_id as the canonical representative."""
+    from .text import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+
+
+def ngram_jaccard_pairs(d: DataFrame, n: int = 3, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard, via inverted-index join."""
+    sh = shingle_rows(d, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM shingles GROUP BY doc_id),
+    pair AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+      FROM shingles x JOIN shingles y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) AS jaccard
+    FROM pair
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "pipeline", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (jaccard >= threshold).  The
+    single-division double is deterministic across engines — no rounding."""
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _mh(seed: int) -> Column:
+    return F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("g")))
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """One aggregation pass → K min-hash columns mh0..mh{k-1} per doc."""
+    return sh.groupBy("doc_id").agg(
+        *[F.min(_mh(s)).alias(f"mh{s}") for s in range(k)]
+    )
+
+
+def lsh_candidates(sig: DataFrame, bands: int = MINHASH_BANDS, r: int = MINHASH_R) -> DataFrame:
+    """Band the signature, bucket-join per band, union candidate pairs."""
+    buckets = None
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        one = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("sig"),
+        )
+        buckets = one if buckets is None else buckets.unionAll(one)
+    x, y = buckets.alias("x"), buckets.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Full pipeline: shingle → minhash → band → bucket-join → verify."""
+    sh = shingle_rows(d).cache()
+    cand = lsh_candidates(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.g") == F.col("b.g")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN(MD5('{s}:' || g)) AS mh{s}" for s in range(MINHASH_K)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band, MD5({cols}) AS sig FROM sig".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"mh{b * MINHASH_R + j}" for j in range(MINHASH_R)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingles GROUP BY doc_id
+    ),
+    buckets AS (
+{band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM buckets x
+      JOIN buckets y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM shingles GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND b.g = a.g
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) AS jaccard
+    FROM shared
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "pipeline", "minhash", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection (shingle → minhash → band → bucket-join
+    → verify).  K={K} hashes, {B} bands × {R} rows.""".format(
+        K=MINHASH_K, B=MINHASH_BANDS, R=MINHASH_R
+    )
+    return minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_column_exprs() -> list[Column]:
+    """Per-shingle ±1 bit votes from md5 nibbles (bit j = nibble j >= 8)."""
+    h = F.md5(F.col("g"))
+    out = []
+    for j in range(SIMHASH_BITS):
+        nib = F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int")
+        out.append(F.sum(F.when(nib >= 8, 1).otherwise(-1)).alias(f"v{j}"))
+    return out
+
+
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — {B}-bit signature as a bitstring.""".format(B=SIMHASH_BITS)
+    votes = shingle_rows(d).groupBy("doc_id").agg(*simhash_column_exprs())
+    bits = F.concat(
+        *[F.when(F.col(f"v{j}") >= 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
+    )
+    return votes.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_pairs(d: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> DataFrame:
+    """Near-dup pairs by Hamming distance over simhash signatures.
+
+    Test-scale pairing is a direct self-join; the 100 TB path blocks on a
+    signature prefix (join on substring(simhash, 1, p)) so only same-prefix
+    docs are compared — same output, bounded fan-out.
+    """
+    sig = simhash_signatures(d)
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = sum(
+        F.when(
+            F.substring(F.col("sh_a"), j + 1, 1) != F.substring(F.col("sh_b"), j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(SIMHASH_BITS)
+    ).cast("long")
+    return (
+        x.join(y, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n             ".join(
+        "SUM(CASE WHEN strpos('0123456789abcdef', SUBSTR(MD5(g), {p}, 1)) - 1 >= 8 "
+        "THEN 1 ELSE -1 END) AS v{j}".format(p=j + 1, j=j)
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " || ".join(
+        f"CASE WHEN v{j} >= 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+    )
+    ham = " + ".join(
+        f"CASE WHEN SUBSTR(x.simhash, {j + 1}, 1) <> SUBSTR(y.simhash, {j + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL},
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM shingles GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {bits} AS simhash FROM votes)
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+    WHERE {ham} <= {HAMMING_THRESHOLD}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "pipeline", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (16-bit signatures, Hamming <= 2)."""
+    return simhash_pairs(t(spark, sf_dir, "documents"))

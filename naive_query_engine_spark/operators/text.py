@@ -1,0 +1,205 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure built-in-function pipelines (JVM-side, whole-stage-codegen'd) — no
+Python UDFs in any hot path.  Each operator is a reusable DataFrame
+transform plus a registered oracle-checked query over the ``documents``
+table (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query, t
+
+#: tiny per-language function-word lists for the n-gram/stopword language
+#: heuristic (public linguistic common knowledge; deliberately small —
+#: the operator shape, not the lexicon, is the point)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "les", "des", "et", "un"],
+    "de": ["der", "die", "und", "das", "ein", "ist"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (lower-cased)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + individual symbols —
+    the standard cheap proxy for subword-tokenizer cost."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast(
+        "long"
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 over whitespace/punct-normalized text.
+    (The reference has no fingerprinting; rolling-hash shingles live in
+    dedup.py — this is the exact-canonical-form key.)"""
+    norm = F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+    return F.md5(norm)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token set."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(col: Column) -> Column:
+    """Pick the language with the most marker hits (deterministic priority
+    order en>es>fr>de on ties; 'und' when nothing matches)."""
+    s = lang_scores(col)
+    best = F.greatest(*s.values())
+    out = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        out = F.when(s[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def quality_columns(col: Column) -> list[Column]:
+    """Length / punctuation-ratio / stopword-ratio quality signals.
+    Single-division doubles — deterministic across engines."""
+    toks = tokens(col)
+    n_tok = F.size(toks).cast("long")
+    n_char = F.length(col).cast("long")
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("long")
+    return [
+        n_char.alias("n_char"),
+        n_tok.alias("n_tok"),
+        (n_char.cast("double") / n_tok).alias("avg_token_len"),
+        (n_punct.cast("double") / n_char).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_char
+    FROM documents
+    """,
+    tags=("text", "pipeline"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(txt).alias("n_ws_tokens"),
+        bpe_ish_token_count(txt).alias("n_bpe_tokens"),
+        F.length(txt).cast("long").alias("n_char"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS n_char,
+             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_tok,
+             CAST(LENGTH(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(LENGTH(list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+                                     x -> list_contains([{_STOP_SQL}], x))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_char, n_tok,
+           CAST(n_char AS DOUBLE) / n_tok  AS avg_token_len,
+           CAST(n_punct AS DOUBLE) / n_char AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok  AS stopword_ratio
+    FROM q
+    """,
+    tags=("text", "pipeline"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, punctuation ratio, stopword ratio."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", *quality_columns(F.col("text")))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    tags=("text", "pipeline", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint (md5 of normalized text)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _lang_id_oracle() -> str:
+    score = {
+        lang: (
+            "CAST(LENGTH(list_filter(toks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in ws)
+            + "], x))) AS BIGINT)"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    case = "CASE "
+    for lang in LANG_MARKERS:  # first match wins ties == Spark priority order
+        case += f"WHEN s_{lang} = best THEN '{lang}' "
+    case += "END"
+    selects = ",\n             ".join(f"{sql} AS s_{lang}" for lang, sql in score.items())
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             {selects}
+      FROM tok
+    ), best AS (
+      SELECT doc_id, lang AS labeled_lang, {greatest} AS best, *
+      FROM scored
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN best = 0 THEN 'und' ELSE {case} END AS predicted_lang
+    FROM best
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle(), tags=("text", "pipeline", "langid"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via function-word n-gram hits.  Output carries
+    the dataset's label column for accuracy eyeballing; the check grades
+    determinism of the heuristic, not label recovery."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predict_lang(F.col("text")).alias("predicted_lang"),
+    )

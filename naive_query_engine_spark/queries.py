@@ -1,0 +1,895 @@
+"""Named-query registry: every operator capability as (Spark fn, DuckDB oracle).
+
+Each entry in :data:`QUERIES` is one row of SURVEY.md §2's operator inventory,
+re-expressed as an idiomatic PySpark DataFrame pipeline plus an equivalent
+ANSI-SQL oracle string that DuckDB runs on the same parquet tables.  The
+driver harness (``__spark_entry__.py``) and the local pytest oracle harness
+(``tests/test_oracle.py``) both iterate this registry.
+
+Hash-stability rules (the driver compares order-insensitive value hashes):
+- Float SUM/AVG across engines is non-associative → aggregate in DECIMAL
+  (exact) and cast the final value to DOUBLE in BOTH engines.  Input doubles
+  here are 2-decimal monetary values, so DECIMAL(12,2)/DECIMAL(4,2) casts are
+  lossless-deterministic.
+- Every computed column is aliased identically on both sides.
+- Integer-returning scalar funcs are cast to BIGINT on both sides (Spark's
+  length() is INT, DuckDB's is BIGINT).
+- LIMIT queries always carry a total ORDER BY (unique tie-break column).
+- libm funcs (sin/cos/tan) are rounded to 9 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    tags: tuple[str, ...]
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""):
+    """Register a named query. ``fn(spark, sf_dir) -> DataFrame``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = QuerySpec(name, fn, oracle, tuple(tags), doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test-corpus table (lazy parquet scan → full pushdown/pruning).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; read it as raw nanos (legacy conf) and truncate to
+    microseconds — exactly what DuckDB's µs-precision TIMESTAMP does, so
+    both engines see identical values.
+    """
+    from .sources import read_corpus_table
+
+    return read_corpus_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# hash-stability helpers (see module docstring)
+
+
+def dec(c: Column, prec: int = 12, scale: int = 2) -> Column:
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def dsum(c: Column, alias: str, prec: int = 12, scale: int = 2) -> Column:
+    """Exact SUM: decimal-accumulate, emit DOUBLE (identical in DuckDB)."""
+    return F.sum(dec(c, prec, scale)).cast("double").alias(alias)
+
+
+def davg(c: Column, alias: str, prec: int = 12, scale: int = 2) -> Column:
+    """Exact-sum AVG: decimal sum → double, / count — deterministic division."""
+    return (F.sum(dec(c, prec, scale)).cast("double") / F.count(c)).alias(alias)
+
+
+def one() -> Column:
+    """Literal 1.00 for (1 ± rate) decimal arith (lazy: needs a live session)."""
+    return F.lit(1).cast("decimal(3,2)")
+
+
+# ===========================================================================
+# §2.1/2.2 — scan, projection, expressions, filter, limit/offset
+# ===========================================================================
+
+
+@query(
+    "scan_project_expr",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal + 100 AS acctbal_plus
+    FROM customer WHERE c_custkey < 50
+    ORDER BY c_custkey LIMIT 3 OFFSET 2
+    """,
+    tags=("scan", "projection", "filter", "limit", "offset"),
+)
+def scan_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference main.rs:12: ``select id, name, age+100 from t1 where id<9
+    limit 3 offset 2`` — scan + arith projection + filter + offset-then-limit
+    (offset applies first: sql/planner.rs:49-52). ORDER BY added for a
+    deterministic slice (the reference relies on single-partition file order)."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") < 50)
+        .select("c_custkey", "c_name", (F.col("c_acctbal") + 100).alias("acctbal_plus"))
+        .orderBy("c_custkey")
+        .offset(2)
+        .limit(3)
+    )
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey > 1
+    """,
+    tags=("scan", "projection", "filter"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference planner.rs:650-683 e2e: filtered projection (``select id,
+    name, age from t1 where id > 1``). Predicate + column pruning reach the
+    parquet scan via Catalyst (the reference's CsvTable ignores projection,
+    csv.rs:94-96)."""
+    c = t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") > 1).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "expr_arith_logic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity + l_tax       AS add_col,
+           l_quantity - l_tax       AS sub_col,
+           l_quantity * l_discount  AS mul_col,
+           l_quantity / 2           AS div_col,
+           CAST(l_orderkey % 7 AS BIGINT) AS mod_col,
+           (l_quantity > 25 AND l_discount <= 0.05) AS and_col,
+           (l_returnflag = 'A' OR l_linestatus <> 'F') AS or_col,
+           NOT (l_quantity >= 30) AS not_col
+    FROM lineitem
+    """,
+    tags=("expression", "arith", "logic"),
+)
+def expr_arith_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference binary exprs: arith ``+ - * / %`` and Kleene AND/OR
+    (src/physical_plan/expression/binary.rs:90-156) plus NOT (stubbed in the
+    reference, planner/mod.rs:218 — implemented here).  Double arith is
+    elementwise (no accumulation) → bit-identical across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    q, tax, disc = F.col("l_quantity"), F.col("l_tax"), F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (q + tax).alias("add_col"),
+        (q - tax).alias("sub_col"),
+        (q * disc).alias("mul_col"),
+        (q / 2).alias("div_col"),
+        (F.col("l_orderkey") % 7).cast("long").alias("mod_col"),
+        ((q > 25) & (disc <= 0.05)).alias("and_col"),
+        ((F.col("l_returnflag") == "A") | (F.col("l_linestatus") != "F")).alias("or_col"),
+        (~(q >= 30)).alias("not_col"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT c_custkey,
+           ABS(c_acctbal)            AS abs_bal,
+           ROUND(SIN(c_acctbal), 9)  AS sin_bal,
+           ROUND(COS(c_acctbal), 9)  AS cos_bal,
+           ROUND(TAN(c_acctbal), 9)  AS tan_bal,
+           ROUND(SQRT(ABS(c_acctbal)), 9) AS sqrt_bal
+    FROM customer
+    """,
+    tags=("expression", "math"),
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference unary math funcs abs/sin/cos/tan
+    (src/physical_plan/expression/unary.rs:46-109).  NOTE the reference's
+    ``tan`` dispatches to cos (unary.rs:96, a bug) — implemented correctly
+    here.  Rounded to 9 decimals: libm implementations may differ in the
+    last ulp between JVM and DuckDB."""
+    c = t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.round(F.sin(bal), 9).alias("sin_bal"),
+        F.round(F.cos(bal), 9).alias("cos_bal"),
+        F.round(F.tan(bal), 9).alias("tan_bal"),
+        F.round(F.sqrt(F.abs(bal)), 9).alias("sqrt_bal"),
+    )
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                                   AS upper_name,
+           LOWER(c_name)                                   AS lower_name,
+           CAST(LENGTH(c_name) AS BIGINT)                  AS name_len,
+           TRIM(CONCAT('  ', c_name, '  '))                AS trimmed,
+           LTRIM(CONCAT('  ', c_name))                     AS ltrimmed,
+           RTRIM(CONCAT(c_name, '  '))                     AS rtrimmed,
+           SUBSTR(c_name, 1, 8)                            AS name_prefix,
+           REPLACE(c_name, '#', '-')                       AS replaced,
+           REVERSE(c_name)                                 AS reversed,
+           REPEAT(c_mktsegment, 2)                         AS repeated,
+           CONCAT(c_name, '/', c_mktsegment)               AS concatenated,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0')       AS padded
+    FROM customer
+    """,
+    tags=("expression", "string"),
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference string funcs trim/ltrim/rtrim/length/lower/upper/repeat/
+    replace/reverse/substr — ALL ``todo!()`` in the reference
+    (unary.rs:97-106); implemented for real here, JVM-side (codegen'd)."""
+    c = t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.length(name).cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), name, F.lit("  "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("  "), name)).alias("ltrimmed"),
+        F.rtrim(F.concat(name, F.lit("  "))).alias("rtrimmed"),
+        F.substring(name, 1, 8).alias("name_prefix"),
+        F.replace(name, F.lit("#"), F.lit("-")).alias("replaced"),
+        F.reverse(name).alias("reversed"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("repeated"),
+        F.concat(name, F.lit("/"), F.col("c_mktsegment")).alias("concatenated"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+    )
+
+
+@query(
+    "cast_types",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(o_orderkey AS VARCHAR)         AS key_str,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)  AS order_date,
+           CAST(o_custkey AS DOUBLE)           AS custkey_dbl,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str
+    FROM orders
+    """,
+    tags=("expression", "cast"),
+)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST across the reference's convert_data_type list (sql/planner.rs:
+    506-524) — the reference's physical cast is 100% ``todo!()`` and panics
+    (expression/cast.rs:45-87); here it's Catalyst-native.  double→int goes
+    through FLOOR because Spark truncates while DuckDB rounds."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice")).alias("price_floor"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+        F.col("o_custkey").cast("double").alias("custkey_dbl"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_str"),
+    )
+
+
+@query(
+    "case_in_between_like",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size BETWEEN 1 AND 20 THEN 'small'
+                WHEN p_size IN (21,22,23,24,25,26,27,28,29,30) THEN 'mid'
+                ELSE 'large' END AS size_class,
+           (p_name LIKE '%a%')  AS has_a,
+           (p_type LIKE 'S%')   AS starts_s
+    FROM part
+    """,
+    tags=("expression", "case", "in", "between", "like"),
+)
+def case_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/IN/BETWEEN/LIKE — all unhandled ``todo!()`` in the reference's
+    expression planner (sql/planner.rs:455); Catalyst-native here."""
+    p = t(spark, sf_dir, "part")
+    size = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.when(size.between(1, 20), "small")
+        .when(size.isin(list(range(21, 31))), "mid")
+        .otherwise("large")
+        .alias("size_class"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.col("p_type").like("S%").alias("starts_s"),
+    )
+
+
+# ===========================================================================
+# §2.3 — joins
+# ===========================================================================
+
+
+@query(
+    "join_inner_chain",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderstatus, c_name
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join", "inner"),
+)
+def join_inner_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference main.rs:16-24: chained inner equi-joins over 3 tables
+    (employee→rank→department ≙ lineitem→orders→customer).  Catalyst picks
+    broadcast-hash for the dimension side (vs the reference's hard-coded
+    single-key build-left HashJoin, planner/mod.rs:71-89)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("l_orderkey", "l_linenumber", "o_orderstatus", "c_name")
+    )
+
+
+@query(
+    "join_multi_key",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, b.l_extendedprice AS price_b
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    """,
+    tags=("join", "multikey"),
+)
+def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key equi-join.  The reference collects all ON pairs but its
+    physical joins use only ``on[0]`` (hash_join.rs:134,171) — this query
+    would be WRONG there; here all keys participate in the shuffle hash."""
+    a = t(spark, sf_dir, "lineitem").alias("a")
+    b = t(spark, sf_dir, "lineitem").alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") == F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("l_linenumber"),
+        F.col("a.l_quantity").alias("l_quantity"),
+        F.col("b.l_extendedprice").alias("price_b"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT n_name, r_name FROM nation CROSS JOIN region",
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference CrossJoin (src/physical_plan/cross_join.rs:25-192; SQL path:
+    join-without-ON, main.rs:27).  Spark broadcasts the small side."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select("n_name", "r_name")
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    tags=("join", "left"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join — declared in the reference (JoinType::Left,
+    logical_plan/plan.rs:133-139) but silently executed as INNER
+    (hash_join.rs:48-49).  Implemented correctly here."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join", "right"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join — same declared-but-inner story as LEFT
+    (sql/planner.rs:218-236 maps it; physical ignores it)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 100000)
+    """,
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (absent from the reference; SURVEY §2.3 'not present').
+    Semi-join avoids materializing the probe side's payload — at 100 TB this
+    is the difference between a join and an existence check."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (absent from the reference)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ===========================================================================
+# §2.4 — aggregation
+# ===========================================================================
+
+
+@query(
+    "agg_ungrouped",
+    oracle="""
+    SELECT COUNT(l_orderkey) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    """,
+    tags=("aggregate",),
+)
+def agg_ungrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ungrouped aggregation (``select count(id), sum(id) from t1``,
+    main.rs:36; physical: aggregate/mod.rs:123-139).  Spark runs
+    partial-then-final aggregation (map-side combine) — no full shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("l_orderkey").alias("cnt"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_price"),
+    )
+
+
+@query(
+    "agg_grouped_computed_key",
+    oracle="""
+    SELECT CAST(c_custkey % 3 AS BIGINT) AS key_mod,
+           COUNT(c_custkey) AS cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM customer GROUP BY c_custkey % 3
+    """,
+    tags=("aggregate", "groupby"),
+)
+def agg_grouped_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference grouped agg on a computed key (``group by id % 3`` with
+    count/sum/avg/min/max, main.rs:40; physical: aggregate/mod.rs:140-221).
+    Divergences fixed vs the reference: group-key column is KEPT in the
+    output (the reference drops it, aggregate/mod.rs:115-121) and multi-key
+    grouping works (reference evaluates only the first key,
+    aggregate/mod.rs:141-146)."""
+    c = t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return (
+        c.groupBy((F.col("c_custkey") % 3).cast("long").alias("key_mod"))
+        .agg(
+            F.count("c_custkey").alias("cnt"),
+            dsum(bal, "sum_bal"),
+            davg(bal, "avg_bal"),
+            F.min(bal).alias("min_bal"),
+            F.max(bal).alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "agg_multi_key_having",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    """,
+    tags=("aggregate", "groupby", "having"),
+)
+def agg_multi_key_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key GROUP BY + HAVING.  The reference never parses HAVING
+    (sql/planner.rs:58-84) and can't group on >1 key; both native here."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("cnt") > 100)
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS distinct_cust,
+           COUNT(DISTINCT o_orderpriority) AS distinct_prio
+    FROM orders
+    """,
+    tags=("aggregate", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (absent from the reference, SURVEY §2.4)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("distinct_cust"),
+        F.countDistinct("o_orderpriority").alias("distinct_prio"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("distinct",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (absent from the reference)."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ===========================================================================
+# §2.5 — sort / limit / top-k
+# ===========================================================================
+
+
+@query(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit", "topk"),
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY (parsed then silently DROPPED by the reference,
+    sql/planner.rs:159-162) + LIMIT → Spark plans a TakeOrderedAndProject:
+    per-partition top-k then k-way merge — no global sort shuffle."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# §2.6 — set operations (absent from reference; sql/planner.rs:58-84 todo!())
+# ===========================================================================
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "union"),
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "intersect"),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "except"),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.exceptAll(s).distinct()
+
+
+# ===========================================================================
+# §2.8 — window functions (absent from reference)
+# ===========================================================================
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    """,
+    tags=("window", "rank"),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions (SURVEY §2.8: entirely absent from the
+    reference).  row_number carries a unique tie-break for determinism."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    by_price_key = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(by_price).cast("long").alias("rnk"),
+        F.dense_rank().over(by_price).cast("long").alias("drnk"),
+        F.row_number().over(by_price_key).cast("long").alias("rn"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value,
+           LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM events
+    """,
+    tags=("window", "running"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + LAG over an event stream (absent from reference).
+    Decimal accumulation keeps the running sum exact and engine-agnostic."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(dec(F.col("value")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    )
+
+
+# ===========================================================================
+# TPC-H-ish headline queries (bench workload)
+# ===========================================================================
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+                    (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "aggregate", "bench"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship query: scan + filter +
+    multi-key grouped aggregation with derived measures.  One shuffle over
+    a 6-value key space; partial aggregation collapses almost everything
+    map-side, so it scales linearly with input bytes."""
+    li = t(spark, sf_dir, "lineitem")
+    price = dec(F.col("l_extendedprice"))
+    disc = dec(F.col("l_discount"), 4, 2)
+    tax = dec(F.col("l_tax"), 4, 2)
+    qty = dec(F.col("l_quantity"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one() - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one() - disc) * (one() + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "aggregate", "bench"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 — selective dimension filter, fact join, grouped revenue,
+    top-k.  Customer (filtered) broadcasts; lineitem never shuffles for the
+    join, only for the final small aggregation."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    tags=("tpch", "join", "aggregate", "bench"),
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-way star join → revenue per nation.  All
+    dimension sides broadcast; the fact table streams through without a
+    single shuffle until the final 25-key aggregation."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    revenue = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "filter", "aggregate", "bench"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — pure filter+aggregate; every predicate pushes to the
+    parquet scan (row-group pruning on l_shipdate at scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec(F.col("l_extendedprice")) * dec(F.col("l_discount"), 4, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# -- extension registrations (text / dedup / similarity / events) are pulled
+#    in at import time so that importing `queries` yields the full registry.
+from .operators import register_all as _register_operator_queries  # noqa: E402
+
+_register_operator_queries()

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine (``/root/reference``) is a single-thread, single-process,
+fully-materializing executor (src/physical_plan/plan.rs:14-21).  Here the
+equivalent "execution engine" is Spark itself; this module owns the tuning
+knobs that make the same logical plans hold up at cluster scale:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+- explicit shuffle-partition count sized for the local harness (32 cores);
+  on a real cluster this is overridden via ``extra_conf`` or spark-submit
+- Arrow transfer on (every pandas-UDF exchange is Arrow-batched)
+- a generous broadcast threshold: every TPC-H-ish dimension table
+  (region/nation/supplier/part/customer at small SF) broadcasts instead of
+  shuffling the fact table
+- UTC session timezone so timestamp semantics are stable across engines
+  (the DuckDB oracle reads the same parquet as naive timestamps)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS); read as long + convert (queries.t)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "naive-query-engine-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entry point works in the test harness and the bench driver.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = {**DEFAULT_CONF, **(extra_conf or {})}
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,131 @@
+"""Table sources and sinks.
+
+Reference surface (SURVEY §2.1):
+- ``CsvTable``   — src/datasource/csv.rs:23-101   → :func:`read_csv`
+- ``MemTable``   — src/datasource/memory.rs:13-46 → :func:`memory_table`
+- ``EmptyTable`` — src/datasource/empty.rs:16-40  → :func:`empty_table`
+- sinks: none in the reference (pretty-print only, src/utils.rs:11-13);
+  here ``df.write.*`` is the superset → :func:`write_table`
+
+Design notes (scale):
+- Reads are **lazy**; schema inference is the only registration-time work.
+  The reference eagerly materializes the whole CSV at registration
+  (csv.rs:53-75) — at 100 TB that is not an option, and laziness costs us
+  nothing observable (bad files still fail fast at schema-inference time).
+- Column pruning / predicate pushdown reach the scan via Catalyst; the
+  reference's CsvTable *ignores* its projection argument (csv.rs:94-96),
+  ours prunes for real (see tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: canonical test-corpus tables (TESTDATA.md)
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    delimiter: str = ",",
+    infer_schema: bool = True,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """CSV source (reference: CsvConfig {has_header, delimiter, ...}, csv.rs:30-40).
+
+    Inference samples the whole file (strictly better than the reference's
+    3-row sample, csv.rs:37); pass an explicit ``schema`` to skip the
+    inference pass entirely — the right call on a 100 TB dataset.
+    """
+    reader = (
+        spark.read.option("header", header)
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet source — the scale-path format (columnar, statistics, pushdown)."""
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """JSON-lines source (not in the reference; free via Spark)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def memory_table(
+    spark: SparkSession,
+    data: Iterable,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """In-memory table from rows + schema (reference: MemTable, memory.rs:13-46)."""
+    return spark.createDataFrame(data, schema=schema)
+
+
+def empty_table(spark: SparkSession, schema: StructType | str) -> DataFrame:
+    """Zero-row table with a declared schema (reference: EmptyTable, empty.rs:16-40)."""
+    return spark.createDataFrame([], schema=schema)
+
+
+def read_corpus_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test-corpus table.  ``events.ts`` is TIMESTAMP(NANOS) parquet,
+    which Spark's reader rejects; read raw nanos (legacy conf) and truncate
+    to microseconds — identical to DuckDB's µs TIMESTAMP semantics."""
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_sf_dir(spark: SparkSession, sf_dir: str, tables: Iterable[str] = TPCH_TABLES) -> None:
+    """Register every test-corpus parquet table under ``sf_dir`` as a temp view."""
+    for name in tables:
+        read_corpus_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Sink. The reference has none (results only pretty-print); at scale the
+    sink's partitioning layout is a first-class design choice, so expose it."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
