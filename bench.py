@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_wall_sec", "value": <total>, "unit": "sec",
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Execution is full materialization via the noop sink (runs the whole plan,
+returns nothing to the driver) — the honest cost of each query without
+collect() serialization noise.  Each query runs twice; the best time is
+recorded (first run pays one-off JVM/codegen warmup, which a long-lived
+cluster wouldn't see per-query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from naive_query_engine_spark import get_spark  # noqa: E402
+from naive_query_engine_spark.queries import QUERIES  # noqa: E402
+
+#: the bench workload: scan/agg heavy + join heavy + window + every pipeline
+#: operator family (dedup / similarity / text / events)
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "join_inner_chain",
+    "agg_grouped_computed_key",
+    "window_rank",
+    "events_sessionize",
+    "text_quality_score",
+    "dedup_minhash_lsh",
+    "similarity_topk_vectorized",
+]
+
+N_RUNS = 2
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="nqes-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so query 1 isn't charged for startup
+    QUERIES["agg_ungrouped"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_one(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
