@@ -1,0 +1,121 @@
+"""Structured Streaming surface: the reference has none (SURVEY §2.8).
+
+Design: every streaming pipeline here reuses the SAME transformation
+functions as the batch operators in ``operators/events.py`` — Spark's
+unified batch/stream semantics mean a windowed aggregation is one function
+applied to either a ``read`` or ``readStream`` frame.  What streaming adds:
+
+- **watermarks** bound state: late events beyond the watermark are dropped
+  and window state is evicted — mandatory at 100 TB/day ingest.
+- **output modes**: append (finalized windows only) vs update/complete.
+- **stateful ops**: session windows carry per-key state; the engine
+  handles shuffle/state-store partitioning (``spark.sql.shuffle.partitions``
+  state partitions per stateful operator).
+
+Tests drive these end-to-end with file sources over the events corpus and
+an in-memory sink (``tests/test_streaming.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..queries import dec
+
+#: schema of the events corpus after nanos→micros normalization
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over event parquet/json drops.  On a real cluster
+    the same pipeline reads Kafka (``format("kafka")``) — the transformation
+    stack below is source-agnostic."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts with a watermark (append-mode compatible).
+    Identical semantics to the batch ``events_tumbling_window`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (30-min inactivity gap) with watermark-bounded state —
+    the streaming face of the batch ``events_sessionize`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Start the stream into an in-memory table (test/debug sink); callers
+    ``processAllAvailable()`` then query ``spark.table(name)``."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def run_to_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Production-shaped sink: parquet files + checkpointed exactly-once."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -1,0 +1,84 @@
+"""Plan-shape assertions: the scale properties every query relies on.
+
+These tests pin the *physical plan*, not the results — a correct query
+that reads all columns or shuffles a broadcastable dimension is a bug at
+100 TB even though the small-SF values match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naive_query_engine_spark import plans
+from naive_query_engine_spark.queries import QUERIES, t
+
+from .conftest import SF_ORACLE
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q06_forecast_revenue"].fn(spark, SF_ORACLE)
+    pushed = plans.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = QUERIES["filter_project"].fn(spark, SF_ORACLE)
+    schemas = plans.read_schemas(df)
+    assert schemas and all(
+        set(s) <= {"c_custkey", "c_name", "c_acctbal"}
+        for s in ([c.split(":")[0] for c in s0.removeprefix("struct<").rstrip(">").split(",")]
+                  for s0 in schemas)
+    ), schemas
+
+
+def test_q01_reads_only_needed_columns(spark):
+    df = QUERIES["q01_pricing_summary"].fn(spark, SF_ORACLE)
+    (schema,) = plans.read_schemas(df)
+    # 7 of 11 lineitem columns — keys, measures, shipdate; nothing else
+    assert "l_orderkey" not in schema and "l_partkey" not in schema, schema
+    for col in ("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate"):
+        assert col in schema, schema
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = QUERIES["q05_region_revenue"].fn(spark, SF_ORACLE)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df)
+
+
+def test_topk_avoids_global_sort(spark):
+    df = QUERIES["sort_topk"].fn(spark, SF_ORACLE)
+    assert plans.uses_take_ordered(df)
+
+
+def test_agg_uses_partial_aggregation(spark):
+    # partial (map-side) + final HashAggregate pairs around one exchange
+    df = QUERIES["q01_pricing_summary"].fn(spark, SF_ORACLE)
+    text = plans.explain_text(df, "simple")
+    # partial_sum/partial_count map-side, final agg after the 2-key exchange
+    assert text.count("HashAggregate") >= 2, text
+    assert "partial_sum" in text, text
+
+
+def test_broadcast_join_no_fact_shuffle(spark):
+    """join_inner_chain: the only exchanges may be for the broadcast side
+    (BroadcastExchange), never a full shuffle of lineitem."""
+    df = QUERIES["join_inner_chain"].fn(spark, SF_ORACLE)
+    text = plans.explain_text(df, "simple")
+    # orders side at sf0.01 is small enough: Catalyst broadcasts both dims
+    assert "BroadcastHashJoin" in text
+    assert "ShuffleExchange" not in text.replace("BroadcastExchange", "")
+
+
+def test_cross_join_is_broadcast_nested_loop(spark):
+    df = QUERIES["join_cross"].fn(spark, SF_ORACLE)
+    text = plans.explain_text(df, "simple")
+    assert "BroadcastNestedLoopJoin" in text
+
+
+def test_semi_join_plans_semi(spark):
+    df = QUERIES["join_semi"].fn(spark, SF_ORACLE)
+    text = plans.explain_text(df, "simple")
+    assert "LeftSemi" in text

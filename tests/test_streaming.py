@@ -1,0 +1,85 @@
+"""End-to-end Structured Streaming tests: file source → window/session →
+memory sink, checked against the equivalent batch computation (unified
+semantics mean stream results must equal batch results once all data is
+processed and no watermark has dropped anything)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from naive_query_engine_spark import streaming as st
+from naive_query_engine_spark.queries import t
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_files(spark):
+    """Split the events corpus into several parquet files so the file
+    source delivers multiple micro-batches."""
+    tmp = tempfile.mkdtemp(prefix="nqes-stream-src-")
+    ev = t(spark, SF_SMOKE, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_counts_stream_equals_batch(spark, event_files):
+    stream = st.read_event_stream(spark, event_files, max_files_per_trigger=2)
+    q = st.run_to_memory_sink(st.windowed_counts(stream), "win_counts", "append")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.table("win_counts").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = st.windowed_counts(spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    # append mode emits only windows finalized by the watermark; everything
+    # emitted must match the batch result exactly
+    assert got, "stream produced no finalized windows"
+    for k, v in got.items():
+        assert want[k] == v
+    # and the stream must have finalized all but the trailing watermark span
+    assert len(got) >= len(want) - 3
+
+
+def test_sessionize_stream_runs(spark, event_files):
+    stream = st.read_event_stream(spark, event_files, max_files_per_trigger=2)
+    q = st.run_to_memory_sink(st.sessionized(stream), "sessions", "append")
+    try:
+        q.processAllAvailable()
+        rows = spark.table("sessions").collect()
+    finally:
+        q.stop()
+    assert rows, "no sessions finalized"
+    # session invariant: end = last event + gap > start
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_parquet_sink_checkpointed(spark, event_files):
+    out = tempfile.mkdtemp(prefix="nqes-stream-out-")
+    ckpt = tempfile.mkdtemp(prefix="nqes-stream-ckpt-")
+    try:
+        stream = st.read_event_stream(spark, event_files, max_files_per_trigger=4)
+        q = st.run_to_parquet_sink(st.windowed_counts(stream), out, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        written = spark.read.parquet(out)
+        assert written.count() > 0
+        assert set(written.columns) == {
+            "window_start", "window_end", "event_type", "n_events", "sum_value",
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
