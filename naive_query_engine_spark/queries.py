@@ -888,6 +888,337 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semi", "aggregate"),
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS → left-semi join, then a tiny aggregation.
+    The semi join never materializes lineitem payload columns."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           c_acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "aggregate", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returns per customer, top 20."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+    tags=("tpch", "join", "aggregate", "case"),
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: conditional counting (CASE inside SUM)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'S%'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    tags=("tpch", "join", "aggregate", "case"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share — ratio of two exact decimal
+    sums (single double division at the end)."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
+    promo = F.when(F.col("p_type").like("S%"), rev).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"))
+            .cast("double")
+            .alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    GROUP BY c_custkey, c_name, o_orderkey
+    """,
+    tags=("tpch", "join", "aggregate", "subquery"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: IN-subquery over a grouped HAVING → semi join
+    against the pre-aggregated order keys."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec(F.col("l_quantity"))).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+                F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"))
+    )
+
+
+# ===========================================================================
+# SQL-path queries (reference's primary entry: run_sql, db.rs:24-37)
+# ===========================================================================
+
+
+def _sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Register the corpus as temp views and run via spark.sql — exercising
+    the same parse→plan→optimize→execute path as the reference's run_sql."""
+    from .sources import register_sf_dir
+
+    register_sf_dir(spark, sf_dir)
+    return spark.sql(sql)
+
+
+_IMPLICIT_JOIN_SQL_SPARK = """
+    SELECT n_name, r_name
+    FROM nation, region
+    WHERE n_regionkey = r_regionkey AND n_nationkey < 10
+"""
+
+
+@query(
+    "sql_implicit_join",
+    oracle="""
+    SELECT n_name, r_name
+    FROM nation, region
+    WHERE n_regionkey = r_regionkey AND n_nationkey < 10
+    """,
+    tags=("sql", "join", "implicit"),
+)
+def sql_implicit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit join from WHERE (``FROM a, b WHERE a.x = b.y``) — the
+    reference infers inner joins from cross-plan equality predicates at
+    planning time (sql/planner.rs:305-380); Catalyst does the same rewrite."""
+    return _sql_query(spark, sf_dir, _IMPLICIT_JOIN_SQL_SPARK)
+
+
+@query(
+    "sql_subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in WHERE (unsupported by the reference: non-SELECT
+    bodies hit todo!(), sql/planner.rs:45-56).  NOTE the subquery result is
+    only used as a comparison bound — float avg is fine here because both
+    engines compare against their own avg of the SAME single-column values;
+    determinism verified by the oracle harness."""
+    return _sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        """,
+    )
+
+
+@query(
+    "sql_union_all",
+    oracle="""
+    SELECT 'cust' AS src, c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT 'supp' AS src, s_nationkey FROM supplier
+    """,
+    tags=("sql", "setop"),
+)
+def sql_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union — no dedup shuffle, unlike UNION)."""
+    return _sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT 'cust' AS src, c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT 'supp' AS src, s_nationkey FROM supplier
+        """,
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent from the reference).  Spark computes
+    all levels in one pass (Expand + single shuffle)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (absent from the reference)."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "agg_stats_exact",
+    oracle="""
+    WITH s AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2)))
+                  AS DOUBLE) AS sxx
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n,
+           (sxx - sx * sx / n) / (n - 1)        AS variance,
+           SQRT((sxx - sx * sx / n) / (n - 1))  AS stddev
+    FROM s WHERE n > 1
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev via exact decimal moment sums + a fixed double
+    expression — deterministic across engines (built-in stddev uses a
+    streaming float recurrence whose result is partition-order-dependent,
+    so it can never hash-match; this formulation can)."""
+    c = t(spark, sf_dir, "customer")
+    bal2 = dec(F.col("c_acctbal")) * dec(F.col("c_acctbal"))
+    s = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("c_acctbal"))).cast("double").alias("sx"),
+        F.sum(bal2).cast("double").alias("sxx"),
+    )
+    variance = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.filter(F.col("n") > 1).select(
+        "c_nationkey",
+        "n",
+        variance.alias("variance"),
+        F.sqrt(variance).alias("stddev"),
+    )
+
+
 # -- extension registrations (text / dedup / similarity / events) are pulled
 #    in at import time so that importing `queries` yields the full registry.
 from .operators import register_all as _register_operator_queries  # noqa: E402
