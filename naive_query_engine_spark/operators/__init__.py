@@ -15,4 +15,12 @@ DuckDB oracle where SQL-expressible:
 
 def register_all() -> None:
     """Import every operator module for its query-registration side effects."""
-    from . import dedup, events, multimodal, similarity, text  # noqa: F401
+    from . import (  # noqa: F401
+        custom_agg,
+        dedup,
+        events,
+        multimodal,
+        similarity,
+        temporal,
+        text,
+    )

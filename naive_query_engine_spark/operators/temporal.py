@@ -1,0 +1,158 @@
+"""Temporal join operators: as-of join and bounded range (interval) join.
+
+Neither exists in the reference (SURVEY §2.3: "not present: ... range,
+as-of") and neither is a single built-in in Spark SQL — these are the
+classic "compose from existing DataFrame ops" custom operators:
+
+- **as-of join** — implemented as UNION + partitioned window
+  (last non-null right-row carried forward), NOT as an inequality join:
+  one shuffle on the key, linear scan per partition, no fan-out.  This is
+  the standard scale formulation (an inequality join would explode).
+  The DuckDB oracle uses its native ``ASOF JOIN`` — an independent
+  implementation agreeing on semantics.
+- **range self-join** — time-bucketed equi-join: candidates only from the
+  same or adjacent bucket (bounded fan-out ≈ events-per-window², never
+  n² per key), then the exact predicate.  Same output as the naive
+  inequality join the oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import query, t
+
+RANGE_WINDOW_SEC = 300  # range-join window: events within 5 minutes
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` on the same key.  Right (key, ts) pairs must be
+    unique — pre-dedupe if not (see ``asof_events_orders``)."""
+    lt = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("_t"),
+            F.lit(0).alias("_side"),
+            *[F.col(c) for c in payload_cols],
+        )
+    )
+    # align schemas: left carries nulls for payload, right nulls for left cols
+    for c in payload_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    left_cols = [c for c in left.columns]
+    rt2 = rt
+    for c in left_cols:
+        if c != key and c not in rt.columns:
+            rt2 = rt2.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    unioned = lt.select(key, "_t", "_side", *payload_cols, *[c for c in left_cols if c != key]).unionByName(
+        rt2.select(key, "_t", "_side", *payload_cols, *[F.col(c) for c in left_cols if c != key])
+    )
+    # right rows sort before left rows at equal _t → "<=" semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        key,
+        "_t",
+        "_side",
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        *[c for c in left_cols if c != key],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side", "_t")
+
+
+@query(
+    "asof_join_events_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, r.o_orderkey, strftime(r.o_orderdate, '%Y-%m-%d') AS asof_date
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at
+    event time.  Right side deduped to unique (key, ts) with MAX(orderkey)
+    as the deterministic tie-break in BOTH engines."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof_join(
+        ev,
+        o.withColumn("asof_date", F.date_format("o_orderdate", "yyyy-MM-dd")),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "asof_date"],
+    )
+    return joined.select("event_id", "user_id", "o_orderkey", "asof_date")
+
+
+@query(
+    "range_join_event_pairs",
+    oracle=f"""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS secs_apart
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id > a.event_id
+     AND abs(date_diff('second', a.ts, b.ts)) <= {RANGE_WINDOW_SEC}
+    """,
+    tags=("join", "range", "temporal"),
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join: pairs of same-user events within ±5
+    minutes, via time-bucketed candidates (same/adjacent bucket equi-join,
+    bounded fan-out) + exact predicate.  ``secs_apart`` is an exact integer
+    (epoch-second difference)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", (F.unix_timestamp("ts")).alias("sec")
+    )
+    bucket = F.floor(F.col("sec") / RANGE_WINDOW_SEC)
+    a = ev.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.col("sec").alias("sec_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bkt"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("sec").alias("sec_b"),
+        F.floor(F.col("sec") / RANGE_WINDOW_SEC).alias("bkt"),
+    )
+    return (
+        a.join(b, (a.user_id == F.col("user_b")) & (a.bkt == b.bkt))
+        .filter(
+            (F.col("event_b") > F.col("event_a"))
+            & (F.col("sec_b") >= F.col("sec_a") - RANGE_WINDOW_SEC)
+            & (F.col("sec_b") <= F.col("sec_a") + RANGE_WINDOW_SEC)
+        )
+        .select(
+            "event_a",
+            "event_b",
+            (F.col("sec_b") - F.col("sec_a")).cast("long").alias("secs_apart"),
+        )
+        .distinct()
+    )
