@@ -36,8 +36,8 @@ MINHASH_K = 12
 MINHASH_BANDS = 6
 MINHASH_R = MINHASH_K // MINHASH_BANDS
 JACCARD_THRESHOLD = 0.2
-SIMHASH_BITS = 16
-HAMMING_THRESHOLD = 2
+SIMHASH_BITS = 32
+HAMMING_THRESHOLD = 3
 
 
 # ---------------------------------------------------------------------------
@@ -45,7 +45,14 @@ HAMMING_THRESHOLD = 2
 
 
 def shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, g) rows: distinct word n-gram shingles per document."""
+    """(doc_id, g) rows: distinct word n-gram shingles per document.
+
+    Repartitions first: the corpus parquet is a single split at test scale,
+    which would serialize the (interpreted, higher-order-function) shingle
+    expansion onto one core; at production scale the input arrives already
+    split and the repartition collapses into the scan's partitioning."""
+    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
+    d = d.repartition(n_parts)
     toks = tokens(F.col("text"))
     size = F.size(toks)
     grams = F.transform(
@@ -272,45 +279,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 
 
-def simhash_column_exprs() -> list[Column]:
-    """Per-shingle ±1 bit votes from md5 nibbles (bit j = nibble j >= 8)."""
-    h = F.md5(F.col("g"))
+def simhash_vote_exprs() -> list[Column]:
+    """Per-shingle ±1 bit votes from md5 nibbles (bit j = nibble j >= 8),
+    one aggregate expression per signature bit.  Expects the md5 hex to be
+    pre-computed in column ``h`` — hashing once per shingle row instead of
+    once per (row × bit)."""
     out = []
     for j in range(SIMHASH_BITS):
-        nib = F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int")
+        nib = F.conv(F.substring(F.col("h"), j + 1, 1), 16, 10).cast("int")
         out.append(F.sum(F.when(nib >= 8, 1).otherwise(-1)).alias(f"v{j}"))
     return out
 
 
 def simhash_signatures(d: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — {B}-bit signature as a bitstring.""".format(B=SIMHASH_BITS)
-    votes = shingle_rows(d).groupBy("doc_id").agg(*simhash_column_exprs())
-    bits = F.concat(
-        *[F.when(F.col(f"v{j}") >= 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
-    )
-    return votes.select("doc_id", bits.alias("simhash"))
+    """(doc_id, simhash) — signature as a BIGINT bit-field (bit j set when
+    the vote sum for bit j is >= 0)."""
+    hashed = shingle_rows(d).select("doc_id", F.md5(F.col("g")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(*simhash_vote_exprs())
+    sig = sum(
+        (F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(0) for j in range(SIMHASH_BITS)),
+        start=F.lit(0),
+    ).cast("long")
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def _band_bounds(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(shift, mask) per block, covering all bits with near-equal widths."""
+    base, extra = divmod(n_bits, n_blocks)
+    bounds, shift = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((shift, (1 << width) - 1))
+        shift += width
+    return bounds
 
 
 def simhash_pairs(d: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> DataFrame:
-    """Near-dup pairs by Hamming distance over simhash signatures.
-
-    Test-scale pairing is a direct self-join; the 100 TB path blocks on a
-    signature prefix (join on substring(simhash, 1, p)) so only same-prefix
-    docs are compared — same output, bounded fan-out.
-    """
+    """Near-dup pairs by Hamming distance over simhash signatures — via
+    **pigeonhole banding**, never an O(n²) cross join: split the signature
+    into ``max_hamming + 1`` bit-blocks; any pair within the Hamming budget
+    must agree exactly on at least one block, so candidates come from
+    equi-joins on (block_index, block_bits) and only candidates pay the
+    bit_count(xor) distance.  Identical output to the naive pairing (the
+    DuckDB oracle runs the naive O(n²) formulation as the independent
+    check — fine at oracle scale)."""
     sig = simhash_signatures(d)
-    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    ham = sum(
-        F.when(
-            F.substring(F.col("sh_a"), j + 1, 1) != F.substring(F.col("sh_b"), j + 1, 1), 1
-        ).otherwise(0)
-        for j in range(SIMHASH_BITS)
-    ).cast("long")
+    blocks = None
+    for i, (shift, mask) in enumerate(_band_bounds(SIMHASH_BITS, max_hamming + 1)):
+        one_block = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("blk"),
+            F.shiftright("simhash", shift).bitwiseAND(F.lit(mask)).alias("bits"),
+        )
+        blocks = one_block if blocks is None else blocks.unionAll(one_block)
+    x, y = blocks.alias("x"), blocks.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast("long")
     return (
-        x.join(y, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
+        x.join(
+            y,
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.bits") == F.col("y.bits"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -320,12 +358,8 @@ def _simhash_oracle() -> str:
         "THEN 1 ELSE -1 END) AS v{j}".format(p=j + 1, j=j)
         for j in range(SIMHASH_BITS)
     )
-    bits = " || ".join(
-        f"CASE WHEN v{j} >= 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
-    )
-    ham = " + ".join(
-        f"CASE WHEN SUBSTR(x.simhash, {j + 1}, 1) <> SUBSTR(y.simhash, {j + 1}, 1) "
-        "THEN 1 ELSE 0 END"
+    bits = " + ".join(
+        f"CASE WHEN v{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
         for j in range(SIMHASH_BITS)
     )
     return f"""
@@ -337,13 +371,13 @@ def _simhash_oracle() -> str:
     ),
     sig AS (SELECT doc_id, {bits} AS simhash FROM votes)
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           CAST({ham} AS BIGINT) AS hamming
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
     FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-    WHERE {ham} <= {HAMMING_THRESHOLD}
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_THRESHOLD}
     """
 
 
 @query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "pipeline", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (16-bit signatures, Hamming <= 2)."""
+    """SimHash near-dup pairs (32-bit signatures, Hamming <= 3)."""
     return simhash_pairs(t(spark, sf_dir, "documents"))

@@ -88,16 +88,41 @@ _Q_SQL = f"""
     tags=("similarity", "pipeline", "dedup"),
 )
 def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold (brute-force pairing at
-    test scale; the LSH-bucketed variant below is the scale path)."""
-    q = _qtable(spark, sf_dir)
-    a = q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nrm2").alias("na2"))
-    b = q.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nrm2").alias("nb2"))
-    cos = cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
+    """Embedding near-dup pairs: cosine >= threshold, via blocked numpy
+    matmul inside mapInPandas — each Arrow batch of vectors is multiplied
+    against the (broadcast) corpus matrix, so the O(n²) work runs as n/batch
+    parallel BLAS calls instead of an interpreted pairwise join.  Quantized
+    integers are exact in float64 → identical cosines to the JVM/oracle
+    formulation regardless of summation order.  At corpus sizes where even
+    blocked n² is too much, use ``similarity_lsh_bucketed``."""
+    import numpy as np
+    import pandas as pd
+
+    qt = _qtable(spark, sf_dir)
+    rows = qt.select("vec_id", "q", "nrm2").collect()
+    ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat_all = np.array([r["q"] for r in rows], dtype=np.float64)
+    nrm_all = np.sqrt(np.array([r["nrm2"] for r in rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((ids_all, mat_all, nrm_all))
+
+    def block_pairs(batches):
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.asarray(list(pdf["q"]), dtype=np.float64)
+            nrm = np.sqrt(pdf["nrm2"].to_numpy(dtype=np.float64))
+            cos = (mat @ b_mat.T) / (nrm[:, None] * b_nrm[None, :])
+            keep = (cos >= COSINE_THRESHOLD) & (ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": ids[ai], "vec_b": b_ids[bj], "cosine": cos[ai, bj]}
+            )
+
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        qt.select("vec_id", "q", "nrm2")
+        .repartition(n_parts)
+        .mapInPandas(block_pairs, "vec_a long, vec_b long, cosine double")
     )
 
 
