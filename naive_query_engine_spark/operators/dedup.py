@@ -50,7 +50,11 @@ def shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
     Repartitions first: the corpus parquet is a single split at test scale,
     which would serialize the (interpreted, higher-order-function) shingle
     expansion onto one core; at production scale the input arrives already
-    split and the repartition collapses into the scan's partitioning."""
+    split and the repartition collapses into the scan's partitioning.
+
+    Per-doc dedup is explode + distinct (a shuffle), NOT array_distinct:
+    array_distinct on string arrays is quadratic per row, and the shuffle
+    lands the rows keyed the way every downstream shingle-join wants."""
     n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
     d = d.repartition(n_parts)
     toks = tokens(F.col("text"))
@@ -59,8 +63,10 @@ def shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
         F.sequence(F.lit(0), size - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
-    return d.filter(size >= n).select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    return (
+        d.filter(size >= n)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
     )
 
 
@@ -163,14 +169,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 
 
-def _mh(seed: int) -> Column:
-    return F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("g")))
+MH_HEX_WIDTH = 5  # 20-bit hash space per min-hash — ample for per-doc shingle counts
 
 
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """One aggregation pass → K min-hash columns mh0..mh{k-1} per doc."""
-    return sh.groupBy("doc_id").agg(
-        *[F.min(_mh(s)).alias(f"mh{s}") for s in range(k)]
+    """One aggregation pass → K min-hash columns mh0..mh{k-1} per doc.
+
+    All K hash functions derive from TWO md5 calls per shingle (64 hex
+    chars sliced into K disjoint MH_HEX_WIDTH-char windows) instead of K
+    independent md5s — the per-row hash cost is constant in K.
+    Lexicographic MIN over fixed-width lowercase-hex slices == numeric
+    min-hash, identically in both engines."""
+    assert k * MH_HEX_WIDTH <= 64, "two md5s provide 64 hex chars"
+    h2 = F.concat(
+        F.md5(F.col("g")), F.md5(F.concat(F.lit("x"), F.col("g")))
+    ).alias("h2")
+    hashed = sh.select("doc_id", h2)
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col("h2"), s * MH_HEX_WIDTH + 1, MH_HEX_WIDTH)).alias(f"mh{s}")
+            for s in range(k)
+        ]
     )
 
 
@@ -223,7 +242,8 @@ def minhash_lsh_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Dat
 
 def _minhash_oracle() -> str:
     mins = ",\n             ".join(
-        f"MIN(MD5('{s}:' || g)) AS mh{s}" for s in range(MINHASH_K)
+        f"MIN(SUBSTR(h2, {s * MH_HEX_WIDTH + 1}, {MH_HEX_WIDTH})) AS mh{s}"
+        for s in range(MINHASH_K)
     )
     band_rows = "\n      UNION ALL\n".join(
         "      SELECT doc_id, {b} AS band, MD5({cols}) AS sig FROM sig".format(
@@ -236,10 +256,13 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH {_SHINGLES_SQL},
+    hashed AS (
+      SELECT doc_id, MD5(g) || MD5('x' || g) AS h2 FROM shingles
+    ),
     sig AS (
       SELECT doc_id,
              {mins}
-      FROM shingles GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     buckets AS (
 {band_rows}
