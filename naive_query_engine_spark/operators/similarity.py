@@ -298,3 +298,31 @@ from ..queries import QUERIES as _Q  # noqa: E402
 _Q["similarity_topk_vectorized"] = _dc.replace(
     _Q["similarity_topk_vectorized"], oracle=_Q["similarity_topk_bruteforce"].oracle
 )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH e AS (
+      SELECT label,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    SELECT label, CAST(i AS BIGINT) AS dim,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS centroid_q
+    FROM e GROUP BY label, i
+    """,
+    tags=("similarity", "pipeline", "centroid"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the (quantized) embeddings, one row per
+    (label, dimension) — exact integer sums, single double division.
+    This is the k-means/IVF building block: the coarse quantizer's
+    centroid update is exactly this aggregation."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(quantized(F.col("embedding"))).alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg((F.sum("v").cast("double") / F.count(F.lit(1))).alias("centroid_q"))
+    )

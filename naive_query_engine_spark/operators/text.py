@@ -203,3 +203,94 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         predict_lang(F.col("text")).alias("predicted_lang"),
     )
+
+
+@query(
+    "text_top_ngrams",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ts FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok
+    ),
+    bigrams AS (
+      SELECT a.w || ' ' || b.w AS g
+      FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    )
+    SELECT g, COUNT(*) AS cnt FROM bigrams
+    GROUP BY g ORDER BY cnt DESC, g LIMIT 50
+    """,
+    tags=("text", "pipeline", "ngram"),
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams (occurrence counts, not per-doc
+    distinct).  Count-then-top-k: one shuffle on the gram, then
+    TakeOrdered — never a global sort."""
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(max(spark.sparkContext.defaultParallelism, 8))
+    toks = tokens(F.col("text"))
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), size - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return (
+        d.filter(size >= 2)
+        .select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("g"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ts FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(ts) AS w FROM tok),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("text", "pipeline", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.  TF and DF are exact integer
+    aggregations; ln() is rounded to 9 decimals (JVM vs libc last-ulp).
+    DF table is tiny → broadcast back onto the TF rows."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(max(spark.sparkContext.defaultParallelism, 8))
+    n_docs = d.count()
+    w_rows = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    tf = w_rows.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = w_rows.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        F.col("w").alias("term"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("tfidf"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )

@@ -35,6 +35,8 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
+    # bucketed-table warehouse (co-located joins); keep out of the repo tree
+    "spark.sql.warehouse.dir": "/tmp/nqes-warehouse",
 }
 
 

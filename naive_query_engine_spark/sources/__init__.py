@@ -116,6 +116,28 @@ def register_sf_dir(spark: SparkSession, sf_dir: str, tables: Iterable[str] = TP
         read_corpus_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (optionally sorted) table.
+
+    Bucketing is THE co-located-join primitive at scale: two tables
+    bucketed by their join key with the same bucket count join without any
+    Exchange — the shuffle is paid once at write time, then amortized over
+    every subsequent join/aggregation on that key.  (Verified by plan
+    assertion in tests/test_bucketing.py.)
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_table(
     df: DataFrame,
     path: str,
