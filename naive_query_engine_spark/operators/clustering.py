@@ -1,0 +1,118 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+Pairwise dedup (Jaccard/MinHash/SimHash) emits EDGES; choosing one canonical
+document per duplicate *group* needs the transitive closure — connected
+components.  This is the iterative-algorithm case the reference cannot
+express at all and Spark has no single built-in for:
+
+- Spark path: **label propagation to fixpoint** — each iteration joins the
+  current labels across the (symmetrized) edge set and takes the min; the
+  driver loop stops when an iteration changes nothing.  Per iteration: one
+  shuffle join keyed by vertex; iterations ≤ graph diameter (near-dup
+  clusters are shallow).  ``localCheckpoint`` truncates the lineage so the
+  plan doesn't grow with iterations — the standard Spark idiom for
+  iterative graph algorithms at scale.
+- Oracle path: a recursive CTE computing reachability (DuckDB) — an
+  independent formulation agreeing on the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query, t
+from .dedup import _SHINGLES_SQL, JACCARD_THRESHOLD, ngram_jaccard_pairs
+
+
+def connected_components(
+    vertices: DataFrame,  # (id)
+    edges: DataFrame,  # (a, b) undirected
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) with component = min vertex id reachable."""
+    sym = (
+        edges.select(F.col("a"), F.col("b"))
+        .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = vertices.select(F.col("id"), F.col("id").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_EDGES_SQL = f"""
+    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM shingles GROUP BY doc_id),
+    pair AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+      FROM shingles x JOIN shingles y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pair
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_EDGES_SQL},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS component
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    tags=("dedup", "pipeline", "clustering", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups: connected components over n-gram-Jaccard near-dup
+    edges; component id = lowest doc_id in the group (the canonical doc)."""
+    d = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    vertices = d.select(F.col("doc_id").alias("id"))
+    return connected_components(vertices, edges).select(
+        F.col("id").alias("doc_id"), F.col("component")
+    )

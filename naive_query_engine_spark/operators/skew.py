@@ -1,0 +1,75 @@
+"""Skew-mitigation utilities: salted joins and salted aggregation.
+
+AQE's skew-join splitting handles most cases at runtime
+(``spark.sql.adaptive.skewJoin.enabled``, on in our session defaults); the
+explicit salting here is for the cases AQE can't fix — e.g. a single hot
+key in a shuffle join whose build side must replicate, or a groupBy with
+one dominant group.  Pattern:
+
+- join:  append ``salt = rand_bucket(row) % S`` to the skewed (big) side;
+  EXPLODE the other side S× (one copy per salt value); join on
+  (key, salt).  Each hot-key partition shrinks by ~S.
+- aggregation: two-phase — aggregate on (key, salt) first (spreads the hot
+  key over S reducers), then re-aggregate on key.
+
+Salting must never change results: ``tests/test_skew.py`` asserts
+salted == plain for both shapes.  The salt uses a deterministic hash of a
+unique column (never ``rand()``) so retried tasks produce identical rows —
+non-negotiable for exactly-once semantics under task retry at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deterministic_salt(unique_col: Column, n_salts: int) -> Column:
+    """Stable bucket in [0, n_salts) from a unique column (retry-safe)."""
+    return F.pmod(F.hash(unique_col), F.lit(n_salts))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    small_key: str,
+    n_salts: int = 8,
+    salt_on: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated
+    n_salts×.  ``salt_on`` names a unique column on the big side (defaults
+    to the join key — fine when values of one key spread over partitions)."""
+    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
+    b = big.withColumn("_salt", deterministic_salt(salt_src, n_salts))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = b.join(s, (b[key] == s[small_key]) & (b["_salt"] == s["_salt"]), how)
+    return out.drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: dict[str, str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.  ``agg_exprs`` maps
+    output column → one of sum/count/min/max (the re-aggregatable set;
+    avg = sum/count composed by the caller)."""
+    salted = df.withColumn("_salt", deterministic_salt(F.monotonically_increasing_id(), n_salts))
+    phase1 = salted.groupBy(key, "_salt").agg(
+        *[
+            (F.count(F.lit(1)) if how == "count" else getattr(F, how)(col)).alias(out)
+            for out, (col, how) in agg_exprs.items()
+        ]
+    )
+    merge = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    return phase1.groupBy(key).agg(
+        *[
+            getattr(F, merge[how])(out).alias(out)
+            for out, (col, how) in agg_exprs.items()
+        ]
+    )

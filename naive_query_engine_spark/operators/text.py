@@ -294,3 +294,40 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(win).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g') AS scrubbed,
+           (regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+            OR regexp_matches(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')
+            OR regexp_matches(text, 'https?://[^\s]+')) AS had_pii
+    FROM documents
+    """,
+    tags=("text", "pipeline", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails / phone-like numbers / URLs → typed
+    placeholders, plus a had-PII flag.  Pure regexp_replace chain —
+    JVM-side, streams at scan speed (the standard pre-training scrub
+    pass shape)."""
+    d = t(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+    url = r"https?://[^\s]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"),
+        url,
+        "<URL>",
+    )
+    had = (
+        F.col("text").rlike(email) | F.col("text").rlike(phone) | F.col("text").rlike(url)
+    )
+    return d.select("doc_id", scrubbed.alias("scrubbed"), had.alias("had_pii"))

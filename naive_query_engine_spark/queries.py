@@ -1224,3 +1224,28 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators import register_all as _register_operator_queries  # noqa: E402
 
 _register_operator_queries()
+
+
+@query(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_cont(value, 0.5)  AS DOUBLE) AS p50,
+           CAST(quantile_cont(value, 0.9)  AS DOUBLE) AS p90,
+           CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≙
+    DuckDB ``quantile_cont`` — both the standard linear-interpolation
+    definition over identical input doubles).  The approximate-sketch
+    variant (percentile_approx/t-digest) is engine-specific by design and
+    exercised in tests, not oracle-gated."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )

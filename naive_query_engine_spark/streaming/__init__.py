@@ -119,3 +119,18 @@ def run_to_parquet_sink(
         .outputMode(output_mode)
         .start()
     )
+
+
+def deduplicated(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` within the watermark
+    horizon.  The watermark bounds the dedup state store — without it,
+    state grows forever; with it, a key's entry is evicted once the
+    watermark passes, which is the only tractable contract at 100 TB/day.
+    Batch equivalent: ``dropDuplicates(keys)``."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -83,3 +83,26 @@ def test_parquet_sink_checkpointed(spark, event_files):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_dedup_drops_replayed_batch(spark, event_files, tmp_path):
+    """Feed the same files twice (source-level replay) → every event_id is
+    seen, none twice."""
+    import glob
+    import shutil as sh
+
+    dup_dir = tmp_path / "dup-src"
+    dup_dir.mkdir()
+    for i, f in enumerate(sorted(glob.glob(event_files + "/*.parquet"))):
+        sh.copy(f, dup_dir / f"a{i}.parquet")
+        sh.copy(f, dup_dir / f"b{i}.parquet")
+    stream = st.read_event_stream(spark, str(dup_dir), max_files_per_trigger=3)
+    q = st.run_to_memory_sink(st.deduplicated(stream), "dedup_events", "append")
+    try:
+        q.processAllAvailable()
+        got = spark.table("dedup_events").groupBy("event_id").count().collect()
+    finally:
+        q.stop()
+    n_src = spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files).count()
+    assert len(got) == n_src
+    assert all(r["count"] == 1 for r in got)
