@@ -1249,3 +1249,140 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.9).alias("p90"),
         F.percentile("value", 0.99).alias("p99"),
     )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(NULLIF(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS "1-URGENT",
+           CAST(NULLIF(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS BIGINT) AS "2-HIGH",
+           CAST(NULLIF(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS BIGINT) AS "3-MEDIUM",
+           CAST(NULLIF(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(NULLIF(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS BIGINT) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — explicit values keep
+    the schema static and skip the extra distinct-values job Spark needs
+    otherwise.  Absent combinations are NULL (mirrored via NULLIF in the
+    oracle's conditional-count formulation)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIORITIES).count()
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    """,
+    tags=("expression", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (no JSON support at all
+    in the reference).  get_json_object streams JVM-side; for repeated
+    multi-field extraction at scale prefer one from_json with a schema."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@query(
+    "datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)      AS y,
+           CAST(month(o_orderdate) AS BIGINT)     AS m,
+           CAST(day(o_orderdate) AS BIGINT)       AS d,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS plus30,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+    FROM orders
+    """,
+    tags=("expression", "datetime"),
+)
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions (absent from the reference: Timestamp cast is
+    todo!(), sql/planner.rs:517)."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("d"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.date_add(d.cast("date"), 30).cast("string").alias("plus30"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT)              AS dim,
+           CAST(embedding[1] AS DOUBLE)                AS first_val,
+           CAST(list_min(embedding) AS DOUBLE)         AS min_val,
+           CAST(list_max(embedding) AS DOUBLE)         AS max_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+    tags=("expression", "array"),
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column functions (the reference has no nested types at all,
+    SURVEY §1.1).  Scalar outputs only — no float arithmetic, so values are
+    bit-exact across engines."""
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_val"),
+        F.array_min(emb).cast("double").alias("min_val"),
+        F.array_max(emb).cast("double").alias("max_val"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT c_custkey,
+           o_orderkey,
+           COALESCE(o_totalprice, -1.0) AS price_or_default,
+           (o_orderkey IS NULL)         AS no_order,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg_nullif,
+           CASE WHEN o_totalprice IS NOT NULL THEN 'has' ELSE 'none' END AS has_order
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 300000
+    """,
+    tags=("expression", "null"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling functions over a deliberately sparse left join
+    (COALESCE / IS NULL / NULLIF / CASE).  The reference supports only
+    literal NULL (sql/planner.rs:400)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        "o_orderkey",
+        F.coalesce(F.col("o_totalprice"), F.lit(-1.0)).alias("price_or_default"),
+        F.col("o_orderkey").isNull().alias("no_order"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullif"),
+        F.when(F.col("o_totalprice").isNotNull(), "has").otherwise("none").alias("has_order"),
+    )
