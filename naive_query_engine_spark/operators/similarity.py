@@ -326,3 +326,114 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
         .agg((F.sum("v").cast("double") / F.count(F.lit(1))).alias("centroid_q"))
     )
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_Q_SQL},
+    cent AS (
+      SELECT e2.label, e2.i, CAST(SUM(e2.v) AS DOUBLE) / COUNT(*) AS c
+      FROM (SELECT m.label, q.v, q.i
+            FROM e q JOIN embeddings m ON m.vec_id = q.vec_id) e2
+      GROUP BY e2.label, e2.i
+    ),
+    -- assign each vector to its nearest centroid (exact arithmetic on
+    -- quantized ints vs exact centroid doubles; tie-break lowest label)
+    dists AS (
+      SELECT e.vec_id, cent.label,
+             SUM((CAST(e.v AS DOUBLE) - cent.c) * (CAST(e.v AS DOUBLE) - cent.c)) AS d2
+      FROM e JOIN cent ON cent.i = e.i
+      GROUP BY e.vec_id, cent.label
+    ),
+    assign AS (
+      SELECT vec_id, label AS cell FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(ea.v * eb.v) AS dot
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+      WHERE a.vec_id < {N_QUERY_VECS}
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) /
+             (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE))) AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "pipeline", "ivf", "topk"),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (the label centroids — in a real
+    index, k-means centroids; the centroid-update step IS
+    ``embedding_label_centroids``) assigns every vector to a cell; each
+    query searches only its own cell.  Search cost drops from O(N) to
+    O(N / n_cells) per query — the inverted-file structure that makes
+    billion-vector search tractable.  Approximate by construction: a true
+    neighbor in another cell is missed (nprobe=1)."""
+    from pyspark.sql import Window
+
+    qt = _qtable(spark, sf_dir).cache()
+    # exact centroid per (label, dim) from quantized components
+    cent = (
+        qt.select("label", F.posexplode(F.col("q")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg((F.sum("v").cast("double") / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("cs"))
+        .select("label", F.transform(F.col("cs"), lambda s: s.c).alias("centroid"))
+    )
+    # nearest-centroid assignment (exact doubles; tie-break lowest label)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q"), F.col("centroid"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    assign = (
+        qt.crossJoin(F.broadcast(cent.select(F.col("label").alias("c_label"), "centroid")))
+        .select("vec_id", "q", "nrm2", F.col("c_label"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "nrm2", F.col("c_label").alias("cell"))
+    )
+    queries = assign.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("nq2"),
+        "cell",
+    )
+    cos = cosine_q(dot_q(F.col("qq"), F.col("qn")), F.col("nq2"), F.col("nn2"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        assign.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("qn"),
+            F.col("nrm2").alias("nn2"),
+            "cell",
+        )
+        .join(F.broadcast(queries), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -97,7 +97,13 @@ def test_stream_dedup_drops_replayed_batch(spark, event_files, tmp_path):
         sh.copy(f, dup_dir / f"a{i}.parquet")
         sh.copy(f, dup_dir / f"b{i}.parquet")
     stream = st.read_event_stream(spark, str(dup_dir), max_files_per_trigger=3)
-    q = st.run_to_memory_sink(st.deduplicated(stream), "dedup_events", "append")
+    # each source file spans the whole 30-day range (round-robin split), so
+    # the dedup horizon must cover it — otherwise events arriving after the
+    # watermark passed their timestamp are dropped as late (correct
+    # behavior, but file-order-dependent and not what this test pins)
+    q = st.run_to_memory_sink(
+        st.deduplicated(stream, watermark="800 hours"), "dedup_events", "append"
+    )
     try:
         q.processAllAvailable()
         got = spark.table("dedup_events").groupBy("event_id").count().collect()
@@ -106,3 +112,32 @@ def test_stream_dedup_drops_replayed_batch(spark, event_files, tmp_path):
     n_src = spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files).count()
     assert len(got) == n_src
     assert all(r["count"] == 1 for r in got)
+
+
+def test_stateful_running_totals(spark, event_files):
+    """applyInPandasWithState carries per-user state across micro-batches;
+    the last update per user must equal the batch-mode totals."""
+    stream = st.read_event_stream(spark, event_files, max_files_per_trigger=1)
+    q = st.run_to_memory_sink(st.running_user_totals(stream), "user_totals", "update")
+    try:
+        q.processAllAvailable()
+        # memory sink in update mode appends each update; take the max
+        # (counts are monotone) as the final value per user
+        got = {
+            r.user_id: r.n_events
+            for r in spark.table("user_totals")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.user_id: r.n
+        for r in spark.read.schema(st.EVENTS_SCHEMA)
+        .parquet(event_files)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
