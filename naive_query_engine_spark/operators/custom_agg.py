@@ -24,19 +24,23 @@ from ..queries import query, t
 GAP_SCHEMA = "user_id long, median_gap_us double, n_gaps long"
 
 
-def _median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
-    gaps = pdf["gap_us"]
-    return pd.DataFrame(
-        {
-            "user_id": [pdf["user_id"].iloc[0]],
-            "median_gap_us": [float(gaps.median())],
-            "n_gaps": [int(len(gaps))],
-        }
-    )
-
-
 def median_inter_event_gap(events: DataFrame) -> DataFrame:
-    """Per-user median gap between consecutive events (µs precision)."""
+    """Per-user median gap between consecutive events (µs precision).
+
+    The kernel is a local closure, NOT a module-level function: closures
+    cloudpickle by value, so executors never need this package importable
+    (the driver harness runs from an arbitrary cwd)."""
+
+    def _median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
+        gaps = pdf["gap_us"]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "median_gap_us": [float(gaps.median())],
+                "n_gaps": [int(len(gaps))],
+            }
+        )
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
         events.select(

@@ -49,21 +49,36 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, int, int]:
     return n, 16 + n % 640, 16 + (n * 7) % 480, 1 + n % 30
 
 
-def decode_meta_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: payload bytes → typed metadata (Arrow-batched).
-    This is exactly where a real codec would run, one executor-side batch
-    at a time, never materializing the whole corpus."""
-    for pdf in batches:
-        meta = pdf["payload"].map(fake_decode_meta)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": meta.map(lambda m: m[0]),
-                "width": meta.map(lambda m: m[1]),
-                "height": meta.map(lambda m: m[2]),
-                "n_frames": meta.map(lambda m: m[3]),
-            }
-        )
+def make_decode_meta_map(decode=None):
+    """Build the mapInPandas kernel: payload bytes → typed metadata
+    (Arrow-batched).  This is exactly where a real codec would run, one
+    executor-side batch at a time, never materializing the whole corpus.
+
+    Returned as a closure over ``decode`` so it cloudpickles BY VALUE —
+    executors never need this package on their python path (the driver
+    harness may run from an arbitrary cwd)."""
+
+    if decode is None:
+        # inline copy of fake_decode_meta: a local def pickles by value,
+        # while referencing the module-level function would not
+        def decode(payload):
+            n = len(payload)
+            return n, 16 + n % 640, 16 + (n * 7) % 480, 1 + n % 30
+
+    def decode_meta_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": meta.map(lambda m: m[0]),
+                    "width": meta.map(lambda m: m[1]),
+                    "height": meta.map(lambda m: m[2]),
+                    "n_frames": meta.map(lambda m: m[3]),
+                }
+            )
+
+    return decode_meta_map
 
 
 @query(
@@ -82,4 +97,4 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → metadata via Arrow-batched mapInPandas (decode step
     stubbed deterministically; see module docstring)."""
     d = attach_payload(t(spark, sf_dir, "documents"))
-    return d.select("doc_id", "payload").mapInPandas(decode_meta_map, DECODE_SCHEMA)
+    return d.select("doc_id", "payload").mapInPandas(make_decode_meta_map(), DECODE_SCHEMA)
