@@ -30,12 +30,18 @@ BENCH_QUERIES = [
     "q03_shipping_priority",
     "q05_region_revenue",
     "q06_forecast_revenue",
+    "q07_nation_trade",
+    "q09_profit_by_nation_year",
     "join_inner_chain",
     "agg_grouped_computed_key",
     "window_rank",
     "events_sessionize",
+    "asof_join_events_orders",
+    "range_join_event_pairs",
     "text_quality_score",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_pairs",
     "similarity_topk_vectorized",
 ]
 
