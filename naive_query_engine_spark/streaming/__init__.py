@@ -164,3 +164,23 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enriched_with_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: the static dimension broadcasts to
+    every micro-batch (no state, no watermark needed).  The standard
+    pattern for attaching slowly-changing reference data to a stream."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def run_foreach_batch(df: DataFrame, sink_fn, checkpoint: str) -> StreamingQuery:
+    """foreachBatch sink: hand each micro-batch to arbitrary batch code
+    (upserts, multi-sink fanout, dedup-merge).  The batch_df supports every
+    batch operation — the escape hatch when no built-in sink fits."""
+    return (
+        df.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -141,3 +141,45 @@ def test_stateful_running_totals(spark, event_files):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment(spark, event_files):
+    """Stream-static broadcast join attaches dimension attributes to every
+    micro-batch."""
+    users = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("user-"), F.col("id")).alias("user_name"),
+    )
+    stream = st.read_event_stream(spark, event_files, max_files_per_trigger=2)
+    q = st.run_to_memory_sink(
+        st.enriched_with_users(stream, users).select("event_id", "user_id", "user_name"),
+        "enriched", "append",
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("enriched").collect()
+    finally:
+        q.stop()
+    n_src = spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files).count()
+    assert len(rows) == n_src
+    assert all(r.user_name == f"user-{r.user_id}" for r in rows)
+
+
+def test_foreach_batch_collects_all(spark, event_files, tmp_path):
+    """foreachBatch receives every micro-batch exactly once."""
+    seen: dict[int, int] = {}
+
+    def sink(batch_df, batch_id):
+        seen[batch_id] = batch_df.count()
+
+    stream = st.read_event_stream(spark, event_files, max_files_per_trigger=1)
+    q = st.run_foreach_batch(
+        stream.select("event_id"), sink, str(tmp_path / "ckpt-feb")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_src = spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files).count()
+    assert sum(seen.values()) == n_src
+    assert len(seen) >= 2  # maxFilesPerTrigger=1 over 4 files → multiple batches
