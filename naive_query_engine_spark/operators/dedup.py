@@ -59,9 +59,10 @@ def shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
     d = d.repartition(n_parts)
     toks = tokens(F.col("text"))
     size = F.size(toks)
+    # slice+array_join beats n× element_at (one array access per gram)
     grams = F.transform(
         F.sequence(F.lit(0), size - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return (
         d.filter(size >= n)
