@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query, t
-from .dedup import _SHINGLES_SQL, JACCARD_THRESHOLD, ngram_jaccard_pairs
+from .shingles_sql import JACCARD_THRESHOLD, SHINGLES_SQL as _SHINGLES_SQL
 
 
 def connected_components(
@@ -108,6 +108,8 @@ _EDGES_SQL = f"""
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups: connected components over n-gram-Jaccard near-dup
     edges; component id = lowest doc_id in the group (the canonical doc)."""
+    from .dedup import ngram_jaccard_pairs  # lazy: import-order safe
+
     d = t(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(d).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")

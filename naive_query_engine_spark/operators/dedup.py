@@ -29,13 +29,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query, t
-from .text import tokens
+from .shingles_sql import JACCARD_THRESHOLD, SHINGLES_SQL as _SHINGLES_SQL
 
 # MinHash configuration: K hashes in B bands of R rows (K = B*R).
 MINHASH_K = 12
 MINHASH_BANDS = 6
 MINHASH_R = MINHASH_K // MINHASH_BANDS
-JACCARD_THRESHOLD = 0.2
 SIMHASH_BITS = 32
 HAMMING_THRESHOLD = 3
 
@@ -44,17 +43,18 @@ HAMMING_THRESHOLD = 3
 # shared shingling
 
 
-def shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, g) rows: distinct word n-gram shingles per document.
+def raw_shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, g) rows: word n-gram shingles per document, WITH per-doc
+    repeats — no shuffle anywhere.  Feed this to aggregations that are
+    multiset-invariant (min-hash: min over repeats == min over the set) so
+    the shingles never move across the cluster at all.
 
     Repartitions first: the corpus parquet is a single split at test scale,
     which would serialize the (interpreted, higher-order-function) shingle
     expansion onto one core; at production scale the input arrives already
-    split and the repartition collapses into the scan's partitioning.
+    split and the repartition collapses into the scan's partitioning."""
+    from .text import tokens  # lazy: avoids import cycle when dedup is the entry module
 
-    Per-doc dedup is explode + distinct (a shuffle), NOT array_distinct:
-    array_distinct on string arrays is quadratic per row, and the shuffle
-    lands the rows keyed the way every downstream shingle-join wants."""
     n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
     d = d.repartition(n_parts)
     toks = tokens(F.col("text"))
@@ -64,29 +64,19 @@ def shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
         F.sequence(F.lit(0), size - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return (
-        d.filter(size >= n)
-        .select("doc_id", F.explode(grams).alias("g"))
-        .distinct()
-    )
+    return d.filter(size >= n).select("doc_id", F.explode(grams).alias("g"))
 
 
-_SHINGLES_SQL = r"""
-    tok AS (
-      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ts
-      FROM documents
-      WHERE LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) >= 3
-    ),
-    words AS (
-      SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok
-    ),
-    shingles AS (
-      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
-      FROM words a
-      JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-      JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
-    )
-"""
+def shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct shingle set per document — for set-semantics consumers
+    (Jaccard overlap counts, SimHash votes).  explode + distinct (a
+    shuffle), NOT array_distinct: array_distinct on string arrays is
+    quadratic per row, and the shuffle lands the rows keyed the way every
+    downstream shingle-join wants."""
+    return raw_shingle_rows(d, n).distinct()
+
+
+# (shingle oracle SQL lives in shingles_sql.py — leaf module, import-order safe)
 
 
 # ---------------------------------------------------------------------------
@@ -219,9 +209,15 @@ def lsh_candidates(sig: DataFrame, bands: int = MINHASH_BANDS, r: int = MINHASH_
 
 
 def minhash_lsh_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Full pipeline: shingle → minhash → band → bucket-join → verify."""
+    """Full pipeline: shingle → minhash → band → bucket-join → verify.
+
+    Signatures aggregate the RAW (non-distinct) shingle stream — min-hash
+    is multiset-invariant, so partial aggregation collapses everything
+    map-side and no shingle row ever shuffles for the signature pass.  The
+    distinct set is materialized only for the (candidate-bounded) Jaccard
+    verification."""
     sh = shingle_rows(d).cache()
-    cand = lsh_candidates(minhash_signatures(sh))
+    cand = lsh_candidates(minhash_signatures(raw_shingle_rows(d)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
