@@ -1670,3 +1670,155 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q08_market_share",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+           CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+    tags=("tpch", "join", "aggregate", "ratio"),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: one supplier-nation's fraction of the
+    revenue delivered into a region, per year — ratio of two exact decimal
+    sums."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    vol = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
+    base = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .filter(F.col("r_name") == "ASIA")
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    national = F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return base.groupBy("o_year").agg(
+        (F.sum(national).cast("double") / F.sum("volume").cast("double")).alias("mkt_share")
+    )
+
+
+@query(
+    "q11_important_balance",
+    oracle="""
+    WITH tot AS (
+      SELECT SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS g FROM supplier
+    )
+    SELECT s_nationkey,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS nation_bal
+    FROM supplier, tot
+    GROUP BY s_nationkey, tot.g
+    HAVING SUM(CAST(s_acctbal AS DECIMAL(12,2))) > CAST(0.1 AS DECIMAL(3,1)) * tot.g
+    """,
+    tags=("tpch", "aggregate", "having", "subquery"),
+)
+def q11_important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: groups whose share exceeds a fraction of the global
+    total (scalar-subquery threshold inside HAVING).  Compared in DECIMAL —
+    exact on both sides of the inequality."""
+    s = t(spark, sf_dir, "supplier")
+    bal = dec(F.col("s_acctbal"))
+    tot = s.agg(F.sum(bal).alias("g"))
+    return (
+        s.groupBy("s_nationkey")
+        .agg(F.sum(bal).alias("nb"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("nb") > F.lit("0.1").cast("decimal(3,1)") * F.col("g"))
+        .select("s_nationkey", F.col("nb").cast("double").alias("nation_bal"))
+    )
+
+
+@query(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "aggregate", "distinct"),
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct-supplier counts per part classification
+    with NOT-equal + IN-list dimension filters."""
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin([1, 5, 9, 13, 17, 21, 25, 29])
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q21_sole_supplier_orders",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(*) AS n_lines,
+             MIN(l_suppkey) AS the_supp
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_order JOIN supplier ON the_supp = s_suppkey
+    WHERE n_supp = 1 AND n_lines > 1
+    GROUP BY s_name
+    """,
+    tags=("tpch", "aggregate", "join"),
+)
+def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (per-order supplier-cardinality analysis → the
+    sole supplier of multi-line orders) without the commit/receipt-date
+    columns the corpus lacks."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("l_suppkey").alias("the_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") == 1) & (F.col("n_lines") > 1))
+        .join(F.broadcast(s), F.col("the_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
