@@ -55,3 +55,33 @@ def test_sketch_aggregates_close_to_exact(spark):
     ).collect()[0]
     assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
     assert abs(r.p50_approx - r.p50_exact) <= 0.5
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE detects and splits the hot partition at runtime — the first line
+    of defense before explicit salting (thresholds shrunk so the test-size
+    hot key qualifies).  NOTE: inspect the DataFrame's OWN QueryExecution
+    after collect(); write()/count() execute cloned plans."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            (F.rand(seed=7) * 1e9).cast("long").alias("v"),
+        )
+        right = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k")
+        rows = j.collect()
+        assert len(rows) == 101000  # 100k hot-key rows + 1k distinct odd keys
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
