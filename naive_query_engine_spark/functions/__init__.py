@@ -72,3 +72,21 @@ def register_pandas_udf(spark: SparkSession, name: str, fn: Callable, return_typ
     row-at-a-time UDF; still slower than built-ins, which never leave
     the JVM)."""
     spark.udf.register(name, pandas_udf(fn, return_type))
+
+
+def register_split_words_udtf(spark: SparkSession, name: str = "split_words") -> None:
+    """Python UDTF (table function): one input row → many output rows.
+    The reference has no table-function concept; in Spark these compose in
+    SQL via LATERAL joins.  Defined inside the function so registration
+    works regardless of the caller's import path (pickled by value)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, idx int")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split()):
+                yield (w, i)
+
+    spark.udtf.register(name, SplitWords)

@@ -179,3 +179,17 @@ def test_wildcard_and_alias(db):
     assert df.columns == ["id", "department_name"]
     r = db.run_sql("SELECT id AS dept_id FROM department WHERE id = 1").collect()[0]
     assert r.dept_id == 1
+
+
+def test_udtf_lateral_join(db, spark):
+    """Python UDTF via SQL LATERAL: explode names into (word, idx) rows."""
+    from naive_query_engine_spark.functions import register_split_words_udtf
+
+    register_split_words_udtf(spark)
+    out = db.run_sql(
+        "SELECT t1.id, s.word, s.idx FROM t1, LATERAL split_words(t1.name) AS s "
+        "WHERE t1.id = 1"
+    ).collect()
+    assert [(r.word, r.idx) for r in out] == [("veeupup", 0)]
+    direct = spark.sql("SELECT * FROM split_words('a b c')").collect()
+    assert [(r.word, r.idx) for r in direct] == [("a", 0), ("b", 1), ("c", 2)]

@@ -82,3 +82,24 @@ def test_semi_join_plans_semi(spark):
     df = QUERIES["join_semi"].fn(spark, SF_ORACLE)
     text = plans.explain_text(df, "simple")
     assert "LeftSemi" in text
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned layout + a partition-key filter → PartitionFilters
+    in the scan and only the matching directory read.  At 100 TB this is
+    the difference between scanning one day and scanning ten years."""
+    from naive_query_engine_spark.queries import t
+    from naive_query_engine_spark.sources import write_table
+
+    out = str(tmp_path / "orders_by_status")
+    write_table(t(spark, SF_ORACLE, "orders"), out, partition_by=["o_orderstatus"])
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    text = plans.explain_text(df)
+    assert "PartitionFilters" in text
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "o_orderstatus" in m.group(1), text[:1500]
+    # and the non-matching partitions contribute zero rows
+    total = spark.read.parquet(out).count()
+    f_only = df.count()
+    assert 0 < f_only < total
