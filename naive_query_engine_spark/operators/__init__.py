@@ -16,6 +16,7 @@ DuckDB oracle where SQL-expressible:
 def register_all() -> None:
     """Import every operator module for its query-registration side effects."""
     from . import (  # noqa: F401
+        analytics,
         clustering,
         custom_agg,
         dedup,

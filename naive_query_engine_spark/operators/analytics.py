@@ -1,0 +1,160 @@
+"""Event-analytics operators: funnels, retention cohorts, transition paths.
+
+Standard product-analytics shapes over the events stream — each is a
+conditional-aggregation / window pipeline (no UDFs), one shuffle keyed by
+user, so they scale with user-cardinality like any grouped aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import query, t
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, s1.t_view,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view THEN e.ts END) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id, s1.t_view
+    ),
+    s3 AS (
+      SELECT e.user_id, s2.t_view, s2.t_click,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click THEN e.ts END)
+               AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id, s2.t_view, s2.t_click
+    )
+    SELECT user_id,
+           (t_view IS NOT NULL)     AS did_view,
+           (t_click IS NOT NULL)    AS did_click_after_view,
+           (t_purchase IS NOT NULL) AS did_purchase_after_click
+    FROM s3
+    """,
+    tags=("analytics", "funnel", "events"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: each stage's earliest timestamp
+    strictly after the previous stage, via staged conditional MINs (three
+    grouped aggregations — never a per-user sort in Python)."""
+    ev = t(spark, sf_dir, "events")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return s3.select(
+        "user_id",
+        F.col("t_view").isNotNull().alias("did_view"),
+        F.col("t_click").isNotNull().alias("did_click_after_view"),
+        F.col("t_purchase").isNotNull().alias("did_purchase_after_click"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS cohort_day,
+             MIN(CAST(ts AS DATE)) AS c0
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT e.user_id, f.cohort_day,
+             COUNT(DISTINCT CAST(e.ts AS DATE)) AS active_days,
+             CAST(MAX(CASE WHEN CAST(e.ts AS DATE) = f.c0 + 7 THEN 1 ELSE 0 END) AS BOOLEAN)
+               AS retained_d7
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      GROUP BY e.user_id, f.cohort_day
+    )
+    SELECT cohort_day, COUNT(*) AS cohort_users,
+           CAST(SUM(CASE WHEN retained_d7 THEN 1 ELSE 0 END) AS BIGINT) AS retained_d7_users,
+           CAST(SUM(active_days) AS BIGINT) AS total_active_days
+    FROM activity GROUP BY cohort_day
+    """,
+    tags=("analytics", "retention", "events"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0 cohorts with day-7 retention and activity totals — the
+    first-touch attribution + conditional re-aggregation shape."""
+    ev = t(spark, sf_dir, "events").withColumn("d", F.col("ts").cast("date"))
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("c0"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .groupBy("user_id", "c0")
+        .agg(
+            F.countDistinct("d").alias("active_days"),
+            F.max((F.col("d") == F.date_add(F.col("c0"), 7)).cast("int"))
+            .cast("boolean")
+            .alias("retained_d7"),
+        )
+    )
+    return (
+        activity.groupBy(F.col("c0").cast("string").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("cohort_users"),
+            F.sum(F.col("retained_d7").cast("int")).cast("long").alias("retained_d7_users"),
+            F.sum("active_days").cast("long").alias("total_active_days"),
+        )
+    )
+
+
+@query(
+    "events_transition_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type || ' -> ' || next_type AS path, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("analytics", "paths", "events"),
+)
+def events_transition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (the Markov/path-analysis building
+    block): LEAD over per-user time order, then a global bigram count."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.concat(F.col("event_type"), F.lit(" -> "), F.col("next_type")).alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
