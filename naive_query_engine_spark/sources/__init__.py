@@ -151,3 +151,36 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact_table(spark: SparkSession, path: str, target_partitions: int) -> None:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``target_partitions`` files.  Streaming sinks and incremental loads
+    accrete small files; periodic compaction keeps scan task counts sane.
+    (Rewrites via a temp dir — the read must complete before the target is
+    replaced.)"""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="nqes-compact-")
+    try:
+        spark.read.parquet(path).repartition(target_partitions).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        compacted = spark.read.parquet(tmp)
+        compacted.write.mode("overwrite").parquet(path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Incremental load: replace ONLY the partitions present in ``df``
+    (dynamic partition overwrite) — the daily-reload primitive; untouched
+    partitions keep their data."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

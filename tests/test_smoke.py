@@ -112,3 +112,42 @@ def test_write_table_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 25
     assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_compact_table(spark, tmp_path):
+    from naive_query_engine_spark.queries import t
+    from naive_query_engine_spark.sources import compact_table
+
+    out = str(tmp_path / "frag")
+    t(spark, SF_SMOKE, "orders").repartition(16).write.parquet(out)
+    import glob
+
+    assert len(glob.glob(out + "/*.parquet")) == 16
+    before = spark.read.parquet(out).count()
+    compact_table(spark, out, 2)
+    assert len(glob.glob(out + "/*.parquet")) == 2
+    assert spark.read.parquet(out).count() == before
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from naive_query_engine_spark.queries import t
+    from naive_query_engine_spark.sources import overwrite_partitions, write_table
+
+    out = str(tmp_path / "by_status")
+    orders = t(spark, SF_SMOKE, "orders")
+    write_table(orders, out, partition_by=["o_orderstatus"])
+    total = spark.read.parquet(out).count()
+    n_f = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F").count()
+
+    # reload ONLY the F partition with a modified copy; O/P must survive
+    new_f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .limit(10)
+    )
+    overwrite_partitions(new_f, out, ["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("o_orderstatus") == "F").count() == 10
+    assert back.count() == total - n_f + 10
