@@ -11,8 +11,9 @@ Entry points:
 - ``queries.QUERIES`` — the named-query registry the driver harness runs
 """
 
+from .dataframe import NaiveFrame
 from .engine import NaiveDB
 from .session import get_spark
 
-__all__ = ["NaiveDB", "get_spark"]
+__all__ = ["NaiveDB", "NaiveFrame", "get_spark"]
 __version__ = "0.1.0"

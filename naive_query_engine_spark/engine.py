@@ -83,6 +83,14 @@ class NaiveDB:
             return self._tables[name]
         return self.spark.table(name)
 
+    def frame(self, name: str):
+        """Reference-API builder handle (project/filter/aggregate/limit/
+        offset/join — src/logical_plan/dataframe.rs surface); see
+        :class:`naive_query_engine_spark.dataframe.NaiveFrame`."""
+        from .dataframe import NaiveFrame
+
+        return NaiveFrame(self.table(name))
+
     def table_names(self) -> list[str]:
         return sorted(self._tables)
 

@@ -193,3 +193,30 @@ def test_udtf_lateral_join(db, spark):
     assert [(r.word, r.idx) for r in out] == [("veeupup", 0)]
     direct = spark.sql("SELECT * FROM split_words('a b c')").collect()
     assert [(r.word, r.idx) for r in direct] == [("a", 0), ("b", 1), ("c", 2)]
+
+
+def test_naiveframe_builder_api(db):
+    """The reference's fluent builder surface, line-for-line
+    (dataframe.rs:142-183 test shape)."""
+    nf = db.frame if hasattr(db, "frame") else None
+    f = db.frame("t1")
+    out = (
+        f.filter(F.col("id") < 9)
+        .project([F.col("id"), F.col("name"), (F.col("age") + 100).alias("age_plus")])
+        .offset(2)
+        .limit(3)
+    )
+    # deterministic order via the underlying df (builder preserves laziness)
+    rows = out.df.orderBy("id").collect()
+    assert len(rows) == 3 and rows[0].age_plus in (118, 119, 120)
+
+    agg = db.frame("t1").aggregate(
+        [(F.col("id") % 3).alias("k")], [F.count(F.lit(1)).alias("c")]
+    )
+    assert sum(r.c for r in agg.collect()) == 8
+
+    joined = db.frame("employee").join(db.frame("rank"), "inner", (["rank"], ["id"]))
+    assert joined.df.count() == 5
+    crossed = db.frame("employee").join(db.frame("rank"), "cross", ([], []))
+    assert crossed.df.count() == 15
+    assert "Filter" in db.frame("t1").filter(F.col("id") > 1).logical_plan()
