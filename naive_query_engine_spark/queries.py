@@ -1822,3 +1822,86 @@ def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
+    and grand totals in one pass."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND UNBOUNDED FOLLOWING) AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND UNBOUNDED FOLLOWING) AS second_price,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "value-functions"),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value + ntile over a total per-customer order (the
+    unbounded frame makes last/nth well-defined; the unique tie-break makes
+    every value deterministic)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(order).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.ntile(4).over(order).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer
+    WHERE c_custkey < 30
+    GROUP BY c_nationkey
+    """,
+    tags=("aggregate", "string-agg"),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect → sort → join gives a
+    deterministic concatenation regardless of partition arrival order —
+    the only way a distributed listagg can hash-match anything."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 30)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names")
+    )
