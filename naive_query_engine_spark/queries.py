@@ -1905,3 +1905,45 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").agg(
         F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names")
     )
+
+
+@query(
+    "misc_scalar_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)', 1)          AS first_word,
+           split_part(p_name, ' ', 1)                     AS name_head,
+           GREATEST(p_size, 10)                           AS size_floor10,
+           LEAST(p_size, 40)                              AS size_cap40,
+           CAST(SIGN(p_retailprice - 1000) AS DOUBLE)     AS above_1k,
+           ROUND(POWER(p_size, 2), 6)                     AS size_sq,
+           ROUND(EXP(p_size / 100.0), 9)                  AS exp_val,
+           ROUND(LN(p_retailprice), 9)                    AS ln_price,
+           ROUND(LOG10(p_retailprice), 9)                 AS log10_price,
+           CAST(CEIL(p_retailprice) AS BIGINT)            AS price_ceil,
+           ROUND(p_retailprice, 1)                        AS price_round1
+    FROM part
+    """,
+    tags=("expression", "scalar", "misc"),
+)
+def misc_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining scalar-function families: regex capture groups, string
+    splitting, greatest/least, sign, power/exp/ln/log10 (rounded — libm),
+    ceil, round.  Integer-domain power() is exact; transcendentals round
+    to 9."""
+    p = t(spark, sf_dir, "part")
+    price, size = F.col("p_retailprice"), F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_type"), r"([A-Z]+)", 1).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("name_head"),
+        F.greatest(size, F.lit(10)).alias("size_floor10"),
+        F.least(size, F.lit(40)).alias("size_cap40"),
+        F.signum(price - 1000).cast("double").alias("above_1k"),
+        F.round(F.pow(size, 2), 6).alias("size_sq"),
+        F.round(F.exp(size / 100.0), 9).alias("exp_val"),
+        F.round(F.log(price), 9).alias("ln_price"),
+        F.round(F.log10(price), 9).alias("log10_price"),
+        F.ceil(price).cast("long").alias("price_ceil"),
+        F.round(price, 1).alias("price_round1"),
+    )
