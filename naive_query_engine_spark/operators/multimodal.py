@@ -98,3 +98,78 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed deterministically; see module docstring)."""
     d = attach_payload(t(spark, sf_dir, "documents"))
     return d.select("doc_id", "payload").mapInPandas(make_decode_meta_map(), DECODE_SCHEMA)
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png_payload(width_expr, height_expr):
+    """Column expr: minimal PNG header bytes (signature + IHDR chunk) with
+    the given dimensions — a REAL binary format, built JVM-side.  The
+    payload is what an ingest pipeline would carry; only pixel data is
+    absent (decode of pixels would need a codec; header metadata does not)."""
+    from pyspark.sql import functions as F
+
+    def be32(c):
+        return F.unhex(F.lpad(F.conv(c.cast("string"), 10, 16), 8, "0"))
+
+    return F.concat(
+        F.lit(PNG_SIG),
+        F.unhex(F.lit("0000000D")),          # IHDR length = 13
+        F.lit(b"IHDR"),
+        be32(width_expr),
+        be32(height_expr),
+        F.unhex(F.lit("0806000000")),        # bit depth 8, RGBA, std flags
+        F.unhex(F.lit("00000000")),          # CRC placeholder (not validated)
+    )
+
+
+def png_meta_kernel():
+    """mapInPandas kernel parsing REAL PNG headers (struct.unpack on the
+    IHDR chunk) — no image library involved; closure → pickles by value."""
+    import struct
+
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            ws, hs, ok = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                good = b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR"
+                if good:
+                    w, h = struct.unpack(">II", b[16:24])
+                else:
+                    w, h = 0, 0
+                ws.append(w); hs.append(h); ok.append(good)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": ws, "height": hs, "is_valid_png": ok}
+            )
+
+    return parse
+
+
+@query(
+    "multimodal_png_header_parse",
+    oracle="""
+    SELECT doc_id,
+           CAST(32 + doc_id % 512 AS BIGINT)      AS width,
+           CAST(32 + (doc_id * 3) % 512 AS BIGINT) AS height,
+           TRUE AS is_valid_png
+    FROM documents
+    """,
+    tags=("multimodal", "pipeline", "binary", "pandas-udf"),
+)
+def multimodal_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a REAL binary format: build PNG header bytes
+    (deterministic dims from doc_id) JVM-side, parse them back in an
+    Arrow-batched Python kernel.  The oracle recomputes the dims
+    arithmetically — agreement proves the binary encode→decode path is
+    bit-correct end-to-end."""
+    d = t(spark, sf_dir, "documents")
+    w = (F.lit(32) + F.col("doc_id") % 512).cast("int")
+    h = (F.lit(32) + (F.col("doc_id") * 3) % 512).cast("int")
+    payloads = d.select("doc_id", make_png_payload(w, h).alias("payload"))
+    return payloads.mapInPandas(
+        png_meta_kernel(), "doc_id long, width long, height long, is_valid_png boolean"
+    )
