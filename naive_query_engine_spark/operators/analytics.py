@@ -158,3 +158,73 @@ def events_transition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "events_daily_gapfill",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    calendar AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT c.user_id, CAST(c.day AS VARCHAR) AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+    FROM calendar c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+    tags=("analytics", "gapfill", "timeseries"),
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated per-user calendar (sequence +
+    explode) left-joined against actual daily counts, zero-filled.  The
+    densification pattern every downstream rolling-window computation
+    needs; the calendar generation is O(users × days), never a cross join
+    against a global calendar."""
+    ev = t(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    span = ev.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    calendar = span.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))).alias("day"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        calendar.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events GROUP BY 1
+    """,
+    tags=("analytics", "histogram", "profiling"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bucket = floor(value/width)) — the
+    single-pass distribution profile; width chosen in-query, no second
+    scan for min/max."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 5.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
