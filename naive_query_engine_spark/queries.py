@@ -1947,3 +1947,66 @@ def misc_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(price).cast("long").alias("price_ceil"),
         F.round(price, 1).alias("price_round1"),
     )
+
+
+@query(
+    "unpivot_part_attrs",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, a.k.a. melt) — the inverse of agg_pivot; Spark's
+    unpivot is a zero-shuffle Expand."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT (n * sxy - sx * sy) /
+           (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
+           n AS n_rows
+    FROM m
+    """,
+    tags=("aggregate", "stats", "corr"),
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moment sums + one fixed double
+    expression — engine-agnostic, unlike the streaming-recurrence corr()
+    builtin (partition-order-dependent float accumulation)."""
+    li = t(spark, sf_dir, "lineitem")
+    qd, pd_ = dec(F.col("l_quantity")), dec(F.col("l_extendedprice"))
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return m.select(corr.alias("corr_qty_price"), n.alias("n_rows"))
