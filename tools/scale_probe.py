@@ -1,0 +1,92 @@
+"""Scaling probe: replicate the fact tables N× and measure headline queries.
+
+The driver's corpus tops out at sf0.1 (600k lineitem rows, single-row-group
+files).  This probe answers the question the small benches can't: do the
+plans scale *linearly* when the data grows and (critically) when the input
+arrives as MANY splits, the way a real 100 TB table would?
+
+It synthesizes sf0.1 × N by unioning key-shifted copies, written as N
+parquet files (so scans parallelize), then times a representative query
+set.  Results land in one JSON line per scale for BASELINE.md.
+
+Run: python tools/scale_probe.py [N ...]   (default 10 30)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from naive_query_engine_spark import get_spark  # noqa: E402
+from naive_query_engine_spark.queries import QUERIES, t  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+PROBE_QUERIES = [
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
+    "join_inner_chain",
+    "window_rank",
+    "q03_shipping_priority",
+]
+#: tables that must scale with N (facts); dims stay as-is
+FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey", "events": "event_id"}
+
+
+def synthesize(spark, n_copies: int, out_dir: str) -> None:
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "documents", "embeddings"):
+        shutil.copy(f"{BASE_SF}/{name}.parquet", f"{out_dir}/{name}.parquet")
+    for name, key in FACTS.items():
+        base = t(spark, BASE_SF, name)
+        span = base.agg(F.max(key)).collect()[0][0] + 1
+        copies = None
+        for i in range(n_copies):
+            c = base.withColumn(key, F.col(key) + F.lit(i * span))
+            copies = c if copies is None else copies.unionAll(c)
+        # one file per copy → scans parallelize like a real multi-split table
+        copies.repartition(n_copies).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+
+
+def main() -> None:
+    scales = [int(a) for a in sys.argv[1:]] or [10, 30]
+    spark = get_spark(app_name="nqes-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in scales:
+        work = tempfile.mkdtemp(prefix=f"nqes-scale{n}-")
+        try:
+            t0 = time.perf_counter()
+            synthesize(spark, n, work)
+            synth_sec = round(time.perf_counter() - t0, 1)
+            timings = {}
+            for q in PROBE_QUERIES:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    QUERIES[q].fn(spark, work).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                timings[q] = round(best, 3)
+            print(json.dumps({
+                "scale_x": n,
+                "lineitem_rows": 600_000 * n,
+                "synthesize_sec": synth_sec,
+                "queries": timings,
+                "total": round(sum(timings.values()), 3),
+            }))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
