@@ -184,3 +184,46 @@ def run_foreach_batch(df: DataFrame, sink_fn, checkpoint: str) -> StreamingQuery
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def purchases_after_clicks(
+    events: DataFrame,
+    events2: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks within a time bound.  BOTH sides carry watermarks and the join
+    condition bounds event-time distance — that pair of constraints is
+    what lets the engine evict join state; an unbounded stream-stream join
+    would buffer forever."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events2.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {within}
+            """
+        ),
+    ).select("p_user", "purchase_id", "click_id", "purchase_ts", "click_ts")

@@ -183,3 +183,24 @@ def test_foreach_batch_collects_all(spark, event_files, tmp_path):
     n_src = spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files).count()
     assert sum(seen.values()) == n_src
     assert len(seen) >= 2  # maxFilesPerTrigger=1 over 4 files → multiple batches
+
+
+def test_stream_stream_join(spark, event_files):
+    """Stream-stream join with time bounds: every emitted pair must satisfy
+    the interval condition, and pairs must match the batch-mode join."""
+    s1 = st.read_event_stream(spark, event_files, max_files_per_trigger=2)
+    s2 = st.read_event_stream(spark, event_files, max_files_per_trigger=2)
+    q = st.run_to_memory_sink(
+        st.purchases_after_clicks(s1, s2, watermark="800 hours"), "pc_pairs", "append"
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.purchase_id, r.click_id) for r in spark.table("pc_pairs").collect()}
+    finally:
+        q.stop()
+    batch_ev = spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files)
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in st.purchases_after_clicks(batch_ev, batch_ev).collect()
+    }
+    assert got == want and len(got) > 0
