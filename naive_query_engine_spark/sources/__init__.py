@@ -184,3 +184,32 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """MERGE/upsert into a parquet dataset: rows in ``updates`` replace
+    target rows with the same key; everything else is kept.
+
+    This is the CDC-apply primitive.  On a lakehouse table (Delta/Iceberg,
+    not available in this container) this is a metadata-level MERGE that
+    rewrites only matching files; the parquet fallback here rewrites the
+    dataset (correct, but O(table) — partition the target and use
+    ``overwrite_partitions`` to bound the rewrite in production)."""
+    target = spark.read.parquet(target_path)
+    kept = target.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = kept.unionByName(updates)
+    # write via temp dir: the plan reads the files being replaced
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="nqes-merge-")
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

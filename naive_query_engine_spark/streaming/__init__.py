@@ -227,3 +227,44 @@ def purchases_after_clicks(
             """
         ),
     ).select("p_user", "purchase_id", "click_id", "purchase_ts", "click_ts")
+
+
+def parse_event_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka-style payload parsing: JSON bytes/strings → typed event rows
+    (shared by the Kafka reader below and any replay-from-log batch job).
+    One from_json with an explicit schema — never schema inference on a
+    stream."""
+    from pyspark.sql import functions as F
+
+    return (
+        raw.select(
+            F.from_json(F.col(value_col).cast("string"), EVENTS_SCHEMA).alias("e")
+        )
+        .select("e.*")
+    )
+
+
+def read_kafka_events(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka event stream → parsed typed rows.  The container has no Kafka
+    broker (and no kafka connector jar), so this raises a clear error at
+    CALL time rather than a cryptic one at start(); the parse stage is the
+    same `parse_event_payload` exercised by tests over literal JSON."""
+    try:
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+        )
+        return parse_event_payload(reader.load())
+    except Exception as exc:  # pragma: no cover - depends on jar availability
+        raise RuntimeError(
+            "Kafka source unavailable (needs the spark-sql-kafka connector jar "
+            "and a reachable broker); pipeline shape is identical to the "
+            "file-source streams in this module"
+        ) from exc

@@ -151,3 +151,42 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.filter(F.col("o_orderstatus") == "F").count() == 10
     assert back.count() == total - n_f + 10
+
+
+def test_merge_upsert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from naive_query_engine_spark.queries import t
+    from naive_query_engine_spark.sources import merge_upsert
+
+    out = str(tmp_path / "cust")
+    t(spark, SF_SMOKE, "customer").write.parquet(out)
+    before = spark.read.parquet(out)
+    n = before.count()
+    updates = (
+        before.filter(F.col("c_custkey") < 5)
+        .withColumn("c_acctbal", F.lit(9999.0))
+        .unionByName(
+            spark.createDataFrame(
+                [(100000, "Customer#new", 0, 1.0, "BUILDING")], before.schema
+            )
+        )
+    )
+    merge_upsert(spark, out, updates, ["c_custkey"])
+    after = spark.read.parquet(out)
+    assert after.count() == n + 1  # 5 replaced in place, 1 inserted
+    assert after.filter(F.col("c_custkey") < 5).agg(
+        F.min("c_acctbal"), F.max("c_acctbal")
+    ).collect()[0] == (9999.0, 9999.0)
+
+
+def test_kafka_payload_parse_path(spark):
+    from naive_query_engine_spark import streaming as st
+
+    raw = spark.createDataFrame(
+        [('{"event_id": 7, "ts": "2024-01-01T00:00:07", "user_id": 3, '
+          '"event_type": "click", "value": 1.5, "props": "{}"}',)],
+        "value string",
+    )
+    row = st.parse_event_payload(raw).collect()[0]
+    assert (row.event_id, row.user_id, row.event_type, row.value) == (7, 3, "click", 1.5)
