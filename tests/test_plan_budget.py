@@ -1,0 +1,46 @@
+"""Plan-shape budgets: every headline query has a maximum shuffle count.
+
+A correctness-preserving edit that adds an Exchange is a regression at
+100 TB even though every test still passes — these budgets make that
+failure mode visible.  Budgets are CEILINGS (AQE may collapse some at
+runtime); lowering one is progress, raising one needs a reason.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from naive_query_engine_spark import plans
+from naive_query_engine_spark.queries import QUERIES
+
+from .conftest import SF_ORACLE
+
+#: query → (max Exchange nodes in the static plan, broadcast expected)
+BUDGETS = {
+    "q01_pricing_summary": (2, False),        # agg + final sort
+    "q03_shipping_priority": (1, True),       # only the small aggregation
+    "q05_region_revenue": (1, True),          # star join fully broadcast
+    "q06_forecast_revenue": (1, False),       # single ungrouped agg
+    "q07_nation_trade": (1, True),
+    "q09_profit_by_nation_year": (1, True),
+    "join_inner_chain": (0, True),            # both dims broadcast, no shuffle
+    "agg_grouped_computed_key": (1, False),
+    "window_rank": (1, False),                # one partition-by shuffle
+    "sort_topk": (0, False),                  # TakeOrdered — no sort shuffle
+    "events_sessionize": (1, False),
+    "q10_returned_items": (1, True),
+    "q13_order_count_distribution": (3, False),  # two agg levels + join
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(name, spark):
+    max_exchanges, expect_broadcast = BUDGETS[name]
+    df = QUERIES[name].fn(spark, SF_ORACLE)
+    text = plans.explain_text(df, "simple")
+    n_exchanges = text.count("Exchange") - text.count("BroadcastExchange")
+    assert n_exchanges <= max_exchanges, (
+        f"{name}: {n_exchanges} shuffles (budget {max_exchanges})\n{text[:2000]}"
+    )
+    if expect_broadcast:
+        assert "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text, text[:2000]
