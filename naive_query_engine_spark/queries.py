@@ -2010,3 +2010,72 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
     )
     return m.select(corr.alias("corr_qty_price"), n.alias("n_rows"))
+
+
+@query(
+    "sql_correlated_scalar_subquery",
+    oracle="""
+    SELECT n_name,
+           (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_customers
+    FROM nation
+    """,
+    tags=("sql", "subquery", "correlated"),
+)
+def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list — Catalyst decorrelates
+    it into an aggregate + left join (the rewrite the reference's planner
+    has no notion of)."""
+    return _sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name,
+               (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_customers
+        FROM nation
+        """,
+    )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer WHERE c_custkey < 100
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "intersect-all"),
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set op (INTERSECT ALL keeps duplicate multiplicity —
+    min of the two sides' counts per value)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(F.col("c_nationkey").alias("k"))
+    )
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s)
+
+
+@query(
+    "array_explode_positions",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+           (unnest(embedding) >= 0) AS is_positive
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+    tags=("expression", "array", "explode"),
+)
+def array_explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array column → (position, element) rows — the
+    normalize-nested-data primitive (comparison only; no float math)."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        (F.col("v") >= 0).alias("is_positive"),
+    )
