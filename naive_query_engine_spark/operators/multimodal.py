@@ -173,3 +173,41 @@ def multimodal_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         png_meta_kernel(), "doc_id long, width long, height long, is_valid_png boolean"
     )
+
+
+FRAME_STRIDE = 5
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, CAST(1 + doc_id % 30 AS BIGINT) AS n_frames FROM documents
+    )
+    SELECT doc_id, n_frames,
+           CAST(unnest(range(0, CAST(n_frames AS INTEGER), {FRAME_STRIDE})) AS BIGINT)
+             AS frame_idx
+    FROM meta
+    """,
+    tags=("multimodal", "pipeline", "frames"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: per-payload frame count (from the
+    decode-metadata stage) → one row per SAMPLED frame (every
+    FRAME_STRIDE-th), via an exploded computed sequence.  The decode of the
+    frame bytes themselves would slot into a mapInPandas stage exactly like
+    `png_meta_kernel`; the row fan-out, stride selection and partitioning
+    here are the real, tested pipeline."""
+    d = t(spark, sf_dir, "documents")
+    n_frames = (F.lit(1) + F.col("doc_id") % 30).cast("long")
+    return (
+        d.select("doc_id", n_frames.alias("n_frames"))
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_STRIDE))
+            ).alias("raw_idx"),
+        )
+        .select("doc_id", "n_frames", F.col("raw_idx").cast("long").alias("frame_idx"))
+    )

@@ -331,3 +331,32 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike(email) | F.col("text").rlike(phone) | F.col("text").rlike(url)
     )
     return d.select("doc_id", scrubbed.alias("scrubbed"), had.alias("had_pii"))
+
+
+@query(
+    "text_edit_distance_neighbors",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(SUBSTR(a.text, 1, 60), SUBSTR(b.text, 1, 60)) AS BIGINT)
+             AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("text", "pipeline", "editdistance"),
+)
+def text_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between consecutive docs' 60-char prefixes —
+    the character-level near-dup signal.  Edit distance is O(len²) per
+    pair, so at scale it's a VERIFY step on candidate pairs (from
+    MinHash/SimHash), never a pairwise primitive; prefix-bounding caps the
+    per-pair cost.  Well-defined integer → engine-agnostic."""
+    d = t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 60).alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 60).alias("tb"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("ta"), F.col("tb")).cast("long").alias("edit_dist"),
+        )
+    )
