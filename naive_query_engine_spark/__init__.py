@@ -12,8 +12,8 @@ Entry points:
 """
 
 from .dataframe import NaiveFrame
-from .engine import NaiveDB
+from .engine import NaiveDB, print_result
 from .session import get_spark
 
-__all__ = ["NaiveDB", "NaiveFrame", "get_spark"]
+__all__ = ["NaiveDB", "NaiveFrame", "get_spark", "print_result"]
 __version__ = "0.1.0"

@@ -100,8 +100,21 @@ class NaiveDB:
         """Parse/plan/optimize via Catalyst; lazy — call .collect()/.show()."""
         return self.spark.sql(sql)
 
+    def drop_table(self, name: str) -> None:
+        """Remove a registered view (superset of the reference's catalog,
+        which has no removal)."""
+        self.spark.catalog.dropTempView(name)
+        self._tables.pop(name, None)
+
     def explain_sql(self, sql: str, mode: str = "formatted") -> str:
         """Physical-plan text for plan assertions (pushdown, broadcast, codegen)."""
         return self.spark.sql(sql)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
         )
+
+
+def print_result(df: DataFrame, n: int = 100) -> None:
+    """Pretty-print query results — the reference's ``print_result``
+    (src/utils.rs:11-13, arrow::util::pretty) as a module-level function,
+    so ``from naive_query_engine_spark import print_result`` ports 1:1."""
+    df.show(n, truncate=False)

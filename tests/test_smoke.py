@@ -190,3 +190,19 @@ def test_kafka_payload_parse_path(spark):
     )
     row = st.parse_event_payload(raw).collect()[0]
     assert (row.event_id, row.user_id, row.event_type, row.value) == (7, 3, "click", 1.5)
+
+
+def test_print_result_and_drop_table(spark, capsys):
+    from naive_query_engine_spark import NaiveDB, print_result
+
+    db = NaiveDB(spark)
+    db.create_memory_table("pr_t", [(1, "x")], "id long, v string")
+    print_result(db.run_sql("SELECT * FROM pr_t"))
+    out = capsys.readouterr().out
+    assert "id" in out and "x" in out
+    db.drop_table("pr_t")
+    assert "pr_t" not in db.table_names()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        db.run_sql("SELECT * FROM pr_t").collect()
