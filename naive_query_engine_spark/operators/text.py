@@ -273,7 +273,10 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document.  TF and DF are exact integer
     aggregations; ln() is rounded to 9 decimals (JVM vs libc last-ulp).
-    DF table is tiny → broadcast back onto the TF rows."""
+    The DF table has vocabulary cardinality — it grows with the corpus, so
+    no broadcast hint: the tf⋈df join shuffles on `w` (both sides already
+    hash-partitioned by the upstream groupBys) and AQE may still choose
+    broadcast when the measured vocabulary is small."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
@@ -282,7 +285,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rows = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     tf = w_rows.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = w_rows.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "w").select(
+    scored = tf.join(df, "w").select(
         "doc_id",
         F.col("w").alias("term"),
         F.round(

@@ -329,7 +329,7 @@ def join_inner_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("l_orderkey", "l_linenumber", "o_orderstatus", "c_name")
     )
 
@@ -781,8 +781,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 — selective dimension filter, fact join, grouped revenue,
-    top-k.  Customer (filtered) broadcasts; lineitem never shuffles for the
-    join, only for the final small aggregation."""
+    top-k.  No broadcast hints: customer/orders scale with SF, so the join
+    strategy is left to Catalyst/AQE — at small SF it measures the filtered
+    sides under the threshold and broadcasts; at 100× it falls back to a
+    shuffle join instead of OOMing on a forced multi-GB broadcast."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -792,7 +794,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
     return (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.join(o.join(c, o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -826,9 +828,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "aggregate", "bench"),
 )
 def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style multi-way star join → revenue per nation.  All
-    dimension sides broadcast; the fact table streams through without a
-    single shuffle until the final 25-key aggregation."""
+    """TPC-H Q5-style multi-way star join → revenue per nation.  Only the
+    bounded dims (nation, region) carry broadcast hints; customer/orders/
+    supplier scale with SF, so their join strategy is AQE's call — size-based
+    broadcast at small SF, shuffle join at scale."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -840,10 +843,10 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region")
     revenue = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -945,8 +948,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     revenue = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal")
@@ -978,7 +981,7 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
@@ -1013,7 +1016,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
     promo = F.when(F.col("p_type").like("S%"), rev).otherwise(F.lit(0).cast("decimal(12,2)"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"))
             .cast("double")
@@ -1051,10 +1054,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+        li.join(big.withColumnRenamed("l_orderkey", "bk"),
                 F.col("l_orderkey") == F.col("bk"), "left_semi")
-        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey")
         .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"))
     )
@@ -1438,7 +1441,8 @@ def q02_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-style: cross-nation trade volume by year.  The nation
-    dimension joins twice under different roles — broadcast both."""
+    dimension joins twice under different roles — both hinted broadcast
+    (25 rows, genuinely bounded); orders/customer/supplier are unhinted."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -1448,9 +1452,9 @@ def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
     rev = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
         .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
         .filter(F.col("cnk") != F.col("snk"))
@@ -1490,9 +1494,9 @@ def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice")
     ) * dec(F.col("l_quantity")) * F.lit("0.1").cast("decimal(3,1)")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.sum(profit).cast("double").alias("profit"))
@@ -1559,7 +1563,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = rev.agg(F.max("total_rev").alias("m"))
     return (
         rev.join(F.broadcast(max_rev), rev.total_rev == F.col("m"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
     )
 
@@ -1591,7 +1595,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(pavg), li.l_partkey == F.col("pk"))
+        li.join(pavg, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("lim"))
         .agg(
             (F.sum(dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0)).alias(
@@ -1629,7 +1633,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("cnt"))
     )
@@ -1711,11 +1715,11 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
     vol = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
     base = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
         .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
         .filter(F.col("r_name") == "ASIA")
         .select(
@@ -1782,7 +1786,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
@@ -1818,7 +1822,7 @@ def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.filter((F.col("n_supp") == 1) & (F.col("n_lines") > 1))
-        .join(F.broadcast(s), F.col("the_supp") == s.s_suppkey)
+        .join(s, F.col("the_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -35,14 +35,27 @@ PROBE_QUERIES = [
     "join_inner_chain",
     "window_rank",
     "q03_shipping_priority",
+    "q05_region_revenue",
+    "q07_nation_trade",
+    "q09_profit_by_nation_year",
 ]
-#: tables that must scale with N (facts); dims stay as-is
-FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey", "events": "event_id"}
+#: tables that must scale with N.  In TPC-H *everything except nation and
+#: region* grows linearly with SF — including customer/supplier/part, which
+#: is why forced broadcast hints on them were the r1 scale bug.  Scaling
+#: them here lets the probe show AQE switching those joins to shuffle
+#: strategy once they cross autoBroadcastJoinThreshold.
+FACTS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+}
 
 
 def synthesize(spark, n_copies: int, out_dir: str) -> None:
-    for name in ("region", "nation", "customer", "supplier", "part",
-                 "documents", "embeddings"):
+    for name in ("region", "nation", "documents", "embeddings"):
         shutil.copy(f"{BASE_SF}/{name}.parquet", f"{out_dir}/{name}.parquet")
     for name, key in FACTS.items():
         base = t(spark, BASE_SF, name)
@@ -68,6 +81,7 @@ def main() -> None:
             synthesize(spark, n, work)
             synth_sec = round(time.perf_counter() - t0, 1)
             timings = {}
+            join_strategies = {}
             for q in PROBE_QUERIES:
                 best = float("inf")
                 for _ in range(2):
@@ -77,11 +91,22 @@ def main() -> None:
                     ).save()
                     best = min(best, time.perf_counter() - t0)
                 timings[q] = round(best, 3)
+                # capture the AQE-final plan: executing via collect() makes
+                # executedPlan reflect the runtime-chosen join strategies
+                df = QUERIES[q].fn(spark, work)
+                df.collect()
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                join_strategies[q] = {
+                    "broadcast_hash": plan.count("BroadcastHashJoin"),
+                    "sort_merge": plan.count("SortMergeJoin"),
+                    "shuffled_hash": plan.count("ShuffledHashJoin"),
+                }
             print(json.dumps({
                 "scale_x": n,
                 "lineitem_rows": 600_000 * n,
                 "synthesize_sec": synth_sec,
                 "queries": timings,
+                "join_strategies": join_strategies,
                 "total": round(sum(timings.values()), 3),
             }))
         finally:
