@@ -91,11 +91,15 @@ def main() -> None:
                     ).save()
                     best = min(best, time.perf_counter() - t0)
                 timings[q] = round(best, 3)
-                # capture the AQE-final plan: executing via collect() makes
-                # executedPlan reflect the runtime-chosen join strategies
-                df = QUERIES[q].fn(spark, work)
-                df.collect()
-                plan = df._jdf.queryExecution().executedPlan().toString()
+                # capture the AQE-final plan: execute through a count wrapper
+                # (collects ONE row even for wide-output queries — collecting
+                # the query itself OOMs the driver at 100× on e.g.
+                # join_inner_chain's 60M rows) and read only the final-plan
+                # section (AdaptiveSparkPlan prints initial + final).
+                cnt = QUERIES[q].fn(spark, work).groupBy().count()
+                cnt.collect()
+                plan = cnt._jdf.queryExecution().executedPlan().toString()
+                plan = plan.split("== Initial Plan ==")[0]
                 join_strategies[q] = {
                     "broadcast_hash": plan.count("BroadcastHashJoin"),
                     "sort_merge": plan.count("SortMergeJoin"),
