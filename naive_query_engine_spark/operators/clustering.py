@@ -18,11 +18,16 @@ express at all and Spark has no single built-in for:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query, t
-from .shingles_sql import JACCARD_THRESHOLD, SHINGLES_SQL as _SHINGLES_SQL
+from .shingles_sql import (
+    CAPPED_SHINGLES_SQL as _CAPPED_SQL,
+    JACCARD_THRESHOLD,
+    SHINGLES_SQL as _SHINGLES_SQL,
+)
 
 
 def connected_components(
@@ -35,7 +40,9 @@ def connected_components(
         edges.select(F.col("a"), F.col("b"))
         .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .cache()
+        # reused every iteration; near-dup edge sets are candidate-bounded
+        # but still corpus-shaped — spill, don't OOM
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = vertices.select(F.col("id"), F.col("id").alias("component"))
     for _ in range(max_iter):
@@ -68,10 +75,11 @@ def connected_components(
 
 
 _EDGES_SQL = f"""
-    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM shingles GROUP BY doc_id),
+    {_CAPPED_SQL},
+    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM capped GROUP BY doc_id),
     pair AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
-      FROM shingles x JOIN shingles y ON x.g = y.g AND x.doc_id < y.doc_id
+      FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     ),
     edges AS (

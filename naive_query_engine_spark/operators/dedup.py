@@ -25,11 +25,26 @@ strings is a valid uniform min-hash and compares identically (ASCII order).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query, t
-from .shingles_sql import JACCARD_THRESHOLD, SHINGLES_SQL as _SHINGLES_SQL
+from .shingles_sql import (
+    CAPPED_SHINGLES_SQL as _CAPPED_SQL,
+    JACCARD_THRESHOLD,
+    MAX_SHINGLE_DF,
+    SHINGLES_SQL as _SHINGLES_SQL,
+)
+
+#: storage level for reused intermediate frames that scale with the corpus
+#: (exploded shingle sets).  MEMORY_AND_DISK spills partitions to local
+#: disk instead of recomputing (or evicting wholesale) when the frame
+#: outgrows executor memory; stating it explicitly makes the memory
+#: budget a documented decision rather than a .cache() default.  The
+#: frames persisted here are the DISTINCT shingle sets (already capped /
+#: candidate-bounded downstream), never the raw exploded stream.
+_SPILLABLE = StorageLevel.MEMORY_AND_DISK
 
 # MinHash configuration: K hashes in B bands of R rows (K = B*R).
 MINHASH_K = 12
@@ -110,9 +125,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup
 
 
-def ngram_jaccard_pairs(d: DataFrame, n: int = 3, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard, via inverted-index join."""
-    sh = shingle_rows(d, n).cache()
+def ngram_jaccard_pairs(
+    d: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard, via inverted-index join
+    over the stop-shingle-capped universe (see ``MAX_SHINGLE_DF``)."""
+    all_sh = shingle_rows(d, n)
+    rare = (
+        all_sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("g")
+    )
+    sh = all_sh.join(rare, "g").persist(_SPILLABLE)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -135,10 +163,11 @@ def ngram_jaccard_pairs(d: DataFrame, n: int = 3, threshold: float = JACCARD_THR
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_SQL},
-    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM shingles GROUP BY doc_id),
+    {_CAPPED_SQL},
+    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM capped GROUP BY doc_id),
     pair AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
-      FROM shingles x JOIN shingles y ON x.g = y.g AND x.doc_id < y.doc_id
+      FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -185,16 +214,20 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def lsh_candidates(sig: DataFrame, bands: int = MINHASH_BANDS, r: int = MINHASH_R) -> DataFrame:
-    """Band the signature, bucket-join per band, union candidate pairs."""
-    buckets = None
-    for b in range(bands):
-        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
-        one = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("sig"),
-        )
-        buckets = one if buckets is None else buckets.unionAll(one)
+    """Band the signature, bucket-join per band, union candidate pairs.
+
+    Bands come from ONE ``posexplode`` over an array of per-band bucket
+    hashes — a single pass over the signature frame.  (The r1 version
+    unioned B per-band selects, which re-evaluated the post-shuffle
+    signature aggregate once per band unless ReuseExchange rescued it —
+    38% of the bench lived in those two union fans.)"""
+    band_sigs = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
     x, y = buckets.alias("x"), buckets.alias("y")
     return (
         x.join(
@@ -216,7 +249,7 @@ def minhash_lsh_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Dat
     map-side and no shingle row ever shuffles for the signature pass.  The
     distinct set is materialized only for the (candidate-bounded) Jaccard
     verification."""
-    sh = shingle_rows(d).cache()
+    sh = shingle_rows(d).persist(_SPILLABLE)
     cand = lsh_candidates(minhash_signatures(raw_shingle_rows(d)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -357,15 +390,17 @@ def simhash_pairs(d: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> DataFra
     DuckDB oracle runs the naive O(n²) formulation as the independent
     check — fine at oracle scale)."""
     sig = simhash_signatures(d)
-    blocks = None
-    for i, (shift, mask) in enumerate(_band_bounds(SIMHASH_BITS, max_hamming + 1)):
-        one_block = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("blk"),
-            F.shiftright("simhash", shift).bitwiseAND(F.lit(mask)).alias("bits"),
-        )
-        blocks = one_block if blocks is None else blocks.unionAll(one_block)
+    # one posexplode over the per-block bit slices — a single pass over
+    # the signature frame instead of (max_hamming+1) unioned selects
+    block_bits = F.array(
+        *[
+            F.shiftright("simhash", shift).bitwiseAND(F.lit(mask))
+            for shift, mask in _band_bounds(SIMHASH_BITS, max_hamming + 1)
+        ]
+    )
+    blocks = sig.select(
+        "doc_id", "simhash", F.posexplode(block_bits).alias("blk", "bits")
+    )
     x, y = blocks.alias("x"), blocks.alias("y")
     ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast("long")
     return (

@@ -7,6 +7,26 @@ partially-initialized sibling)."""
 
 JACCARD_THRESHOLD = 0.2
 
+#: stop-shingle cutoff shared by the Spark operators and every oracle that
+#: derives Jaccard edges: a shingle in more than this many documents is
+#: boilerplate and is dropped BEFORE the inverted-index self-join (a
+#: shingle shared by k docs fans out k² candidate rows — unbounded skew at
+#: corpus scale).  Jaccard is computed over the capped universe on BOTH
+#: engines, so results agree exactly; pairs whose only shared shingles are
+#: boilerplate are deliberately missed (documented recall tradeoff).
+MAX_SHINGLE_DF = 100
+
+#: DuckDB CTE applying the cap (append after SHINGLES_SQL): `capped` is
+#: the shingle relation every Jaccard consumer should join against.
+CAPPED_SHINGLES_SQL = f"""
+    capped AS (
+      SELECT s.doc_id, s.g
+      FROM shingles s
+      JOIN (SELECT g FROM shingles GROUP BY g
+            HAVING COUNT(*) <= {MAX_SHINGLE_DF}) ok USING (g)
+    )
+"""
+
 #: word-3-gram shingle CTEs over `documents` (DuckDB dialect)
 SHINGLES_SQL = r"""
     tok AS (
