@@ -13,9 +13,11 @@ one dominant group.  Pattern:
   key over S reducers), then re-aggregate on key.
 
 Salting must never change results: ``tests/test_skew.py`` asserts
-salted == plain for both shapes.  The salt uses a deterministic hash of a
-unique column (never ``rand()``) so retried tasks produce identical rows —
-non-negotiable for exactly-once semantics under task retry at scale.
+salted == plain for both shapes.  The salt is a deterministic hash of row
+content (never ``rand()``, never ``monotonically_increasing_id`` — the
+latter depends on partition layout and changes under AQE re-planning), so
+retried tasks produce identical rows — non-negotiable for exactly-once
+semantics under task retry at scale.
 """
 
 from __future__ import annotations
@@ -39,9 +41,15 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated
-    n_salts×.  ``salt_on`` names a unique column on the big side (defaults
-    to the join key — fine when values of one key spread over partitions)."""
-    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
+    n_salts×.  ``salt_on`` names a unique column on the big side; when
+    omitted, the salt derives from a hash of ALL big-side columns — fully
+    deterministic under task retry and AQE re-planning (unlike
+    ``monotonically_increasing_id``, whose values depend on partition
+    layout).  Exact-duplicate rows share a salt bucket under the default;
+    pass ``salt_on`` with a unique column for perfectly uniform spread."""
+    salt_src = (
+        F.col(salt_on) if salt_on else F.hash(*[F.col(c) for c in big.columns])
+    )
     b = big.withColumn("_salt", deterministic_salt(salt_src, n_salts))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -58,8 +66,13 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys.  ``agg_exprs`` maps
     output column → one of sum/count/min/max (the re-aggregatable set;
-    avg = sum/count composed by the caller)."""
-    salted = df.withColumn("_salt", deterministic_salt(F.monotonically_increasing_id(), n_salts))
+    avg = sum/count composed by the caller).  The salt is a hash of all
+    columns — deterministic under retry/AQE (results are salt-invariant
+    regardless, since phase 2 re-aggregates; determinism just keeps task
+    retries byte-identical)."""
+    salted = df.withColumn(
+        "_salt", deterministic_salt(F.hash(*[F.col(c) for c in df.columns]), n_salts)
+    )
     phase1 = salted.groupBy(key, "_salt").agg(
         *[
             (F.count(F.lit(1)) if how == "count" else getattr(F, how)(col)).alias(out)

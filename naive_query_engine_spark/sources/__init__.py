@@ -153,22 +153,43 @@ def write_table(
     writer.save(path)
 
 
+def _atomic_replace_dir(new_dir: str, target: str) -> None:
+    """Swap ``new_dir`` into ``target``'s place via two renames.  At no
+    point is the only copy of the data deleted before its replacement is
+    in place: a crash before the second rename leaves the original
+    recoverable at ``*.old-*`` (and the swap rolls back on rename
+    failure).  Requires both paths on the same filesystem — callers stage
+    the new write as a SIBLING of the target, never in /tmp."""
+    import os
+    import shutil
+    import uuid
+
+    old = target.rstrip("/") + ".old-" + uuid.uuid4().hex[:8]
+    os.rename(target, old)
+    try:
+        os.rename(new_dir, target)
+    except BaseException:
+        os.rename(old, target)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_table(spark: SparkSession, path: str, target_partitions: int) -> None:
     """Small-files compaction: rewrite a parquet dataset into
     ``target_partitions`` files.  Streaming sinks and incremental loads
     accrete small files; periodic compaction keeps scan task counts sane.
-    (Rewrites via a temp dir — the read must complete before the target is
-    replaced.)"""
+    The compacted copy is staged to a sibling directory and atomically
+    renamed over the target — a crash mid-compaction never destroys the
+    live dataset."""
     import shutil
-    import tempfile
+    import uuid
 
-    tmp = tempfile.mkdtemp(prefix="nqes-compact-")
+    tmp = path.rstrip("/") + ".new-" + uuid.uuid4().hex[:8]
     try:
         spark.read.parquet(path).repartition(target_partitions).write.mode(
             "overwrite"
         ).parquet(tmp)
-        compacted = spark.read.parquet(tmp)
-        compacted.write.mode("overwrite").parquet(path)
+        _atomic_replace_dir(tmp, path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -203,13 +224,15 @@ def merge_upsert(
     target = spark.read.parquet(target_path)
     kept = target.join(updates.select(*key_cols), key_cols, "left_anti")
     merged = kept.unionByName(updates)
-    # write via temp dir: the plan reads the files being replaced
+    # stage to a sibling dir (the plan reads the files being replaced),
+    # then atomically rename over the target — crash-safe, no window
+    # where the dataset exists only as deleted files
     import shutil
-    import tempfile
+    import uuid
 
-    tmp = tempfile.mkdtemp(prefix="nqes-merge-")
+    tmp = target_path.rstrip("/") + ".new-" + uuid.uuid4().hex[:8]
     try:
         merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        _atomic_replace_dir(tmp, target_path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
