@@ -65,3 +65,58 @@ def uses_take_ordered(df: DataFrame) -> bool:
     """ORDER BY + LIMIT should plan TakeOrderedAndProject (per-partition
     top-k + merge), never a global sort."""
     return "TakeOrderedAndProject" in explain_text(df, "simple")
+
+
+def plan_node_tree(df: DataFrame, which: str = "executed") -> dict:
+    """The physical plan as a nested ``{"name", "children"}`` dict — the
+    idiomatic analog of the reference's constructible ``PhysicalPlan``
+    object tree (``src/physical_plan/plan.rs:14-21``): the reference lets
+    tests assemble and inspect plan nodes directly; here Catalyst owns
+    plan construction, so the inspectable artifact is a read-only
+    traversal of what it built.
+
+    ``which``: "executed" (post-planning, pre-AQE-finalization),
+    "optimized", or "analyzed"."""
+    qe = df._jdf.queryExecution()
+    jplan = {
+        "executed": qe.executedPlan,
+        "optimized": qe.optimizedPlan,
+        "analyzed": qe.analyzed,
+    }[which]()
+
+    def walk(node) -> dict:
+        # AdaptiveSparkPlanExec keeps its plan in a field, not children()
+        if node.nodeName() == "AdaptiveSparkPlan":
+            return {"name": node.nodeName(), "children": [walk(node.inputPlan())]}
+        children = [walk(node.children().apply(i)) for i in range(node.children().size())]
+        return {"name": node.nodeName(), "children": children}
+
+    return walk(jplan)
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """One structured dict with every scale-relevant plan property —
+    what a plan review at 100 TB looks for, machine-checkable:
+
+    - ``joins``: physical join node names in plan order
+    - ``shuffles`` / ``broadcasts``: exchange counts
+    - ``scans``: per-scan pushed filters + read schema (pushdown/pruning)
+    - ``codegen_spans``: whole-stage-codegen region count
+    - ``take_ordered``: top-k planned as TakeOrderedAndProject
+    """
+    text = explain_text(df, "simple")
+    return {
+        "joins": re.findall(
+            r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+            r"BroadcastNestedLoopJoin|CartesianProduct)\b",
+            text,
+        ),
+        "shuffles": len(re.findall(r"\bExchange\b", text))
+        - len(re.findall(r"\bBroadcastExchange\b", text)),
+        "broadcasts": len(re.findall(r"\bBroadcastExchange\b", text)),
+        "scans": [
+            {"pushed_filters": pushed_filters(df), "read_schemas": read_schemas(df)}
+        ],
+        "codegen_spans": codegen_spans(df),
+        "take_ordered": uses_take_ordered(df),
+    }

@@ -103,3 +103,27 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     total = spark.read.parquet(out).count()
     f_only = df.count()
     assert 0 < f_only < total
+
+
+def test_plan_node_tree_and_summary(spark):
+    from naive_query_engine_spark import plans
+    from naive_query_engine_spark.queries import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    df = QUERIES["q03_shipping_priority"].fn(spark, SF_ORACLE)
+    tree = plans.plan_node_tree(df)
+    # a real nested tree: root with children, and some scan leaf below
+    assert tree["name"] and tree["children"]
+    names = []
+    stack = [tree]
+    while stack:
+        n = stack.pop()
+        names.append(n["name"])
+        stack.extend(n["children"])
+    assert any("Scan" in n or "FileSourceScan" in n for n in names), names
+
+    s = plans.plan_summary(df)
+    assert s["joins"], s  # q03 has joins
+    assert s["take_ordered"] is True  # top-10 must be TakeOrdered
+    assert s["scans"][0]["pushed_filters"], s  # dimension filters pushed
