@@ -22,6 +22,7 @@ def register_all() -> None:
         dedup,
         events,
         multimodal,
+        pipeline,
         quality,
         similarity,
         temporal,

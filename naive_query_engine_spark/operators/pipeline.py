@@ -1,0 +1,143 @@
+r"""End-to-end corpus curation: the composed training-data pipeline.
+
+The individual operators (lang-ID, quality scoring, token counting,
+fingerprint dedup) each carry their own oracle-checked query; this module
+registers the COMPOSITION — the realistic pre-training data flow
+
+    documents → language-ID → quality filter → exact dedup → per-language
+    corpus summary
+
+as one registered query, proving the pieces compose without breaking
+determinism.  Every aggregate stays exact: counts and token sums are
+integer; ratios are a single double division of integer sums (never a
+float sum across rows, whose value depends on reduction order).
+
+All per-doc expressions are built-in functions (JVM, whole-stage codegen);
+the only shuffles are the dedup window (keyed by fingerprint) and the
+final small per-language aggregation — at 100 TB that is one
+hash-partitioned pass over the corpus plus a 5-row result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import query, t
+from .text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    fingerprint,
+    predict_lang,
+    tokens,
+)
+
+#: curation thresholds — tuned to the corpus shape (n_tok spans 10..99
+#: with p10 ≈ 21): the length floor drops the bottom ~decile, the
+#: punctuation ceiling is a no-op on this synthetic corpus but is the
+#: filter a real web corpus needs most.
+MIN_TOKENS = 20
+MAX_PUNCT_RATIO = 0.1
+
+
+def curate(d: DataFrame) -> DataFrame:
+    """documents → per-doc curation columns → filter → exact-dedup.
+    Returns the surviving docs with (doc_id, predicted_lang, n_tok,
+    n_char, n_punct, n_bpe)."""
+    txt = F.col("text")
+    toks = tokens(txt)
+    scored = d.select(
+        "doc_id",
+        predict_lang(txt).alias("predicted_lang"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.length(txt).cast("long").alias("n_char"),
+        F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), 0)).cast("long").alias("n_punct"),
+        bpe_ish_token_count(txt).alias("n_bpe"),
+        fingerprint(txt).alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("n_tok") >= MIN_TOKENS)
+        & ((F.col("n_punct").cast("double") / F.col("n_char")) <= MAX_PUNCT_RATIO)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+
+
+def _curation_oracle() -> str:
+    score = {
+        lang: (
+            "CAST(LENGTH(list_filter(toks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in ws)
+            + "], x))) AS BIGINT)"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    case = "CASE "
+    for lang in LANG_MARKERS:  # first match wins ties == Spark priority order
+        case += f"WHEN s_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    selects = ",\n             ".join(f"{sql} AS s_{lang}" for lang, sql in score.items())
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, text, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             {selects},
+             CAST(LENGTH(toks) AS BIGINT) AS n_tok,
+             CAST(LENGTH(text) AS BIGINT) AS n_char,
+             CAST(LENGTH(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(LENGTH(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+             MD5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM tok
+    ),
+    langed AS (
+      SELECT *, CASE WHEN {greatest} = 0 THEN 'und' ELSE {case} END AS predicted_lang
+      FROM scored
+    ),
+    kept AS (
+      SELECT * FROM langed
+      WHERE n_tok >= {MIN_TOKENS}
+        AND CAST(n_punct AS DOUBLE) / n_char <= {MAX_PUNCT_RATIO}
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_doc_tokens,
+           CAST(SUM(n_punct) AS DOUBLE) / SUM(n_char) AS corpus_punct_ratio
+    FROM deduped
+    GROUP BY predicted_lang
+    """
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=_curation_oracle(),
+    tags=("pipeline", "text", "dedup", "composition"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation flow: lang-ID → quality filter (length floor +
+    punctuation ceiling) → exact dedup (min doc_id per fingerprint) →
+    per-language corpus summary.  Ratios are single divisions of exact
+    integer sums — no float summation anywhere."""
+    d = t(spark, sf_dir, "documents")
+    kept = curate(d)
+    return kept.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_doc_tokens"),
+        (F.sum("n_punct").cast("double") / F.sum("n_char")).alias("corpus_punct_ratio"),
+    )
