@@ -61,6 +61,9 @@ HINT_EXCEPTIONS = {
     # and (b) per-label centroids — a grouped aggregate keyed by the
     # label vocabulary, bounded by category count, not corpus size.
     "similarity_ivf_topk": "query set (5 rows) + label-keyed centroids",
+    # composes similarity_topk_bruteforce, inheriting its bounded 5-row
+    # query-set hint
+    "similarity_recall_at_k": "inherits bruteforce's vec_id < N_QUERY_VECS hint",
 }
 
 _MARKER = re.compile(r"[+:]- ")

@@ -38,6 +38,8 @@ PROBE_QUERIES = [
     "q05_region_revenue",
     "q07_nation_trade",
     "q09_profit_by_nation_year",
+    "dedup_minhash_lsh",
+    "similarity_cosine_pairs",
 ]
 #: tables that must scale with N.  In TPC-H *everything except nation and
 #: region* grows linearly with SF — including customer/supplier/part, which
@@ -51,11 +53,13 @@ FACTS = {
     "customer": "c_custkey",
     "supplier": "s_suppkey",
     "part": "p_partkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
 }
 
 
 def synthesize(spark, n_copies: int, out_dir: str) -> None:
-    for name in ("region", "nation", "documents", "embeddings"):
+    for name in ("region", "nation"):
         shutil.copy(f"{BASE_SF}/{name}.parquet", f"{out_dir}/{name}.parquet")
     for name, key in FACTS.items():
         base = t(spark, BASE_SF, name)
