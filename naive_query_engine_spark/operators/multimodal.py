@@ -211,3 +211,66 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_frames", F.col("raw_idx").cast("long").alias("frame_idx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-window payload chunking (the audio/video-segment shape)
+
+
+#: bytes per chunk — tiny here so every doc yields several chunks; a real
+#: audio pipeline would use seconds-of-samples (e.g. 16000*2 bytes/s)
+CHUNK_BYTES = 64
+
+
+@query(
+    "multimodal_payload_chunks",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, h, n, unnest(range(CAST(CEIL(CAST(n AS DOUBLE) / {CHUNK_BYTES}) AS BIGINT))) AS chunk_idx
+      FROM p
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(LENGTH(substring(h, CAST(chunk_idx * {CHUNK_BYTES} * 2 + 1 AS BIGINT), {CHUNK_BYTES * 2})) / 2 AS BIGINT) AS n_bytes,
+           md5(substring(h, CAST(chunk_idx * {CHUNK_BYTES} * 2 + 1 AS BIGINT), {CHUNK_BYTES * 2})) AS digest
+    FROM idx
+    """,
+    tags=("multimodal", "pipeline", "chunking"),
+)
+def multimodal_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking of a binary payload column — the
+    audio-segment / video-GOP splitting shape: one row per
+    ``CHUNK_BYTES`` window with its byte count and content digest.
+
+    The Spark side slices the BINARY payload directly
+    (``substring`` on BinaryType) and digests ``md5(hex(chunk))``; the
+    DuckDB oracle has no blob slicing, so it slices the hex string at
+    2×byte offsets — byte-aligned windows make the two formulations
+    identical (verified: same digests for multi-byte utf-8 content).
+    All per-row work is built-in expressions; the explode fans out to
+    ceil(n/CHUNK) rows with no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    p = attach_payload(d).select(
+        "doc_id", "payload", F.octet_length("payload").alias("n")
+    ).filter(F.col("n") > 0)
+    n_chunks = F.ceil(F.col("n").cast("double") / F.lit(CHUNK_BYTES)).cast("long")
+    chunk = F.substring(
+        F.col("payload"), F.col("chunk_idx").cast("int") * CHUNK_BYTES + 1, CHUNK_BYTES
+    )
+    return (
+        p.select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.octet_length(chunk).cast("long").alias("n_bytes"),
+            F.md5(F.hex(chunk)).alias("digest"),
+        )
+    )
