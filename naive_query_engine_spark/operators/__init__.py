@@ -24,6 +24,7 @@ def register_all() -> None:
         multimodal,
         pipeline,
         quality,
+        sketches,
         similarity,
         temporal,
         text,
