@@ -2083,3 +2083,57 @@ def array_explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         (F.col("v") >= 0).alias("is_positive"),
     )
+
+
+@query(
+    "q20_excess_stock_analog",
+    oracle="""
+    WITH ps AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS y96_qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    excess AS (
+      SELECT ps.l_suppkey
+      FROM ps
+      JOIN part ON p_partkey = ps.l_partkey
+      WHERE p_name LIKE 'r%' AND ps.total_qty > 2 * ps.y96_qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+    """,
+    tags=("tpch", "semi", "subquery", "aggregate"),
+)
+def q20_excess_stock_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog on the available corpus: the reference corpus has
+    no partsupp table (SURVEY §8 backlog #1), so the per-(supplier, part)
+    stock relation is derived from lineitem itself — all-time shipped
+    quantity standing in for availqty.  The SHAPE is Q20's: a correlated
+    per-pair aggregate threshold (total > 2 × the 1996 movement, compared
+    in DECIMAL — exact), a part-name filter, and a double semi-join up to
+    the supplier list.  No broadcast hints: part and the lineitem-derived
+    pair aggregate both scale with SF."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("r%"))
+    s = t(spark, sf_dir, "supplier")
+    qty = dec(F.col("l_quantity"))
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    ps = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(qty).alias("total_qty"),
+        F.sum(F.when(in96, qty).otherwise(F.lit(0).cast("decimal(12,2)"))).alias("y96_qty"),
+    )
+    excess = (
+        ps.join(p, ps.l_partkey == p.p_partkey, "left_semi")
+        .filter(F.col("total_qty") > 2 * F.col("y96_qty"))
+        .select("l_suppkey")
+    )
+    return s.join(
+        excess, s.s_suppkey == excess.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
