@@ -74,3 +74,91 @@ def test_inner_join_matches_python(spark, left, right):
     )
     want = sorted((lk, lv, rv) for lk, lv in ldata for rk, rv in rdata if lk == rk)
     assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-50, 50), min_size=3, max_size=3),
+        min_size=2,
+        max_size=16,
+    ).filter(lambda vs: all(any(c != 0 for c in v) for v in vs)),
+)
+@SET
+def test_cosine_block_pairs_matches_python(spark, vecs):
+    """Distributed block-pair matmul == naive all-pairs model, including
+    the multi-block path (block_size=4 forces several block pairs)."""
+    import math
+
+    from naive_query_engine_spark.operators.similarity import (
+        COSINE_THRESHOLD,
+        cosine_block_pairs,
+    )
+
+    rows = [(i, [int(c) for c in v], sum(c * c for c in v)) for i, v in enumerate(vecs)]
+    qt = spark.createDataFrame(rows, "vec_id long, q array<long>, nrm2 long")
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_block_pairs(qt, block_size=4).collect()
+    }
+    want = {}
+    for a, va, na2 in rows:
+        for b, vb, nb2 in rows:
+            if a < b:
+                dot = sum(x * y for x, y in zip(va, vb))
+                cos = dot / (math.sqrt(na2) * math.sqrt(nb2))
+                if cos >= COSINE_THRESHOLD:
+                    want[(a, b)] = cos
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=3, max_size=8
+        ).map(" ".join),
+        min_size=0,
+        max_size=8,
+    ),
+    max_df=st.integers(1, 8),
+)
+@SET
+def test_ngram_jaccard_matches_python(spark, texts, max_df):
+    """Inverted-index Jaccard with the stop-shingle cap == direct python
+    set model over the capped shingle universe."""
+    from naive_query_engine_spark.operators.dedup import ngram_jaccard_pairs
+    from naive_query_engine_spark.operators.shingles_sql import JACCARD_THRESHOLD
+
+    data = [(i, t) for i, t in enumerate(texts)] or [(0, "aa bb cc")]
+    d = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, max_df=max_df).collect()
+    }
+    shingles = {
+        i: {
+            " ".join(t.split()[j : j + 3])
+            for j in range(len(t.split()) - 2)
+        }
+        for i, t in data
+        if len(t.split()) >= 3
+    }
+    df_count: dict[str, int] = {}
+    for gs in shingles.values():
+        for g in gs:
+            df_count[g] = df_count.get(g, 0) + 1
+    capped = {
+        i: {g for g in gs if df_count[g] <= max_df} for i, gs in shingles.items()
+    }
+    want = {}
+    for a in capped:
+        for b in capped:
+            if a < b and capped[a] and capped[b]:
+                inter = len(capped[a] & capped[b])
+                union = len(capped[a] | capped[b])
+                if union and inter / union >= JACCARD_THRESHOLD:
+                    want[(a, b)] = inter / union
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
