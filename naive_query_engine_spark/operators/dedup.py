@@ -133,7 +133,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard, via inverted-index join
     over the stop-shingle-capped universe (see ``MAX_SHINGLE_DF``)."""
-    all_sh = shingle_rows(d, n)
+    # persist the exploded/distinct shingle set: it feeds BOTH the
+    # doc-frequency aggregate and the capped join below, and the
+    # tokenize→explode→distinct pipeline is the dominant cost — without
+    # the persist it would run twice (different downstream keys defeat
+    # ReuseExchange)
+    all_sh = shingle_rows(d, n).persist(_SPILLABLE)
     rare = (
         all_sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))

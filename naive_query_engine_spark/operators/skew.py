@@ -31,6 +31,22 @@ def deterministic_salt(unique_col: Column, n_salts: int) -> Column:
     return F.pmod(F.hash(unique_col), F.lit(n_salts))
 
 
+def _content_salt_src(df: DataFrame) -> Column:
+    """Default salt source: hash of every hashable column.  MapType is
+    excluded (Spark's hash() rejects maps); if nothing is hashable the
+    caller must pass an explicit salt column.
+
+    Tradeoff (documented, deliberate): exact-duplicate rows share a salt
+    bucket, so a hot key whose rows are ALL identical is not spread —
+    pass ``salt_on`` with a unique column for that shape.  In exchange
+    the salt is stable under task retry and AQE re-planning, which
+    ``monotonically_increasing_id`` is not (SPARK-23207-class hazards)."""
+    cols = [F.col(c) for c, t in df.dtypes if not t.startswith("map")]
+    if not cols:
+        raise ValueError("no hashable columns for default salt; pass salt_on")
+    return F.hash(*cols)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -42,14 +58,9 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated
     n_salts×.  ``salt_on`` names a unique column on the big side; when
-    omitted, the salt derives from a hash of ALL big-side columns — fully
-    deterministic under task retry and AQE re-planning (unlike
-    ``monotonically_increasing_id``, whose values depend on partition
-    layout).  Exact-duplicate rows share a salt bucket under the default;
-    pass ``salt_on`` with a unique column for perfectly uniform spread."""
-    salt_src = (
-        F.col(salt_on) if salt_on else F.hash(*[F.col(c) for c in big.columns])
-    )
+    omitted, the salt derives from a content hash (see
+    ``_content_salt_src`` for the duplicate-row and MapType caveats)."""
+    salt_src = F.col(salt_on) if salt_on else _content_salt_src(big)
     b = big.withColumn("_salt", deterministic_salt(salt_src, n_salts))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -63,16 +74,20 @@ def salted_agg(
     key: str,
     agg_exprs: dict[str, str],
     n_salts: int = 8,
+    salt_on: str | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys.  ``agg_exprs`` maps
     output column → one of sum/count/min/max (the re-aggregatable set;
-    avg = sum/count composed by the caller).  The salt is a hash of all
-    columns — deterministic under retry/AQE (results are salt-invariant
-    regardless, since phase 2 re-aggregates; determinism just keeps task
-    retries byte-identical)."""
-    salted = df.withColumn(
-        "_salt", deterministic_salt(F.hash(*[F.col(c) for c in df.columns]), n_salts)
-    )
+    avg = sum/count composed by the caller).
+
+    The default content-hash salt is deterministic under retry/AQE, but
+    it does NOT spread a hot key whose rows are exact duplicates (they
+    all hash to one bucket — e.g. a frame projected down to just the
+    group key).  For that shape pass ``salt_on`` naming a unique or
+    near-unique column; results are salt-invariant either way since
+    phase 2 re-aggregates."""
+    salt_src = F.col(salt_on) if salt_on else _content_salt_src(df)
+    salted = df.withColumn("_salt", deterministic_salt(salt_src, n_salts))
     phase1 = salted.groupBy(key, "_salt").agg(
         *[
             (F.count(F.lit(1)) if how == "count" else getattr(F, how)(col)).alias(out)

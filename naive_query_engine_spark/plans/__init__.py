@@ -111,8 +111,9 @@ def plan_summary(df: DataFrame) -> dict:
             r"BroadcastNestedLoopJoin|CartesianProduct)\b",
             text,
         ),
-        "shuffles": len(re.findall(r"\bExchange\b", text))
-        - len(re.findall(r"\bBroadcastExchange\b", text)),
+        # \bExchange\b already excludes BroadcastExchange (no word
+        # boundary splits it) — do NOT subtract the broadcast count
+        "shuffles": len(re.findall(r"\bExchange\b", text)),
         "broadcasts": len(re.findall(r"\bBroadcastExchange\b", text)),
         "scans": [
             {"pushed_filters": pushed_filters(df), "read_schemas": read_schemas(df)}

@@ -104,13 +104,26 @@ def hint_violations(plan_text: str) -> list[str]:
             continue
         d = _depth(line)
         j = i + 1
+        # a bounded node (ungrouped Aggregate / GlobalLimit) bounds ONLY
+        # its own branch — skip that branch and keep scanning siblings,
+        # so a hint over join(bounded_agg, scaling_scan) is still caught
+        skip_below: int | None = None
         while j < len(lines) and _depth(lines[j]) > d:
+            nd = _depth(lines[j])
+            if skip_below is not None:
+                if nd > skip_below:
+                    j += 1
+                    continue
+                skip_below = None
             node = _node(lines[j])
-            if node.startswith("GlobalLimit"):
-                break
-            if node.startswith("Aggregate [") and "], [" not in node:
-                # ungrouped aggregate: exactly one output row at any SF
-                break
+            if node.startswith("GlobalLimit") or (
+                node.startswith("Aggregate [") and "], [" not in node
+            ):
+                # bounded: exactly one (or LIMIT-many) rows at any SF —
+                # everything beneath this node is irrelevant
+                skip_below = nd
+                j += 1
+                continue
             rel = _classify_relation(node)
             if rel is not None:
                 table, scales = rel

@@ -127,3 +127,6 @@ def test_plan_node_tree_and_summary(spark):
     assert s["joins"], s  # q03 has joins
     assert s["take_ordered"] is True  # top-10 must be TakeOrdered
     assert s["scans"][0]["pushed_filters"], s  # dimension filters pushed
+    # shuffle count must agree with num_shuffles and never go negative
+    # (BroadcastExchange is NOT matched by \bExchange\b — no double-subtract)
+    assert s["shuffles"] == plans.num_shuffles(df) >= 0, s

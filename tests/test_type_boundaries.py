@@ -51,15 +51,17 @@ def test_i64_max_roundtrips_joins_and_aggregates(spark):
 
 def test_u64_beyond_i64_is_rejected_not_wrapped(spark):
     # The reference would store 2^63 as UInt64(9223372036854775808); the
-    # LongType narrowing must fail loudly, never alias it to -2^63.
-    with pytest.raises(Exception) as exc_info:
-        memory_table(spark, [(U64_ONLY,)], "k long").collect()
-    # whatever the layer (py4j conversion / Arrow), the error names the
-    # overflow rather than producing a wrapped row
-    assert "-9223372036854775808" not in str(
-        memory_table(spark, [(1,)], "k long").collect()
+    # LongType narrowing must fail loudly, never alias it to -2^63.  The
+    # invariant: EITHER ingestion raises, OR (if some future conversion
+    # path accepts it) the value must round-trip unchanged — what must
+    # never happen is a silent two's-complement wrap to a negative long.
+    try:
+        rows = memory_table(spark, [(U64_ONLY,)], "k long").collect()
+    except Exception:
+        return  # rejected at ingestion: the documented behavior
+    assert rows[0].k == U64_ONLY, (
+        f"2^63 silently wrapped to {rows[0].k} instead of being rejected"
     )
-    assert exc_info.value is not None
 
 
 def test_i64_arithmetic_overflow_does_not_wrap_silently_in_ansi_off(spark):
