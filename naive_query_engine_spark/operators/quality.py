@@ -89,3 +89,45 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("o_orderdate").cast("date")).cast("string").alias("min_date"),
         F.max(F.col("o_orderdate").cast("date")).cast("string").alias("max_date"),
     )
+
+
+@query(
+    "profile_documents_by_source",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')))
+             AS BIGINT) AS total_tokens,
+           CAST(SUM(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')))
+             AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("pipeline", "quality", "profiling", "text"),
+)
+def profile_documents_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile — the first report a data-curation run
+    produces: document counts, char/token volume, language spread, id
+    ranges per ingest source.  One aggregation pass; the token count is
+    an exact integer sum and avg_tokens a single double division (no
+    float summation)."""
+    from .text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("source", "doc_id", "n_chars", "lang", token_count(F.col("text")).alias("tk"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("tk").alias("total_tokens"),
+            (F.sum("tk").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
