@@ -228,3 +228,71 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+@query(
+    "events_anomaly_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+                  AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n_events,
+             sx / CAST(n_events AS DOUBLE) AS mean,
+             (sxx / CAST(n_events AS DOUBLE))
+               - ((sx / CAST(n_events AS DOUBLE)) * (sx / CAST(n_events AS DOUBLE)))
+               AS variance
+      FROM m
+    )
+    SELECT s.event_type, s.n_events, s.mean, s.variance,
+           CAST(SUM(CASE WHEN (e.value - s.mean) * (e.value - s.mean)
+                              > CAST(9 AS DOUBLE) * s.variance
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY s.event_type, s.n_events, s.mean, s.variance
+    """,
+    tags=("analytics", "anomaly", "stats", "events"),
+)
+def events_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier counts per event type, with exact-moment statistics:
+    mean/variance derive from DECIMAL sums (deterministic, unlike the
+    engines' streaming-float stddev), and the outlier test compares
+    squared deviation against 9·variance — no sqrt, no z-score division,
+    so the boundary predicate is the same IEEE expression in both engines.
+
+    Scale shape: one grouped aggregate for the moments (map-side partial),
+    one join of the fact stream against the per-type stats frame (bounded
+    by event-type cardinality — AQE broadcasts it), one final aggregate.
+    The fact table is never windowed or collected."""
+    ev = t(spark, sf_dir, "events")
+    from ..queries import dec
+
+    n_d = F.col("n_events").cast("double")
+    mean = F.col("sx") / n_d
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec(F.col("value"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("value")) * dec(F.col("value"))).cast("double").alias("sxx"),
+    )
+    stats = m.select(
+        "event_type",
+        "n_events",
+        mean.alias("mean"),
+        ((F.col("sxx") / n_d) - (mean * mean)).alias("variance"),
+    )
+    dev = F.col("value") - F.col("mean")
+    return (
+        ev.select("event_type", "value")
+        .join(stats, "event_type")
+        .groupBy("event_type", "n_events", "mean", "variance")
+        .agg(
+            F.sum(((dev * dev) > (F.lit(9.0) * F.col("variance"))).cast("int"))
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )

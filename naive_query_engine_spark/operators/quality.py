@@ -1,4 +1,4 @@
-"""Dataset-quality operators: column profiling and deterministic splits.
+"""Dataset-quality operators: profiling, deterministic splits and sampling.
 
 - **profiling** — per-column null/distinct/min/max in ONE pass over the
   table (a single aggregation with N×4 expressions; never N separate
@@ -8,11 +8,22 @@
   leak-proof (the same key always lands in the same split even when the
   dataset is re-ingested).  The md5-digit bucket is portable to the DuckDB
   oracle — engine hash() builtins are not.
+- **mixture sampling** — temperature-based per-stratum sampling rates
+  (share ∝ n^α, α=0.5), applied through the same content-hash buckets.
+  This is the standard multilingual-pretraining mix: low-resource strata
+  are up-weighted relative to their raw share.  Determinism discipline:
+  every cross-stratum total is an exact INTEGER sum (never a float sum),
+  and the per-stratum rate is a fixed scalar double expression over those
+  exact inputs — identical IEEE op sequence in both engines.
+- **reservoir sampling** — k per group by ranking on a content hash
+  (deterministic analog of uniform-without-replacement; a true reservoir
+  over a stream is RNG-state-dependent and can never hash-match an
+  oracle).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import query, t
@@ -20,11 +31,29 @@ from ..queries import query, t
 SPLIT_BUCKETS = 16
 TRAIN_BUCKETS = 13  # 13/16 ≈ 81% train
 
+MIX_BUCKETS = 4096  # 3 md5 hex digits → rate granularity 1/4096
+RESERVOIR_K = 5
+
 
 def hash_bucket(key: Column, buckets: int = SPLIT_BUCKETS) -> Column:
     """Deterministic bucket 0..15 from the first md5 hex digit of the key."""
     assert buckets == 16, "portable variant uses one hex digit"
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 1), 16, 10).cast("int")
+
+
+def hash_bucket3(key: Column) -> Column:
+    """Deterministic bucket 0..4095 from the first 3 md5 hex digits —
+    fine-grained enough to express per-stratum sampling rates to ±0.02%."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 3), 16, 10).cast("int")
+
+
+#: DuckDB equivalent of :func:`hash_bucket3` (DuckDB has no base-conversion
+#: builtin, so the three hex digits are decoded positionally).
+_BUCKET3_SQL = (
+    "(strpos('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)"
+)
 
 
 @query(
@@ -56,6 +85,140 @@ def dataset_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_id"),
             F.max("doc_id").alias("max_id"),
         )
+    )
+
+
+@query(
+    "dataset_mixture_sample",
+    oracle=f"""
+    WITH strata AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * CAST(1000 AS DOUBLE)) AS BIGINT) AS w
+      FROM documents GROUP BY lang
+    ),
+    totals AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(SUM(w) AS BIGINT)      AS total_w
+      FROM strata
+    ),
+    rates AS (
+      SELECT lang, n_docs,
+             CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE) AS target_share,
+             CAST(FLOOR(LEAST(CAST(1 AS DOUBLE),
+                 ((CAST(total_docs AS DOUBLE) * CAST(0.5 AS DOUBLE))
+                  * (CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE)))
+                 / CAST(n_docs AS DOUBLE))
+               * CAST({MIX_BUCKETS} AS DOUBLE)) AS BIGINT) AS threshold
+      FROM strata CROSS JOIN totals
+    ),
+    sel AS (
+      SELECT d.lang,
+             CAST(SUM(CASE WHEN {_BUCKET3_SQL} < r.threshold THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs, r.threshold, r.target_share, s.n_selected,
+           CAST(s.n_selected AS DOUBLE) / CAST(r.n_docs AS DOUBLE) AS achieved_rate
+    FROM rates r JOIN sel s ON r.lang = s.lang
+    """,
+    tags=("pipeline", "sampling", "quality", "mixture"),
+)
+def dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling over language strata (share ∝
+    sqrt(n), budget = half the corpus) — the standard multilingual-
+    pretraining up-weighting of low-resource strata.  Per-row membership is
+    ``hash_bucket3(doc_id) < threshold`` so the sample is deterministic,
+    retry-stable, and reproducible on re-ingest.
+
+    Determinism: cross-stratum totals are exact integer sums; the rate is
+    one fixed scalar double expression over those integers (identical IEEE
+    op sequence in the oracle).  Scale shape: two column-pruned scans
+    (strata counts; membership tagging), a per-stratum rate table whose
+    cardinality is the number of strata (AQE broadcasts it), and one
+    groupBy(lang) — no window over the full table, no driver math."""
+    d = t(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    strata = strata.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000.0)).cast("long")
+    )
+    totals = strata.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("w").alias("total_w")
+    )
+    share = F.col("w").cast("double") / F.col("total_w").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        (
+            (F.col("total_docs").cast("double") * F.lit(0.5)) * share
+        )
+        / F.col("n_docs").cast("double"),
+    )
+    rates = strata.crossJoin(totals).select(
+        "lang",
+        "n_docs",
+        share.alias("target_share"),
+        F.floor(rate * F.lit(float(MIX_BUCKETS))).cast("long").alias("threshold"),
+    )
+    tagged = d.select("lang", hash_bucket3(F.col("doc_id")).alias("b"))
+    sel = (
+        tagged.join(rates.select("lang", "threshold"), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum((F.col("b") < F.col("threshold")).cast("int"))
+            .cast("long")
+            .alias("n_selected")
+        )
+    )
+    return rates.join(sel, "lang").select(
+        "lang",
+        "n_docs",
+        "threshold",
+        "target_share",
+        "n_selected",
+        (F.col("n_selected").cast("double") / F.col("n_docs").cast("double")).alias(
+            "achieved_rate"
+        ),
+    )
+
+
+@query(
+    "dataset_reservoir_per_lang",
+    oracle=f"""
+    SELECT lang, doc_id, source, rk FROM (
+      SELECT lang, doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    ) ranked
+    WHERE rk <= {RESERVOIR_K}
+    """,
+    tags=("pipeline", "sampling", "quality", "reservoir"),
+)
+def dataset_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: rank each document within its
+    language by a content hash and keep the ``RESERVOIR_K`` smallest —
+    the hash order IS the random order, so this is uniform-without-
+    replacement per group, but reproducible (a true streaming reservoir
+    is RNG-state-dependent and could never hash-match an oracle).
+
+    Scale shape: one shuffle on the group key + per-partition top-k via
+    the window rank — Spark's WindowExec only sorts within groups; for
+    heavily skewed groups the salting in operators/skew.py applies
+    (pre-aggregate a per-salt top-k, then re-rank the k×salt survivors)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= RESERVOIR_K)
     )
 
 
