@@ -126,3 +126,73 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(vertices, edges).select(
         F.col("id").alias("doc_id"), F.col("component")
     )
+
+
+def _semantic_oracle() -> str:
+    from .similarity import _Q_SQL, COSINE_THRESHOLD
+
+    return f"""
+    WITH RECURSIVE {_Q_SQL},
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    cedges AS (
+      SELECT vec_a AS a, vec_b AS b
+      FROM dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+      WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
+            >= {COSINE_THRESHOLD}
+    ),
+    sym AS (
+      SELECT a, b FROM cedges
+      UNION
+      SELECT b, a FROM cedges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT v.vec_id,
+             CAST(LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS BIGINT) AS component
+      FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+      GROUP BY v.vec_id
+    )
+    SELECT component AS canonical_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component
+    """
+
+
+@query(
+    "dedup_semantic",
+    oracle=_semantic_oracle(),
+    tags=("dedup", "pipeline", "clustering", "similarity", "iterative"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup: cosine >= threshold pairs from the
+    distributed block-pair matmul become edges, connected components
+    resolves transitive duplicate groups, and each group keeps its lowest
+    vec_id as the canonical representative — the end-to-end "semantic
+    dedup" stage of an LLM data pipeline as one query.
+
+    Scale: edge generation is the blocked matmul (or swap in the
+    LSH-bucketed candidates for sub-quadratic); clustering is the same
+    label-propagation fixpoint as dedup_connected_components (one keyed
+    shuffle per iteration, lineage truncated via localCheckpoint)."""
+    from .similarity import _qtable, cosine_block_pairs
+
+    qt = _qtable(spark, sf_dir)
+    edges = cosine_block_pairs(qt).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    vertices = qt.select(F.col("vec_id").alias("id"))
+    return (
+        connected_components(vertices, edges)
+        .groupBy(F.col("component").alias("canonical_vec_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    )
