@@ -294,3 +294,72 @@ def profile_documents_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+CTX_TOKENS = 2048  # context-window token budget for sequence packing
+
+
+@query(
+    "dataset_pack_context_windows",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS tk
+      FROM documents
+    ),
+    offs AS (
+      SELECT source, doc_id, tk,
+             CAST(COALESCE(SUM(tk) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS off
+      FROM toks
+    ),
+    binned AS (
+      SELECT source,
+             CAST(FLOOR(CAST(off AS DOUBLE) / CAST({CTX_TOKENS} AS DOUBLE)) AS BIGINT) AS bin,
+             doc_id, tk
+      FROM offs
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tk) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM binned GROUP BY source, bin
+    """,
+    tags=("pipeline", "packing", "quality", "text"),
+)
+def dataset_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: stream each source's documents
+    in doc_id order and cut a new pack every ``CTX_TOKENS`` whitespace
+    tokens (bin = exclusive running token offset ÷ budget) — the
+    deterministic streaming-concat packing step of an LLM data pipeline,
+    summarized per (source, pack).
+
+    Scale shape: one shuffle on source + an in-partition ordered running
+    sum (WindowExec sorts within the source partition only), then a plain
+    grouped aggregate.  All token totals are exact integer sums; the only
+    double op is the shared FLOOR(off/budget) bin expression."""
+    from .text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select("source", "doc_id", token_count(F.col("text")).alias("tk"))
+    off = F.coalesce(F.sum("tk").over(w), F.lit(0)).cast("long")
+    binned = toks.select(
+        "source",
+        F.floor(off.cast("double") / F.lit(float(CTX_TOKENS))).cast("long").alias("bin"),
+        "doc_id",
+        "tk",
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tk").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

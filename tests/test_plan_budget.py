@@ -30,6 +30,15 @@ BUDGETS = {
     "events_sessionize": (1, False),
     "q10_returned_items": (1, True),
     "q13_order_count_distribution": (3, False),  # two agg levels + join
+    # window shuffles by the group key; the (key, bin)/(key) final agg
+    # reuses that partitioning — one exchange total
+    "dataset_reservoir_per_lang": (1, False),
+    "dataset_pack_context_windows": (1, False),
+    "events_anomaly_outliers": (1, True),         # moments frame broadcast back
+    # strata agg (2-phase) + totals + tag-side agg + final joins; every
+    # exchanged frame is stratum-cardinality-bounded except the two
+    # column-pruned corpus scans
+    "dataset_mixture_sample": (6, True),
 }
 
 
