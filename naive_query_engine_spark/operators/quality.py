@@ -33,6 +33,7 @@ TRAIN_BUCKETS = 13  # 13/16 ≈ 81% train
 
 MIX_BUCKETS = 4096  # 3 md5 hex digits → rate granularity 1/4096
 RESERVOIR_K = 5
+RESERVOIR_SALTS = 8  # phase-1 parallelism per group in the salted top-k
 
 
 def hash_bucket(key: Column, buckets: int = SPLIT_BUCKETS) -> Column:
@@ -203,20 +204,32 @@ def dataset_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement per group, but reproducible (a true streaming reservoir
     is RNG-state-dependent and could never hash-match an oracle).
 
-    Scale shape: one shuffle on the group key + per-partition top-k via
-    the window rank — Spark's WindowExec only sorts within groups; for
-    heavily skewed groups the salting in operators/skew.py applies
-    (pre-aggregate a per-salt top-k, then re-rank the k×salt survivors)."""
+    Scale shape — TWO-PHASE salted top-k, not one window per group: a
+    single ``partitionBy(lang)`` window would funnel every row of the
+    dominant language through one task's sort.  Phase 1 ranks within
+    (lang, salt) — ``RESERVOIR_SALTS``-way parallel per group — and keeps
+    k per salt; by pigeonhole the global k smallest of a group all survive
+    (each is within its own salt bucket's top-k).  Phase 2 re-ranks only
+    the ≤ k×salts survivors per group, so the per-group serial sort is
+    O(k·salts·log), independent of corpus size.  The salt is a disjoint
+    slice of the same content hash: deterministic, retry-stable, and any
+    partition of rows preserves correctness (independence not required)."""
     d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    salt = F.conv(F.substring(h, 31, 2), 16, 10).cast("int") % RESERVOIR_SALTS
+    w1 = Window.partitionBy("lang", "salt").orderBy("h", "doc_id")
+    survivors = (
+        d.select("lang", "doc_id", "source", h.alias("h"), salt.alias("salt"))
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= RESERVOIR_K)
     )
+    w2 = Window.partitionBy("lang").orderBy("h", "doc_id")
     return (
-        d.select(
+        survivors.select(
             "lang",
             "doc_id",
             "source",
-            F.row_number().over(w).cast("long").alias("rk"),
+            F.row_number().over(w2).cast("long").alias("rk"),
         )
         .filter(F.col("rk") <= RESERVOIR_K)
     )

@@ -30,10 +30,12 @@ BUDGETS = {
     "events_sessionize": (1, False),
     "q10_returned_items": (1, True),
     "q13_order_count_distribution": (3, False),  # two agg levels + join
-    # window shuffles by the group key; the (key, bin)/(key) final agg
+    # window shuffles by the group key; the (source, bin) final agg
     # reuses that partitioning — one exchange total
-    "dataset_reservoir_per_lang": (1, False),
     "dataset_pack_context_windows": (1, False),
+    # two-phase salted top-k: (lang, salt) window + survivors-only
+    # (lang) window — two exchanges, neither sorts a whole group
+    "dataset_reservoir_per_lang": (2, False),
     "events_anomaly_outliers": (1, True),         # moments frame broadcast back
     # strata agg (2-phase) + totals + tag-side agg + final joins; every
     # exchanged frame is stratum-cardinality-bounded except the two
