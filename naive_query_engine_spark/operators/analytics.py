@@ -291,7 +291,12 @@ def events_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(stats, "event_type")
         .groupBy("event_type", "n_events", "mean", "variance")
         .agg(
-            F.sum(((dev * dev) > (F.lit(9.0) * F.col("variance"))).cast("int"))
+            # coalesce: a group with only NULL values sums zero non-null
+            # inputs -> NULL in Spark, but the oracle's CASE...ELSE 0 sums 0
+            F.coalesce(
+                F.sum(((dev * dev) > (F.lit(9.0) * F.col("variance"))).cast("int")),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_outliers")
         )

@@ -45,6 +45,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = vertices.select(F.col("id"), F.col("id").alias("component"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
@@ -70,7 +71,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent non-convergence would emit wrong (split) components for
+        # any cluster whose diameter exceeds max_iter — fail loudly instead
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} iterations "
+            "(a component's diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

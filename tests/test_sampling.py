@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from naive_query_engine_spark.operators.quality import (
+    MIX_BUCKETS,
     RESERVOIR_K,
     dataset_mixture_sample,
     dataset_reservoir_per_lang,
@@ -29,7 +30,7 @@ def test_mixture_upweights_low_resource_strata(spark):
     assert abs(sum(r["target_share"] for r in rows.values()) - 1.0) < 1e-12
     # the hash-threshold realization lands near the target rate
     for r in rows.values():
-        assert abs(r["achieved_rate"] - r["threshold"] / 4096.0) < 0.15
+        assert abs(r["achieved_rate"] - r["threshold"] / MIX_BUCKETS) < 0.15
 
 
 def test_reservoir_exact_k_and_stable(spark):

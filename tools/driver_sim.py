@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import importlib.util
+import os
 import sys
 import time
 
@@ -27,10 +28,8 @@ import duckdb
 import pandas as pd
 
 ENTRY = "/root/repo/__spark_entry__.py"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+sys.path.insert(0, os.path.dirname(ENTRY))
+from naive_query_engine_spark.sources import TPCH_TABLES as TABLES  # noqa: E402
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -90,6 +89,13 @@ def main() -> int:
                         f"cols {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
                     )
                 a, b = normalize(spark_pdf), normalize(oracle_pdf)
+                # the driver compares schemas too: dtype KINDS must agree
+                for c in a.columns:
+                    ka, kb = a[c].dtype.kind, b[c].dtype.kind
+                    if ka != kb and not {ka, kb} <= {"i", "u"}:
+                        raise AssertionError(
+                            f"{c}: dtype kind {a[c].dtype} (spark) vs {b[c].dtype} (oracle)"
+                        )
                 pd.testing.assert_frame_equal(
                     a, b, check_dtype=False, check_exact=True, obj=name
                 )
