@@ -61,6 +61,9 @@ HINT_EXCEPTIONS = {
     # and (b) per-label centroids — a grouped aggregate keyed by the
     # label vocabulary, bounded by category count, not corpus size.
     "similarity_ivf_topk": "query set (5 rows) + label-keyed centroids",
+    # same hints as similarity_ivf_topk; the probe frame is bounded by
+    # nprobe x the vec_id < N_QUERY_VECS literal filter
+    "similarity_ivf_multiprobe": "query probes (nprobe x 5 rows) + centroids",
     # composes similarity_topk_bruteforce, inheriting its bounded 5-row
     # query-set hint
     "similarity_recall_at_k": "inherits bruteforce's vec_id < N_QUERY_VECS hint",
