@@ -67,6 +67,11 @@ HINT_EXCEPTIONS = {
     # composes similarity_topk_bruteforce, inheriting its bounded 5-row
     # query-set hint
     "similarity_recall_at_k": "inherits bruteforce's vec_id < N_QUERY_VECS hint",
+    # operators/similarity.py: hints cover (a) the PQ codebook — a
+    # grouped aggregate keyed by (label, subspace), bounded by
+    # |labels| x PQ_M, not corpus size — and (b) the ADC lookup tables,
+    # bounded by the vec_id < N_QUERY_VECS literal filter x the codebook
+    "similarity_pq_adc_topk": "codebook (labels x PQ_M) + ADC tables (5 x codebook)",
 }
 
 _MARKER = re.compile(r"[+:]- ")
