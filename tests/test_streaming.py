@@ -204,3 +204,57 @@ def test_stream_stream_join(spark, event_files):
         for r in st.purchases_after_clicks(batch_ev, batch_ev).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, event_files, tmp_path):
+    """Kill-and-restart recovery: a NEW query object resuming from the SAME
+    checkpoint must (a) not reprocess files the first run committed and
+    (b) pick up files that arrived while it was down — each source event
+    lands in the sink exactly once across both runs.  This is the
+    operational contract (at-least-once source replay + idempotent file
+    sink = exactly-once) that checkpointing exists to provide."""
+    import glob
+    import shutil as sh
+
+    src = tmp_path / "restart-src"
+    out = tmp_path / "restart-out"
+    ckpt = tmp_path / "restart-ckpt"
+    src.mkdir()
+    files = sorted(glob.glob(event_files + "/*.parquet"))
+    assert len(files) >= 4
+    first, later = files[:2], files[2:]
+    for f in first:
+        sh.copy(f, src / ("w1-" + f.rsplit("/", 1)[1]))
+
+    def start():
+        stream = st.read_event_stream(spark, str(src), max_files_per_trigger=1)
+        return (
+            stream.select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .start()
+        )
+
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    n_first = spark.read.parquet(str(out)).count()
+    assert n_first == spark.read.schema(st.EVENTS_SCHEMA).parquet(*first).count()
+
+    # new data lands while the query is down
+    for f in later:
+        sh.copy(f, src / ("w2-" + f.rsplit("/", 1)[1]))
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(str(out)).groupBy("event_id").count().collect()
+    n_src = spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files).count()
+    assert len(got) == n_src, "restart lost or duplicated source files"
+    assert all(r["count"] == 1 for r in got), "an event was processed twice"
