@@ -91,3 +91,42 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("rank50") - F.col("n_rows") * 0.5) <= tol).alias("p50_ok"),
         (F.abs(F.col("rank95") - F.col("n_rows") * 0.95) <= tol).alias("p95_ok"),
     )
+
+
+@query(
+    "sketch_hll_mergeable",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS merged_within_tolerance,
+           TRUE AS merge_equals_direct
+    FROM events
+    """,
+    tags=("sketch", "aggregate", "approximate", "mergeable"),
+)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches a 100 TB primitive: MERGEABILITY.
+    Distinct users are sketched independently per event_type (the shape of
+    a partitioned/incremental pipeline: sketch each shard or day, store
+    the bytes), then the partial sketches are union-merged — the merged
+    estimate must (a) sit within the HLL tolerance of the exact global
+    distinct and (b) equal the single-pass whole-dataset sketch exactly
+    (HLL union is a coordinate-wise max: merging partials loses nothing
+    vs sketching the whole).  Contract export only — sketch bytes differ
+    across engines (see module docstring)."""
+    ev = t(spark, sf_dir, "events")
+    per_group = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_merged")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_direct"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    rel_err = (
+        F.abs(F.col("n_merged") - F.col("n_exact")).cast("double") / F.col("n_exact")
+    )
+    return direct.crossJoin(merged).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (rel_err <= HLL_TOLERANCE).alias("merged_within_tolerance"),
+        (F.col("n_merged") == F.col("n_direct")).alias("merge_equals_direct"),
+    )
