@@ -130,3 +130,58 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rel_err <= HLL_TOLERANCE).alias("merged_within_tolerance"),
         (F.col("n_merged") == F.col("n_direct")).alias("merge_equals_direct"),
     )
+
+
+@query(
+    "events_wau_sliding",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+    SELECT CAST(dd.d AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau_exact,
+           TRUE AS hll_ok
+    FROM days dd JOIN du u ON u.d BETWEEN dd.d - 6 AND dd.d
+    GROUP BY dd.d
+    """,
+    tags=("events", "window", "sketch", "mergeable"),
+)
+def events_wau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day active users per day — the canonical "WAU" rollup.
+
+    Exact path: dedupe to (day, user) once (the only shuffle that scales
+    with raw volume), then explode each presence to the <=7 window-end
+    days it supports and count distinct per window — fan-out is a
+    constant 7x of the *deduped* set, never of raw events.
+
+    Scale path, verified as a contract: one HLL sketch per day (constant
+    bytes/day), the same 7x explode over SKETCH ROWS, union-merge per
+    window — at 100 TB the window pass touches kilobytes per day instead
+    of re-scanning user ids, and mergeability (see
+    ``sketch_hll_mergeable``) makes it lossless vs sketching each window
+    directly.  ``hll_ok`` asserts the merged estimate stays within 5% of
+    the exact count for every window."""
+    ev = t(spark, sf_dir, "events")
+    window_ends = [F.date_add(F.col("d"), i) for i in range(7)]
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    exact = (
+        du.select(F.explode(F.array(*window_ends)).alias("d"), "user_id")
+        .join(days, "d")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+    )
+    daily_sk = du.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = (
+        daily_sk.select(F.explode(F.array(*window_ends)).alias("d"), "sk")
+        .join(days, "d")
+        .groupBy("d")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_hll"))
+    )
+    rel_err = (
+        F.abs(F.col("wau_hll") - F.col("wau_exact")).cast("double") / F.col("wau_exact")
+    )
+    return exact.join(merged, "d").select(
+        F.col("d").cast("string").alias("day"),
+        F.col("wau_exact").cast("long").alias("wau_exact"),
+        (rel_err <= HLL_TOLERANCE).alias("hll_ok"),
+    )
