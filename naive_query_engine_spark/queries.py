@@ -413,6 +413,45 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
+    b AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big_orders
+          FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+    SELECT COALESCE(a.c_custkey, b.o_custkey) AS custkey,
+           a.c_acctbal, b.n_big_orders
+    FROM a FULL JOIN b ON a.c_custkey = b.o_custkey
+    """,
+    tags=("join", "full"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with genuine unmatched rows on BOTH sides:
+    high-balance customers (some with no big orders → right NULLs) vs
+    per-customer big-order counts (some from low-balance customers →
+    left NULLs).  The reference's planner maps Full
+    (sql/planner.rs:218-236) but the physical layer has no outer path at
+    all — here it is Spark's native full-outer shuffle join, which AQE
+    plans like any other scaling join (no broadcast possible for full
+    outer)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_acctbal")
+    )
+    ob = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_big_orders"))
+    )
+    return c.join(ob, c.c_custkey == ob.o_custkey, "full").select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        "c_acctbal",
+        "n_big_orders",
+    )
+
+
+@query(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
