@@ -1187,6 +1187,33 @@ def sql_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_SQL = """
+    SELECT n.n_name, l.c_name, l.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 2
+    ) l
+"""
+
+
+@query(
+    "sql_lateral_join",
+    oracle=_LATERAL_SQL,
+    tags=("sql", "join", "lateral"),
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery — per-nation top-2 customers by
+    balance, the classic top-N-per-group as a lateral join (far beyond the
+    reference's planner, which todo!()s on any non-trivial FROM).
+    Catalyst rewrites the correlation to a join + per-group limit; total
+    order under LIMIT (acctbal DESC, then name) keeps both engines'
+    row sets identical."""
+    return _sql_query(spark, sf_dir, _LATERAL_SQL)
+
+
 @query(
     "agg_rollup",
     oracle="""
