@@ -741,6 +741,44 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id
+             ORDER BY (CAST(ts AS DATE) - DATE '1970-01-01')
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_3d
+    FROM events
+    """,
+    tags=("window", "range", "events"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the trailing 3-DAY sum of
+    event value (RANGE 2 PRECEDING over epoch-day ordering) — unlike a
+    ROWS frame, all events of a peer day enter the frame together and the
+    result is independent of intra-day row order, which is exactly why
+    time-range frames are the hash-stable choice for rolling metrics.
+    Decimal accumulation keeps the window sum exact in both engines."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    day_num = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(day_num)
+        .rangeBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.to_date("ts").cast("string").alias("day"),
+        F.sum(dec(F.col("value"))).over(w).cast("double").alias("trailing_3d"),
+    )
+
+
 # ===========================================================================
 # TPC-H-ish headline queries (bench workload)
 # ===========================================================================
