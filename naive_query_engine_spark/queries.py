@@ -2016,6 +2016,33 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderstatus,
+           BOOL_AND(o_totalprice > 1000)                         AS all_over_1k,
+           BOOL_OR(o_totalprice > 400000)                        AS any_over_400k,
+           CAST(COUNT(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_over_200k,
+           CAST(COUNT(*) AS BIGINT)                              AS n_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "boolean"),
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and conditional aggregates — every/any (universal and
+    existential quantifiers over a group) and count_if (filtered count) —
+    all partial-aggregable, so they combine map-side like sum/count and
+    never see the 3VL pitfalls of hand-rolled CASE chains."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_totalprice") > 200000).cast("long").alias("n_over_200k"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+
+
+@query(
     "misc_scalar_funcs",
     oracle="""
     SELECT p_partkey,
