@@ -454,3 +454,82 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (32-bit signatures, Hamming <= 3)."""
     return simhash_pairs(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+
+
+#: deterministic "new batch" membership: doc_id % NEW_BATCH_MOD == NEW_BATCH_REM
+#: (~10% of the corpus plays the role of today's arriving batch)
+NEW_BATCH_MOD = 10
+NEW_BATCH_REM = 7
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_CAPPED_SQL},
+    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM capped GROUP BY doc_id),
+    pair AS (
+      SELECT x.doc_id AS new_doc, y.doc_id AS dup_of, COUNT(*) AS shared
+      FROM capped x JOIN capped y ON x.g = y.g
+      WHERE x.doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_REM}
+        AND y.doc_id <> x.doc_id
+        AND (y.doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_REM} OR y.doc_id < x.doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT new_doc, dup_of,
+           CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) AS jaccard
+    FROM pair
+    JOIN cnt ca ON ca.doc_id = new_doc
+    JOIN cnt cb ON cb.doc_id = dup_of
+    WHERE CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "pipeline", "jaccard", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape for a GROWING corpus: only
+    the arriving batch probes the shingle inverted index, so per-ingest
+    cost is O(|batch| x bucket width), never O(|corpus|²) and never a
+    re-dedup of what's already indexed.  New-vs-old pairs always emit
+    (new, old); new-vs-new pairs emit once (lower id as dup_of).  In a
+    deployment the `capped` shingle index is a maintained table
+    (compact_table / merge_upsert in sources/) rather than recomputed —
+    the join shape here is exactly the steady-state probe.
+
+    The "new batch" is a deterministic ~10% slice (doc_id % 10 == 7) so
+    both engines agree without any sampling dependence."""
+    d = t(spark, sf_dir, "documents")
+    all_sh = shingle_rows(d).persist(_SPILLABLE)
+    rare = (
+        all_sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("g")
+    )
+    sh = all_sh.join(rare, "g").persist(_SPILLABLE)
+    is_new = lambda c: c % NEW_BATCH_MOD == NEW_BATCH_REM  # noqa: E731
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    a = sh.filter(is_new(F.col("doc_id"))).alias("a")  # probe side: batch only
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("b.doc_id") != F.col("a.doc_id"))
+            & (~is_new(F.col("b.doc_id")) | (F.col("b.doc_id") < F.col("a.doc_id"))),
+        )
+        .groupBy(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("dup_of"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_g").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n_g").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "new_doc")
+        .join(sb, "dup_of")
+        .select("new_doc", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
