@@ -45,7 +45,9 @@ BENCH_QUERIES = [
     "similarity_topk_vectorized",
 ]
 
-N_RUNS = 2
+#: min-of-3, matching BASELINE.md's methodology — the first run pays
+#: one-off JVM/codegen warmup, and two more runs bound shared-host noise
+N_RUNS = 3
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
