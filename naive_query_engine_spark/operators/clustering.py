@@ -244,7 +244,7 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     )
     src_side = sym.join(deg, sym.src == deg.node).select("src", "dst", "outdeg")
     ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = src_side.join(ranks, src_side.src == ranks.node).select(
             F.col("dst"),
             F.floor(F.col("rank").cast("double") / F.col("outdeg")).cast("long").alias("c"),
@@ -262,6 +262,11 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
                 .alias("rank"),
             )
         )
+        if i < iters - 1:
+            # truncate lineage so iteration k+1 doesn't replay 1..k
+            # (ranks change every pass → ReuseExchange can't help);
+            # the last iteration stays lazy for the caller's plan
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

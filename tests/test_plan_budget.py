@@ -41,6 +41,26 @@ BUDGETS = {
     # exchanged frame is stratum-cardinality-bounded except the two
     # column-pruned corpus scans
     "dataset_mixture_sample": (6, True),
+    # r2-late additions
+    # codebook build (2 aggs) + code argmin window + (query,neighbor) sum
+    # + topk window; codebook/ADC joins are broadcasts
+    "similarity_pq_adc_topk": (7, True),
+    # static count includes persisted sym/deg lineage re-counted per
+    # consumer plus ONE iteration (earlier iterations are localCheckpoint
+    # boundaries — without them this was 31 and grew per iteration)
+    "graph_pagerank": (16, False),
+    # per-group sketch agg + union-merge + global agg; tiny frames after
+    # the first aggregation
+    "sketch_hll_mergeable": (4, True),
+    # (day,user) dedupe + exact window count + daily sketch agg +
+    # merge-side aggs; the 7x explode adds no exchange
+    "events_wau_sliding": (8, True),
+    # full outer cannot broadcast: both sides exchange on the key
+    "join_full_outer": (2, False),
+    # correlated LATERAL → join + per-group limit; nation side broadcast
+    "sql_lateral_join": (1, True),
+    "window_range_frame": (1, False),         # one partition-by shuffle
+    "agg_boolean": (1, False),                # single partial+final agg
 }
 
 
