@@ -141,3 +141,83 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_doc_tokens"),
         (F.sum("n_punct").cast("double") / F.sum("n_char")).alias("corpus_punct_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# batch model inference: the Arrow scoring-job shape
+
+
+#: fixed linear "quality model" weights over the integer text features
+#: (n_ws_tokens, n_bpe_tokens, n_punct, n_char) — in production these come
+#: from a trained classifier; here they are literals so both engines score
+#: identically in exact integer arithmetic.
+MODEL_WEIGHTS = (3, 2, -5, 1)
+TIER_HIGH = 700
+TIER_MID = 400
+
+
+@query(
+    "pipeline_model_scoring",
+    oracle=rf"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_ws,
+             CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+             CAST(LENGTH(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(LENGTH(text) AS BIGINT) AS n_char
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             {MODEL_WEIGHTS[0]} * n_ws + {MODEL_WEIGHTS[1]} * n_bpe
+             + {MODEL_WEIGHTS[2]} * n_punct + {MODEL_WEIGHTS[3]} * n_char AS score
+      FROM f
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CASE WHEN score >= {TIER_HIGH} THEN 'high'
+                WHEN score >= {TIER_MID} THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM s
+    """,
+    tags=("pipeline", "inference", "pandas-udf"),
+)
+def pipeline_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference — the Arrow scoring-job shape every curation
+    pipeline runs at 100 TB: feature extraction stays JVM-side (built-in
+    expressions, whole-stage codegen), then an ``mapInPandas`` kernel
+    applies the model to Arrow record batches with numpy (here a fixed
+    linear scorer; in production the same plumbing hosts an ONNX/sklearn
+    classifier — weights ship to executors by closure capture, the batch
+    matmul amortizes Python overhead across thousands of rows).  Integer
+    features x integer weights keep the scores exact, so the pandas path
+    hash-matches the oracle's SQL formulation bit-for-bit."""
+    import pandas as _pd  # noqa: F401  (executors need it imported lazily)
+
+    from .text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    feats = d.select(
+        "doc_id",
+        token_count(txt).alias("n_ws"),
+        bpe_ish_token_count(txt).alias("n_bpe"),
+        F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), 0)).cast("long").alias("n_punct"),
+        F.length(txt).cast("long").alias("n_char"),
+    )
+    weights = MODEL_WEIGHTS
+    hi, mid = TIER_HIGH, TIER_MID
+
+    def score_batches(batches):
+        # closure (NOT module-level): pickles by value so bare-session
+        # executors outside the repo cwd can run it — see SKILL.md gotcha
+        import numpy as np
+
+        for pdf in batches:
+            x = pdf[["n_ws", "n_bpe", "n_punct", "n_char"]].to_numpy(dtype="int64")
+            s = x @ np.array(weights, dtype="int64")
+            out = pdf[["doc_id"]].copy()
+            out["score"] = s
+            out["tier"] = np.where(s >= hi, "high", np.where(s >= mid, "mid", "low"))
+            yield out
+
+    return feats.mapInPandas(score_batches, "doc_id long, score long, tier string")

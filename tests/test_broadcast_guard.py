@@ -72,6 +72,9 @@ HINT_EXCEPTIONS = {
     # |labels| x PQ_M, not corpus size — and (b) the ADC lookup tables,
     # bounded by the vec_id < N_QUERY_VECS literal filter x the codebook
     "similarity_pq_adc_topk": "codebook (labels x PQ_M) + ADC tables (5 x codebook)",
+    # operators/similarity.py: same 5-row query-set hint as
+    # similarity_topk_bruteforce (vec_id < N_QUERY_VECS literal filter)
+    "embedding_hard_negatives": "query set: vec_id < N_QUERY_VECS literal filter",
 }
 
 _MARKER = re.compile(r"[+:]- ")
