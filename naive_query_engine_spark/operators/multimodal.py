@@ -274,3 +274,125 @@ def multimodal_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.hex(chunk)).alias("digest"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV/RIFF header round-trip (the audio-decode analog of the PNG path)
+
+
+def make_wav_payload(sample_rate, n_channels, n_samples):
+    """Column expr: canonical 44-byte RIFF/WAVE header (PCM fmt chunk +
+    data chunk header) — a REAL audio container format, built JVM-side.
+    Only the PCM sample bytes are absent (their decode would need an audio
+    codec only for compressed formats; PCM header metadata does not)."""
+    from pyspark.sql import functions as F
+
+    def le32(c):
+        # little-endian uint32 from an integer column: hex → byte-swap
+        hx = F.lpad(F.conv(c.cast("string"), 10, 16), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(hx, 7, 2), F.substring(hx, 5, 2),
+                F.substring(hx, 3, 2), F.substring(hx, 1, 2),
+            )
+        )
+
+    def le16(c):
+        hx = F.lpad(F.conv(c.cast("string"), 10, 16), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    bits = F.lit(16)
+    block_align = n_channels * 2
+    byte_rate = sample_rate * block_align
+    data_len = n_samples * block_align
+    return F.concat(
+        F.lit(b"RIFF"),
+        le32(data_len + 36),                 # riff chunk size
+        F.lit(b"WAVE"),
+        F.lit(b"fmt "),
+        le32(F.lit(16)),                     # fmt chunk length (PCM)
+        le16(F.lit(1)),                      # audio format = PCM
+        le16(n_channels),
+        le32(sample_rate),
+        le32(byte_rate),
+        le16(block_align),
+        le16(bits),
+        F.lit(b"data"),
+        le32(data_len),
+    )
+
+
+def wav_meta_kernel():
+    """mapInPandas kernel parsing REAL RIFF/WAVE headers (struct.unpack on
+    the fmt + data chunks) — no audio library; closure → pickles by value."""
+    import struct
+
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            srs, chs, durs, ok = [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                good = (
+                    len(b) >= 44
+                    and b[:4] == b"RIFF"
+                    and b[8:12] == b"WAVE"
+                    and b[12:16] == b"fmt "
+                    and b[36:40] == b"data"
+                )
+                if good:
+                    n_ch, sr = struct.unpack("<HI", b[22:28])
+                    block_align = struct.unpack("<H", b[32:34])[0]
+                    data_len = struct.unpack("<I", b[40:44])[0]
+                    n_samples = data_len // block_align
+                    dur_ms = (n_samples * 1000) // sr
+                else:
+                    n_ch, sr, dur_ms = 0, 0, 0
+                srs.append(sr); chs.append(n_ch); durs.append(dur_ms); ok.append(good)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": srs,
+                    "n_channels": chs,
+                    "duration_ms": durs,
+                    "is_valid_wav": ok,
+                }
+            )
+
+    return parse
+
+
+@query(
+    "multimodal_wav_header_parse",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END AS BIGINT)
+             AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+           CAST(FLOOR(((8000 + (doc_id % 100) * 160) * 1000)
+                / (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END)) AS BIGINT)
+             AS duration_ms,
+           TRUE AS is_valid_wav
+    FROM documents
+    """,
+    tags=("multimodal", "pipeline", "binary", "audio", "pandas-udf"),
+)
+def multimodal_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio round-trip through a REAL container format: build RIFF/WAVE
+    PCM headers (deterministic sample-rate/channels/length from doc_id)
+    JVM-side, parse them back in an Arrow-batched kernel with
+    struct.unpack — the audio analog of ``multimodal_png_header_parse``.
+    The oracle recomputes sample_rate/channels/duration arithmetically;
+    agreement proves the little-endian encode→decode path is bit-correct
+    end-to-end.  Integer-floor duration math matches BIGINT division in
+    both engines."""
+    d = t(spark, sf_dir, "documents")
+    sr = F.when(F.col("doc_id") % 2 == 0, 16000).otherwise(44100).cast("long")
+    n_ch = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    n_samples = (F.lit(8000) + (F.col("doc_id") % 100) * 160).cast("long")
+    payloads = d.select("doc_id", make_wav_payload(sr, n_ch, n_samples).alias("payload"))
+    return payloads.mapInPandas(
+        wav_meta_kernel(),
+        "doc_id long, sample_rate long, n_channels long, duration_ms long, is_valid_wav boolean",
+    )
