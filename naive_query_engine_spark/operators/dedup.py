@@ -533,3 +533,88 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc", "dup_of", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# train/eval contamination detection (decontamination)
+
+
+#: deterministic "held-out eval set" membership (~2% of the corpus)
+EVAL_SET_MOD = 50
+EVAL_SET_REM = 3
+#: containment threshold: fraction of the EVAL doc's shingles that also
+#: appear in the train doc.  Containment (not Jaccard) is the right
+#: metric here — a long train doc that swallows a short eval doc whole
+#: has low Jaccard but containment ~1.0, and that's exactly the leak.
+#: 0.05 keeps the correctness row non-vacuous at every SF (19 / 3 / 1801
+#: flagged pairs at sf0.001/0.01/0.1 — the sf0.1 corpus contains real
+#: containment-1.0 leaks; a production run would use ~0.5 after exact
+#: dedup): a threshold no data can reach is a check that can't fail.
+CONTAINMENT_THRESHOLD = 0.05
+
+
+@query(
+    "dataset_contamination_check",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_CAPPED_SQL},
+    eval_cnt AS (
+      SELECT doc_id, COUNT(*) AS n_g FROM capped
+      WHERE doc_id % {EVAL_SET_MOD} = {EVAL_SET_REM}
+      GROUP BY doc_id
+    ),
+    pair AS (
+      SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, COUNT(*) AS shared
+      FROM capped ev JOIN capped tr ON ev.g = tr.g
+      WHERE ev.doc_id % {EVAL_SET_MOD} = {EVAL_SET_REM}
+        AND tr.doc_id % {EVAL_SET_MOD} <> {EVAL_SET_REM}
+      GROUP BY 1, 2
+    )
+    SELECT train_doc, eval_doc,
+           CAST(shared AS DOUBLE) / ec.n_g AS containment
+    FROM pair JOIN eval_cnt ec ON ec.doc_id = eval_doc
+    WHERE CAST(shared AS DOUBLE) / ec.n_g >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("dedup", "pipeline", "contamination"),
+)
+def dataset_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the check every pretraining corpus
+    needs before benchmark numbers mean anything: find training documents
+    whose shingle CONTAINMENT of a held-out eval document exceeds
+    threshold (shared shingles / eval doc's shingles — asymmetric by
+    design: a train doc that contains an eval doc verbatim scores ~1.0
+    even when Jaccard is low).
+
+    Scale shape: only the (tiny) eval set's shingles probe the capped
+    inverted index — identical probe-side asymmetry to
+    ``dedup_incremental``, cost O(|eval| x bucket width); the train side
+    never self-joins.  The stop-shingle cap bounds fan-out exactly as in
+    the dedup family."""
+    d = t(spark, sf_dir, "documents")
+    all_sh = shingle_rows(d).persist(_SPILLABLE)
+    rare = (
+        all_sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("g")
+    )
+    sh = all_sh.join(rare, "g").persist(_SPILLABLE)
+    in_eval = lambda c: c % EVAL_SET_MOD == EVAL_SET_REM  # noqa: E731
+    ev = sh.filter(in_eval(F.col("doc_id"))).alias("ev")
+    tr = sh.filter(~in_eval(F.col("doc_id"))).alias("tr")
+    eval_cnt = ev.groupBy(F.col("doc_id").alias("eval_doc")).agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    shared = (
+        ev.join(tr, F.col("ev.g") == F.col("tr.g"))
+        .groupBy(
+            F.col("tr.doc_id").alias("train_doc"), F.col("ev.doc_id").alias("eval_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    containment = F.col("shared").cast("double") / F.col("n_g")
+    return (
+        shared.join(eval_cnt, "eval_doc")
+        .select("train_doc", "eval_doc", containment.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
