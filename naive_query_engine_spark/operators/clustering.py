@@ -343,3 +343,113 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PR_TOPN)
         .select("node", F.col("rank").alias("pagerank_micro"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# canonical selection by quality: keep the BEST duplicate, not the first
+
+
+def _keep_best_oracle() -> str:
+    from .pipeline import MODEL_WEIGHTS
+
+    w = MODEL_WEIGHTS
+    return rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_EDGES_SQL},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS component
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    feat AS (
+      SELECT doc_id,
+             {w[0]} * CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS BIGINT)
+             + {w[1]} * CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             + {w[2]} * CAST(LENGTH(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)
+             + {w[3]} * CAST(LENGTH(text) AS BIGINT) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, f.score,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY f.score DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN feat f ON f.doc_id = c.doc_id
+    )
+    SELECT component, doc_id AS kept_doc, CAST(score AS BIGINT) AS score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query(
+    "dedup_keep_best",
+    oracle=None,  # patched below (needs pipeline.MODEL_WEIGHTS at import time)
+    tags=("dedup", "pipeline", "clustering", "quality"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection by QUALITY: resolve near-dup clusters
+    (connected components over Jaccard edges), then keep each cluster's
+    highest-scoring member under the linear quality model — the curation
+    decision a real pipeline makes (keeping the lowest doc_id throws away
+    the cleanest copy whenever the duplicate is the better-extracted one).
+    Tie-break on doc_id keeps both engines deterministic.
+
+    Composes three oracle-checked stages — near-dup edges, label-
+    propagation components, model scoring — into one query; the scale
+    shapes are unchanged from the parts."""
+    from .dedup import ngram_jaccard_pairs
+    from .pipeline import MODEL_WEIGHTS
+    from .text import bpe_ish_token_count, token_count
+
+    d = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    vertices = d.select(F.col("doc_id").alias("id"))
+    comp = connected_components(vertices, edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    txt = F.col("text")
+    w = MODEL_WEIGHTS
+    score = (
+        F.lit(w[0]) * token_count(txt)
+        + F.lit(w[1]) * bpe_ish_token_count(txt)
+        + F.lit(w[2]) * F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), 0)).cast("long")
+        + F.lit(w[3]) * F.length(txt).cast("long")
+    )
+    scored = d.select("doc_id", score.alias("score"))
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("component").orderBy(F.col("score").desc(), F.col("doc_id"))
+    wc = Window.partitionBy("component")
+    return (
+        comp.join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(wn))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("score").cast("long").alias("score"),
+            "n_members",
+        )
+    )
+
+
+import dataclasses as _dc  # noqa: E402
+
+from ..queries import QUERIES as _QREG  # noqa: E402
+
+_QREG["dedup_keep_best"] = _dc.replace(_QREG["dedup_keep_best"], oracle=_keep_best_oracle())
