@@ -185,3 +185,217 @@ def events_wau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau_exact").cast("long").alias("wau_exact"),
         (rel_err <= HLL_TOLERANCE).alias("hll_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hashed sketches (bloom filter, count-min) — unlike the
+# estimator sketches above, these are exactly reproducible given the hash
+# family (seeded md5, the same portability trick as dedup.py), so the
+# oracle compares full values, not just a tolerance contract.
+
+#: bloom filter geometry: m = 16^BLOOM_HEX_DIGITS bits, k = BLOOM_SEEDS
+BLOOM_HEX_DIGITS = 3  # m = 4096 — first 3 md5 hex digits ARE the bit index
+BLOOM_SEEDS = 3
+#: count-min geometry: w = 16^CM_HEX_DIGITS buckets × d = CM_SEEDS rows
+CM_HEX_DIGITS = 2  # w = 256
+CM_SEEDS = 3
+
+
+def seeded_hash_int(key, seed: int, digits: int):
+    """First ``digits`` hex chars of md5('<seed>|<key>') as an int in
+    [0, 16^digits) — a uniform hash both engines compute identically.
+    Taking a hex prefix of width d IS the mod-16^d reduction, so no
+    modulo (and no negative-hash edge case) is needed."""
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+    return F.conv(F.substring(h, 1, digits), 16, 10).cast("int")
+
+
+def _hex_int_sql(hcol: str, digits: int) -> str:
+    """DuckDB rendering of int(hex_prefix): positional strpos arithmetic
+    (DuckDB has no base-conversion function — same idiom as quality.py)."""
+    terms = []
+    for i in range(digits):
+        mult = 16 ** (digits - 1 - i)
+        term = f"(strpos('0123456789abcdef', SUBSTR({hcol}, {i + 1}, 1)) - 1)"
+        terms.append(f"{term} * {mult}" if mult > 1 else term)
+    return "(" + " + ".join(terms) + ")"
+
+
+def _seeded_md5_sql(key_sql: str, seed_sql: str) -> str:
+    return f"MD5(CAST({seed_sql} AS VARCHAR) || '|' || CAST({key_sql} AS VARCHAR))"
+
+
+def _seed_rows(key, n_seeds: int, digits: int):
+    """(seed, pos) column pair per input row — ONE explode over an array of
+    structs (a per-row transform; no shuffle, no n_seeds× scan)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    seeded_hash_int(key, s, digits).alias("pos"),
+                )
+                for s in range(n_seeds)
+            ]
+        )
+    )
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH seeds AS (SELECT UNNEST(range({BLOOM_SEEDS})) AS seed),
+    build AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bits AS (
+      SELECT DISTINCT seed,
+             {_hex_int_sql(_seeded_md5_sql('k', 'seed'), BLOOM_HEX_DIGITS)} AS pos
+      FROM build CROSS JOIN seeds
+    ),
+    probe_bits AS (
+      SELECT c_custkey AS k, seed,
+             {_hex_int_sql(_seeded_md5_sql('c_custkey', 'seed'), BLOOM_HEX_DIGITS)} AS pos
+      FROM customer CROSS JOIN seeds
+    ),
+    flagged AS (
+      SELECT pb.k
+      FROM probe_bits pb JOIN bits b ON pb.seed = b.seed AND pb.pos = b.pos
+      GROUP BY pb.k
+      HAVING COUNT(*) = {BLOOM_SEEDS}
+    ),
+    truem AS (SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build)   AS n_build,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits)    AS n_bits_set,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_probed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged) AS n_flagged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truem)   AS n_true_members,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM truem) AS n_false_positives
+    """,
+    tags=("sketch", "bloom", "join"),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership as data: build m=4096-bit / k=3 filter from
+    the set of customers WITH orders, probe every customer, and report the
+    flagged count vs ground truth (false positives are the sketch's
+    documented price; false negatives are impossible by construction).
+
+    This is the explicit, mergeable form of the runtime bloom pruning
+    Spark injects automatically (pinned in tests/test_runtime_filter.py):
+    the bit set is just a (seed, pos) relation — unionable across
+    partitions/days (OR of blooms = UNION of set bits), bounded by m·k
+    rows regardless of input size, so it broadcasts at any scale and the
+    probe side never shuffles.  At 100 TB this is how you pre-filter a
+    fact scan against a billion-key dimension without shipping the keys.
+
+    Determinism: the seeded-md5 family (dedup.py's portability trick) —
+    the first 3 hex digits ARE the bit index, both engines agree exactly."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    build = o.select(F.col("o_custkey").alias("k")).distinct()
+    bits = (
+        build.select(_seed_rows(F.col("k"), BLOOM_SEEDS, BLOOM_HEX_DIGITS).alias("sp"))
+        .select("sp.seed", "sp.pos")
+        .distinct()
+    )
+    probe_bits = c.select(
+        F.col("c_custkey").alias("k"),
+        _seed_rows(F.col("c_custkey"), BLOOM_SEEDS, BLOOM_HEX_DIGITS).alias("sp"),
+    ).select("k", "sp.seed", "sp.pos")
+    # the bit set is bounded by m*k rows — broadcast is safe at ANY corpus
+    # size (this is the one join in the repo where a hint is provably
+    # scale-independent)
+    flagged = (
+        probe_bits.join(F.broadcast(bits), ["seed", "pos"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == BLOOM_SEEDS)
+    )
+    true_members = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    return (
+        build.agg(F.count(F.lit(1)).alias("n_build"))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_probed")))
+        .crossJoin(flagged.agg(F.count(F.lit(1)).alias("n_flagged")))
+        .crossJoin(true_members.agg(F.count(F.lit(1)).alias("n_true_members")))
+        .select(
+            F.col("n_build").cast("long").alias("n_build"),
+            F.col("n_bits_set").cast("long").alias("n_bits_set"),
+            F.col("n_probed").cast("long").alias("n_probed"),
+            F.col("n_flagged").cast("long").alias("n_flagged"),
+            F.col("n_true_members").cast("long").alias("n_true_members"),
+            (F.col("n_flagged") - F.col("n_true_members")).cast("long").alias("n_false_positives"),
+        )
+    )
+
+
+@query(
+    "sketch_countmin_freq",
+    oracle=f"""
+    WITH seeds AS (SELECT UNNEST(range({CM_SEEDS})) AS seed),
+    counters AS (
+      SELECT seed,
+             {_hex_int_sql(_seeded_md5_sql('user_id', 'seed'), CM_HEX_DIGITS)} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN seeds
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT t.user_id, MIN(c.cnt) AS cm_est
+      FROM truth t
+      CROSS JOIN seeds s
+      JOIN counters c
+        ON c.seed = s.seed
+       AND c.pos = {_hex_int_sql(_seeded_md5_sql('t.user_id', 's.seed'), CM_HEX_DIGITS)}
+      GROUP BY t.user_id
+    )
+    SELECT t.user_id, t.true_cnt, e.cm_est,
+           e.cm_est - t.true_cnt AS overcount
+    FROM truth t JOIN est e ON t.user_id = e.user_id
+    """,
+    tags=("sketch", "countmin", "aggregate"),
+)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=3 rows × w=256 buckets) over event user_ids:
+    build the counter matrix in one hashed aggregation, then answer every
+    user's frequency query as min over its d counters, reported against
+    the exact count (CM guarantees estimate ≥ truth; ``overcount`` is the
+    collision error).
+
+    Scale shape: the counter matrix is d·w rows NO MATTER the input size —
+    one partial-aggregated shuffle builds it, then it broadcasts to the
+    probe side.  Mergeable by counter-wise SUM (union of streams), which
+    is why CM is the standard heavy-hitter primitive over unbounded
+    streams.  The probe here is every distinct key (worst case); a real
+    pipeline probes a handful.
+
+    Determinism: seeded-md5 bucket family; counts are exact integers; min
+    over integers — both engines agree bit-for-bit."""
+    ev = t(spark, sf_dir, "events")
+    counters = (
+        ev.select(_seed_rows(F.col("user_id"), CM_SEEDS, CM_HEX_DIGITS).alias("sp"))
+        .select("sp.seed", "sp.pos")
+        .groupBy("seed", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    probe = truth.select(
+        "user_id", _seed_rows(F.col("user_id"), CM_SEEDS, CM_HEX_DIGITS).alias("sp")
+    ).select("user_id", "sp.seed", "sp.pos")
+    est = (
+        probe.join(F.broadcast(counters), ["seed", "pos"])  # d*w rows — bounded
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("long").alias("cm_est"))
+    )
+    return truth.join(est, "user_id").select(
+        "user_id",
+        "true_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("true_cnt")).cast("long").alias("overcount"),
+    )

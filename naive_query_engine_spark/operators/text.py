@@ -363,3 +363,64 @@ def text_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("ta"), F.col("tb")).cast("long").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "text_repetition_signals",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ts
+      FROM documents
+      WHERE LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) >= 2
+    ),
+    words AS (
+      SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok
+    ),
+    bigrams AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS g
+      FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)   AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS dup_bigram_frac,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS top_bigram_frac
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("text", "pipeline", "quality", "repetition"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style "repetitious
+    content" filters): per document, the fraction of word bigrams that are
+    repeats of an earlier bigram, and the share of the single most frequent
+    bigram.  High values flag template/boilerplate/spam documents that
+    length or punctuation signals miss.
+
+    Scale shape: one bigram explode (no shuffle — per-row transform), one
+    groupBy(doc_id, gram) partial-aggregated count, one groupBy(doc_id)
+    rollup.  Both shuffles are keyed by doc_id(+gram) — uniformly
+    distributed, no hot keys, and the gram counts combine map-side.  The
+    divisions are single double ops over exact integers (hash-stable).
+
+    The reference has no text operators; this extends the quality family
+    (text_quality_score) with the repetition dimension every pre-training
+    curation pipeline uses."""
+    from .dedup import raw_shingle_rows
+
+    d = t(spark, sf_dir, "documents")
+    per_gram = (
+        raw_shingle_rows(d, 2)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c")
+    distinct = F.count(F.lit(1))
+    return per_gram.groupBy("doc_id").agg(
+        total.cast("long").alias("n_bigrams"),
+        distinct.cast("long").alias("n_distinct"),
+        ((total - distinct).cast("double") / total.cast("double")).alias("dup_bigram_frac"),
+        (F.max("c").cast("double") / total.cast("double")).alias("top_bigram_frac"),
+    )
