@@ -2268,3 +2268,91 @@ def q20_excess_stock_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         excess, s.s_suppkey == excess.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+# ===========================================================================
+# Spark 4 SQL surface beyond the reference: recursive CTE, VARIANT
+# ===========================================================================
+
+#: one SQL text for BOTH engines (Spark 4 and DuckDB both speak
+#: WITH RECURSIVE + WINDOW clauses): walk each customer's order chain in
+#: date order, accumulating an exact decimal running total.  Every node
+#: has at most ONE successor (the next order), so the recursion is
+#: linear — the frontier only shrinks, never explodes; depth is bounded
+#: by max orders per customer (25 in this corpus, well under Spark's
+#: 100-level recursion limit).
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE ord AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             ROW_NUMBER() OVER w AS rn,
+             LEAD(o_orderkey) OVER w AS next_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    chain AS (
+      SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) AS depth,
+             price AS cum_price, next_key
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.o_custkey, o.o_orderkey, c.depth + CAST(1 AS BIGINT),
+             CAST(c.cum_price + o.price AS DECIMAL(12,2)), o.next_key
+      FROM chain c JOIN ord o ON o.o_orderkey = c.next_key
+    )
+    SELECT o_custkey, o_orderkey, depth,
+           CAST(cum_price AS DOUBLE) AS cum_price
+    FROM chain
+"""
+
+
+@query(
+    "sql_recursive_chain",
+    oracle=_RECURSIVE_CHAIN_SQL,
+    tags=("sql", "recursive", "cte"),
+)
+def sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — far beyond the reference's
+    planner, sql/planner.rs): per-customer order chains walked step by
+    step with an exact running total.  The same SQL text runs on both
+    engines.
+
+    The recursion is LINEAR by construction (each order has at most one
+    successor via LEAD), so the iterative union's frontier is monotone
+    shrinking — the safe recursive shape at scale; transitive closures
+    over fan-out graphs belong to the label-propagation operator
+    (dedup_connected_components) instead."""
+    return _sql_query(spark, sf_dir, _RECURSIVE_CHAIN_SQL)
+
+
+@query(
+    "events_variant_props",
+    oracle="""
+    WITH typed AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events
+    )
+    SELECT CAST(k_val // 10 AS BIGINT) AS k_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k_val) AS BIGINT) AS sum_k,
+           CAST(MIN(event_id) AS BIGINT) AS min_event
+    FROM typed GROUP BY 1
+    """,
+    tags=("expression", "json", "variant"),
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured access (Spark 4): parse the JSON
+    props column ONCE into a VARIANT value, then typed-path extract —
+    the shredded-JSON pattern that replaces per-field get_json_object
+    re-parsing (events_json_extract) for wide multi-field access at
+    scale.  Grouped rollup keeps the output small and integer-exact."""
+    ev = t(spark, sf_dir, "events")
+    k_val = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    typed = ev.select("event_id", k_val.alias("k_val"))
+    return typed.groupBy(
+        F.floor(F.col("k_val") / 10).cast("long").alias("k_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("k_val").cast("long").alias("sum_k"),
+        F.min("event_id").cast("long").alias("min_event"),
+    )
