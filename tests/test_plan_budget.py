@@ -61,6 +61,20 @@ BUDGETS = {
     "sql_lateral_join": (1, True),
     "window_range_frame": (1, False),         # one partition-by shuffle
     "agg_boolean": (1, False),                # single partial+final agg
+    # bigram counts: repartition (single-split input) + (doc,gram) agg +
+    # doc rollup
+    "text_repetition_signals": (3, False),
+    # summary-of-aggregates: six bounded frames crossJoined, each with its
+    # own 2-phase agg lineage in the STATIC plan (ReuseExchange collapses
+    # repeats at runtime); every exchanged frame after the scans is
+    # key-distinct- or m*k-bounded
+    "sketch_bloom_membership": (12, True),
+    # counter-matrix agg + truth agg + probe-min agg; counters broadcast
+    "sketch_countmin_freq": (3, True),
+    # the iterative UnionLoop's per-step exchanges are internal to the
+    # recursion node, not visible in the static plan
+    "sql_recursive_chain": (0, False),
+    "events_variant_props": (1, False),       # single grouped agg
 }
 
 
