@@ -75,6 +75,15 @@ HINT_EXCEPTIONS = {
     # operators/similarity.py: same 5-row query-set hint as
     # similarity_topk_bruteforce (vec_id < N_QUERY_VECS literal filter)
     "embedding_hard_negatives": "query set: vec_id < N_QUERY_VECS literal filter",
+    # operators/sketches.py: the hinted frame is the bloom bit set — a
+    # DISTINCT over (seed, pos) where pos lives in a BLOOM_HEX_DIGITS hex
+    # space: ≤ BLOOM_SEEDS · 16^BLOOM_HEX_DIGITS rows (k·m) at ANY input
+    # size.  The hash-space bound is invisible to the structural audit.
+    "sketch_bloom_membership": "bit set bounded by k x m = BLOOM_SEEDS x 16^BLOOM_HEX_DIGITS",
+    # operators/sketches.py: the hinted frame is the count-min counter
+    # matrix, grouped by (seed, pos) — ≤ CM_SEEDS · 16^CM_HEX_DIGITS rows
+    # (d·w) regardless of stream length.
+    "sketch_countmin_freq": "counter matrix bounded by d x w = CM_SEEDS x 16^CM_HEX_DIGITS",
 }
 
 _MARKER = re.compile(r"[+:]- ")
