@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries import query, t
+from ..queries import epoch_micros, query, t
 
 GAP_SCHEMA = "user_id long, median_gap_us double, n_gaps long"
 
@@ -45,9 +45,7 @@ def median_inter_event_gap(events: DataFrame) -> DataFrame:
     gaps = (
         events.select(
             "user_id",
-            (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias(
-                "gap_us"
-            ),
+            (epoch_micros("ts") - F.lag(epoch_micros("ts")).over(w)).alias("gap_us"),
         )
         .filter(F.col("gap_us").isNotNull())
     )

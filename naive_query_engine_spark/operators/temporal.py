@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries import query, t
+from ..queries import epoch_seconds, query, t
 
 RANGE_WINDOW_SEC = 300  # range-join window: events within 5 minutes
 
@@ -127,7 +127,7 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded fan-out) + exact predicate.  ``secs_apart`` is an exact integer
     (epoch-second difference)."""
     ev = t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", (F.unix_timestamp("ts")).alias("sec")
+        "event_id", "user_id", "ts", epoch_seconds("ts").alias("sec")
     )
     bucket = F.floor(F.col("sec") / RANGE_WINDOW_SEC)
     a = ev.select(

@@ -57,14 +57,35 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test-corpus table (lazy parquet scan → full pushdown/pruning).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; read it as raw nanos (legacy conf) and truncate to
-    microseconds — exactly what DuckDB's µs-precision TIMESTAMP does, so
-    both engines see identical values.
+    The corpus stores naive (no-timezone) microsecond timestamps, which
+    Spark >= 3.4 reads as TIMESTAMP_NTZ — the exact analog of DuckDB's
+    naive TIMESTAMP, so both engines see identical wall-clock values with
+    no session-timezone dependence.  (Earlier corpus generations used
+    TIMESTAMP(NANOS); ``read_corpus_table`` still normalizes that case.)
     """
     from .sources import read_corpus_table
 
     return read_corpus_table(spark, sf_dir, name)
+
+
+def epoch_micros(col: str | Column) -> Column:
+    """Microseconds since the epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    ``F.unix_micros`` accepts only TIMESTAMP (with local timezone), but the
+    corpus columns are TIMESTAMP_NTZ; ``timestampdiff`` from an NTZ epoch
+    literal handles both (LTZ input is first cast to NTZ — identity under
+    the engine's UTC session timezone) and is timezone-independent, matching
+    DuckDB's ``epoch_us`` on naive timestamps exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", epoch, c.cast("timestamp_ntz"))
+
+
+def epoch_seconds(col: str | Column) -> Column:
+    """Whole seconds since the epoch (floor, like ``unix_timestamp``) for
+    TIMESTAMP or TIMESTAMP_NTZ input."""
+    return F.floor(epoch_micros(col) / F.lit(1_000_000)).cast("long")
 
 
 # ---------------------------------------------------------------------------

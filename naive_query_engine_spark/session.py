@@ -31,7 +31,8 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet carries TIMESTAMP(NANOS); read as long + convert (queries.t)
+    # legacy corpus generations carried TIMESTAMP(NANOS) events; harmless now
+    # that the corpus is naive-microsecond (TIMESTAMP_NTZ), kept for compat
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",

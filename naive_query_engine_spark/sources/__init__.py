@@ -93,9 +93,14 @@ def empty_table(spark: SparkSession, schema: StructType | str) -> DataFrame:
 
 
 def read_corpus_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test-corpus table.  ``events.ts`` is TIMESTAMP(NANOS) parquet,
-    which Spark's reader rejects; read raw nanos (legacy conf) and truncate
-    to microseconds — identical to DuckDB's µs TIMESTAMP semantics."""
+    """Load one test-corpus table.
+
+    Corpus timestamps are naive (no-timezone) microseconds, which Spark
+    >= 3.4 reads as TIMESTAMP_NTZ — the exact analog of DuckDB's naive
+    TIMESTAMP, with no session-timezone dependence.  Earlier corpus
+    generations stored ``events.ts`` as TIMESTAMP(NANOS), which Spark's
+    reader rejects; that case is still normalized (legacy conf reads raw
+    nanos as long, then truncate to microseconds)."""
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
