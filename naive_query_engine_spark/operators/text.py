@@ -424,3 +424,65 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((total - distinct).cast("double") / total.cast("double")).alias("dup_bigram_frac"),
         (F.max("c").cast("double") / total.cast("double")).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV rate
+
+VOCAB_V = 200
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM freq ORDER BY c DESC, tok LIMIT {VOCAB_V})
+    SELECT t.doc_id, t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE) / COUNT(*)
+             AS oov_ratio
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id, t.lang
+    """,
+    tags=("text", "pipeline", "quality", "vocab"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-``VOCAB_V``
+    token vocabulary — the tokenizer-coverage signal a pre-training pipeline
+    computes before committing to a vocab (docs with high OOV are either
+    noise or an under-represented domain/language).
+
+    Scale shape: token frequencies are one hash aggregation; the vocabulary
+    is a **global top-V limit** (TakeOrdered, driver never sees the corpus)
+    and therefore bounded by construction — the one frame here that is
+    legitimately broadcast.  The per-doc pass is a broadcast-hash left join
+    on the exploded token stream plus one grouped count: no shuffle of the
+    corpus beyond the doc_id aggregation."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(VOCAB_V)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    n_tok = F.count(F.lit(1))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            n_tok.cast("long").alias("n_tok"),
+            n_oov.cast("long").alias("n_oov"),
+            (n_oov.cast("double") / n_tok.cast("double")).alias("oov_ratio"),
+        )
+    )
