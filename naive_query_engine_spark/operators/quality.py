@@ -376,3 +376,66 @@ def dataset_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle: the serving order of a training run
+
+INTERLEAVE_N = 100
+
+
+@query(
+    "dataset_global_interleave",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS p
+      FROM documents
+    )
+    SELECT seq, doc_id, source, lang FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY p, source) AS BIGINT) AS seq,
+             doc_id, source, lang
+      FROM ranked
+    ) WHERE seq <= {INTERLEAVE_N}
+    """,
+    tags=("pipeline", "sampling", "serving", "interleave"),
+)
+def dataset_global_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``INTERLEAVE_N`` examples of a deterministic epoch
+    shuffle: within each source, documents stream in content-hash order
+    (the hash IS the random order — reproducible across engines and
+    retries, unlike any RNG shuffle); sources are then interleaved
+    round-robin (order by per-source position, then source), the standard
+    way a training run mixes heterogeneous sources without starving any.
+
+    Scale shape mirrors :func:`dataset_reservoir_per_lang`: two-phase
+    salted ranking bounds every serial sort — phase 1 ranks within
+    (source, salt) and keeps ``INTERLEAVE_N`` per salt (pigeonhole: the
+    true per-source top-N all survive), phase 2 re-ranks only survivors,
+    and the global (p, source) order is a TakeOrdered over
+    N×|sources| rows, never a full sort of the corpus."""
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    salt = F.conv(F.substring(h, 31, 2), 16, 10).cast("int") % RESERVOIR_SALTS
+    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    survivors = (
+        d.select("doc_id", "source", "lang", h.alias("h"), salt.alias("salt"))
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= INTERLEAVE_N)
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    positioned = (
+        survivors.withColumn("p", F.row_number().over(w2).cast("long"))
+        .filter(F.col("p") <= INTERLEAVE_N)
+    )
+    top = positioned.orderBy("p", "source").limit(INTERLEAVE_N)
+    wseq = Window.orderBy("p", "source")
+    return top.select(
+        F.row_number().over(wseq).cast("long").alias("seq"),
+        "doc_id",
+        "source",
+        "lang",
+    )
