@@ -78,6 +78,18 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str | None = 
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — Spark's second columnar format (statistics + predicate
+    pushdown like parquet; interchange with Hive-era warehouses)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-oriented text source (one ``value`` string column; ``whole``
+    reads each file as a single row) — the raw-corpus ingestion format."""
+    return spark.read.text(path, wholetext=whole)
+
+
 def memory_table(
     spark: SparkSession,
     data: Iterable,

@@ -1,0 +1,65 @@
+"""Source/sink format coverage: every supported format round-trips the same
+relation with identical values.
+
+The reference reads only eagerly-loaded CSV (src/datasource/csv.rs:23-101);
+here each format is a lazy scan behind the same DataFrame surface, so one
+engine serves parquet / ORC / CSV / JSON-lines / raw text interchangeably.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from naive_query_engine_spark.sources import (
+    read_csv,
+    read_json,
+    read_orc,
+    read_text,
+    write_table,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("n_nationkey").collect()]
+
+
+@pytest.mark.parametrize("fmt", ["orc", "csv", "json"])
+def test_format_round_trip(spark, nation, tmp_path_factory, fmt):
+    path = str(tmp_path_factory.mktemp("fmt") / f"nation_{fmt}")
+    write_table(nation, path, fmt=fmt)
+    if fmt == "orc":
+        back = read_orc(spark, path)
+    elif fmt == "csv":
+        back = read_csv(spark, path, header=False, schema=nation.schema)
+    else:
+        back = read_json(spark, path, schema=nation.schema)
+    assert back.schema == nation.schema or fmt != "orc"
+    assert _sorted_rows(back.select(*nation.columns)) == _sorted_rows(nation)
+
+
+def test_orc_pushdown_prunes_columns_and_filters(spark, nation, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fmt") / "nation_orc_pd")
+    write_table(nation, path, fmt="orc")
+    q = read_orc(spark, path).filter(F.col("n_regionkey") == 0).select("n_name")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+    assert q.count() > 0
+
+
+def test_text_source_lines(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("fmt") / "corpus.txt"
+    p.write_text("alpha beta\ngamma\n")
+    df = read_text(spark, str(p))
+    assert df.columns == ["value"]
+    assert sorted(r.value for r in df.collect()) == ["alpha beta", "gamma"]
+    whole = read_text(spark, str(p), whole=True)
+    assert whole.count() == 1
