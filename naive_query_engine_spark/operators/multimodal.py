@@ -396,3 +396,72 @@ def multimodal_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_meta_kernel(),
         "doc_id long, sample_rate long, n_channels long, duration_ms long, is_valid_wav boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# magic-byte MIME sniffing over a mixed-modality payload column
+
+
+@query(
+    "multimodal_mime_sniff",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'image/png'
+               WHEN 1 THEN 'audio/wav'
+               ELSE 'text/plain' END AS mime,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 33
+               WHEN 1 THEN 44
+               ELSE octet_length(encode(text)) END AS n_bytes
+      FROM documents
+    )
+    SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM m GROUP BY mime
+    """,
+    tags=("multimodal", "pipeline", "binary"),
+)
+def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type detection the way ingest actually does it: by MAGIC
+    BYTES, not file extension.  A mixed-modality payload column (every
+    third document carries a real PNG header, every third a real RIFF/WAVE
+    header, the rest raw utf-8 text) is classified JVM-side from the hex
+    of its first bytes (``\\x89PNG\\r\\n\\x1a\\n`` → png; ``RIFF…WAVE`` →
+    wav; else text) and summarized per detected type.  The oracle
+    recomputes the expected type arithmetically from the construction rule
+    — agreement proves the sniff reads the actual payload bytes correctly.
+    All byte inspection is builtin-expression (hex/substring on binary):
+    whole-stage codegen, no Python in the loop."""
+    d = t(spark, sf_dir, "documents")
+    w = (F.lit(32) + F.col("doc_id") % 512).cast("int")
+    h = (F.lit(32) + (F.col("doc_id") * 3) % 512).cast("int")
+    rate = (F.lit(8000) * (F.lit(1) + F.col("doc_id") % 3)).cast("int")
+    chans = (F.lit(1) + F.col("doc_id") % 2).cast("int")
+    samps = (F.lit(100) + F.col("doc_id") % 1000).cast("int")
+    m = (F.col("doc_id") % 3).cast("int")
+    payload = (
+        F.when(m == F.lit(0), make_png_payload(w, h))
+        .when(m == F.lit(1), make_wav_payload(rate, chans, samps))
+        .otherwise(F.encode(F.col("text"), "utf-8"))
+    )
+    p = d.select("doc_id", payload.alias("payload"))
+    hx = F.hex(F.substring(F.col("payload"), 1, 12))
+    mime = (
+        F.when(hx.startswith("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(
+            (F.substring(hx, 1, 8) == F.lit("52494646"))
+            & (F.substring(hx, 17, 8) == F.lit("57415645")),
+            F.lit("audio/wav"),
+        )
+        .otherwise(F.lit("text/plain"))
+    )
+    return (
+        p.select(mime.alias("mime"), F.octet_length("payload").alias("nb"))
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_payloads"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+        )
+    )
