@@ -555,6 +555,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pe.select(
         F.least("s1", "s2").alias("u"), F.greatest("s1", "s2").alias("v")
     ).distinct()
+    # the edge list (≤ |part| rows, one per part) fans out to FIVE consumers
+    # (degree twice, orientation, both wedge sides via orientation); cut the
+    # lineage so the lineitem aggregation runs once, not per consumer — the
+    # same localCheckpoint idiom as pagerank/connected_components
+    edges = edges.localCheckpoint()
 
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -575,6 +580,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ku < kv, F.col("dv")).otherwise(F.col("du")).alias("td"),
         )
     )
+    # three consumers (two wedge sides + closing-edge probe)
+    oriented = oriented.localCheckpoint()
 
     o1 = oriented.select(F.col("s"), F.col("t").alias("b"), F.col("td").alias("bd"))
     o2 = oriented.select(F.col("s"), F.col("t").alias("c"), F.col("td").alias("cd"))

@@ -75,6 +75,16 @@ BUDGETS = {
     # recursion node, not visible in the static plan
     "sql_recursive_chain": (0, False),
     "events_variant_props": (1, False),       # single grouped agg
+    # edge list + orientation are localCheckpoint-ed (each computed once;
+    # without the cuts the static plan re-counted the lineitem agg per
+    # consumer: 52 exchanges) — what remains is the final triangle agg
+    "graph_triangle_count": (2, False),
+    # vocab-count agg + per-doc agg; the top-V vocab broadcast is the hint
+    "text_vocab_coverage": (2, True),
+    # (source,salt) window + survivors-only (source) window — the same
+    # two-phase shape as dataset_reservoir_per_lang
+    "dataset_global_interleave": (2, False),
+    "multimodal_mime_sniff": (1, False),      # single agg by detected type
 }
 
 
