@@ -226,23 +226,36 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     iterations over the symmetrized edge set (undirected → no dangling
     nodes, every node has outdeg >= 1).
 
-    Scale shape: the edge list is persisted spill-safe and reused; each
-    iteration is one shuffle join (ranks onto edge sources, AQE picks the
-    strategy — ranks scale with the node count, so no broadcast hint) plus
-    one keyed aggregation.  Total cost = iters x O(|E|) with nothing on
-    the driver.  Note: unnormalized ranks grow with |V| x PR_SCALE; a
-    deployment at 10^10+ nodes would shrink PR_SCALE (or use decimal) to
-    keep 85 * sum < 2^53."""
+    Scale shape: the one-time setup (symmetrize, degrees, degree-annotated
+    edges) is materialized ONCE via ``localCheckpoint``, which preserves
+    output partitioning — ``src_side`` arrives hash-partitioned on ``src``
+    (its join key) and every iteration's ranks frame leaves its
+    aggregation hash-partitioned on ``node``, so the per-iteration
+    ranks-onto-sources join lines up partition-for-partition with NO new
+    exchange on either side.  The only per-iteration shuffle is the
+    contribution sum keyed by ``dst`` — the synchronous-PageRank minimum.
+    Total cost = iters x O(|E|) with nothing on the driver.  Note:
+    unnormalized ranks grow with |V| x PR_SCALE; a deployment at 10^10+
+    nodes would shrink PR_SCALE (or use decimal) to keep 85 * sum < 2^53."""
     sym = (
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # consumed by deg AND src_side below — materialize once (r2 kept it
+        # persist()ed, but each iteration's job still replayed the
+        # deg-join lineage from the cache; the checkpoint cuts that)
+        .localCheckpoint()
     )
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("outdeg")
+    deg = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .localCheckpoint()  # hash-partitioned on node
     )
-    src_side = sym.join(deg, sym.src == deg.node).select("src", "dst", "outdeg")
+    src_side = (
+        sym.join(deg, sym.src == deg.node)
+        .select("src", "dst", "outdeg")
+        .localCheckpoint()  # hash-partitioned on src — reused every iteration
+    )
     ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
     for i in range(iters):
         contrib = src_side.join(ranks, src_side.src == ranks.node).select(
@@ -336,11 +349,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # TakeOrdered (distributed top-k), THEN rank the k survivors — the
+    # single-partition row_number window only ever sees PR_TOPN rows
+    # (same idiom as graph_triangle_count)
     w = Window.orderBy(F.col("rank").desc(), F.col("node"))
     return (
         pagerank_int(edges)
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(PR_TOPN)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= PR_TOPN)
         .select("node", F.col("rank").alias("pagerank_micro"), "rnk")
     )
 

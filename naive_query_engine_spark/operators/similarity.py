@@ -104,14 +104,15 @@ def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Vectors are grouped into blocks of ``COSINE_BLOCK_SIZE`` by
     ``floor(vec_id / BS)`` (monotone → every id in block i < every id in
-    block j for i<j, so the upper-triangle block join plus an ``a < b``
-    element filter enumerates each pair exactly once).  The B(B+1)/2
-    block pairs are generated by a non-equi join of the *block-id frames
-    only* (B rows of one long each — broadcastable at any corpus size);
-    the vector payloads then arrive via two shuffle equi-joins on block
-    id.  Each task multiplies one block against one block with numpy —
-    quantized integers are exact in float64, so cosines are identical to
-    the JVM/oracle formulation regardless of summation order.
+    block j for i<j, so the upper-triangle block pairing plus an
+    ``a < b`` element filter enumerates each pair exactly once).  The
+    B(B+1)/2 block pairs are enumerated WITHOUT any pair-key join: each
+    block bj explodes ``sequence(0, bj)`` to name its lower partners, so
+    the b-side payload arrives attached to its keys and a single equi-join
+    on bi brings the a-side payload.  Each task multiplies one block
+    against one block with numpy — quantized integers are exact in
+    float64, so cosines are identical to the JVM/oracle formulation
+    regardless of summation order.
 
     Total work is the intrinsic O(n²) of exact all-pairs, but it is
     spread over B² bounded-memory tasks with nothing resident on the
@@ -139,36 +140,31 @@ def cosine_block_pairs(
             F.transform(F.col("vs"), lambda s: s.nrm2).alias("n2s"),
             F.transform(F.col("vs"), lambda s: s.q).alias("vecs"),
         )
-        # referenced 4× below (pair keys ×2, payload joins ×2) and the
-        # alias differences defeat ReuseExchange; MEMORY_AND_DISK spills
-        # rather than OOMs when the blocked corpus outgrows executor RAM
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # consumed twice below (pair enumeration + a-side payload) through
+        # alias-divergent plans that defeat ReuseExchange — checkpoint so
+        # the grouping job runs exactly ONCE and both consumers read the
+        # materialized blocks (eager lineage cut, the triangle-count /
+        # pagerank idiom; r2's persist() still re-ran 4 divergent plans)
+        .localCheckpoint()
     )
-    # upper-triangle pair keys from the id-only frames (B rows a side)
-    pair_keys = (
-        blocked.select(F.col("block").alias("bi"))
-        .join(blocked.select(F.col("block").alias("bj")), F.col("bi") <= F.col("bj"))
+    # upper-triangle enumeration without a pair-key join: block bj knows
+    # its own lower partners 0..bj, so one generator emits every (bi, bj)
+    # key with the bj payload already attached — no BNLJ, no second
+    # payload shuffle
+    b_side = blocked.select(
+        F.col("block").alias("bj"),
+        F.col("ids").alias("ids_b"),
+        F.col("n2s").alias("n2s_b"),
+        F.col("vecs").alias("vecs_b"),
+        F.explode(F.sequence(F.lit(0), F.col("block"))).alias("bi"),
     )
-    pairs = (
-        pair_keys.join(
-            blocked.select(
-                F.col("block").alias("bi"),
-                F.col("ids").alias("ids_a"),
-                F.col("n2s").alias("n2s_a"),
-                F.col("vecs").alias("vecs_a"),
-            ),
-            "bi",
-        )
-        .join(
-            blocked.select(
-                F.col("block").alias("bj"),
-                F.col("ids").alias("ids_b"),
-                F.col("n2s").alias("n2s_b"),
-                F.col("vecs").alias("vecs_b"),
-            ),
-            "bj",
-        )
+    a_side = blocked.select(
+        F.col("block").alias("bi"),
+        F.col("ids").alias("ids_a"),
+        F.col("n2s").alias("n2s_a"),
+        F.col("vecs").alias("vecs_a"),
     )
+    pairs = b_side.join(a_side, "bi")
 
     def block_matmul(batches):
         # one yield per block pair: peak memory = one input Arrow batch
@@ -198,10 +194,16 @@ def cosine_block_pairs(
     # spark.sql.execution.arrow.maxRecordsPerBatch rows per pandas batch —
     # per-task input memory is batch_rows x 2 x block bytes, so at very
     # large B size maxRecordsPerBatch (and shuffle partitions) to budget,
-    # e.g. 64-row batches ~ 32 MB.  The repartition keys by the pair id so
-    # no task owns a disproportionate share of the B(B+1)/2 pairs.
+    # e.g. 64-row batches ~ 32 MB.  Repartitioning by the pair id stops
+    # any task owning a disproportionate share of the B(B+1)/2 pairs —
+    # but it is a full extra shuffle of the payload, so skip it while the
+    # pair count fits the default parallelism anyway (blocked is already
+    # materialized by the checkpoint, so the count is a cheap local scan).
     n_parts = max(qt.sparkSession.sparkContext.defaultParallelism, 8)
-    return pairs.repartition(n_parts, "bi", "bj").mapInPandas(
+    n_blocks = blocked.count()
+    if n_blocks * (n_blocks + 1) // 2 > 2 * n_parts:
+        pairs = pairs.repartition(n_parts, "bi", "bj")
+    return pairs.mapInPandas(
         block_matmul, "vec_a long, vec_b long, cosine double"
     )
 
@@ -363,12 +365,22 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as ``similarity_topk_bruteforce``, computed via an
     Arrow-batched ``mapInPandas`` numpy matmul — the vectorized throughput
     path.  Quantized integers stay < 2^53, so float64 matmul is exact and
-    the output hash-matches the JVM-side variant (and its oracle)."""
+    the output hash-matches the JVM-side variant (and its oracle).
+
+    The kernel keeps only each query's per-batch top-``TOP_K`` (under the
+    SAME total order the global window uses — cosine desc, neighbor_id
+    asc — so no global winner can be cut), which makes the shuffle into
+    the final ranking window O(n_q x K x n_batches) instead of
+    O(n_q x corpus): the 100 TB shape, where per-scan output is
+    corpus-size-independent.  Self-matches are masked inside the kernel
+    (before the cut, or a batch-local top-K could evict a needed row)."""
     import pandas as pd
 
     from pyspark.sql import Window
 
     qt = _qtable(spark, sf_dir)
+    # bounded driver collect: N_QUERY_VECS rows by construction (the query
+    # set must sit in one numpy matrix inside every kernel instance)
     queries = qt.filter(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "q", "nrm2").collect()
     q_ids = [r["vec_id"] for r in queries]
     q_mat = [r["q"] for r in queries]
@@ -379,16 +391,31 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         qm = np.asarray(q_mat, dtype=np.float64)
         qn = np.sqrt(np.asarray(q_n2, dtype=np.float64))
+        qid = np.asarray(q_ids, dtype=np.int64)
         for pdf in batches:
+            if not len(pdf):
+                continue
             nm = np.asarray(list(pdf["q"]), dtype=np.float64)
             nn = np.sqrt(np.asarray(pdf["nrm2"], dtype=np.float64))
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
             cos = (qm @ nm.T) / (qn[:, None] * nn[None, :])
-            n_q, n_n = cos.shape
+            cos[qid[:, None] == nid[None, :]] = -np.inf  # self-match mask
+            k = min(TOP_K, cos.shape[1])
+            out_q, out_n, out_c = [], [], []
+            for i in range(cos.shape[0]):
+                row = cos[i]
+                # lexsort: primary -cosine, tie-break neighbor_id — the
+                # global window's exact order
+                top = np.lexsort((nid, -row))[:k]
+                top = top[np.isfinite(row[top])]
+                out_q.append(np.full(len(top), qid[i]))
+                out_n.append(nid[top])
+                out_c.append(row[top])
             yield pd.DataFrame(
                 {
-                    "query_id": [q_ids[i] for i in range(n_q) for _ in range(n_n)],
-                    "neighbor_id": list(pdf["vec_id"]) * n_q,
-                    "cosine": cos.reshape(-1),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
                 }
             )
 
@@ -397,8 +424,7 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
 
