@@ -391,9 +391,9 @@ def _keep_best_oracle() -> str:
     ),
     feat AS (
       SELECT doc_id,
-             {w[0]} * CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS BIGINT)
-             + {w[1]} * CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
-             + {w[2]} * CAST(LENGTH(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)
+             {w[0]} * CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS BIGINT)
+             + {w[1]} * CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]')) AS BIGINT)
+             + {w[2]} * CAST(LENGTH(regexp_extract_all(text, '[^\w \t\n\r\f]')) AS BIGINT)
              + {w[3]} * CAST(LENGTH(text) AS BIGINT) AS score
       FROM documents
     ),
@@ -443,7 +443,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (
         F.lit(w[0]) * token_count(txt)
         + F.lit(w[1]) * bpe_ish_token_count(txt)
-        + F.lit(w[2]) * F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), 0)).cast("long")
+        + F.lit(w[2]) * F.size(F.regexp_extract_all(txt, F.lit(r"[^\w \t\n\r\f]"), 0)).cast("long")
         + F.lit(w[3]) * F.length(txt).cast("long")
     )
     scored = d.select("doc_id", score.alias("score"))
@@ -575,7 +575,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge list (≤ |part| rows, one per part) fans out to FIVE consumers
     # (degree twice, orientation, both wedge sides via orientation); cut the
     # lineage so the lineitem aggregation runs once, not per consumer — the
-    # same localCheckpoint idiom as pagerank/connected_components
+    # same localCheckpoint idiom as pagerank/connected_components.
+    # Trade-offs (ADVICE r2): localCheckpoint is EAGER — merely building
+    # this DataFrame (plan dumps, budget tests) executes the lineitem agg —
+    # and it hides the checkpointed stages' exchanges from the static plan
+    # (the declared budget counts post-checkpoint work only) and is not
+    # resilient to executor loss (acceptable in-session; a restartable
+    # production job would use reliable checkpoint() to cluster storage)
     edges = edges.localCheckpoint()
 
     deg = (

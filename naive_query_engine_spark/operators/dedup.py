@@ -466,6 +466,75 @@ NEW_BATCH_MOD = 10
 NEW_BATCH_REM = 7
 
 
+def capped_shingle_index(d: DataFrame) -> DataFrame:
+    """(doc_id, g): the capped shingle inverted index — distinct shingles
+    per doc minus stop-shingles (doc-freq > MAX_SHINGLE_DF).  This is the
+    steady-state TABLE a deployment maintains (see write_shingle_index);
+    recomputing it per run, as the self-contained registered query must,
+    is the test-harness stand-in for reading that table."""
+    all_sh = shingle_rows(d).persist(_SPILLABLE)
+    rare = (
+        all_sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("g")
+    )
+    return all_sh.join(rare, "g")
+
+
+def write_shingle_index(d: DataFrame, table: str, n_buckets: int = 32) -> None:
+    """Persist the capped shingle index BUCKETED BY SHINGLE — the
+    production form of the incremental-dedup index at 100 TB: the shuffle
+    onto ``g`` is paid once at write time, after which every arriving
+    batch's probe join (and the index's own self-join side) reads
+    bucket-aligned with NO exchange on the index side
+    (``tests/test_incremental_index.py`` pins the plan property).
+    Maintenance (merging an absorbed batch in) is ``sources.merge_upsert``
+    on the same bucketed layout."""
+    from ..sources import write_bucketed
+
+    write_bucketed(capped_shingle_index(d), table, ["g"], n_buckets)
+
+
+def incremental_candidates(sh: DataFrame) -> DataFrame:
+    """Batch-probes-index candidate join over a capped shingle index
+    ``sh`` (doc_id, g): the arriving batch (a deterministic doc_id slice
+    here) probes the full index on shingle.  New-vs-old pairs always pair
+    (new, old); new-vs-new pairs pair once (lower id as the existing
+    side).  When ``sh`` is the bucketed table, this join is exchange-free
+    on both sides."""
+    is_new = lambda c: c % NEW_BATCH_MOD == NEW_BATCH_REM  # noqa: E731
+    a = sh.alias("a")  # probe side: batch only (filter below)
+    b = sh.alias("b")
+    return a.filter(is_new(F.col("a.doc_id"))).join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("b.doc_id") != F.col("a.doc_id"))
+        & (~is_new(F.col("b.doc_id")) | (F.col("b.doc_id") < F.col("a.doc_id"))),
+    )
+
+
+def incremental_pairs(sh: DataFrame) -> DataFrame:
+    """(new_doc, dup_of, jaccard) over a capped shingle index — the full
+    incremental-dedup body shared by the registered query (recomputed
+    index) and the persistent bucketed-index path."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    shared = (
+        incremental_candidates(sh)
+        .groupBy(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("dup_of"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_g").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n_g").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "new_doc")
+        .join(sb, "dup_of")
+        .select("new_doc", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 @query(
     "dedup_incremental",
     oracle=f"""
@@ -495,44 +564,20 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is O(|batch| x bucket width), never O(|corpus|²) and never a
     re-dedup of what's already indexed.  New-vs-old pairs always emit
     (new, old); new-vs-new pairs emit once (lower id as dup_of).  In a
-    deployment the `capped` shingle index is a maintained table
-    (compact_table / merge_upsert in sources/) rather than recomputed —
-    the join shape here is exactly the steady-state probe.
+    deployment the shingle index is a MAINTAINED table bucketed by
+    shingle (``write_shingle_index`` + ``sources.merge_upsert``), making
+    the probe join exchange-free on the index side — the registered query
+    recomputes it (a query must be self-contained), but the join body is
+    the shared :func:`incremental_pairs`, and
+    ``tests/test_incremental_index.py`` runs the SAME body over the
+    bucketed table and pins both result equality and the no-exchange
+    plan.
 
     The "new batch" is a deterministic ~10% slice (doc_id % 10 == 7) so
     both engines agree without any sampling dependence."""
     d = t(spark, sf_dir, "documents")
-    all_sh = shingle_rows(d).persist(_SPILLABLE)
-    rare = (
-        all_sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("g")
-    )
-    sh = all_sh.join(rare, "g").persist(_SPILLABLE)
-    is_new = lambda c: c % NEW_BATCH_MOD == NEW_BATCH_REM  # noqa: E731
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    a = sh.filter(is_new(F.col("doc_id"))).alias("a")  # probe side: batch only
-    b = sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("b.doc_id") != F.col("a.doc_id"))
-            & (~is_new(F.col("b.doc_id")) | (F.col("b.doc_id") < F.col("a.doc_id"))),
-        )
-        .groupBy(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("dup_of"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_g").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n_g").alias("nb"))
-    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        shared.join(sa, "new_doc")
-        .join(sb, "dup_of")
-        .select("new_doc", "dup_of", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    sh = capped_shingle_index(d).persist(_SPILLABLE)
+    return incremental_pairs(sh)
 
 
 # ---------------------------------------------------------------------------
@@ -591,14 +636,7 @@ def dataset_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     never self-joins.  The stop-shingle cap bounds fan-out exactly as in
     the dedup family."""
     d = t(spark, sf_dir, "documents")
-    all_sh = shingle_rows(d).persist(_SPILLABLE)
-    rare = (
-        all_sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("g")
-    )
-    sh = all_sh.join(rare, "g").persist(_SPILLABLE)
+    sh = capped_shingle_index(d).persist(_SPILLABLE)
     in_eval = lambda c: c % EVAL_SET_MOD == EVAL_SET_REM  # noqa: E731
     ev = sh.filter(in_eval(F.col("doc_id"))).alias("ev")
     tr = sh.filter(~in_eval(F.col("doc_id"))).alias("tr")

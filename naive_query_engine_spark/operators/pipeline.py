@@ -51,7 +51,7 @@ def curate(d: DataFrame) -> DataFrame:
         predict_lang(txt).alias("predicted_lang"),
         F.size(toks).cast("long").alias("n_tok"),
         F.length(txt).cast("long").alias("n_char"),
-        F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), 0)).cast("long").alias("n_punct"),
+        F.size(F.regexp_extract_all(txt, F.lit(r"[^\w \t\n\r\f]"), 0)).cast("long").alias("n_punct"),
         bpe_ish_token_count(txt).alias("n_bpe"),
         fingerprint(txt).alias("fp"),
     )
@@ -84,7 +84,7 @@ def _curation_oracle() -> str:
     selects = ",\n             ".join(f"{sql} AS s_{lang}" for lang, sql in score.items())
     return rf"""
     WITH tok AS (
-      SELECT doc_id, text, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+      SELECT doc_id, text, regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+') AS toks
       FROM documents
     ),
     scored AS (
@@ -92,9 +92,9 @@ def _curation_oracle() -> str:
              {selects},
              CAST(LENGTH(toks) AS BIGINT) AS n_tok,
              CAST(LENGTH(text) AS BIGINT) AS n_char,
-             CAST(LENGTH(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(LENGTH(regexp_extract_all(text, '[^\w \t\n\r\f]')) AS BIGINT) AS n_punct,
              CAST(LENGTH(regexp_extract_all(text,
-                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]')) AS BIGINT) AS n_bpe,
              MD5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
       FROM tok
     ),
@@ -161,9 +161,9 @@ TIER_MID = 400
     oracle=rf"""
     WITH f AS (
       SELECT doc_id,
-             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_ws,
-             CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
-             CAST(LENGTH(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS BIGINT) AS n_ws,
+             CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]')) AS BIGINT) AS n_bpe,
+             CAST(LENGTH(regexp_extract_all(text, '[^\w \t\n\r\f]')) AS BIGINT) AS n_punct,
              CAST(LENGTH(text) AS BIGINT) AS n_char
       FROM documents
     ),
@@ -201,7 +201,7 @@ def pipeline_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(txt).alias("n_ws"),
         bpe_ish_token_count(txt).alias("n_bpe"),
-        F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), 0)).cast("long").alias("n_punct"),
+        F.size(F.regexp_extract_all(txt, F.lit(r"[^\w \t\n\r\f]"), 0)).cast("long").alias("n_punct"),
         F.length(txt).cast("long").alias("n_char"),
     )
     weights = MODEL_WEIGHTS

@@ -273,9 +273,9 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')))
+           CAST(SUM(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')))
              AS BIGINT) AS total_tokens,
-           CAST(SUM(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')))
+           CAST(SUM(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')))
              AS DOUBLE) / COUNT(*) AS avg_tokens,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(MIN(doc_id) AS BIGINT) AS min_id,
@@ -317,7 +317,7 @@ CTX_TOKENS = 2048  # context-window token budget for sequence packing
     oracle=rf"""
     WITH toks AS (
       SELECT source, doc_id,
-             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS tk
+             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS BIGINT) AS tk
       FROM documents
     ),
     offs AS (

@@ -30,9 +30,9 @@ CAPPED_SHINGLES_SQL = f"""
 #: word-3-gram shingle CTEs over `documents` (DuckDB dialect)
 SHINGLES_SQL = r"""
     tok AS (
-      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ts
+      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+') AS ts
       FROM documents
-      WHERE LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) >= 3
+      WHERE LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) >= 3
     ),
     words AS (
       SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok

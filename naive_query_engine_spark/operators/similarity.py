@@ -150,8 +150,15 @@ def cosine_block_pairs(
     # upper-triangle enumeration without a pair-key join: block bj knows
     # its own lower partners 0..bj, so one generator emits every (bi, bj)
     # key with the bj payload already attached — no BNLJ, no second
-    # payload shuffle
-    b_side = blocked.select(
+    # payload shuffle.  Repartition the B-row frame BEFORE the explode:
+    # that shuffle moves only one payload per block (O(corpus) bytes) and
+    # spreads the B(B+1)/2-row expansion — and the matmuls pipelined
+    # behind it — across all cores; repartitioning after the explode
+    # would shuffle O(B × corpus) duplicated payload bytes instead (the
+    # measured 10×-probe bottleneck: one coalesced task writing the whole
+    # exploded frame).
+    n_parts = max(qt.sparkSession.sparkContext.defaultParallelism, 8)
+    b_side = blocked.repartition(n_parts).select(
         F.col("block").alias("bj"),
         F.col("ids").alias("ids_b"),
         F.col("n2s").alias("n2s_b"),
@@ -189,20 +196,12 @@ def cosine_block_pairs(
         if not got_any:
             yield pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
 
-    # spread block pairs across tasks: each pairs row carries two full
-    # blocks (~0.5 MB at the defaults), and Arrow materializes up to
+    # memory note: each pairs row carries two full blocks (~0.5 MB at the
+    # defaults), and Arrow materializes up to
     # spark.sql.execution.arrow.maxRecordsPerBatch rows per pandas batch —
     # per-task input memory is batch_rows x 2 x block bytes, so at very
     # large B size maxRecordsPerBatch (and shuffle partitions) to budget,
-    # e.g. 64-row batches ~ 32 MB.  Repartitioning by the pair id stops
-    # any task owning a disproportionate share of the B(B+1)/2 pairs —
-    # but it is a full extra shuffle of the payload, so skip it while the
-    # pair count fits the default parallelism anyway (blocked is already
-    # materialized by the checkpoint, so the count is a cheap local scan).
-    n_parts = max(qt.sparkSession.sparkContext.defaultParallelism, 8)
-    n_blocks = blocked.count()
-    if n_blocks * (n_blocks + 1) // 2 > 2 * n_parts:
-        pairs = pairs.repartition(n_parts, "bi", "bj")
+    # e.g. 64-row batches ~ 32 MB
     return pairs.mapInPandas(
         block_matmul, "vec_a long, vec_b long, cosine double"
     )

@@ -27,8 +27,13 @@ STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (lower-cased)."""
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    """Whitespace tokenization (lower-cased).
+
+    The split class is EXPLICIT, not ``\\s``: Java regex ``\\s`` includes
+    vertical tab (\\x0B) while DuckDB's RE2 ``\\s`` does not, so a corpus
+    containing \\x0B would tokenize differently per engine.  Every oracle
+    uses this same literal class (ADVICE r2)."""
+    return F.split(F.lower(F.trim(col)), r"[ \t\n\r\f]+")
 
 
 def token_count(col: Column) -> Column:
@@ -39,7 +44,7 @@ def token_count(col: Column) -> Column:
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-ish token count: alpha runs + digit runs + individual symbols —
     the standard cheap proxy for subword-tokenizer cost."""
-    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast(
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]"), 0)).cast(
         "long"
     )
 
@@ -78,7 +83,7 @@ def quality_columns(col: Column) -> list[Column]:
     toks = tokens(col)
     n_tok = F.size(toks).cast("long")
     n_char = F.length(col).cast("long")
-    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0)).cast("long")
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w \t\n\r\f]"), 0)).cast("long")
     n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("long")
     return [
         n_char.alias("n_char"),
@@ -99,8 +104,8 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     "text_token_stats",
     oracle=r"""
     SELECT doc_id,
-           CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
-           CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS BIGINT) AS n_ws_tokens,
+           CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]')) AS BIGINT) AS n_bpe_tokens,
            CAST(LENGTH(text) AS BIGINT) AS n_char
     FROM documents
     """,
@@ -124,9 +129,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT doc_id,
              CAST(LENGTH(text) AS BIGINT) AS n_char,
-             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_tok,
-             CAST(LENGTH(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
-             CAST(LENGTH(list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS BIGINT) AS n_tok,
+             CAST(LENGTH(regexp_extract_all(text, '[^\w \t\n\r\f]')) AS BIGINT) AS n_punct,
+             CAST(LENGTH(list_filter(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+'),
                                      x -> list_contains([{_STOP_SQL}], x))) AS BIGINT) AS n_stop
       FROM documents
     )
@@ -176,7 +181,7 @@ def _lang_id_oracle() -> str:
     selects = ",\n             ".join(f"{sql} AS s_{lang}" for lang, sql in score.items())
     return rf"""
     WITH tok AS (
-      SELECT doc_id, lang, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+      SELECT doc_id, lang, regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+') AS toks
       FROM documents
     ), scored AS (
       SELECT doc_id, lang,
@@ -209,7 +214,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_top_ngrams",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ts FROM documents
+      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+') AS ts FROM documents
     ),
     words AS (
       SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok
@@ -249,7 +254,7 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_top_terms",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ts FROM documents
+      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+') AS ts FROM documents
     ),
     words AS (SELECT doc_id, unnest(ts) AS w FROM tok),
     tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
@@ -308,10 +313,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
-             'https?://[^\s]+', '<URL>', 'g') AS scrubbed,
+             'https?://[^ \t\n\r\f]+', '<URL>', 'g') AS scrubbed,
            (regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
             OR regexp_matches(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')
-            OR regexp_matches(text, 'https?://[^\s]+')) AS had_pii
+            OR regexp_matches(text, 'https?://[^ \t\n\r\f]+')) AS had_pii
     FROM documents
     """,
     tags=("text", "pipeline", "pii"),
@@ -324,7 +329,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     phone = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
-    url = r"https?://[^\s]+"
+    url = r"https?://[^ \t\n\r\f]+"
     scrubbed = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"),
         url,
@@ -369,9 +374,9 @@ def text_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition_signals",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ts
+      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+') AS ts
       FROM documents
-      WHERE LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) >= 2
+      WHERE LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) >= 2
     ),
     words AS (
       SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok
@@ -437,7 +442,7 @@ VOCAB_V = 200
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id, lang,
-             UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS tok
+             UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
       FROM documents
     ),
     freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),

@@ -42,7 +42,8 @@ def test_format_round_trip(spark, nation, tmp_path_factory, fmt):
         back = read_csv(spark, path, header=False, schema=nation.schema)
     else:
         back = read_json(spark, path, schema=nation.schema)
-    assert back.schema == nation.schema or fmt != "orc"
+    if fmt == "orc":  # csv/json get the schema passed in — nothing to check
+        assert back.schema == nation.schema
     assert _sorted_rows(back.select(*nation.columns)) == _sorted_rows(nation)
 
 

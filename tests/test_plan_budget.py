@@ -45,10 +45,19 @@ BUDGETS = {
     # codebook build (2 aggs) + code argmin window + (query,neighbor) sum
     # + topk window; codebook/ADC joins are broadcasts
     "similarity_pq_adc_topk": (7, True),
-    # static count includes persisted sym/deg lineage re-counted per
-    # consumer plus ONE iteration (earlier iterations are localCheckpoint
-    # boundaries — without them this was 31 and grew per iteration)
-    "graph_pagerank": (16, False),
+    # r3: sym/deg/src_side are one-time localCheckpoint boundaries and the
+    # per-iteration ranks join reuses their preserved hash partitioning —
+    # what remains is the final iteration's contribution sum plus the
+    # top-N (was 16 in r2, 31 before the checkpoint idiom)
+    "graph_pagerank": (3, False),
+    # r3: blocked frame checkpointed + explode-generated pair keys; the
+    # one shuffle is the PRE-explode repartition of the B-row frame
+    # (O(corpus) bytes — spreading the pair expansion across cores), and
+    # the join broadcasts the B-row a-side payload
+    "similarity_cosine_pairs": (1, True),
+    # r3: per-batch top-K inside the kernel → only the final ranking
+    # window's partition-by shuffle remains
+    "similarity_topk_vectorized": (1, False),
     # per-group sketch agg + union-merge + global agg; tiny frames after
     # the first aggregation
     "sketch_hll_mergeable": (4, True),
