@@ -21,6 +21,7 @@ def register_all() -> None:
         custom_agg,
         dedup,
         events,
+        linkage,
         multimodal,
         pipeline,
         quality,

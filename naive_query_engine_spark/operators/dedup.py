@@ -656,3 +656,90 @@ def dataset_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_doc", "eval_doc", containment.alias("containment"))
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup: verbatim character-window overlap
+
+
+#: character-window geometry: W-char windows at EVERY offset (stride 1), so
+#: any shared verbatim run of >= W characters is guaranteed to produce
+#: shared windows regardless of alignment — the exact-substring duplication
+#: detector (the signal behind "train-data memorization" dedup passes),
+#: complementary to word-shingle Jaccard (which tokenizes first and scores
+#: set overlap, missing sub-token verbatim runs).
+SUBSTR_WINDOW = 32
+#: minimum shared windows to report a pair (a shared run of length L >= W
+#: yields L - W + 1 shared windows, so 5 ≙ a ~36+-char verbatim overlap)
+SUBSTR_MIN_SHARED = 5
+#: boilerplate cap, same role as MAX_SHINGLE_DF: a window appearing in
+#: more than this many docs (site chrome, license headers) leaves the
+#: index before the self-join — kills the all-pairs collapse
+MAX_WINDOW_DF = 50
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INTEGER), {SUBSTR_WINDOW})) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(length(text) - {SUBSTR_WINDOW - 1}, 1))) AS i
+            FROM documents)
+    ),
+    ok AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) <= {MAX_WINDOW_DF}),
+    wk AS (SELECT w.doc_id, w.h FROM w JOIN ok USING (h)),
+    pair AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared_windows
+      FROM wk x JOIN wk y ON x.h = y.h AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(shared_windows AS BIGINT) AS shared_windows
+    FROM pair WHERE shared_windows >= {SUBSTR_MIN_SHARED}
+    """,
+    tags=("dedup", "pipeline", "substring"),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring near-dup pairs: documents sharing >=
+    ``SUBSTR_MIN_SHARED`` verbatim ``SUBSTR_WINDOW``-char windows.
+    Windows are hashed (md5 — identical in both engines) so the inverted
+    index carries 32-byte keys, deduped per doc, df-capped against
+    boilerplate, then self-joined — the same bounded-fan-out index shape
+    as the shingle family, but at CHARACTER granularity: it catches
+    copied spans that word-level Jaccard dilutes away (one long quote
+    inside two otherwise-different pages).
+
+    Scale path: stride-1 windows cost O(total chars) rows — the honest
+    exact detector; a 100 TB deployment samples offsets (stride k cuts
+    index size k× and still catches runs >= W + k - 1) or moves to
+    suffix-array methods.  The df cap bounds join fan-out exactly as in
+    dedup_ngram_jaccard (`tests/test_shingle_cap.py` demonstrates the
+    failure it prevents)."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (SUBSTR_WINDOW - 1), F.lit(1))
+    )
+    wins = (
+        d.repartition(n_parts)  # single-split corpus file: spread the expansion
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.md5(F.substring(F.col("text"), i, SUBSTR_WINDOW)))
+            ).alias("h"),
+        )
+        .distinct()
+        .persist(_SPILLABLE)  # feeds the df cap AND both join sides
+    )
+    ok = wins.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_WINDOW_DF
+    ).select("h")
+    wk = wins.join(ok, "h")
+    x = wk.select(F.col("doc_id").alias("doc_a"), "h")
+    y = wk.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        x.join(y, (x.h == y.h) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
+        .filter(F.col("shared_windows") >= SUBSTR_MIN_SHARED)
+    )

@@ -1,0 +1,82 @@
+"""Entity resolution / record linkage: blocked fuzzy matching.
+
+The reference engine has equi-joins only (SURVEY §2.3); real catalogs join
+on DIRTY keys — misspelled names, OCR noise, vendor-feed variants.  The
+production shape is blocking + edit distance: a cheap deterministic block
+key bounds the candidate set (never an O(n²) cross join), then an exact
+edit-distance predicate scores only within-block pairs.  Both engines
+implement classical Levenshtein identically (integer result — no float
+anywhere), so the operator is fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query, t
+
+#: max edit distance to call two part names variants of each other.
+#: Corpus part names are "<size-word> <noun>"; 4 links e.g. "small ring" /
+#: "small gear" while leaving cross-block and far pairs out — selective
+#: but non-vacuous at every SF (82–88 pairs).
+LEV_THRESHOLD = 4
+
+
+def blocked_fuzzy_pairs(
+    names: DataFrame,  # (name, n_recs)
+    block_key,  # Column fn: name column -> block key
+    threshold: int = LEV_THRESHOLD,
+) -> DataFrame:
+    """(name_a, name_b, edit_distance, n_a, n_b) for same-block pairs
+    within ``threshold``.  The block key bounds fan-out: only same-block
+    names ever meet the (quadratic-per-pair) Levenshtein kernel."""
+    b = names.withColumn("blk", block_key(F.col("name")))
+    x = b.select(F.col("name").alias("name_a"), F.col("n_recs").alias("n_a"), "blk")
+    y = b.select(F.col("name").alias("name_b"), F.col("n_recs").alias("n_b"), "blk")
+    return (
+        x.join(y, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_distance"),
+            "n_a",
+            "n_b",
+        )
+        .filter(F.col("edit_distance") <= threshold)
+    )
+
+
+@query(
+    "fuzzy_match_part_names",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name AS name, COUNT(*) AS n_recs FROM part GROUP BY 1
+    ),
+    b AS (SELECT name, n_recs, split_part(name, ' ', 1) AS blk FROM names)
+    SELECT x.name AS name_a, y.name AS name_b,
+           CAST(levenshtein(x.name, y.name) AS BIGINT) AS edit_distance,
+           x.n_recs AS n_a, y.n_recs AS n_b
+    FROM b x JOIN b y ON x.blk = y.blk AND x.name < y.name
+    WHERE levenshtein(x.name, y.name) <= {LEV_THRESHOLD}
+    """,
+    tags=("linkage", "fuzzy", "pipeline"),
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over the part catalog: collapse to
+    DISTINCT names first (exact dedup — the cheap 99% of linkage), block
+    on the first name token, then Levenshtein <= threshold within blocks.
+
+    Scale shape: the distinct-name aggregation is one hash shuffle; the
+    self-join is keyed by block (bounded fan-out — a degenerate hot block
+    would get the salting treatment of ``operators/skew.py``); Levenshtein
+    runs JVM-side (whole-stage codegen), only on within-block pairs.  The
+    linkage decision (same entity or not) feeds the same
+    connected-components fixpoint as the dedup family when transitive
+    clusters are needed."""
+    p = t(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_recs")
+    )
+    return blocked_fuzzy_pairs(names, lambda c: F.split(c, " ")[0])

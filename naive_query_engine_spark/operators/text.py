@@ -491,3 +491,197 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_oov.cast("double") / n_tok.cast("double")).alias("oov_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sparse retrieval: BM25-style scoring over the token inverted index
+
+
+#: BM25 parameters (standard Robertson defaults) and the fixed-point scale
+#: that turns each per-term score into an exact BIGINT: every per-term
+#: score is ONE identical double expression tree in both engines (IEEE
+#: +,-,*,/ are correctly rounded, so identical operands → identical
+#: doubles), floored to an integer BEFORE the per-document sum — double
+#: summation ORDER across terms never matters.  The classical log() idf is
+#: replaced by its rational core (N - df + 0.5)/(df + 0.5) (log is
+#: monotone, and libm log is not bit-portable across engines); documented
+#: deviation, same ranking family.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_SCALE = 1_000_000
+BM25_N_QUERY_DOCS = 5
+BM25_TOP_K = 5
+
+
+@query(
+    "text_bm25_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    qterms AS (
+      SELECT doc_id AS query_id, term FROM tf WHERE doc_id < {BM25_N_QUERY_DOCS}
+    ),
+    scored_terms AS (
+      -- every fractional literal is CAST(... AS DOUBLE): DuckDB parses
+      -- bare 0.5/0.75/2.2 as exact DECIMAL, which would diverge from
+      -- Spark's IEEE-double expression tree before the FLOOR
+      SELECT q.query_id, c.doc_id AS neighbor_id,
+             CAST(FLOOR(
+               {BM25_SCALE} * (((s.n_docs - f.df) + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)))
+               * ((c.tf * CAST({BM25_K1 + 1!r} AS DOUBLE))
+                  / (c.tf + CAST({BM25_K1!r} AS DOUBLE)
+                     * ((1 - CAST({BM25_B!r} AS DOUBLE))
+                        + CAST({BM25_B!r} AS DOUBLE) * (d.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))))
+             ) AS BIGINT) AS s_term
+      FROM qterms q
+      JOIN tf c ON c.term = q.term AND c.doc_id <> q.query_id
+      JOIN dfreq f ON f.term = q.term
+      JOIN dl d ON d.doc_id = c.doc_id
+      CROSS JOIN stats s
+    ),
+    scores AS (
+      SELECT query_id, neighbor_id, SUM(s_term) AS bm25_q
+      FROM scored_terms GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, bm25_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY bm25_q DESC, neighbor_id) AS rnk
+      FROM scores
+    )
+    SELECT query_id, neighbor_id, CAST(bm25_q AS BIGINT) AS bm25_q,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {BM25_TOP_K}
+    """,
+    tags=("text", "retrieval", "pipeline", "topk"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse retrieval: BM25-style top-k document scoring through the
+    token INVERTED INDEX — the lexical-search complement to the dense
+    (embedding) similarity family: term-frequency table once, query terms
+    probe it by equi-join, per-(query, doc) score sum, window top-k.
+
+    Scale shape: the corpus-side work is one tf aggregation + the probe
+    join keyed by term (only terms the queries contain move anything);
+    df/dl side tables join by term/doc_id; the global (n_docs, total_dl)
+    frame is a 1-row ungrouped aggregate (broadcastable by rule).  Cost
+    per query is O(postings of its terms) — independent of corpus width,
+    the property that makes inverted-index retrieval the scan-avoiding
+    search structure at 100 TB.
+
+    Determinism: per-term scores are fixed-point BIGINTs (one identical
+    IEEE double expression both engines, floored), summed exactly; the
+    classical log-idf is replaced by its rational core — see BM25_K1
+    comment."""
+    from pyspark.sql import Window
+
+    from pyspark import StorageLevel
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    # the term-frequency table is THE index: five consumers below (postings,
+    # doc lengths, document frequencies, query terms, global stats) — persist
+    # spill-safe or the tokenize+aggregate pipeline runs once per consumer
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = tf.filter(F.col("doc_id") < BM25_N_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    corpus = tf.select(F.col("doc_id").alias("neighbor_id"), "term", "tf")
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl)
+    )
+    s_term = F.floor(
+        F.lit(BM25_SCALE) * idf * ((F.col("tf") * F.lit(BM25_K1 + 1)) / denom)
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25_q").desc(), F.col("neighbor_id"))
+    return (
+        qterms.join(corpus, "term")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(dfreq, "term")
+        .join(dl.select(F.col("doc_id").alias("neighbor_id"), "dl"), "neighbor_id")
+        .crossJoin(F.broadcast(stats))  # 1-row ungrouped aggregate
+        .select("query_id", "neighbor_id", s_term.alias("s_term"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("s_term").alias("bm25_q"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM quality scoring: character-bigram commonness
+
+
+@query(
+    "text_char_bigram_likelihood",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(length(text) - 1, 1))) AS i
+            FROM documents)
+    ),
+    counts AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c.c) AS BIGINT) AS total_commonness,
+           CAST(SUM(c.c) AS DOUBLE) / COUNT(*) AS commonness
+    FROM bg b JOIN counts c ON c.bg = b.bg
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "pipeline", "quality", "lm"),
+)
+def text_char_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM commonness score — the deterministic core of the
+    perplexity-style quality filter every pretraining pipeline runs (a
+    KenLM-ish model scores documents; docs whose character statistics
+    diverge from the corpus are flagged as noise/garbled/binary junk).
+    Model: unigram LM over character BIGRAMS; a document's score is the
+    mean corpus frequency of its bigrams.  Exact integer counts and sums
+    with ONE final division keep both engines bit-identical (a true
+    log-likelihood would sum libm logs — not portable; monotone in the
+    same signal).
+
+    Scale shape: bigram expansion is a narrow per-row transform; the
+    count table is bounded by the charset² domain regardless of corpus
+    size (AQE broadcasts it when small); one join keyed by bigram + one
+    doc_id aggregation.  Low-commonness docs are the filter's rejects."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 1, F.lit(1)))
+    bg = (
+        d.repartition(n_parts)  # single-split corpus file: spread the expansion
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.substring(F.col("text"), i, 2))
+            ).alias("bg"),
+        )
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("c").cast("long").alias("total_commonness"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("commonness"),
+        )
+    )
