@@ -629,3 +629,75 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TRI_TOPN)
     )
     return top.withColumn("rnk", F.row_number().over(wr).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# data-card metric: near-duplicate rate per source
+
+
+@query(
+    "profile_dedup_rate_by_source",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_EDGES_SQL},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS component
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY 1)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM documents d
+    JOIN comp c ON c.doc_id = d.doc_id
+    JOIN sizes s ON s.component = c.component
+    GROUP BY d.source
+    """,
+    tags=("dedup", "pipeline", "profile", "clustering", "iterative"),
+)
+def profile_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card metric: what fraction of each SOURCE's documents sit in a
+    near-duplicate cluster — the number a curation run reports per feed
+    (a crawler stuck in a template farm shows up as one source's dup_rate
+    spiking, long before eyeballs reach the documents).  Components come
+    from the same Jaccard-edge label propagation as
+    ``dedup_connected_components``; a doc counts as duplicated when its
+    cluster has >1 member.  One extra join + per-source aggregation on
+    top of machinery already proven — the per-source rate is exact, not
+    sampled."""
+    from .dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    vertices = d.select(F.col("doc_id").alias("id"))
+    comp = connected_components(vertices, edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    is_dup = F.when(F.col("csize") > 1, 1).otherwise(0)
+    return (
+        d.select("doc_id", "source")
+        .join(comp, "doc_id")
+        .join(sizes, "component")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(is_dup).cast("long").alias("n_dup_docs"),
+            (F.sum(is_dup).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+    )

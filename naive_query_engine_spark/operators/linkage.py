@@ -80,3 +80,68 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_recs")
     )
     return blocked_fuzzy_pairs(names, lambda c: F.split(c, " ")[0])
+
+
+@query(
+    "fuzzy_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE names AS (
+      SELECT p_name AS name, COUNT(*) AS n_recs FROM part GROUP BY 1
+    ),
+    b AS (SELECT name, n_recs, split_part(name, ' ', 1) AS blk FROM names),
+    e AS (
+      SELECT x.name AS a, y.name AS b
+      FROM b x JOIN b y ON x.blk = y.blk AND x.name < y.name
+      WHERE levenshtein(x.name, y.name) <= {LEV_THRESHOLD}
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT n.name, LEAST(n.name, COALESCE(MIN(r.b), n.name)) AS entity
+      FROM names n LEFT JOIN reach r ON r.a = n.name
+      GROUP BY n.name
+    )
+    SELECT c.entity AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM(n.n_recs) AS BIGINT) AS n_records
+    FROM comp c JOIN names n ON n.name = c.name
+    GROUP BY c.entity
+    """,
+    tags=("linkage", "fuzzy", "pipeline", "clustering", "iterative"),
+)
+def fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy variant pairs become edges,
+    connected components resolves TRANSITIVE variant clusters ("smal
+    ring" ~ "small ring" ~ "small rings" links all three even when the
+    outer pair exceeds the threshold), and each cluster reports its
+    canonical name (lexicographic min — deterministic in both engines)
+    with variant and record counts.  This is the master-data-management
+    flow (dirty catalog → canonical entities) built from two
+    already-proven parts: :func:`blocked_fuzzy_pairs` and the
+    label-propagation fixpoint of ``operators.clustering`` — which works
+    unchanged on STRING vertex ids (F.least / LEAST order strings
+    identically)."""
+    from .clustering import connected_components
+
+    p = t(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_recs")
+    )
+    pairs = blocked_fuzzy_pairs(names, lambda c: F.split(c, " ")[0])
+    edges = pairs.select(F.col("name_a").alias("a"), F.col("name_b").alias("b"))
+    vertices = names.select(F.col("name").alias("id"))
+    comp = connected_components(vertices, edges).select(
+        F.col("id").alias("name"), F.col("component").alias("canonical_name")
+    )
+    return (
+        comp.join(names, "name")
+        .groupBy("canonical_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.sum("n_recs").cast("long").alias("n_records"),
+        )
+    )

@@ -685,3 +685,70 @@ def text_char_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("c").cast("double") / F.count(F.lit(1))).alias("commonness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer induction: BPE merge-candidate mining
+
+
+BPE_TOP_MERGES = 20
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
+      FROM documents
+    ),
+    lt AS (SELECT tok FROM tok WHERE length(tok) >= 2),
+    pr AS (
+      SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+      FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i FROM lt)
+    ),
+    c AS (SELECT pair, COUNT(*) AS cnt FROM pr GROUP BY 1)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+    FROM c QUALIFY rnk <= {BPE_TOP_MERGES}
+    """,
+    tags=("text", "pipeline", "tokenizer"),
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIRST step of BPE tokenizer training, as a corpus query: count
+    every adjacent symbol pair inside every word occurrence (multiset —
+    frequent words weigh more, exactly as BPE training does) and rank the
+    top merge candidates.  A full tokenizer trainer iterates this —
+    merge the winner, re-count, repeat — and each iteration is this same
+    aggregation over the rewritten symbol stream; one round is the
+    oracle-checkable unit.
+
+    Scale shape: tokenize + pair expansion are narrow per-row transforms;
+    one hash aggregation on the pair (domain bounded by charset², like
+    the bigram LM); TakeOrdered for the top-N — no global sort, nothing
+    driver-side."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
+    toks = (
+        d.repartition(n_parts)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+    )
+    prs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, 2),
+            )
+        ).alias("pair")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return (
+        prs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # TakeOrdered (distributed top-k), THEN rank the k survivors
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(BPE_TOP_MERGES)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )
