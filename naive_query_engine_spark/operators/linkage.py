@@ -30,7 +30,14 @@ def blocked_fuzzy_pairs(
 ) -> DataFrame:
     """(name_a, name_b, edit_distance, n_a, n_b) for same-block pairs
     within ``threshold``.  The block key bounds fan-out: only same-block
-    names ever meet the (quadratic-per-pair) Levenshtein kernel."""
+    names ever meet the (quadratic-per-pair) Levenshtein kernel.
+
+    Recall trade-off (inherent to blocking, pinned by
+    ``tests/test_new_ops_r3.py``): a typo INSIDE the block key lands the
+    record in a different block and is never compared.  Production
+    linkage runs multiple passes with different block keys (first token,
+    last token, phonetic code, …) and unions the candidate sets — each
+    pass is this same function with a different ``block_key``."""
     b = names.withColumn("blk", block_key(F.col("name")))
     x = b.select(F.col("name").alias("name_a"), F.col("n_recs").alias("n_a"), "blk")
     y = b.select(F.col("name").alias("name_b"), F.col("n_recs").alias("n_b"), "blk")

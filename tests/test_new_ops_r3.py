@@ -1,0 +1,138 @@
+"""Behavioral property tests for the round-3 operators — planted signals
+the oracle comparison alone can't articulate (the oracle proves the two
+engines agree; these prove the operators detect what they claim to)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naive_query_engine_spark.operators.linkage import (
+    LEV_THRESHOLD,
+    blocked_fuzzy_pairs,
+)
+
+
+def test_substring_detects_planted_verbatim_overlap(spark):
+    """Two documents sharing one long verbatim span (different otherwise)
+    must pair; documents with no 32-char common run must not."""
+    from naive_query_engine_spark.operators.dedup import (
+        SUBSTR_MIN_SHARED,
+        SUBSTR_WINDOW,
+    )
+    import naive_query_engine_spark.operators.dedup as dd
+
+    span = "x" * 0 + "the quick brown fox jumps over the lazy dog near the riverbank"
+    docs = [
+        (0, "alpha beta gamma " + span + " delta epsilon"),
+        (1, "totally different framing here: " + span + " and another tail"),
+        (2, "no overlap with anything else at all, short and unique text"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    # reuse the registered query's body by monkey-free construction: the
+    # operator logic lives inline in dedup_substring, so replicate via its
+    # building blocks — windows, df cap, self-join
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (SUBSTR_WINDOW - 1), F.lit(1))
+    )
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.md5(F.substring(F.col("text"), i, SUBSTR_WINDOW)))
+        ).alias("h"),
+    ).distinct()
+    x = wins.select(F.col("doc_id").alias("doc_a"), "h")
+    y = wins.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared
+        for r in x.join(y, (x.h == y.h) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .collect()
+    }
+    # the planted span is len(span) >= W + MIN_SHARED - 1 chars -> enough windows
+    assert len(span) >= SUBSTR_WINDOW + SUBSTR_MIN_SHARED - 1
+    assert pairs.get((0, 1), 0) >= SUBSTR_MIN_SHARED
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    assert dd  # imported for constants; silence linters
+
+
+def test_fuzzy_pairs_link_typo_but_not_distant(spark):
+    """A typo OUTSIDE the block key links; a typo INSIDE the block key is
+    the documented blocking recall trade-off — it lands in a different
+    block and never meets the kernel (production runs multiple blocking
+    passes with different keys to recover these)."""
+    names = spark.createDataFrame(
+        [("small ring", 3), ("small rin", 1), ("smal ring", 1), ("large bolt", 2)],
+        "name string, n_recs long",
+    )
+    got = {
+        (r.name_a, r.name_b): r.edit_distance
+        for r in blocked_fuzzy_pairs(names, lambda c: F.split(c, " ")[0]).collect()
+    }
+    # second-token typo links within the block; the first-token typo
+    # ("smal ...") escapes its block; cross-block far names never meet
+    assert got == {("small rin", "small ring"): 1}
+    assert LEV_THRESHOLD >= 1
+
+
+def test_fuzzy_entity_resolution_is_transitive(spark):
+    """A chain a~b~c where (a,c) exceeds the threshold still resolves to
+    ONE entity — the property pairwise matching alone lacks."""
+    from naive_query_engine_spark.operators.clustering import connected_components
+
+    chain = ["ring alpha", "ring alphx", "ring alhxx", "ring alxxx"]
+    # consecutive distance 1..2, ends differ by > LEV_THRESHOLD? (alpha vs
+    # alxxx = 3 <= 4) — use a longer drift so ends truly exceed it
+    chain = ["ring aaaaaa", "ring aaaabb", "ring aabbbb", "ring bbbbbb"]
+    names = spark.createDataFrame([(n, 1) for n in chain], "name string, n_recs long")
+    pairs = blocked_fuzzy_pairs(names, lambda c: F.split(c, " ")[0])
+    direct = {(r.name_a, r.name_b) for r in pairs.collect()}
+    assert (chain[0], chain[3]) not in direct  # ends too far apart pairwise
+    comp = connected_components(
+        names.select(F.col("name").alias("id")),
+        pairs.select(F.col("name_a").alias("a"), F.col("name_b").alias("b")),
+    )
+    assert {r.component for r in comp.collect()} == {chain[0]}  # one entity
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    """A document matching the query's RARE term must outrank documents
+    matching only the common term — the idf property BM25 exists for."""
+    from naive_query_engine_spark.operators.text import tokens, BM25_K1, BM25_B
+
+    docs = [
+        (0, "zebra common"),            # the query doc: one rare + one common term
+        (1, "zebra filler filler"),     # matches the rare term
+        (2, "common filler filler"),    # matches only the common term
+        (3, "common filler filler"),
+        (4, "common filler filler"),
+        (5, "common filler filler"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = tf.filter(F.col("doc_id") == 0).select(F.col("doc_id").alias("qid"), "term")
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl)
+    )
+    s = F.floor(F.lit(1_000_000) * idf * ((F.col("tf") * F.lit(BM25_K1 + 1)) / denom))
+    scores = {
+        r.doc_id: r.s
+        for r in q.join(
+            tf.select(F.col("doc_id"), "term", "tf"), "term"
+        )
+        .filter(F.col("doc_id") != 0)
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select("doc_id", s.alias("s_term"))
+        .groupBy("doc_id")
+        .agg(F.sum("s_term").alias("s"))
+        .collect()
+    }
+    assert scores[1] > max(scores[i] for i in (2, 3, 4, 5))

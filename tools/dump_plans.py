@@ -31,17 +31,21 @@ ANNOTATED = {
     "q05_region_revenue": "5-way star join; only nation/region are hinted — "
     "customer/orders/supplier broadcast here by AQE's size check and "
     "switch to sort-merge at scale",
-    "similarity_cosine_pairs": "distributed block-pair matmul: id-only "
-    "non-equi pair join + payload equi-joins, MapInPandas numpy stage — "
-    "no driver collect anywhere",
+    "similarity_cosine_pairs": "distributed block-pair matmul (r3 shape): "
+    "blocked frame is a localCheckpoint (grouping job runs once, invisible "
+    "here); pre-explode repartition of the B-row frame, "
+    "explode(sequence(0,block)) pair keys with the b-payload attached, one "
+    "broadcast join for the a-payload, MapInPandas numpy stage — no driver "
+    "collect anywhere",
     "q06_forecast_revenue": "all four predicates in PushedFilters (row-group "
     "pruning at scale)",
     "sort_topk": "TakeOrderedAndProject: per-partition top-k + merge",
     "join_semi": "LeftSemi — existence check without materializing payload",
     "dedup_minhash_lsh": "signatures aggregate the raw gram stream "
     "(partial agg, no shingle shuffle); candidates only from band-bucket joins",
-    "similarity_topk_vectorized": "ArrowEvalPython/MapInPandas stage over a "
-    "repartitioned corpus; final per-query ranking window",
+    "similarity_topk_vectorized": "ArrowEvalPython/MapInPandas stage whose "
+    "kernel emits only per-batch top-K per query (r3) — the ranking window "
+    "shuffles n_q x K x n_batches rows, corpus-size-independent",
     "events_sessionize": "session window aggregation keyed by user",
     "asof_join_events_orders": "union + running last-non-null window — one "
     "shuffle on the key, no inequality-join fan-out",
@@ -52,10 +56,10 @@ ANNOTATED = {
     "per-query ADC lookup tables are bounded BroadcastExchanges; the corpus "
     "side is a map-side code-lookup join, one skinny shuffle for the "
     "(query, neighbor) sum, window top-k — no decompression, nothing O(n^2)",
-    "graph_pagerank": "iterative fixpoint: ONE iteration visible (earlier "
-    "ones are localCheckpoint boundaries — lineage truncated, each iteration "
-    "computes once); per iteration one AQE-chosen join + keyed agg over the "
-    "persisted edge list, nothing driver-side",
+    "graph_pagerank": "iterative fixpoint (r3): setup (sym/deg/src_side) is "
+    "checkpointed ONCE with partitioning preserved, so the per-iteration "
+    "ranks join needs no exchange on either side — the only per-iteration "
+    "shuffle is the contribution sum; top-N is TakeOrdered-then-rank",
     "pipeline_model_scoring": "batch inference: feature extraction in "
     "WholeStageCodegen, then one ArrowEvalPython/MapInPandas stage applying "
     "the model per Arrow batch — no shuffle at all; scoring is "
@@ -77,6 +81,22 @@ ANNOTATED = {
     "multimodal_mime_sniff": "payload build + magic-byte hex inspection all "
     "inside WholeStageCodegen; single partial+final agg by detected type — "
     "no Python, no extra exchange",
+    # r3 additions
+    "text_bm25_topk": "sparse retrieval: one tf aggregation builds the "
+    "inverted index (persisted, 5 consumers); query terms probe postings by "
+    "term equi-join; the 1-row (n_docs, total_dl) stats frame is the only "
+    "broadcast hint (ungrouped aggregate — bounded by rule); per-(query,doc) "
+    "BIGINT score sum + ranking window",
+    "dedup_substring": "exact-substring index: stride-1 hashed windows "
+    "(narrow transform + explode), per-doc distinct, df-cap join kills "
+    "boilerplate fan-out, inverted-index self-join only meets same-window "
+    "docs — the bounded-candidate shape, never all-pairs",
+    "fuzzy_entity_resolution": "blocked Levenshtein pairs (block-key "
+    "equi-join bounds the quadratic kernel) feed the label-propagation "
+    "fixpoint on string ids; final per-entity aggregation",
+    "text_char_bigram_likelihood": "bigram expansion is a narrow per-row "
+    "transform; count table bounded by charset^2 (AQE broadcasts it); one "
+    "join keyed by bigram + one doc aggregation",
 }
 
 
