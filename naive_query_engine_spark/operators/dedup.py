@@ -496,17 +496,22 @@ def write_shingle_index(d: DataFrame, table: str, n_buckets: int = 32) -> None:
     write_bucketed(capped_shingle_index(d), table, ["g"], n_buckets)
 
 
-def incremental_candidates(sh: DataFrame) -> DataFrame:
+def incremental_candidates(sh: DataFrame, probe: DataFrame | None = None) -> DataFrame:
     """Batch-probes-index candidate join over a capped shingle index
-    ``sh`` (doc_id, g): the arriving batch (a deterministic doc_id slice
-    here) probes the full index on shingle.  New-vs-old pairs always pair
-    (new, old); new-vs-new pairs pair once (lower id as the existing
-    side).  When ``sh`` is the bucketed table, this join is exchange-free
-    on both sides."""
+    ``sh`` (doc_id, g): the arriving batch probes the full index on
+    shingle.  New-vs-old pairs always pair (new, old); new-vs-new pairs
+    pair once (lower id as the existing side).  When ``sh`` is the
+    bucketed table, this join is exchange-free on the index side.
+
+    ``probe`` is the arriving batch's own (doc_id, g) frame — the
+    streaming micro-batch form (``tests/test_streaming.py``); default is
+    the deterministic is_new slice of ``sh`` (the self-contained
+    registered-query form — equivalent when the batch is already merged
+    into the index)."""
     is_new = lambda c: c % NEW_BATCH_MOD == NEW_BATCH_REM  # noqa: E731
-    a = sh.alias("a")  # probe side: batch only (filter below)
+    a = (sh.filter(is_new(F.col("doc_id"))) if probe is None else probe).alias("a")
     b = sh.alias("b")
-    return a.filter(is_new(F.col("a.doc_id"))).join(
+    return a.join(
         b,
         (F.col("a.g") == F.col("b.g"))
         & (F.col("b.doc_id") != F.col("a.doc_id"))
@@ -514,17 +519,21 @@ def incremental_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
-def incremental_pairs(sh: DataFrame) -> DataFrame:
+def incremental_pairs(sh: DataFrame, probe: DataFrame | None = None) -> DataFrame:
     """(new_doc, dup_of, jaccard) over a capped shingle index — the full
     incremental-dedup body shared by the registered query (recomputed
-    index) and the persistent bucketed-index path."""
+    index), the persistent bucketed-index path, and the streaming
+    micro-batch path (``probe`` given)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     shared = (
-        incremental_candidates(sh)
+        incremental_candidates(sh, probe)
         .groupBy(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("dup_of"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_g").alias("na"))
+    asizes = (
+        sizes if probe is None else probe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    )
+    sa = asizes.select(F.col("doc_id").alias("new_doc"), F.col("n_g").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n_g").alias("nb"))
     jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (

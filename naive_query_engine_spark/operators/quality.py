@@ -439,3 +439,89 @@ def dataset_global_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum binning: quality-decile assignment per language
+
+
+CURRICULUM_BINS = 10
+
+
+def _curriculum_oracle() -> str:
+    from .pipeline import MODEL_WEIGHTS
+
+    w = MODEL_WEIGHTS
+    return rf"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             {w[0]} * CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS BIGINT)
+             + {w[1]} * CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]')) AS BIGINT)
+             + {w[2]} * CAST(LENGTH(regexp_extract_all(text, '[^\w \t\n\r\f]')) AS BIGINT)
+             + {w[3]} * CAST(LENGTH(text) AS BIGINT) AS score
+      FROM documents
+    ),
+    binned AS (
+      SELECT lang, score,
+             NTILE({CURRICULUM_BINS}) OVER (PARTITION BY lang
+                                            ORDER BY score, doc_id) AS bin
+      FROM feat
+    )
+    SELECT lang, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM binned GROUP BY lang, bin
+    """
+
+
+@query(
+    "dataset_curriculum_bins",
+    oracle=None,  # patched below (needs pipeline.MODEL_WEIGHTS at import time)
+    tags=("pipeline", "quality", "curriculum", "window"),
+)
+def dataset_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: assign every document a quality DECILE within
+    its language (ntile over the linear quality model, doc_id tie-break →
+    fully deterministic), summarized per (lang, bin) — the structure a
+    curriculum-ordered training run consumes (start on high bins, anneal
+    downward) and the quality-stratification step of mixture building.
+
+    Scale shape: one window keyed by language — ntile needs its
+    partition sorted, so each language pays one sort within its
+    partitions after the shuffle on lang; with very few huge languages
+    the two-phase salted pattern of ``dataset_reservoir_per_lang``
+    applies instead.  The per-(lang, bin) rollup reuses the window's
+    partitioning (no second exchange)."""
+    from .pipeline import MODEL_WEIGHTS
+    from .text import bpe_ish_token_count, token_count
+
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    w = MODEL_WEIGHTS
+    score = (
+        F.lit(w[0]) * token_count(txt)
+        + F.lit(w[1]) * bpe_ish_token_count(txt)
+        + F.lit(w[2]) * F.size(F.regexp_extract_all(txt, F.lit(r"[^\w \t\n\r\f]"), 0)).cast("long")
+        + F.lit(w[3]) * F.length(txt).cast("long")
+    )
+    wn = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return (
+        d.select("doc_id", "lang", score.alias("score"))
+        .withColumn("bin", F.ntile(CURRICULUM_BINS).over(wn).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+    )
+
+
+import dataclasses as _dc  # noqa: E402
+
+from ..queries import QUERIES as _QR  # noqa: E402
+
+_QR["dataset_curriculum_bins"] = _dc.replace(
+    _QR["dataset_curriculum_bins"], oracle=_curriculum_oracle()
+)

@@ -258,3 +258,55 @@ def test_checkpoint_restart_resumes_exactly_once(spark, event_files, tmp_path):
     n_src = spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files).count()
     assert len(got) == n_src, "restart lost or duplicated source files"
     assert all(r["count"] == 1 for r in got), "an event was processed twice"
+
+
+def test_stream_incremental_dedup_over_bucketed_index(spark, tmp_path):
+    """The r3 production loop end-to-end: arriving documents stream in as
+    micro-batches and probe the STATIC bucketed shingle index
+    (stream side shingled per batch, capped by semi-join against the
+    index's shingle universe); the union over all micro-batches must
+    equal the batch incremental-dedup result exactly — per-doc results
+    are independent, so micro-batch boundaries cannot change them."""
+    from naive_query_engine_spark.operators.dedup import (
+        NEW_BATCH_MOD,
+        NEW_BATCH_REM,
+        incremental_pairs,
+        shingle_rows,
+        write_shingle_index,
+    )
+    from naive_query_engine_spark.queries import QUERIES
+
+    d = t(spark, SF_SMOKE, "documents")
+    write_shingle_index(d, "b_stream_shingle_idx", n_buckets=8)
+    try:
+        index = spark.table("b_stream_shingle_idx")
+        arrivals = str(tmp_path / "arrivals")
+        d.filter(d.doc_id % NEW_BATCH_MOD == NEW_BATCH_REM).repartition(3).write.parquet(
+            arrivals
+        )
+        got: set = set()
+
+        def probe_batch(batch_df, _bid):
+            # shingle the arriving docs, cap against the index universe
+            # (semi-join == the df cap the index was built with)
+            sh_batch = shingle_rows(batch_df).join(
+                index.select("g").distinct(), "g", "left_semi"
+            )
+            got.update(tuple(r) for r in incremental_pairs(index, sh_batch).collect())
+
+        q = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals)
+            .writeStream.foreachBatch(probe_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        want = {
+            tuple(r) for r in QUERIES["dedup_incremental"].fn(spark, SF_SMOKE).collect()
+        }
+        assert got == want
+        assert got  # non-vacuous on the smoke corpus
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_stream_shingle_idx")
