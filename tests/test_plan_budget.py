@@ -94,6 +94,16 @@ BUDGETS = {
     # two-phase shape as dataset_reservoir_per_lang
     "dataset_global_interleave": (2, False),
     "multimodal_mime_sniff": (1, False),      # single agg by detected type
+    # r3 additions.  The persisted-frame lineages (tf / wins) are
+    # re-counted per consumer in the STATIC plan — runtime reuses the
+    # materialization; budgets pin the static shape all the same
+    "text_bm25_topk": (11, True),             # tf index: 5 consumers' lineage
+    "dedup_substring": (11, True),            # window index feeds cap + 2 join sides
+    "text_char_bigram_likelihood": (6, True), # tf collapse: 2 consumers' lineage
+    "fuzzy_match_part_names": (2, True),      # distinct-names agg + block join
+    "fuzzy_match_multipass": (4, True),       # two blocking passes + pair dedup
+    "text_bpe_merge_candidates": (2, False),  # repartition + pair agg; TakeOrdered
+    "dataset_curriculum_bins": (1, False),    # one lang window; rollup reuses it
 }
 
 
