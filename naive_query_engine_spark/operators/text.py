@@ -770,3 +770,125 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BPE_TOP_MERGES)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
+
+
+#: the merged symbol placeholder for the BPE second iteration: a 1-char
+#: stand-in (unit separator — cannot occur in the corpus text) so plain
+#: substr bigrams keep working on the rewritten symbol stream; output
+#: pairs re-expand it for readability (injective: expanded strings are
+#: 3-4 chars, plain pairs 2)
+BPE_SEP = "\x1f"
+BPE_ITER_TOP = 10
+
+
+@query(
+    "text_bpe_train_2iters",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
+      FROM documents
+    ),
+    lt AS (SELECT tok FROM tok WHERE length(tok) >= 2),
+    p1 AS (
+      SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+      FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i FROM lt)
+    ),
+    c1 AS (SELECT pair, COUNT(*) AS cnt FROM p1 GROUP BY 1),
+    w1 AS (SELECT pair AS w FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+    tok2 AS (
+      SELECT replace(tok, (SELECT w FROM w1), chr(31)) AS tok FROM lt
+    ),
+    lt2 AS (SELECT tok FROM tok2 WHERE length(tok) >= 2),
+    p2 AS (
+      SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+      FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i FROM lt2)
+    ),
+    c2 AS (SELECT pair, COUNT(*) AS cnt FROM p2 GROUP BY 1),
+    r1 AS (
+      SELECT CAST(1 AS BIGINT) AS iter, pair, CAST(cnt AS BIGINT) AS cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+      FROM c1 QUALIFY rnk <= {BPE_ITER_TOP}
+    ),
+    r2 AS (
+      SELECT CAST(2 AS BIGINT) AS iter,
+             replace(pair, chr(31), (SELECT w FROM w1)) AS pair,
+             CAST(cnt AS BIGINT) AS cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+      FROM c2 QUALIFY rnk <= {BPE_ITER_TOP}
+    )
+    SELECT iter, pair, cnt, rnk FROM r1
+    UNION ALL
+    SELECT iter, pair, cnt, rnk FROM r2
+    """,
+    tags=("text", "pipeline", "tokenizer", "iterative"),
+)
+def text_bpe_train_2iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO iterations of BPE tokenizer training — the loop
+    ``text_bpe_merge_candidates`` is one step of: count adjacent symbol
+    pairs, MERGE the winner into a single symbol (literal replace with a
+    1-char placeholder, left-to-right non-overlapping in both engines),
+    re-count over the rewritten symbol stream.  Iteration-2 pairs that
+    touch the merged symbol surface re-expanded (e.g. winner ``th`` +
+    ``e`` prints as ``the``) — exactly how merge tables are read.  A full
+    trainer is this loop continued; every iteration is the same
+    oracle-checkable aggregation, and the winner handoff is a 1-row
+    broadcast, never a driver value.
+
+    Scale shape per iteration: narrow rewrite (the 1-row winner frame
+    broadcasts by rule) + one bounded-domain pair aggregation +
+    TakeOrdered — nothing accumulates on the driver across iterations."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
+    toks = (
+        d.repartition(n_parts)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+    )
+
+    def pair_counts(tk: DataFrame) -> DataFrame:
+        prs = tk.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.substring(F.col("tok"), i, 2),
+                )
+            ).alias("pair")
+        )
+        return prs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    def topk(c: DataFrame, it: int, pair_out) -> DataFrame:
+        w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+        return (
+            c.orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(BPE_ITER_TOP)
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .select(
+                F.lit(it).cast("long").alias("iter"),
+                pair_out.alias("pair"),
+                "cnt",
+                "rnk",
+            )
+        )
+
+    c1 = pair_counts(toks).persist()  # feeds top-k AND the winner pick
+    w1 = c1.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1).select(
+        F.col("pair").alias("w")
+    )
+    toks2 = (
+        toks.crossJoin(F.broadcast(w1))  # 1-row global-limit frame: bounded
+        .select(F.replace(F.col("tok"), F.col("w"), F.lit(BPE_SEP)).alias("tok"))
+        .filter(F.length("tok") >= 2)
+    )
+    c2 = pair_counts(toks2)
+    r1 = topk(c1, 1, F.col("pair"))
+    # rank on the RAW pair (placeholder sorts first in both engines'
+    # binary collation), then re-expand for the output
+    r2 = topk(c2, 2, F.col("pair")).crossJoin(F.broadcast(w1)).select(
+        "iter",
+        F.replace(F.col("pair"), F.lit(BPE_SEP), F.col("w")).alias("pair"),
+        "cnt",
+        "rnk",
+    )
+    return r1.unionAll(r2)
