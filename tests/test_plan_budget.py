@@ -110,6 +110,10 @@ BUDGETS = {
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(name, spark):
     max_exchanges, expect_broadcast = BUDGETS[name]
+    # cached frames left by earlier tests (operators persist() reused
+    # intermediates) get substituted into matching plan fragments by the
+    # CacheManager, changing static exchange counts — count the cold plan
+    spark.catalog.clearCache()
     df = QUERIES[name].fn(spark, SF_ORACLE)
     text = plans.explain_text(df, "simple")
     n_exchanges = text.count("Exchange") - text.count("BroadcastExchange")
