@@ -29,7 +29,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import query, t
+from ..queries import query, spread, t
 from .shingles_sql import (
     CAPPED_SHINGLES_SQL as _CAPPED_SQL,
     JACCARD_THRESHOLD,
@@ -64,14 +64,13 @@ def raw_shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
     multiset-invariant (min-hash: min over repeats == min over the set) so
     the shingles never move across the cluster at all.
 
-    Repartitions first: the corpus parquet is a single split at test scale,
-    which would serialize the (interpreted, higher-order-function) shingle
-    expansion onto one core; at production scale the input arrives already
-    split and the repartition collapses into the scan's partitioning."""
+    Spreads first (split-aware): the corpus parquet is a single split at
+    test scale, which would serialize the (interpreted,
+    higher-order-function) shingle expansion onto one core; already-split
+    input skips the exchange (``queries.spread``)."""
     from .text import tokens  # lazy: avoids import cycle when dedup is the entry module
 
-    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
-    d = d.repartition(n_parts)
+    d = spread(d)
     toks = tokens(F.col("text"))
     size = F.size(toks)
     # slice+array_join beats n× element_at (one array access per gram)
@@ -490,7 +489,15 @@ def write_shingle_index(d: DataFrame, table: str, n_buckets: int = 32) -> None:
     bucket-aligned with NO exchange on the index side
     (``tests/test_incremental_index.py`` pins the plan property).
     Maintenance (merging an absorbed batch in) is ``sources.merge_upsert``
-    on the same bucketed layout."""
+    on the same bucketed layout.
+
+    Pre-merge caveat (ADVICE r3): probe-side sizes (``na``) and the df cap
+    must come from the POST-merge index.  A probe executed before the
+    batch is merged would count only index-known shingles toward ``na``,
+    inflating jaccard and potentially emitting false positives, and
+    batch-new shingles would never update the cap — merge first (or union
+    batch-local shingles into the probe, as the streaming test's semi-join
+    setup does by probing an index the batch is already part of)."""
     from ..sources import write_bucketed
 
     write_bucketed(capped_shingle_index(d), table, ["g"], n_buckets)
@@ -507,7 +514,15 @@ def incremental_candidates(sh: DataFrame, probe: DataFrame | None = None) -> Dat
     streaming micro-batch form (``tests/test_streaming.py``); default is
     the deterministic is_new slice of ``sh`` (the self-contained
     registered-query form — equivalent when the batch is already merged
-    into the index)."""
+    into the index).
+
+    Pre-merge caveat (ADVICE r3): with ``probe`` given, ``na`` is counted
+    from the probe frame itself, but the df cap and the index side come
+    from ``sh`` — results equal the batch path only when the batch is
+    already merged into ``sh`` (the streaming test's setup).  Probing a
+    stale pre-merge index under-counts nothing on the probe side but uses
+    a cap/universe that hasn't seen the batch; merge before trusting
+    jaccard values (see :func:`write_shingle_index`)."""
     is_new = lambda c: c % NEW_BATCH_MOD == NEW_BATCH_REM  # noqa: E731
     a = (sh.filter(is_new(F.col("doc_id"))) if probe is None else probe).alias("a")
     b = sh.alias("b")
@@ -725,12 +740,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard (`tests/test_shingle_cap.py` demonstrates the
     failure it prevents)."""
     d = t(spark, sf_dir, "documents")
-    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
     idx = F.sequence(
         F.lit(1), F.greatest(F.length("text") - (SUBSTR_WINDOW - 1), F.lit(1))
     )
     wins = (
-        d.repartition(n_parts)  # single-split corpus file: spread the expansion
+        spread(d)  # split-aware: spread the expansion, skip if pre-split
         .select(
             "doc_id",
             F.explode(
@@ -744,11 +758,128 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df") <= MAX_WINDOW_DF
     ).select("h")
     wk = wins.join(ok, "h")
-    x = wk.select(F.col("doc_id").alias("doc_a"), "h")
-    y = wk.select(F.col("doc_id").alias("doc_b"), "h")
+    x = wk.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    y = wk.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
     return (
-        x.join(y, (x.h == y.h) & (F.col("doc_a") < F.col("doc_b")))
+        x.join(y, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
         .filter(F.col("shared_windows") >= SUBSTR_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowed exact-substring dedup: the stride-k scale path
+
+
+#: winnowing window: one fingerprint is selected (the min window hash) out
+#: of every K consecutive window positions, so the index carries ~2/(K+1)
+#: of the stride-1 volume while keeping a DETERMINISTIC recall guarantee:
+#: any shared verbatim run of >= SUBSTR_WINDOW + WINNOW_K - 1 chars spans
+#: at least one full K-window of positions in BOTH documents, whose min
+#: hash is content-determined — both docs select it, so the pair shares a
+#: fingerprint no matter how the run is aligned.  (Positional stride-k
+#: sampling has NO such guarantee: two docs whose copies start at offsets
+#: differing by != 0 mod k never sample the same window.)  This is the
+#: standard winnowing fingerprinting scheme (Schleimer/Wilkerson/Aiken,
+#: SIGMOD'03) — the documented scale lever for dedup_substring.
+WINNOW_K = 8
+#: one shared (df-capped) fingerprint == a verbatim 32-char match — already
+#: the exact-substring signal; the guarantee above holds at threshold 1
+SUBSTR_STRIDED_MIN_SHARED = 1
+
+
+def winnowed_fingerprints(d: DataFrame, k: int = WINNOW_K) -> DataFrame:
+    """(doc_id, h): per-doc DISTINCT winnowed window fingerprints,
+    computed entirely row-local — the window hashes, the per-K-window
+    mins, and the per-doc dedup are all array expressions inside one
+    projection, so unlike the stride-1 index NO raw window row ever
+    shuffles (the stride-1 path pays a corpus-sized ``distinct``)."""
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (SUBSTR_WINDOW - 1), F.lit(1))
+    )
+    hs = F.transform(idx, lambda i: F.md5(F.substring(F.col("text"), i, SUBSTR_WINDOW)))
+    base = spread(d).select("doc_id", hs.alias("hs"))
+    # min over each k-window of consecutive hashes (suffix windows
+    # truncate, matching the oracle's ROWS frame), then per-doc distinct —
+    # all inside the row
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs")),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, k)),
+        )
+    )
+    return base.select("doc_id", F.explode(sel).alias("h"))
+
+
+def substring_strided_pairs(
+    d: DataFrame,
+    k: int = WINNOW_K,
+    min_shared: int = SUBSTR_STRIDED_MIN_SHARED,
+    max_df: int = MAX_WINDOW_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fps) via the winnowed fingerprint index —
+    shared body for the registered query and the planted-span recall test
+    (``tests/test_substring_strided.py``)."""
+    wins = winnowed_fingerprints(d, k).persist(_SPILLABLE)
+    ok = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    wk = wins.join(ok, "h")
+    x = wk.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    y = wk.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    return (
+        x.join(y, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+@query(
+    "dedup_substring_strided",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INTEGER), {SUBSTR_WINDOW})) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(length(text) - {SUBSTR_WINDOW - 1}, 1))) AS i
+            FROM documents)
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, mn AS h FROM (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_K - 1} FOLLOWING) AS mn
+        FROM raw)
+    ),
+    ok AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) <= {MAX_WINDOW_DF}),
+    wk AS (SELECT sel.doc_id, sel.h FROM sel JOIN ok USING (h)),
+    pair AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared_fps
+      FROM wk x JOIN wk y ON x.h = y.h AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps
+    FROM pair WHERE shared_fps >= {SUBSTR_STRIDED_MIN_SHARED}
+    """,
+    tags=("dedup", "pipeline", "substring", "winnowing"),
+)
+def dedup_substring_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring near-dup pairs via WINNOWED fingerprints — the
+    stride-k scale path ``dedup_substring`` documents: instead of indexing
+    every window (O(total chars) rows through a distinct + self-join),
+    select one fingerprint per ``WINNOW_K`` consecutive positions (the
+    content-determined window-min), cutting index volume ~(K+1)/2× while
+    deterministically catching every shared verbatim run of
+    >= ``SUBSTR_WINDOW + WINNOW_K - 1`` chars regardless of alignment
+    (see ``WINNOW_K`` — positional striding cannot promise that).
+
+    Scale shape: fingerprint selection is entirely row-local (no shuffle
+    until the df-cap aggregation, which now sees ~2/(K+1) of the rows);
+    the df cap and inverted-index self-join are the same bounded-fan-out
+    machinery as the stride-1 detector.  At 100 TB this is the variant to
+    run — stride-1 is the forensic tool for bounded suspects."""
+    return substring_strided_pairs(t(spark, sf_dir, "documents"))

