@@ -22,7 +22,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import query, t
+from ..queries import cut_lineage, query, t
 from .shingles_sql import (
     CAPPED_SHINGLES_SQL as _CAPPED_SQL,
     JACCARD_THRESHOLD,
@@ -60,7 +60,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         changed = (
             new_labels.alias("n")
@@ -244,17 +244,17 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         # consumed by deg AND src_side below — materialize once (r2 kept it
         # persist()ed, but each iteration's job still replayed the
         # deg-join lineage from the cache; the checkpoint cuts that)
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     deg = (
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
-        .localCheckpoint()  # hash-partitioned on node
+        .transform(cut_lineage)  # hash-partitioned on node
     )
     src_side = (
         sym.join(deg, sym.src == deg.node)
         .select("src", "dst", "outdeg")
-        .localCheckpoint()  # hash-partitioned on src — reused every iteration
+        .transform(cut_lineage)  # hash-partitioned on src — reused every iteration
     )
     ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
     for i in range(iters):
@@ -279,7 +279,7 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             # truncate lineage so iteration k+1 doesn't replay 1..k
             # (ranks change every pass → ReuseExchange can't help);
             # the last iteration stays lazy for the caller's plan
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(cut_lineage)
     return ranks
 
 
@@ -582,7 +582,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the declared budget counts post-checkpoint work only) and is not
     # resilient to executor loss (acceptable in-session; a restartable
     # production job would use reliable checkpoint() to cluster storage)
-    edges = edges.localCheckpoint()
+    edges = edges.transform(cut_lineage)
 
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -604,7 +604,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # three consumers (two wedge sides + closing-edge probe)
-    oriented = oriented.localCheckpoint()
+    oriented = oriented.transform(cut_lineage)
 
     o1 = oriented.select(F.col("s"), F.col("t").alias("b"), F.col("td").alias("bd"))
     o2 = oriented.select(F.col("s"), F.col("t").alias("c"), F.col("td").alias("cd"))

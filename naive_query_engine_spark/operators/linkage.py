@@ -154,6 +154,23 @@ def fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: simplified phonetic code for blocking pass 3: first letter + the rest
+#: with vowels removed ("consonant skeleton").  DuckDB has no soundex, so
+#: the code is this documented recurrence, computable identically in both
+#: engines (plain regex, no backreferences — RE2-safe); it normalizes the
+#: vowel-level typos ("smoll" ~ "small") that defeat both token-equality
+#: passes when they hit the FIRST token while another typo hits the LAST.
+_PHONETIC_SQL = (
+    "substr({tok}, 1, 1) || regexp_replace(substr({tok}, 2), '[aeiou]', '', 'g')"
+)
+
+
+def _phonetic_key(tok):  # Column -> Column (consonant skeleton)
+    return F.concat(
+        F.substring(tok, 1, 1), F.regexp_replace(F.substring(tok, 2, 1 << 30), "[aeiou]", "")
+    )
+
+
 @query(
     "fuzzy_match_multipass",
     oracle=f"""
@@ -162,18 +179,26 @@ def fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b1 AS (SELECT name, split_part(name, ' ', 1) AS blk FROM names),
     b2 AS (SELECT name, split_part(name, ' ', -1) AS blk FROM names),
+    b3 AS (SELECT name, {_PHONETIC_SQL.format(tok="split_part(name, ' ', 1)")} AS blk
+           FROM names),
     cand AS (
       SELECT x.name AS name_a, y.name AS name_b
       FROM b1 x JOIN b1 y ON x.blk = y.blk AND x.name < y.name
       UNION
       SELECT x.name, y.name
       FROM b2 x JOIN b2 y ON x.blk = y.blk AND x.name < y.name
+      UNION
+      SELECT x.name, y.name
+      FROM b3 x JOIN b3 y ON x.blk = y.blk AND x.name < y.name
     )
     SELECT name_a, name_b,
            CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance,
            CASE WHEN split_part(name_a, ' ', 1) = split_part(name_b, ' ', 1)
                 THEN 1 ELSE 0 END
            + CASE WHEN split_part(name_a, ' ', -1) = split_part(name_b, ' ', -1)
+                  THEN 1 ELSE 0 END
+           + CASE WHEN {_PHONETIC_SQL.format(tok="split_part(name_a, ' ', 1)")}
+                     = {_PHONETIC_SQL.format(tok="split_part(name_b, ' ', 1)")}
                   THEN 1 ELSE 0 END AS n_passes
     FROM cand
     WHERE levenshtein(name_a, name_b) <= {LEV_THRESHOLD}
@@ -183,23 +208,27 @@ def fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_match_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-PASS blocking — the recall lever single-key blocking lacks
     (`tests/test_new_ops_r3.py` pins the failure: a typo inside the block
-    key escapes its block).  Two passes block on the FIRST and the LAST
-    name token; candidate sets union (dedup by pair), so a variant only
-    needs ONE clean token to be recovered.  ``n_passes`` reports how many
-    block keys agreed — a match found by both passes is higher-confidence
-    than a single-pass rescue.
+    key escapes its block).  THREE passes block on the FIRST token, the
+    LAST token, and the first token's PHONETIC code (consonant skeleton —
+    see ``_phonetic_key``); candidate sets union (dedup by pair), so a
+    variant only needs one clean-or-phonetically-clean token to be
+    recovered — ``tests/test_linkage_phonetic.py`` plants a
+    first-AND-last-token typo only pass 3 catches.  ``n_passes`` reports
+    how many block keys agreed — a match found by all passes is
+    higher-confidence than a single-pass rescue.
 
     Scale shape: each pass is the same bounded block-key equi-join as
     :func:`blocked_fuzzy_pairs`; the union's dedup shuffles only the
-    candidate pairs (block-bounded), never the catalog.  Production adds
-    more passes (phonetic code, sorted-token key) — each is one more
-    union arm of this same plan."""
+    candidate pairs (block-bounded), never the catalog.  Further passes
+    (sorted-token key, q-gram key) are one more union arm each of this
+    same plan."""
     p = t(spark, sf_dir, "part")
     names = p.groupBy(F.col("p_name").alias("name")).agg(
         F.count(F.lit(1)).alias("n_recs")
     )
     first_tok = lambda c: F.split(c, " ")[0]  # noqa: E731
     last_tok = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+    phon = lambda c: _phonetic_key(first_tok(c))  # noqa: E731
 
     def pass_pairs(block_key):
         b = names.withColumn("blk", block_key(F.col("name")))
@@ -211,7 +240,9 @@ def fuzzy_match_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("name_a", "name_b")
         )
 
-    cand = pass_pairs(first_tok).union(pass_pairs(last_tok)).distinct()
+    cand = (
+        pass_pairs(first_tok).union(pass_pairs(last_tok)).union(pass_pairs(phon))
+    ).distinct()
     agree = lambda key: F.when(  # noqa: E731
         key(F.col("name_a")) == key(F.col("name_b")), 1
     ).otherwise(0)
@@ -220,7 +251,9 @@ def fuzzy_match_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_a",
             "name_b",
             F.levenshtein("name_a", "name_b").cast("long").alias("edit_distance"),
-            (agree(first_tok) + agree(last_tok)).cast("long").alias("n_passes"),
+            (agree(first_tok) + agree(last_tok) + agree(phon)).cast("long").alias(
+                "n_passes"
+            ),
         )
         .filter(F.col("edit_distance") <= LEV_THRESHOLD)
     )

@@ -22,7 +22,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import query, t
+from ..queries import cut_lineage, query, t
 
 QUANT = 1_000_000  # quantization scale; |v|<~100 keeps all sums << 2^53
 # Pair threshold: the synthetic corpus has max pairwise cosine ~0.51
@@ -145,7 +145,7 @@ def cosine_block_pairs(
         # the grouping job runs exactly ONCE and both consumers read the
         # materialized blocks (eager lineage cut, the triangle-count /
         # pagerank idiom; r2's persist() still re-ran 4 divergent plans)
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     # upper-triangle enumeration without a pair-key join: block bj knows
     # its own lower partners 0..bj, so one generator emits every (bi, bj)
@@ -377,20 +377,28 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    import numpy as np
+
     qt = _qtable(spark, sf_dir)
     # bounded driver collect: N_QUERY_VECS rows by construction (the query
-    # set must sit in one numpy matrix inside every kernel instance)
+    # set must sit in one numpy matrix inside every kernel instance).
+    # Shipped as a sparkContext.broadcast (VERDICT r3 #5): closure capture
+    # re-pickles the matrix into every task's serialized closure, while a
+    # broadcast moves it to each executor once, regardless of task count
+    # or N_QUERY_VECS.
     queries = qt.filter(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "q", "nrm2").collect()
-    q_ids = [r["vec_id"] for r in queries]
-    q_mat = [r["q"] for r in queries]
-    q_n2 = [r["nrm2"] for r in queries]
+    bc = spark.sparkContext.broadcast(
+        (
+            np.asarray([r["vec_id"] for r in queries], dtype=np.int64),
+            np.asarray([r["q"] for r in queries], dtype=np.float64),
+            np.sqrt(np.asarray([r["nrm2"] for r in queries], dtype=np.float64)),
+        )
+    )
 
     def score(batches):
         import numpy as np
 
-        qm = np.asarray(q_mat, dtype=np.float64)
-        qn = np.sqrt(np.asarray(q_n2, dtype=np.float64))
-        qid = np.asarray(q_ids, dtype=np.int64)
+        qid, qm, qn = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue

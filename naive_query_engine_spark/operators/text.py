@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import query, spread, t
+from ..queries import cut_lineage, query, spread, t
 
 #: tiny per-language function-word lists for the n-gram/stopword language
 #: heuristic (public linguistic common knowledge; deliberately small —
@@ -1036,7 +1036,7 @@ def text_bpe_train_8iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trainer is inherently iterative-materializing, like graph_pagerank;
     # same localCheckpoint trade-offs as there (eager; not executor-loss
     # resilient — a production run would use reliable checkpoint()).
-    counts = pair_counts(toks).localCheckpoint()
+    counts = pair_counts(toks).transform(cut_lineage)
     cur = toks
     winners: list[DataFrame] = []
     results: list[DataFrame] = []
@@ -1067,7 +1067,7 @@ def text_bpe_train_8iters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
             .filter(F.col("cnt") > 0)
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         cur = (
             cur.crossJoin(F.broadcast(w_i))

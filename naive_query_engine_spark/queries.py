@@ -89,6 +89,38 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Lineage cut for iterative operators (pagerank / components /
+    triangles / the BPE trainer / the cosine blocked frame).
+
+    Default: ``localCheckpoint`` — EAGER (merely constructing the operator's
+    DataFrame executes Spark jobs, including in plan-inspection paths) and
+    NOT resilient to executor loss: the cut frame lives in executor
+    block-manager memory/disk only, so losing an executor loses partitions
+    with no lineage to recompute them.  Acceptable in local mode; a
+    long-running production job on a real cluster should set
+    ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` (with
+    ``sc.setCheckpointDir(<cluster storage>)``) to switch every cut to a
+    reliable ``checkpoint()`` — same plan shape, executor-loss safe
+    (``tests/test_reliable_checkpoint.py`` exercises the branch).
+
+    Also note (ADVICE r3): checkpointed stages' exchanges are invisible to
+    the static plan, so declared plan budgets count post-cut work only.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT"):
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                "SPARK_GRAFT_RELIABLE_CHECKPOINT is set but no checkpoint dir "
+                "is configured — call spark.sparkContext.setCheckpointDir(...) "
+                "with a cluster-storage path first"
+            )
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def epoch_micros(col: str | Column) -> Column:
     """Microseconds since the epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
 

@@ -21,7 +21,7 @@ def test_substring_detects_planted_verbatim_overlap(spark):
     )
     import naive_query_engine_spark.operators.dedup as dd
 
-    span = "x" * 0 + "the quick brown fox jumps over the lazy dog near the riverbank"
+    span = "the quick brown fox jumps over the lazy dog near the riverbank"
     docs = [
         (0, "alpha beta gamma " + span + " delta epsilon"),
         (1, "totally different framing here: " + span + " and another tail"),
@@ -80,9 +80,7 @@ def test_fuzzy_entity_resolution_is_transitive(spark):
     ONE entity — the property pairwise matching alone lacks."""
     from naive_query_engine_spark.operators.clustering import connected_components
 
-    chain = ["ring alpha", "ring alphx", "ring alhxx", "ring alxxx"]
-    # consecutive distance 1..2, ends differ by > LEV_THRESHOLD? (alpha vs
-    # alxxx = 3 <= 4) — use a longer drift so ends truly exceed it
+    # consecutive distance 2, end-to-end distance 6 > LEV_THRESHOLD (4)
     chain = ["ring aaaaaa", "ring aaaabb", "ring aabbbb", "ring bbbbbb"]
     names = spark.createDataFrame([(n, 1) for n in chain], "name string, n_recs long")
     pairs = blocked_fuzzy_pairs(names, lambda c: F.split(c, " ")[0])

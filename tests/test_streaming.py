@@ -310,3 +310,19 @@ def test_stream_incremental_dedup_over_bucketed_index(spark, tmp_path):
         assert got  # non-vacuous on the smoke corpus
     finally:
         spark.sql("DROP TABLE IF EXISTS b_stream_shingle_idx")
+
+
+def test_kafka_reader_branch_gated(spark):
+    """VERDICT r3 #9: the Kafka wiring must either build a real typed
+    stream (connector jar present) or fail at CALL time with the
+    documented message (no jar/broker in this container) — never a
+    cryptic failure at start()."""
+    from naive_query_engine_spark import streaming as st
+
+    try:
+        df = st.read_kafka_events(spark, "localhost:9092", "events")
+    except RuntimeError as e:
+        assert "Kafka source unavailable" in str(e)
+    else:  # pragma: no cover - jar-dependent branch
+        assert df.isStreaming
+        assert {f.name for f in st.EVENTS_SCHEMA.fields} <= set(df.columns)
