@@ -21,12 +21,15 @@ def register_all() -> None:
         custom_agg,
         dedup,
         events,
+        kmeans,
+        layout,
         linkage,
         multimodal,
         pipeline,
         quality,
         sketches,
         similarity,
+        skew,
         temporal,
         text,
     )

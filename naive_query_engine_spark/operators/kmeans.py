@@ -1,0 +1,183 @@
+"""Distributed Lloyd k-means over the embedding corpus — integer-exact.
+
+The reference engine has no iterative ML operator at all; this is the
+training-data-pipeline extension (corpus clustering for mixture curation /
+IVF coarse-quantizer training) expressed the way Spark MLlib's KMeans
+actually runs at scale:
+
+- **Centroids live on the driver / in the closure** (K × D ints — bounded,
+  like MLlib's broadcast centers), so the per-iteration assignment is a
+  pure map: no join, no shuffle for the distance computation.
+- **The centroid update is one partial-aggregated groupBy** (cluster, dim)
+  — the shuffle carries at most K × D × n_partitions rows thanks to
+  map-side combine, independent of corpus size.
+- **Driver loop** collects the K × D update each iteration (the classic
+  Lloyd synchronization point; the collect is bounded and documented).
+
+Determinism/portability (the DuckDB oracle must hash-match exactly):
+
+- Embeddings are quantized to BIGINT (``similarity.QUANT``); all distances
+  are exact integer sums: |q| < 6e5, diff² < 1.5e12, × 64 dims < 1e14.
+- Centroid update uses **floor division via non-negative modulus**
+  ``(S - ((S % n) + n) % n) / n`` — the subtraction makes the dividend
+  exactly divisible, so the division is exact in both engines regardless
+  of their integer-division semantics.
+- Argmin tie-break: lowest cluster id (ROW_NUMBER ordered by
+  (dist2, cluster) in SQL; first-match ``array_position`` in Spark over
+  the cluster-id-sorted distance array).
+- Init: the K lowest ``vec_id`` vectors, numbered 0..K-1 in vec_id order.
+
+An empty cluster simply drops out of the centroid set (both engines: the
+update is an inner aggregation over assigned rows) — deterministic.
+
+Like the checkpointed graph ops (``queries.cut_lineage``), *constructing*
+this DataFrame executes Spark jobs: the driver loop runs ITERS-1 centroid
+updates eagerly; the returned frame computes the final assignment +
+per-cluster rollup only (single shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import cut_lineage, query, t
+from .similarity import QUANT, quantized
+
+KMEANS_K = 8
+KMEANS_ITERS = 4  # assignments; ITERS-1 centroid updates between them
+
+
+def _dist2(qcol, centroid: list[int]):
+    """Exact integer squared-L2 distance from array column to a literal centroid."""
+    carr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(qcol, carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(qf: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
+    """(vec_id, q) + {cluster: centroid} → (vec_id, q, cluster, dist2).
+
+    Pure map-side: distances to all centroids per row, argmin with
+    lowest-cluster-id tie-break via first-match ``array_position``.
+    """
+    ids = sorted(centroids)
+    darr = F.array(*[_dist2(F.col("q"), centroids[j]) for j in ids])
+    idarr = F.array(*[F.lit(j).cast("long") for j in ids])
+    return qf.select(
+        "vec_id",
+        "q",
+        F.element_at(idarr, F.array_position(darr, F.array_min(darr)).cast("int")).alias(
+            "cluster"
+        ),
+        F.array_min(darr).alias("dist2"),
+    )
+
+
+def update_centroids(assigned: DataFrame) -> dict[int, list[int]]:
+    """One Lloyd update: per-(cluster, dim) exact integer floor-mean.
+
+    groupBy(cluster, dim) partial-aggregates map-side, so the shuffle is
+    K × D × n_partitions rows max; the collect is K × D ints (bounded).
+    """
+    rows = (
+        assigned.select("cluster", F.posexplode("q").alias("pos", "qv"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            "pos",
+            ((F.col("s") - ((F.col("s") % F.col("n")) + F.col("n")) % F.col("n")) / F.col("n"))
+            .cast("long")
+            .alias("cv"),
+        )
+        .collect()
+    )
+    out: dict[int, dict[int, int]] = {}
+    for r in rows:
+        out.setdefault(r["cluster"], {})[r["pos"]] = r["cv"]
+    return {j: [dims[p] for p in sorted(dims)] for j, dims in out.items()}
+
+
+def lloyd_kmeans(
+    qf: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Full Lloyd loop over a quantized frame (vec_id, q: array<long>).
+
+    Returns the final assignment (vec_id, cluster, dist2) under the
+    last-updated centroids — a single map + nothing else in its plan.
+    """
+    qf = cut_lineage(qf)  # ITERS scans hit the materialized frame
+    init = qf.orderBy("vec_id").limit(k).collect()
+    centroids = {i: list(r["q"]) for i, r in enumerate(init)}
+    for _ in range(iters - 1):
+        centroids = update_centroids(assign_clusters(qf, centroids))
+    return assign_clusters(qf, centroids).select("vec_id", "cluster", "dist2")
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """The same recurrence as an independent DuckDB CTE chain."""
+    ctes = [
+        f"""q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS qv
+      FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cluster, dim, qv AS cv
+      FROM q WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, cluster, dist2 FROM (
+        SELECT q.vec_id, c.cluster,
+               SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cluster) AS rn
+        FROM q JOIN c{i - 1} c ON q.dim = c.dim
+        GROUP BY q.vec_id, c.cluster
+      ) WHERE rn = 1
+    )""")
+        if i < iters:
+            ctes.append(f"""c{i} AS (
+      SELECT a.cluster, q.dim,
+             CAST((SUM(q.qv) - ((SUM(q.qv) % COUNT(*)) + COUNT(*)) % COUNT(*)) / COUNT(*)
+                  AS BIGINT) AS cv
+      FROM a{i} a JOIN q ON a.vec_id = q.vec_id
+      GROUP BY a.cluster, q.dim
+    )""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(SUM(dist2) AS BIGINT) AS inertia_q
+    FROM a{iters}
+    GROUP BY cluster
+    """
+
+
+@query(
+    "embedding_kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "pipeline", "clustering", "iterative"),
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K={K} Lloyd k-means, {I} iterations, over the embeddings corpus;
+    output = per-cluster size, min member id, and exact quantized inertia.
+    Broadcast-centroid assignment (map-only) + partial-aggregated centroid
+    update — the MLlib-KMeans shuffle shape, integer-exact for the oracle.
+    """.replace("{K}", str(KMEANS_K)).replace("{I}", str(KMEANS_ITERS))
+    e = t(spark, sf_dir, "embeddings")
+    qf = e.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    final = lloyd_kmeans(qf)
+    return final.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.sum("dist2").cast("long").alias("inertia_q"),
+    )

@@ -63,3 +63,86 @@ def write_zordered(
     keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey").drop(
         "zkey"
     ).write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# registered query: the Morton key as a cross-engine-deterministic expression
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..queries import query, t  # noqa: E402
+
+
+def _spread_sql(x: str) -> str:
+    """DuckDB SQL for ``_spread_bits`` — the identical shift/mask recurrence."""
+    e = f"CAST({x} AS BIGINT)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+def _floordiv_sql(x: str, d: str) -> str:
+    """Exact SQL floor division via non-negative modulus (engine-portable)."""
+    return f"CAST((({x}) - ((({x}) % ({d})) + ({d})) % ({d})) / ({d}) AS BIGINT)"
+
+
+@query(
+    "events_zorder_locality",
+    oracle=f"""
+    WITH r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY user_id, event_id) - 1 AS ra,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rb,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    b AS (
+      SELECT {_floordiv_sql('ra * 65535', 'n - 1')} AS ua,
+             {_floordiv_sql('rb * 65535', 'n - 1')} AS ub
+      FROM r
+    ),
+    z AS (
+      SELECT ua, ub,
+             ({_spread_sql('ua')} | ({_spread_sql('ub')} << 1)) AS zkey
+      FROM b
+    )
+    SELECT CAST(zkey >> 24 AS BIGINT) AS zcell,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(ua) - MIN(ua) AS BIGINT) AS ua_spread,
+           CAST(MAX(ub) - MIN(ub) AS BIGINT) AS ub_spread
+    FROM z GROUP BY zcell
+    """,
+    tags=("layout", "pipeline", "zorder"),
+)
+def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order clustering key as a registered, oracle-checked query:
+    rank-normalize (user_id, ts) onto the full 2^16 range via exact
+    integer scaling ``(rank-1) * 65535 // (n-1)`` with fully deterministic
+    windows (unique ``event_id`` tie-break — ``with_zorder_key``'s ntile
+    over a plain column order is neither tie-stable nor full-range on
+    small inputs), interleave via ``morton_key``, and report per
+    coarse-cell counts plus the bucket spread of each dimension — small
+    spreads per cell are exactly the min/max-stats locality that makes
+    parquet row-group pruning work on BOTH dimensions after
+    ``write_zordered`` (tests/test_layout.py measures the pruning itself).
+    The two global sorts are a one-time layout cost, amortized over every
+    future pruned read.
+    """
+    e = t(spark, sf_dir, "events")
+    wa = Window.orderBy("user_id", "event_id")
+    wb = Window.orderBy("ts", "event_id")
+    wn = Window.partitionBy()
+
+    def scale(rank_col):
+        x = (rank_col.cast("long") - 1) * 65535  # rank is INT; 1M rows would overflow
+        d = F.count(F.lit(1)).over(wn) - 1
+        return ((x - ((x % d) + d) % d) / d).cast("long")
+
+    keyed = e.select(
+        scale(F.row_number().over(wa)).alias("ua"),
+        scale(F.row_number().over(wb)).alias("ub"),
+    ).select("ua", "ub", morton_key(F.col("ua"), F.col("ub")).alias("zkey"))
+    return keyed.groupBy(F.shiftright("zkey", 24).cast("long").alias("zcell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ua") - F.min("ua")).cast("long").alias("ua_spread"),
+        (F.max("ub") - F.min("ub")).cast("long").alias("ub_spread"),
+    )

@@ -101,3 +101,61 @@ def salted_agg(
             for out, (col, how) in agg_exprs.items()
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# registered query: the salted-join shape with a plain-SQL oracle
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..queries import query, t  # noqa: E402
+
+SKEW_SALTS = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, COUNT(*) AS n_events, MAX(FLOOR(value)) AS max_fv
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN FLOOR(e.value) * 2 >= d.max_fv THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_half_max
+    FROM events e JOIN d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "pipeline"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full salted-join pattern as a registered query: events (the big
+    side — ``event_type`` has ~5 values, a textbook hot-key distribution)
+    salted on the unique ``event_id``, the per-type stats dim replicated
+    SKEW_SALTS×, joined on (key, salt).  The oracle is the PLAIN join —
+    salting must be invisible in the result.
+
+    At this SF AQE still broadcasts the replicated dim (it is tiny); the
+    pattern is registered for the shape that matters at scale: a
+    non-broadcastable build side against a hot probe key, where the
+    (key, salt) composite spreads each hot key over SKEW_SALTS reducers
+    that AQE's skew splitting cannot reach (it only splits the PROBE side;
+    a replicated build row set is exactly what it can't synthesize).
+    """
+    e = t(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.floor("value")).alias("max_fv"),
+    )
+    joined = salted_join(
+        e, dim.withColumnRenamed("event_type", "d_type"),
+        key="event_type", small_key="d_type",
+        n_salts=SKEW_SALTS, salt_on="event_id",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(
+            F.when(F.floor("value") * 2 >= F.col("max_fv"), 1).otherwise(0)
+        ).cast("long").alias("n_above_half_max"),
+    )

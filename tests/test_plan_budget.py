@@ -101,9 +101,15 @@ BUDGETS = {
     "dedup_substring": (11, True),            # window index feeds cap + 2 join sides
     "text_char_bigram_likelihood": (6, True), # tf collapse: 2 consumers' lineage
     "fuzzy_match_part_names": (2, True),      # distinct-names agg + block join
-    "fuzzy_match_multipass": (4, True),       # two blocking passes + pair dedup
+    # r4: third (phonetic consonant-skeleton) blocking pass unions one more
+    # distinct-names agg lineage + block join into the static plan
+    "fuzzy_match_multipass": (6, True),
     "text_bpe_merge_candidates": (2, False),  # repartition + pair agg; TakeOrdered
     "dataset_curriculum_bins": (1, False),    # one lang window; rollup reuses it
+    # r4 additions
+    # broadcast-centroid assignment is map-only; the final rollup is the
+    # single exchange (iterative updates run at construction, cut_lineage)
+    "embedding_kmeans_lloyd": (1, False),
 }
 
 
