@@ -43,6 +43,14 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_cosine_pairs",
     "similarity_topk_vectorized",
+    # r4 rotation (VERDICT r3 #8): families the driver's correctness sample
+    # has never exercised, now measured every round by the driver's own
+    # bench artifact; dedup_substring + its strided variant land together
+    # so the artifact carries the stride-k speedup evidence directly
+    "text_bm25_topk",
+    "dedup_substring",
+    "dedup_substring_strided",
+    "fuzzy_entity_resolution",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays

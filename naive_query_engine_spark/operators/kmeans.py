@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import cut_lineage, query, t
+from ..queries import cut_lineage, query, spread, t
 from .similarity import QUANT, quantized
 
 KMEANS_K = 8
@@ -110,7 +110,11 @@ def lloyd_kmeans(
     Returns the final assignment (vec_id, cluster, dist2) under the
     last-updated centroids — a single map + nothing else in its plan.
     """
-    qf = cut_lineage(qf)  # ITERS scans hit the materialized frame
+    # spread first: the assignment is map-heavy (K zip_with distances per
+    # row) and a single-split corpus file would serialize it onto one core;
+    # pre-split input skips the exchange.  Then cut so ITERS scans hit the
+    # materialized frame
+    qf = cut_lineage(spread(qf))
     init = qf.orderBy("vec_id").limit(k).collect()
     centroids = {i: list(r["q"]) for i, r in enumerate(init)}
     for _ in range(iters - 1):

@@ -70,7 +70,48 @@ def write_zordered(
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from ..queries import query, t  # noqa: E402
+from ..queries import cut_lineage, query, t  # noqa: E402
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], out: str, n_parts: int | None = None
+) -> tuple[DataFrame, int]:
+    """Exact 0-based global rank over a TOTAL order (order_cols must carry
+    a unique tie-break) without a single-partition window.
+
+    The classic distributed-rank idiom: repartitionByRange on the order
+    columns, pin the partitioning (range sampling is re-drawn per job —
+    without the lineage cut the count job and the rank job could see
+    different boundaries), count rows per partition (a bounded,
+    one-row-per-partition collect), then local row_number + the
+    cumulative offset of all earlier partitions.  Every stage is
+    parallel; output ranks are independent of where the sampled
+    boundaries land because the order is total.
+
+    Returns (frame with ``out`` column, total row count) — the count
+    comes free from the offsets, sparing callers a COUNT() OVER ()
+    single-partition window.
+    """
+    n = n_parts or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    d = cut_lineage(
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = d.withColumn(
+        out, (F.row_number().over(w).cast("long") - 1 + omap[F.col("_pid")])
+    ).drop("_pid")
+    return ranked, acc
 
 
 def _spread_sql(x: str) -> str:
@@ -124,22 +165,25 @@ def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     spreads per cell are exactly the min/max-stats locality that makes
     parquet row-group pruning work on BOTH dimensions after
     ``write_zordered`` (tests/test_layout.py measures the pruning itself).
-    The two global sorts are a one-time layout cost, amortized over every
-    future pruned read.
+
+    Both ranks come from :func:`global_rank` (repartitionByRange +
+    per-partition offsets) — no single-partition window anywhere, so the
+    layout computation itself scales; the oracle's ROW_NUMBER() OVER
+    (ORDER BY ...) is the same total order, single-threaded in DuckDB.
     """
     e = t(spark, sf_dir, "events")
-    wa = Window.orderBy("user_id", "event_id")
-    wb = Window.orderBy("ts", "event_id")
-    wn = Window.partitionBy()
+    d1, n = global_rank(
+        e.select("event_id", "user_id", "ts"), ["user_id", "event_id"], "ra"
+    )
+    d2, _ = global_rank(d1, ["ts", "event_id"], "rb")
 
     def scale(rank_col):
-        x = (rank_col.cast("long") - 1) * 65535  # rank is INT; 1M rows would overflow
-        d = F.count(F.lit(1)).over(wn) - 1
+        x = rank_col * 65535  # global_rank is already 0-based long
+        d = F.lit(max(n - 1, 1)).cast("long")
         return ((x - ((x % d) + d) % d) / d).cast("long")
 
-    keyed = e.select(
-        scale(F.row_number().over(wa)).alias("ua"),
-        scale(F.row_number().over(wb)).alias("ub"),
+    keyed = d2.select(
+        scale(F.col("ra")).alias("ua"), scale(F.col("rb")).alias("ub")
     ).select("ua", "ub", morton_key(F.col("ua"), F.col("ub")).alias("zkey"))
     return keyed.groupBy(F.shiftright("zkey", 24).cast("long").alias("zcell")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),

@@ -63,3 +63,22 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     assert avg_b < 0.5 * stats.gb, (avg_b, stats.gb)
     # and the data survived intact
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """Distributed rank (range partitions + offsets) == plain ROW_NUMBER."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from naive_query_engine_spark.operators.layout import global_rank
+
+    rows = [(i, (i * 37) % 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    ranked, total = global_rank(df, ["v", "id"], "rn", n_parts=7)
+    assert total == 500
+    expected = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id")).cast("long") - 1
+    )
+    got = {(r["id"], r["rn"]) for r in ranked.collect()}
+    want = {(r["id"], r["rn"]) for r in expected.collect()}
+    assert got == want
