@@ -102,24 +102,101 @@ def update_centroids(assigned: DataFrame) -> dict[int, list[int]]:
     return {j: [dims[p] for p in sorted(dims)] for j, dims in out.items()}
 
 
+def _cmatrix(centroids: dict[int, list[int]]):
+    """Sorted cluster ids + int64 centroid matrix (argmin's first-match
+    tie-break then lands on the lowest cluster id, like array_position)."""
+    import numpy as np
+
+    ids = sorted(centroids)
+    return ids, np.array([centroids[j] for j in ids], dtype=np.int64)
+
+
 def lloyd_kmeans(
     qf: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> DataFrame:
     """Full Lloyd loop over a quantized frame (vec_id, q: array<long>).
 
+    The hot paths are Arrow ``mapInPandas`` kernels (closures — module-level
+    kernels break driver-cwd pickling): assignment is one exact int64
+    matmul (|q|² − 2·Q·Cᵀ + |c|²; all magnitudes ≪ 2⁶³, numpy int64 is
+    exact) and the centroid update emits per-batch PARTIAL (cluster, dim)
+    sums — K × D rows per Arrow batch — so the update shuffle is
+    batch-count-bound, never corpus-bound.  The JVM expression forms above
+    (:func:`assign_clusters` / :func:`update_centroids`) compute the same
+    thing and pin the semantics in unit tests.
+
     Returns the final assignment (vec_id, cluster, dist2) under the
     last-updated centroids — a single map + nothing else in its plan.
     """
-    # spread first: the assignment is map-heavy (K zip_with distances per
-    # row) and a single-split corpus file would serialize it onto one core;
-    # pre-split input skips the exchange.  Then cut so ITERS scans hit the
-    # materialized frame
-    qf = cut_lineage(spread(qf))
+    import numpy as np
+
+    # spread first: the assignment is map-heavy and a single-split corpus
+    # file would serialize it onto one core; pre-split input skips the
+    # exchange.  Then cut so ITERS scans hit the materialized frame
+    qf = cut_lineage(spread(qf.select("vec_id", "q")))
     init = qf.orderBy("vec_id").limit(k).collect()
     centroids = {i: list(r["q"]) for i, r in enumerate(init)}
+
     for _ in range(iters - 1):
-        centroids = update_centroids(assign_clusters(qf, centroids))
-    return assign_clusters(qf, centroids).select("vec_id", "cluster", "dist2")
+        ids, C = _cmatrix(centroids)
+
+        def partial_sums(batches, ids=tuple(ids), C=C):
+            import numpy as np
+            import pandas as pd
+
+            c2 = (C * C).sum(axis=1)
+            K, D = C.shape
+            for pdf in batches:
+                Q = np.array(pdf["q"].tolist(), dtype=np.int64)
+                d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + c2[None, :]
+                a = d.argmin(axis=1)
+                s = np.zeros((K, D), dtype=np.int64)
+                n = np.zeros(K, dtype=np.int64)
+                np.add.at(s, a, Q)
+                np.add.at(n, a, 1)
+                nz = np.flatnonzero(n)
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.repeat(np.array(ids)[nz], D),
+                        "pos": np.tile(np.arange(D), len(nz)),
+                        "s": s[nz].ravel(),
+                        "n": np.repeat(n[nz], D),
+                    }
+                )
+
+        rows = (
+            qf.mapInPandas(partial_sums, "cluster long, pos long, s long, n long")
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        acc: dict[int, dict[int, int]] = {}
+        for r in rows:
+            # Python // is floor division — the exact floor-mean spec
+            acc.setdefault(r["cluster"], {})[r["pos"]] = r["s"] // r["n"]
+        centroids = {j: [d[p] for p in sorted(d)] for j, d in acc.items()}
+
+    ids, C = _cmatrix(centroids)
+
+    def assign(batches, ids=tuple(ids), C=C):
+        import numpy as np
+        import pandas as pd
+
+        c2 = (C * C).sum(axis=1)
+        idarr = np.array(ids)
+        for pdf in batches:
+            Q = np.array(pdf["q"].tolist(), dtype=np.int64)
+            d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + c2[None, :]
+            a = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": idarr[a],
+                    "dist2": d[np.arange(len(a)), a],
+                }
+            )
+
+    return qf.mapInPandas(assign, "vec_id long, cluster long, dist2 long")
 
 
 def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:

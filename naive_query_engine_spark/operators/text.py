@@ -910,6 +910,183 @@ BPE_N_ITERS = 8
 BPE_PLACEHOLDERS = [chr(1 + i) for i in range(BPE_N_ITERS)]
 
 
+def _bpe_pair_counts(tk: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over a (tok) frame."""
+    prs = tk.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, 2),
+            )
+        ).alias("pair")
+    )
+    return prs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def _bpe_iterate(
+    toks: DataFrame, n_iters: int
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """The BPE merge loop shared by the trainer and the encoder: returns
+    ([winner frame per iteration], [pair-count frame per iteration]).
+
+    Incremental count maintenance: merging winner ``w`` only changes
+    tokens that CONTAIN ``w``, so each iteration counts pairs over just
+    that slice twice (before/after) and folds the signed delta in.
+
+    localCheckpoint (eager) truncates lineage per iteration: counts_{i+1}
+    references counts_i through BOTH the winner and the delta, so without
+    the cut the logical plan doubles per iteration (2^N analysis blow-up).
+    The frame is tiny (pair domain bounded by charset² + placeholders) and
+    the loop is inherently iterative-materializing, like graph_pagerank;
+    same localCheckpoint trade-offs as there (eager; not executor-loss
+    resilient — a production run would use reliable checkpoint())."""
+    counts = _bpe_pair_counts(toks).transform(cut_lineage)
+    cur = toks
+    winners: list[DataFrame] = []
+    counts_frames: list[DataFrame] = []
+    for i in range(1, n_iters + 1):
+        w_i = (
+            counts.orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+            .select(F.col("pair").alias("w"))
+        )
+        winners.append(w_i)
+        counts_frames.append(counts)
+        if i == n_iters:
+            break
+        ph = F.lit(BPE_PLACEHOLDERS[i - 1])
+        # the incremental step: only tokens containing the winner change
+        aff = cur.crossJoin(F.broadcast(w_i)).filter(F.col("tok").contains(F.col("w")))
+        before = _bpe_pair_counts(aff.select("tok"))
+        after = _bpe_pair_counts(
+            aff.select(F.replace(F.col("tok"), F.col("w"), ph).alias("tok"))
+            .filter(F.length("tok") >= 2)  # a token == winner collapses to 1 char
+        )
+        delta = after.select("pair", "cnt").unionAll(
+            before.select("pair", (-F.col("cnt")).alias("cnt"))
+        )
+        counts = (
+            counts.select("pair", "cnt")
+            .unionAll(delta)
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .transform(cut_lineage)
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(w_i))
+            .select(F.replace(F.col("tok"), F.col("w"), ph).alias("tok"))
+            .filter(F.length("tok") >= 2)
+        )
+    return winners, counts_frames
+
+
+def _bpe_winners_sql_parts(n_iters: int) -> list[str]:
+    """DuckDB CTE chain deriving the n_iters merge winners by full
+    recount per iteration (the independent spec of ``_bpe_iterate``)."""
+    code = lambda i: 1 + (i - 1)  # noqa: E731 — chr code of placeholder i
+    parts = [
+        r"""tok AS (
+      SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
+      FROM documents
+    )""",
+        "lt1 AS (SELECT tok FROM tok WHERE length(tok) >= 2)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""p{i} AS (
+      SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+      FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i FROM lt{i})
+    )"""
+        )
+        parts.append(f"c{i} AS (SELECT pair, COUNT(*) AS cnt FROM p{i} GROUP BY 1)")
+        parts.append(
+            f"w{i} AS (SELECT pair AS w FROM c{i} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        if i < n_iters:
+            parts.append(
+                f"""lt{i + 1} AS (
+      SELECT tok FROM (
+        SELECT replace(tok, (SELECT w FROM w{i}), chr({code(i)})) AS tok FROM lt{i})
+      WHERE length(tok) >= 2
+    )"""
+            )
+    return parts
+
+
+def _bpe_encode_oracle(n_iters: int = BPE_N_ITERS) -> str:
+    """Oracle: derive the winners by full recount, then apply the merge
+    chain to the unfiltered per-source token stream and aggregate."""
+    parts = _bpe_winners_sql_parts(n_iters)
+    parts.append(
+        r"""dt AS (
+      SELECT source,
+             unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
+      FROM documents
+    )"""
+    )
+    enc = "tok"
+    for i in range(1, n_iters + 1):
+        enc = f"replace({enc}, (SELECT w FROM w{i}), chr({i}))"
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(tok)) AS BIGINT) AS total_chars,
+           CAST(SUM(length({enc})) AS BIGINT) AS total_symbols
+    FROM dt GROUP BY source
+    """
+
+
+@query(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "pipeline", "tokenizer", "iterative"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table at corpus scale — the other half
+    of the tokenizer story (``text_bpe_train_8iters`` learns the merges;
+    this encodes with them): train the same {N} winners, then rewrite
+    EVERY token through the merge chain (literal replaces, leftmost
+    non-overlapping in both engines — the greedy merge-application order)
+    and report per-source symbol counts vs raw char counts — the
+    compression the tokenizer buys, as exact integers.
+
+    Scale shape: the encode pass is a pure map over the corpus token
+    stream (the whole merge table rides in ONE 1-row broadcast frame)
+    plus a per-source aggregation — encoding cost is O(corpus), shuffle
+    is per-source partials only.""".replace("{N}", str(BPE_N_ITERS))
+    from pyspark import StorageLevel
+
+    d = t(spark, sf_dir, "documents")
+    dt = spread(d).select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    train_toks = (
+        dt.select("tok")
+        .filter(F.length("tok") >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    winners, _ = _bpe_iterate(train_toks, BPE_N_ITERS)
+    merges = winners[0].select(F.col("w").alias("w1"))
+    for i in range(2, BPE_N_ITERS + 1):
+        merges = merges.crossJoin(winners[i - 1].select(F.col("w").alias(f"w{i}")))
+    enc = F.col("tok")
+    for i in range(1, BPE_N_ITERS + 1):
+        enc = F.replace(enc, F.col(f"w{i}"), F.lit(BPE_PLACEHOLDERS[i - 1]))
+    return (
+        dt.crossJoin(F.broadcast(merges))
+        .select("source", F.length("tok").alias("lc"), F.length(enc).alias("ls"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lc").cast("long").alias("total_chars"),
+            F.sum("ls").cast("long").alias("total_symbols"),
+        )
+    )
+
+
 def _bpe_train_oracle(n_iters: int = BPE_N_ITERS, top: int = BPE_ITER_TOP) -> str:
     """Oracle by the same recurrence, one full recount per iteration (the
     oracle is the independent SPEC — the Spark side maintains the counts
@@ -1009,17 +1186,6 @@ def text_bpe_train_8iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def pair_counts(tk: DataFrame) -> DataFrame:
-        prs = tk.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("tok") - 1),
-                    lambda i: F.substring(F.col("tok"), i, 2),
-                )
-            ).alias("pair")
-        )
-        return prs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-
     def topk(c: DataFrame, it: int) -> DataFrame:
         w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
         return (
@@ -1029,51 +1195,8 @@ def text_bpe_train_8iters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(it).cast("long").alias("iter"), "pair", "cnt", "rnk")
         )
 
-    # localCheckpoint (eager) truncates lineage per iteration: counts_{i+1}
-    # references counts_i through BOTH the winner and the delta, so without
-    # the cut the logical plan doubles per iteration (2^N analysis blow-up).
-    # The frame is tiny (pair domain bounded by charset² + placeholders) and
-    # the trainer is inherently iterative-materializing, like graph_pagerank;
-    # same localCheckpoint trade-offs as there (eager; not executor-loss
-    # resilient — a production run would use reliable checkpoint()).
-    counts = pair_counts(toks).transform(cut_lineage)
-    cur = toks
-    winners: list[DataFrame] = []
-    results: list[DataFrame] = []
-    for i in range(1, BPE_N_ITERS + 1):
-        w_i = (
-            counts.orderBy(F.col("cnt").desc(), F.col("pair"))
-            .limit(1)
-            .select(F.col("pair").alias("w"))
-        )
-        winners.append(w_i)
-        results.append(topk(counts, i))
-        if i == BPE_N_ITERS:
-            break
-        ph = F.lit(BPE_PLACEHOLDERS[i - 1])
-        # the incremental step: only tokens containing the winner change
-        aff = cur.crossJoin(F.broadcast(w_i)).filter(F.col("tok").contains(F.col("w")))
-        before = pair_counts(aff.select("tok"))
-        after = pair_counts(
-            aff.select(F.replace(F.col("tok"), F.col("w"), ph).alias("tok"))
-            .filter(F.length("tok") >= 2)  # a token == winner collapses to 1 char
-        )
-        delta = after.select("pair", "cnt").unionAll(
-            before.select("pair", (-F.col("cnt")).alias("cnt"))
-        )
-        counts = (
-            counts.select("pair", "cnt")
-            .unionAll(delta)
-            .groupBy("pair")
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-            .filter(F.col("cnt") > 0)
-            .transform(cut_lineage)
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(w_i))
-            .select(F.replace(F.col("tok"), F.col("w"), ph).alias("tok"))
-            .filter(F.length("tok") >= 2)
-        )
+    winners, counts_frames = _bpe_iterate(toks, BPE_N_ITERS)
+    results = [topk(c, i + 1) for i, c in enumerate(counts_frames)]
     # output: union the per-iteration top-k (ranked on RAW pairs), then
     # re-expand merged symbols via one 1-row frame carrying every winner
     expf = winners[0].select(F.col("w").alias("w1"))

@@ -110,6 +110,21 @@ BUDGETS = {
     # broadcast-centroid assignment is map-only; the final rollup is the
     # single exchange (iterative updates run at construction, cut_lineage)
     "embedding_kmeans_lloyd": (1, False),
+    # winnowed fingerprint index: df-cap agg lineage + 2 join sides +
+    # final pair agg (the fingerprint selection itself is row-local)
+    "dedup_substring_strided": (7, True),
+    # iterative trainer: all pair-count exchanges are behind per-iteration
+    # lineage cuts; the returned frame is the final TakeOrdered over the
+    # checkpointed counts
+    "text_bpe_train_8iters": (0, True),
+    # distinct-collapse agg + block join + components fixpoint remainder
+    "fuzzy_entity_resolution": (2, True),
+    # dim agg + final per-type agg; the salted join broadcasts the
+    # replicated dim at this SF (and widens the key space at scale)
+    "join_salted_skew": (2, True),
+    # two pid-window exchanges (the range shuffles sit behind global_rank's
+    # lineage cuts); final zcell agg reuses the second window's layout
+    "events_zorder_locality": (2, False),
 }
 
 
