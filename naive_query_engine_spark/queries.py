@@ -106,9 +106,21 @@ def cut_lineage(df: DataFrame) -> DataFrame:
 
     Also note (ADVICE r3): checkpointed stages' exchanges are invisible to
     the static plan, so declared plan budgets count post-cut work only.
+
+    ``SPARK_GRAFT_LAZY_CUTS=1`` makes every cut a no-op for PLAN
+    INSPECTION (ADVICE r3: explain/dump_plans on the iterative operators
+    should not execute full Spark jobs): construction runs zero jobs and
+    the full pre-cut lineage — iteration exchanges included — becomes
+    visible to explain.  Inspection-only: executing a lazy-built frame
+    recomputes every iteration inside one job, and for frames that
+    reference a cut twice (the BPE trainer's counts) plan ANALYSIS itself
+    doubles per iteration — never run results, or the plan-budget tests,
+    under this flag.
     """
     import os
 
+    if os.environ.get("SPARK_GRAFT_LAZY_CUTS"):
+        return df
     if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT"):
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:

@@ -42,3 +42,20 @@ def test_default_branch_stays_local(spark, monkeypatch):
     assert df.count() == 5
     assert not df.isStreaming  # a checkpointed leaf, executable repeatedly
     assert df.count() == 5
+
+
+def test_lazy_cuts_inspection_mode(spark, monkeypatch):
+    """SPARK_GRAFT_LAZY_CUTS=1: cut_lineage is a no-op, so iterative
+    operators can be CONSTRUCTED and explained without running jobs, and
+    the pre-cut iteration exchanges become visible to the static plan."""
+    import naive_query_engine_spark.plans as plans
+    from naive_query_engine_spark.queries import cut_lineage
+
+    monkeypatch.setenv("SPARK_GRAFT_LAZY_CUTS", "1")
+    # direct: the helper returns its input unchanged
+    base = spark.range(100).selectExpr("id", "id % 7 AS k")
+    assert cut_lineage(base) is base
+    # an aggregation behind a lazy cut keeps its exchange visible
+    agg = cut_lineage(base.groupBy("k").count())
+    text = plans.explain_text(agg, "simple")
+    assert "Exchange" in text
