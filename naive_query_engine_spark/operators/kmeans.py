@@ -128,12 +128,43 @@ def lloyd_kmeans(
     Returns the final assignment (vec_id, cluster, dist2) under the
     last-updated centroids — a single map + nothing else in its plan.
     """
-    import numpy as np
-
     # spread first: the assignment is map-heavy and a single-split corpus
     # file would serialize it onto one core; pre-split input skips the
     # exchange.  Then cut so ITERS scans hit the materialized frame
     qf = cut_lineage(spread(qf.select("vec_id", "q")))
+    centroids = train_centroids(qf, k, iters)
+    ids, C = _cmatrix(centroids)
+
+    def assign(batches, ids=tuple(ids), C=C):
+        import numpy as np
+        import pandas as pd
+
+        c2 = (C * C).sum(axis=1)
+        idarr = np.array(ids)
+        for pdf in batches:
+            Q = np.array(pdf["q"].tolist(), dtype=np.int64)
+            d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + c2[None, :]
+            a = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": idarr[a],
+                    "dist2": d[np.arange(len(a)), a],
+                }
+            )
+
+    return qf.mapInPandas(assign, "vec_id long, cluster long, dist2 long")
+
+
+def train_centroids(
+    qf: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> dict[int, list[int]]:
+    """The Lloyd training loop alone: ``iters - 1`` vectorized
+    assignment+update passes over an already spread-and-cut quantized
+    frame; returns the final centroid table (the learned coarse
+    quantizer — see :func:`similarity_ivf_kmeans_topk` for the consumer)."""
+    import numpy as np
+
     init = qf.orderBy("vec_id").limit(k).collect()
     centroids = {i: list(r["q"]) for i, r in enumerate(init)}
 
@@ -175,32 +206,14 @@ def lloyd_kmeans(
             # Python // is floor division — the exact floor-mean spec
             acc.setdefault(r["cluster"], {})[r["pos"]] = r["s"] // r["n"]
         centroids = {j: [d[p] for p in sorted(d)] for j, d in acc.items()}
-
-    ids, C = _cmatrix(centroids)
-
-    def assign(batches, ids=tuple(ids), C=C):
-        import numpy as np
-        import pandas as pd
-
-        c2 = (C * C).sum(axis=1)
-        idarr = np.array(ids)
-        for pdf in batches:
-            Q = np.array(pdf["q"].tolist(), dtype=np.int64)
-            d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + c2[None, :]
-            a = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cluster": idarr[a],
-                    "dist2": d[np.arange(len(a)), a],
-                }
-            )
-
-    return qf.mapInPandas(assign, "vec_id long, cluster long, dist2 long")
+    return centroids
 
 
-def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """The same recurrence as an independent DuckDB CTE chain."""
+def _kmeans_sql_parts(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> list[str]:
+    """DuckDB CTE chain for the Lloyd recurrence (shared by the k-means
+    oracle and the learned-quantizer IVF oracle): q, c0, a1..a{iters},
+    c1..c{iters-1}.  ``c{iters-1}`` is the final centroid table and
+    ``a{iters}`` the final assignment."""
     ctes = [
         f"""q AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -232,8 +245,13 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
       FROM a{i} a JOIN q ON a.vec_id = q.vec_id
       GROUP BY a.cluster, q.dim
     )""")
+    return ctes
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """The same recurrence as an independent DuckDB CTE chain."""
     return f"""
-    WITH {','.join(ctes)}
+    WITH {','.join(_kmeans_sql_parts(k, iters))}
     SELECT CAST(cluster AS BIGINT) AS cluster,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
@@ -261,4 +279,132 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.min("vec_id").cast("long").alias("min_vec_id"),
         F.sum("dist2").cast("long").alias("inertia_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN with the LEARNED coarse quantizer (k-means centroids as cells)
+
+IVF_KM_NPROBE = 2
+
+
+def _ivf_kmeans_oracle(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, nprobe: int = IVF_KM_NPROBE
+) -> str:
+    """Lloyd recurrence for the quantizer + inverted-file probe/score."""
+    from .similarity import N_QUERY_VECS, TOP_K
+
+    parts = _kmeans_sql_parts(k, iters)
+    parts.append("norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)")
+    parts.append(f"""dists AS (
+      SELECT q.vec_id, c.cluster, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+      FROM q JOIN c{iters - 1} c ON q.dim = c.dim
+      GROUP BY q.vec_id, c.cluster
+    )""")
+    parts.append("""ranked_cells AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      FROM dists
+    )""")
+    parts.append("assign AS (SELECT vec_id, cluster AS cell FROM ranked_cells WHERE rn = 1)")
+    parts.append(f"""probe AS (
+      SELECT vec_id, cluster AS cell FROM ranked_cells
+      WHERE rn <= {nprobe} AND vec_id < {N_QUERY_VECS}
+    )""")
+    parts.append("""dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(ea.qv * eb.qv) AS dot
+      FROM probe a
+      JOIN assign b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+      JOIN q ea ON ea.vec_id = a.vec_id
+      JOIN q eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+      GROUP BY 1, 2
+    )""")
+    parts.append("""scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) /
+             (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE))) AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    )""")
+    parts.append("""ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@query(
+    "similarity_ivf_kmeans_topk",
+    oracle=_ivf_kmeans_oracle(),
+    tags=("similarity", "pipeline", "ivf", "topk", "clustering", "iterative"),
+)
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is LEARNED — the k-means and ANN
+    families composed the way a real vector index is built:
+    :func:`train_centroids` fits K={K} Lloyd centroids, every corpus
+    vector is assigned to its nearest cell, and each query searches its
+    {P} nearest cells only (nprobe={P}, the recall lever).  Compare
+    ``similarity_ivf_topk``, whose cells are the given labels: this is
+    the label-free path a production index takes.
+
+    Scale shape: the quantizer fits on bounded driver state (K × D ints
+    per sync); assignment ranks N × K rows through one partitioned
+    window; the probe join touches only same-cell pairs (~N/K per cell —
+    k-means cells can be skewed, which is why nprobe probing, not cell
+    rebalancing, is the standard recall/latency control).
+    """.replace("{K}", str(KMEANS_K)).replace("{P}", str(IVF_KM_NPROBE))
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .similarity import N_QUERY_VECS, TOP_K, _qtable, cosine_q, dot_q
+
+    qt = cut_lineage(spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2")))
+    centroids = train_centroids(qt, KMEANS_K, KMEANS_ITERS)
+    cent = spark.createDataFrame(
+        [(j, centroids[j]) for j in sorted(centroids)],
+        "c_label long, centroid array<long>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    ranked_cells = (
+        qt.crossJoin(F.broadcast(cent))
+        .select("vec_id", "q", "nrm2", "c_label", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = ranked_cells.filter(F.col("rn") == 1).select(
+        "vec_id", "q", "nrm2", F.col("c_label").alias("cell")
+    )
+    queries = ranked_cells.filter(
+        (F.col("rn") <= IVF_KM_NPROBE) & (F.col("vec_id") < N_QUERY_VECS)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("nq2"),
+        F.col("c_label").alias("cell"),
+    )
+    cos = cosine_q(dot_q(F.col("qq"), F.col("qn")), F.col("nq2"), F.col("nn2"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        assign.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("qn"),
+            F.col("nrm2").alias("nn2"),
+            "cell",
+        )
+        .join(F.broadcast(queries), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
     )

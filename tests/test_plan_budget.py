@@ -125,6 +125,11 @@ BUDGETS = {
     # two pid-window exchanges (the range shuffles sit behind global_rank's
     # lineage cuts); final zcell agg reuses the second window's layout
     "events_zorder_locality": (2, False),
+    # learned-quantizer IVF: cell-assignment window (N×K rows) counted
+    # once per join side in the static plan + final ranking window; the
+    # centroid and query frames broadcast (quantizer training sits behind
+    # the cut_lineage'd frame)
+    "similarity_ivf_kmeans_topk": (3, True),
 }
 
 
