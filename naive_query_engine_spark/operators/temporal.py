@@ -156,3 +156,61 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+ASOF_TOLERANCE_DAYS = 30
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN date_diff('day', r.o_orderdate, CAST(e.ts AS DATE))
+                     <= {ASOF_TOLERANCE_DAYS}
+                THEN r.o_orderkey END AS o_orderkey,
+           CASE WHEN date_diff('day', r.o_orderdate, CAST(e.ts AS DATE))
+                     <= {ASOF_TOLERANCE_DAYS}
+                THEN strftime(r.o_orderdate, '%Y-%m-%d') END AS asof_date
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof(tolerance=)``
+    / kdb ``wj`` semantics): each event takes the user's most recent order
+    at event time, but a match staler than {D} days is nulled out — stale
+    state must not be carried forward indefinitely (feature freshness in
+    training pipelines).  Same union+window machinery as ``asof_join``
+    (one shuffle on the key, no inequality-join fan-out); the tolerance is
+    a post-carry-forward predicate, free at scale.  Oracle: DuckDB's
+    native ASOF LEFT JOIN with the same staleness CASE on top — an
+    independent implementation of both the as-of and the bound.
+    """.replace("{D}", str(ASOF_TOLERANCE_DAYS))
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof_join(
+        ev,
+        o.withColumn("asof_date", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .withColumn("o_date", F.col("o_orderdate")),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "asof_date", "o_date"],
+    )
+    fresh = F.datediff(F.to_date("ts"), F.col("o_date")) <= ASOF_TOLERANCE_DAYS
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(fresh, F.col("asof_date")).alias("asof_date"),
+    )

@@ -125,6 +125,9 @@ BUDGETS = {
     # two pid-window exchanges (the range shuffles sit behind global_rank's
     # lineage cuts); final zcell agg reuses the second window's layout
     "events_zorder_locality": (2, False),
+    # orders dedupe agg + the one union+window key shuffle; tolerance is
+    # a post-carry-forward predicate (no extra exchange vs plain as-of)
+    "asof_join_tolerance": (2, False),
     # learned-quantizer IVF: cell-assignment window (N×K rows) counted
     # once per join side in the static plan + final ranking window; the
     # centroid and query frames broadcast (quantizer training sits behind

@@ -40,6 +40,12 @@ PROBE_QUERIES = [
     "q09_profit_by_nation_year",
     "dedup_minhash_lsh",
     "similarity_cosine_pairs",
+    # r4 additions: the rotated-in bench families + the learned-quantizer
+    # path, so future rounds measure them at scale by default
+    "dedup_substring_strided",
+    "text_bm25_topk",
+    "embedding_kmeans_lloyd",
+    "similarity_ivf_kmeans_topk",
 ]
 #: tables that must scale with N.  In TPC-H *everything except nation and
 #: region* grows linearly with SF — including customer/supplier/part, which
