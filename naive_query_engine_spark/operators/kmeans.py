@@ -408,3 +408,52 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+def _km_recall_oracle() -> str:
+    """Combined oracle: brute-force + learned-quantizer rankings as nested
+    CTEs, exact set intersection, one double division."""
+    from ..queries import QUERIES as _Q
+
+    bf = _Q["similarity_topk_bruteforce"].oracle
+    km = _ivf_kmeans_oracle()
+    return f"""
+    WITH bf AS ({bf}),
+    km AS ({km}),
+    m AS (SELECT COUNT(*) AS matched FROM bf JOIN km USING (query_id, neighbor_id)),
+    tot AS (SELECT COUNT(*) AS total FROM bf)
+    SELECT CAST(matched AS BIGINT) AS matched,
+           CAST(total AS BIGINT) AS total,
+           CAST(matched AS DOUBLE) / total AS recall_at_k
+    FROM m CROSS JOIN tot
+    """
+
+
+@query(
+    "similarity_kmeans_recall_at_k",
+    oracle=_km_recall_oracle(),
+    tags=("similarity", "pipeline", "evaluation", "clustering"),
+)
+def similarity_kmeans_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LEARNED-quantizer IVF path against exact brute
+    force — the ship-gate metric for the label-free index
+    (``similarity_recall_at_k`` evaluates the label/int8-rerank path).
+    Both rankings are deterministic, so the recall is a stable,
+    regression-testable number; a drop means the Lloyd quantizer's cells
+    started splitting true neighbor groups (the fix is more nprobe, not
+    cell rebalancing)."""
+    from ..queries import QUERIES as _Q
+
+    bf = _Q["similarity_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    km = similarity_ivf_kmeans_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    matched = bf.join(km, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("matched")
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+    return matched.crossJoin(total).select(
+        "matched",
+        "total",
+        (F.col("matched").cast("double") / F.col("total")).alias("recall_at_k"),
+    )
