@@ -40,16 +40,25 @@ def morton_key(a_bucket: Column, b_bucket: Column) -> Column:
 
 
 def with_zorder_key(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
-    """Append a ``zkey`` column: rank-normalize both dimensions to 2^16
-    buckets (ntile over a global order — one sort each at layout time,
-    amortized over every future read), then interleave."""
-    n = 1 << ZBITS
-    wa = Window.orderBy(F.col(col_a))
-    wb = Window.orderBy(F.col(col_b))
-    return df.withColumn(
-        "zkey",
-        morton_key(F.ntile(n).over(wa) - 1, F.ntile(n).over(wb) - 1),
-    )
+    """Append a ``zkey`` column: rank-normalize both dimensions onto the
+    full 2^16 range via :func:`global_rank` (distributed — two range
+    sorts at layout time, amortized over every future read; the first
+    draft's global-ntile windows funneled the whole table through one
+    task), then interleave.
+
+    Rank ties break on the other column (layout only — any stable
+    tie-break yields the same pruning quality)."""
+
+    def scale16(rank_col, total):
+        x = rank_col * 65535
+        d = F.lit(max(total - 1, 1)).cast("long")
+        return ((x - ((x % d) + d) % d) / d).cast("long")
+
+    d1, n = global_rank(df, [col_a, col_b], "_ra")
+    d2, _ = global_rank(d1, [col_b, col_a], "_rb")
+    return d2.withColumn(
+        "zkey", morton_key(scale16(F.col("_ra"), n), scale16(F.col("_rb"), n))
+    ).drop("_ra", "_rb")
 
 
 def write_zordered(
