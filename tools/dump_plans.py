@@ -97,6 +97,23 @@ ANNOTATED = {
     "text_char_bigram_likelihood": "bigram expansion is a narrow per-row "
     "transform; count table bounded by charset^2 (AQE broadcasts it); one "
     "join keyed by bigram + one doc aggregation",
+    # r4 additions
+    "embedding_kmeans_lloyd": "Lloyd training ran at construction "
+    "(cut_lineage); the visible plan is scan -> MapInPandas (int64 matmul "
+    "assignment, centroids in the closure) -> one partial+final cluster "
+    "rollup — a single exchange for the whole clustering",
+    "dedup_substring_strided": "winnowed fingerprints: window-min selection "
+    "is ROW-LOCAL (transform over the in-row hash array — no raw-window "
+    "shuffle at all), then the same df-cap + inverted-index self-join as "
+    "stride-1 over a K-times-smaller index",
+    "events_zorder_locality": "two distributed global ranks "
+    "(repartitionByRange behind the lineage cut, per-partition offsets via "
+    "a bounded map lookup) + Morton interleave in codegen + one zcell agg "
+    "— no single-partition window anywhere",
+    "similarity_ivf_kmeans_topk": "learned-quantizer IVF: trained centroid "
+    "table is a bounded BroadcastExchange; cell assignment ranks N x K "
+    "rows in one partitioned window; probe join meets same-cell vectors "
+    "only; final ranking window over probed candidates",
 }
 
 
