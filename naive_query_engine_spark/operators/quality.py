@@ -525,3 +525,94 @@ from ..queries import QUERIES as _QR  # noqa: E402
 _QR["dataset_curriculum_bins"] = _dc.replace(
     _QR["dataset_curriculum_bins"], oracle=_curriculum_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking with overlap (the pre-training data-prep cut)
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+@query(
+    "dataset_chunk_documents",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, LENGTH(toks) AS n_tok,
+             1 + CAST(((CASE WHEN LENGTH(toks) > {CHUNK_TOKENS}
+                             THEN LENGTH(toks) - {CHUNK_TOKENS} ELSE 0 END
+                        + {CHUNK_STRIDE} - 1)
+                       - ((CASE WHEN LENGTH(toks) > {CHUNK_TOKENS}
+                                THEN LENGTH(toks) - {CHUNK_TOKENS} ELSE 0 END
+                           + {CHUNK_STRIDE} - 1) % {CHUNK_STRIDE}))
+                      / {CHUNK_STRIDE} AS BIGINT) AS n_chunks
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM n
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS}, n_tok - chunk_id * {CHUNK_STRIDE})
+                AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(
+                 toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                      chunk_id * {CHUNK_STRIDE}
+                      + LEAST({CHUNK_TOKENS}, n_tok - chunk_id * {CHUNK_STRIDE})],
+                 ' ')) AS chunk_md5
+    FROM c
+    """,
+    tags=("quality", "pipeline", "chunking"),
+)
+def dataset_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the cut every pre-training pipeline makes
+    before packing: each document becomes overlapping {C}-token chunks at
+    stride {S} ({O}-token overlap so no span is ever split across a chunk
+    boundary without a copy that contains it whole); the tail chunk is
+    short rather than dropped, and a short document still yields one
+    chunk.  ``chunk_md5`` digests the exact token slice, so the output is
+    a verifiable chunk manifest (dedupable, joinable back to ``doc_id``).
+
+    Scale shape: tokenize + per-row ``sequence`` explode + in-row array
+    slicing — a pure map over the corpus (the one exchange is the
+    split-aware spread of the single-split test file); chunk volume is
+    O(total tokens / stride).
+    """.replace("{C}", str(CHUNK_TOKENS)).replace("{S}", str(CHUNK_STRIDE)).replace(
+        "{O}", str(CHUNK_TOKENS - CHUNK_STRIDE)
+    )
+    from ..queries import spread
+    from .text import tokens
+
+    d = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    n_tok = F.size("toks")
+    overflow = F.greatest(n_tok - CHUNK_TOKENS, F.lit(0)) + (CHUNK_STRIDE - 1)
+    n_chunks = F.lit(1) + ((overflow - overflow % CHUNK_STRIDE) / CHUNK_STRIDE).cast(
+        "long"
+    )
+    c = d.select(
+        "doc_id",
+        "toks",
+        n_tok.alias("n_tok"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    clen = F.least(F.lit(CHUNK_TOKENS), F.col("n_tok") - start)
+    return c.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        clen.cast("long").alias("chunk_tokens"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), (start + 1).cast("int"), clen.cast("int")), " ")
+        ).alias("chunk_md5"),
+    )

@@ -997,3 +997,141 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# label-noise audit: kNN label disagreement (cleanlab-style)
+
+KNN_AUDIT_VECS = 20  # audit sample (vec_id < this); bounded like N_QUERY_VECS
+KNN_K = 10
+
+
+@query(
+    "embedding_label_knn_disagreement",
+    oracle=f"""
+    WITH {_Q_SQL},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             SUM(ea.v * eb.v) AS dot
+      FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < {KNN_AUDIT_VECS}) a
+      JOIN (SELECT DISTINCT vec_id FROM e) b ON b.vec_id <> a.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) /
+             (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE))) AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {KNN_K}
+    )
+    SELECT CAST(t.query_id AS BIGINT) AS vec_id,
+           CAST(ql.label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN nl.label <> ql.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_disagree,
+           CAST(SUM(CASE WHEN nl.label <> ql.label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS disagree_frac
+    FROM topk t
+    JOIN lab ql ON ql.vec_id = t.query_id
+    JOIN lab nl ON nl.vec_id = t.neighbor_id
+    GROUP BY t.query_id, ql.label
+    """,
+    tags=("similarity", "pipeline", "evaluation", "quality", "pandas-udf"),
+)
+def embedding_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: for each audit vector, the fraction of its
+    {K} nearest neighbors (exact cosine) carrying a DIFFERENT label — the
+    neighbor-voting mislabel detector (confident-learning style).  A high
+    ``disagree_frac`` flags a vector whose label its embedding
+    neighborhood contradicts — the rows a label-cleaning pass reviews
+    first.
+
+    Same corpus-size-independent shuffle shape as
+    ``similarity_topk_vectorized``: the audit matrix ({A} vectors) rides
+    in one broadcast, the Arrow kernel emits per-batch top-{K} under the
+    global window's exact order, and labels join onto K x {A} rows.
+    """.replace("{K}", str(KNN_K)).replace("{A}", str(KNN_AUDIT_VECS))
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    qt = _qtable(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    audit = qt.filter(F.col("vec_id") < KNN_AUDIT_VECS).select(
+        "vec_id", "q", "nrm2"
+    ).collect()
+    bc = spark.sparkContext.broadcast(
+        (
+            np.asarray([r["vec_id"] for r in audit], dtype=np.int64),
+            np.asarray([r["q"] for r in audit], dtype=np.float64),
+            np.sqrt(np.asarray([r["nrm2"] for r in audit], dtype=np.float64)),
+        )
+    )
+
+    def score(batches):
+        import numpy as np
+
+        qid, qm, qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nm = np.asarray(list(pdf["q"]), dtype=np.float64)
+            nn = np.sqrt(np.asarray(pdf["nrm2"], dtype=np.float64))
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cos = (qm @ nm.T) / (qn[:, None] * nn[None, :])
+            cos[qid[:, None] == nid[None, :]] = -np.inf
+            k = min(KNN_K, cos.shape[1])
+            out_q, out_n, out_c = [], [], []
+            for i in range(cos.shape[0]):
+                row = cos[i]
+                top = np.lexsort((nid, -row))[:k]
+                top = top[np.isfinite(row[top])]
+                out_q.append(np.full(len(top), qid[i]))
+                out_n.append(nid[top])
+                out_c.append(row[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = qt.select("vec_id", "q", "nrm2").mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("query_id", "neighbor_id")
+    )
+    lab = _qtable(spark, sf_dir).select("vec_id", "label")
+    ql = lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed("label", "qlabel")
+    nl = lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "nlabel")
+    diff = F.when(F.col("nlabel") != F.col("qlabel"), 1).otherwise(0)
+    return (
+        topk.join(F.broadcast(ql), "query_id")
+        .join(nl, "neighbor_id")
+        .groupBy(
+            F.col("query_id").cast("long").alias("vec_id"),
+            F.col("qlabel").cast("long").alias("label"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum(diff).cast("long").alias("n_disagree"),
+            (F.sum(diff).cast("double") / F.count(F.lit(1))).alias("disagree_frac"),
+        )
+    )

@@ -128,6 +128,13 @@ BUDGETS = {
     # orders dedupe agg + the one union+window key shuffle; tolerance is
     # a post-carry-forward predicate (no extra exchange vs plain as-of)
     "asof_join_tolerance": (2, False),
+    # pure map: tokenize + sequence explode + in-row slice; the one
+    # exchange is the split-aware spread of the single-split test file
+    "dataset_chunk_documents": (1, False),
+    # kernel emits per-batch top-K → the ranking window's partition-by is
+    # the one shuffle; label sides broadcast and the final agg reuses the
+    # window's query_id partitioning
+    "embedding_label_knn_disagreement": (1, True),
     # learned-quantizer IVF: cell-assignment window (N×K rows) counted
     # once per join side in the static plan + final ranking window; the
     # centroid and query frames broadcast (quantizer training sits behind
