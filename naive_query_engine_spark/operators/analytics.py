@@ -301,3 +301,48 @@ def events_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers")
         )
     )
+
+
+@query(
+    "events_activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS run_len
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(run_len) AS BIGINT) AS max_streak_days
+    FROM runs GROUP BY user_id
+    """,
+    tags=("events", "window", "islands"),
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+    days (the classic ``date - row_number()`` constant-per-run trick —
+    engagement-streak analytics, also the shape behind session stitching
+    and sensor-gap detection).  One user-partitioned window + two
+    aggregations; the per-(user, day) dedupe is the only corpus-volume
+    shuffle, and the window reuses its partitioning."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.sum("run_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("run_len").cast("long").alias("max_streak_days"),
+    )

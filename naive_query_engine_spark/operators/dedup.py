@@ -883,3 +883,74 @@ def dedup_substring_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery as the stride-1 detector.  At 100 TB this is the variant to
     run — stride-1 is the forensic tool for bounded suspects."""
     return substring_strided_pairs(t(spark, sf_dir, "documents"))
+
+
+def _minhash_recall_oracle() -> str:
+    """Compose the two member oracles: exact inverted-index pairs vs
+    LSH-banded verified pairs, exact set intersection, one division."""
+    from ..queries import QUERIES as _QQ
+
+    exact = _QQ["dedup_ngram_jaccard"].oracle
+    lsh = _QQ["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH ex AS ({exact}),
+    ls AS ({lsh}),
+    m AS (SELECT COUNT(*) AS matched FROM ex JOIN ls USING (doc_a, doc_b)),
+    te AS (SELECT COUNT(*) AS n_exact FROM ex),
+    tl AS (SELECT COUNT(*) AS n_lsh FROM ls)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_lsh AS BIGINT) AS n_lsh,
+           CAST(matched AS BIGINT) AS matched,
+           CAST(matched AS DOUBLE) / n_exact AS recall
+    FROM m CROSS JOIN te CROSS JOIN tl
+    """
+
+
+@query(
+    "dedup_minhash_recall_vs_exact",
+    oracle=None,  # patched below — needs both member oracles registered first
+    tags=("dedup", "pipeline", "evaluation"),
+)
+def dedup_minhash_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup analog of the ANN recall gates: banding recall of
+    MinHash-LSH against the exact inverted-index Jaccard pair set.  LSH
+    verifies candidates with exact Jaccard, so its precision is 1 by
+    construction — what banding can lose is RECALL (a true near-dup pair
+    whose {B} band signatures all disagree).  Both pair sets are
+    deterministic, so the recall is a stable regression number: a drop
+    after touching MINHASH_K / band geometry means the banding started
+    missing real duplicates.""".format(B="MINHASH_BANDS")
+    d = t(spark, sf_dir, "documents")
+    from ..queries import QUERIES as _QQ, cut_lineage
+
+    # each pair frame feeds three aggregate consumers — without the cut
+    # the static plan re-counts both full dedup pipelines per consumer
+    # (78 exchanges) and every count job re-executes them
+    exact = cut_lineage(
+        _QQ["dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    lsh = cut_lineage(minhash_lsh_pairs(d).select("doc_a", "doc_b"))
+    matched = exact.join(lsh, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("matched")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (
+        matched.crossJoin(n_exact)
+        .crossJoin(n_lsh)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "matched",
+            (F.col("matched").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+import dataclasses as _dc2  # noqa: E402
+
+from ..queries import QUERIES as _QREG2  # noqa: E402
+
+_QREG2["dedup_minhash_recall_vs_exact"] = _dc2.replace(
+    _QREG2["dedup_minhash_recall_vs_exact"], oracle=_minhash_recall_oracle()
+)

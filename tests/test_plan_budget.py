@@ -128,6 +128,13 @@ BUDGETS = {
     # orders dedupe agg + the one union+window key shuffle; tolerance is
     # a post-carry-forward predicate (no extra exchange vs plain as-of)
     "asof_join_tolerance": (2, False),
+    # (user, day) dedupe + islands window reusing its partitioning; final
+    # per-user rollup
+    "events_activity_islands": (2, False),
+    # both pair frames sit behind lineage cuts (each feeds 3 aggregate
+    # consumers — uncut, the static plan re-counted both dedup pipelines
+    # per consumer: 78 exchanges); what remains is the semi-join + counts
+    "dedup_minhash_recall_vs_exact": (5, True),
     # pure map: tokenize + sequence explode + in-row slice; the one
     # exchange is the split-aware spread of the single-split test file
     "dataset_chunk_documents": (1, False),
