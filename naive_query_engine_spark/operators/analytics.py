@@ -346,3 +346,45 @@ def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.max("run_len").cast("long").alias("max_streak_days"),
     )
+
+
+@query(
+    "events_state_durations",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(date_diff('microsecond', ts, next_ts)) AS BIGINT) AS total_us,
+           CAST(MAX(date_diff('microsecond', ts, next_ts)) AS BIGINT) AS max_us
+    FROM seq WHERE next_ts IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("events", "window", "scd2", "temporal"),
+)
+def events_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-interval (SCD2) reconstruction from an event log: each event
+    opens a state that the user's NEXT event closes (``LEAD`` over the
+    per-user timeline — the valid-from/valid-to derivation behind every
+    type-2 dimension build); output aggregates closed-interval dwell time
+    per state.  Open (final) intervals are excluded — they have no
+    deterministic end.  Durations are exact MICROSECOND integers —
+    second-level diffs disagree across engines (DuckDB counts boundary
+    crossings, Spark truncates).  One user-partitioned window; the state
+    aggregation reuses nothing corpus-sized."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    dur = F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("next_ts"))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(dur).cast("long").alias("total_us"),
+        F.max(dur).cast("long").alias("max_us"),
+    )

@@ -1217,3 +1217,110 @@ def text_bpe_train_8iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.crossJoin(F.broadcast(expf)).select(
         "iter", expand.alias("pair"), "cnt", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining: adjacent-token PMI (lift)
+
+PMI_MIN_COUNT = 20
+PMI_TOP = 50
+
+
+@query(
+    "text_adjacent_pmi_top",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(tk) AS tok FROM toks
+    ),
+    ucnt AS (SELECT tok, COUNT(*) AS cnt FROM uni GROUP BY tok),
+    nt AS (SELECT COUNT(*) AS n_tok FROM uni),
+    pairs AS (
+      SELECT tk[i] AS tok_a, tk[i + 1] AS tok_b
+      FROM (SELECT tk, unnest(generate_series(1, LENGTH(tk) - 1)) AS i FROM toks)
+    ),
+    pcnt AS (
+      SELECT tok_a, tok_b, COUNT(*) AS cnt_ab
+      FROM pairs GROUP BY tok_a, tok_b
+      HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ),
+    np AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+    scored AS (
+      SELECT p.tok_a, p.tok_b, p.cnt_ab,
+             ((CAST(p.cnt_ab AS DOUBLE) * nt.n_tok) * nt.n_tok)
+             / ((CAST(np.n_pairs AS DOUBLE) * a.cnt) * b.cnt) AS lift
+      FROM pcnt p
+      JOIN ucnt a ON a.tok = p.tok_a
+      JOIN ucnt b ON b.tok = p.tok_b
+      CROSS JOIN nt CROSS JOIN np
+    )
+    SELECT tok_a, tok_b, CAST(cnt_ab AS BIGINT) AS cnt_ab, lift,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, tok_a, tok_b) AS rnk
+      FROM scored
+    ) WHERE rnk <= {PMI_TOP}
+    """,
+    tags=("text", "pipeline", "collocation"),
+)
+def text_adjacent_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation (phrase) mining: top-{T} adjacent-token pairs by PMI
+    lift ``P(ab) / (P(a)·P(b))`` with a min-support cut — the phrase
+    candidates a tokenizer/vocab build promotes to single units (the
+    statistical cousin of the BPE merge rule, which ranks by raw count).
+    The lift is one fixed double expression over exact integer counts
+    (identical association both engines); ranking ties break on the pair.
+
+    Scale shape: unigram and pair aggregations both partial-aggregate
+    map-side (bounded by vocab / vocab-pair domain); the two 1-row
+    totals broadcast; TakeOrdered for the top-{T}.""".replace(
+        "{T}", str(PMI_TOP)
+    )
+    from pyspark.sql import Window
+
+    d = spread(t(spark, sf_dir, "documents")).select(
+        tokens(F.col("text")).alias("tk")
+    ).persist()
+    uni = d.select(F.explode("tk").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    nt = uni.agg(F.count(F.lit(1)).alias("n_tok"))
+    pairs = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tk"), i).alias("tok_a"),
+                    F.element_at(F.col("tk"), i + 1).alias("tok_b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    pcnt = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= PMI_MIN_COUNT)
+    )
+    np_ = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    a = ucnt.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("cnt_a"))
+    b = ucnt.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cnt_b"))
+    lift = ((F.col("cnt_ab").cast("double") * F.col("n_tok")) * F.col("n_tok")) / (
+        (F.col("n_pairs").cast("double") * F.col("cnt_a")) * F.col("cnt_b")
+    )
+    w = Window.orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+    scored = (
+        pcnt.join(a, "tok_a")
+        .join(b, "tok_b")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(np_))
+        .select("tok_a", "tok_b", "cnt_ab", lift.alias("lift"))
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+        .limit(PMI_TOP)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("tok_a", "tok_b", F.col("cnt_ab").cast("long").alias("cnt_ab"), "lift", "rnk")
+    )

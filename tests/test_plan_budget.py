@@ -131,6 +131,12 @@ BUDGETS = {
     # (user, day) dedupe + islands window reusing its partitioning; final
     # per-user rollup
     "events_activity_islands": (2, False),
+    # persisted token frame feeds unigram/pair/total lineages (static
+    # re-count per consumer); pair+unigram aggs partial-aggregate, totals
+    # broadcast, TakeOrdered top
+    "text_adjacent_pmi_top": (10, True),
+    # per-user LEAD window + state agg
+    "events_state_durations": (2, False),
     # both pair frames sit behind lineage cuts (each feeds 3 aggregate
     # consumers — uncut, the static plan re-counted both dedup pipelines
     # per consumer: 78 exchanges); what remains is the semi-join + counts
