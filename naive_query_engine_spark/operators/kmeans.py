@@ -163,8 +163,6 @@ def train_centroids(
     assignment+update passes over an already spread-and-cut quantized
     frame; returns the final centroid table (the learned coarse
     quantizer — see :func:`similarity_ivf_kmeans_topk` for the consumer)."""
-    import numpy as np
-
     init = qf.orderBy("vec_id").limit(k).collect()
     centroids = {i: list(r["q"]) for i, r in enumerate(init)}
 
@@ -360,7 +358,6 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means cells can be skewed, which is why nprobe probing, not cell
     rebalancing, is the standard recall/latency control).
     """.replace("{K}", str(KMEANS_K)).replace("{P}", str(IVF_KM_NPROBE))
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from .similarity import N_QUERY_VECS, TOP_K, _qtable, cosine_q, dot_q

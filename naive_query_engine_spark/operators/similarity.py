@@ -1119,7 +1119,15 @@ def embedding_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFr
         .select("query_id", "neighbor_id")
     )
     lab = _qtable(spark, sf_dir).select("vec_id", "label")
-    ql = lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed("label", "qlabel")
+    # audit labels: bounded by the same literal filter as the audit matrix
+    # (vec_id < KNN_AUDIT_VECS) — broadcastable at any corpus size.  The
+    # neighbor-label side is corpus-sized and stays unhinted (AQE's call;
+    # the tiny top-k frame is the natural build side).
+    ql = (
+        lab.filter(F.col("vec_id") < KNN_AUDIT_VECS)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "qlabel")
+    )
     nl = lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "nlabel")
     diff = F.when(F.col("nlabel") != F.col("qlabel"), 1).otherwise(0)
     return (

@@ -72,6 +72,17 @@ HINT_EXCEPTIONS = {
     # |labels| x PQ_M, not corpus size — and (b) the ADC lookup tables,
     # bounded by the vec_id < N_QUERY_VECS literal filter x the codebook
     "similarity_pq_adc_topk": "codebook (labels x PQ_M) + ADC tables (5 x codebook)",
+    # operators/kmeans.py: the hinted probe frame is ranked cells filtered
+    # to `rn <= IVF_KM_NPROBE AND vec_id < N_QUERY_VECS` — bounded to
+    # nprobe x 5 rows by literal predicates (the trained centroid frame is
+    # a K-row createDataFrame literal, not a corpus relation)
+    "similarity_ivf_kmeans_topk": "query probes (nprobe x 5 rows) + literal centroids",
+    # composes similarity_ivf_kmeans_topk, inheriting its bounded hints
+    "similarity_kmeans_recall_at_k": "inherits ivf_kmeans' bounded probe hint",
+    # operators/similarity.py: the hinted audit-label frame is embeddings
+    # filtered to `vec_id < KNN_AUDIT_VECS` (20) — a literal predicate
+    # bounds it regardless of corpus size; neighbor labels stay unhinted
+    "embedding_label_knn_disagreement": "audit labels: vec_id < KNN_AUDIT_VECS filter",
     # operators/similarity.py: same 5-row query-set hint as
     # similarity_topk_bruteforce (vec_id < N_QUERY_VECS literal filter)
     "embedding_hard_negatives": "query set: vec_id < N_QUERY_VECS literal filter",
