@@ -326,9 +326,7 @@ def _minhash_oracle() -> str:
 @query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "pipeline", "minhash", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection (shingle → minhash → band → bucket-join
-    → verify).  K={K} hashes, {B} bands × {R} rows.""".format(
-        K=MINHASH_K, B=MINHASH_BANDS, R=MINHASH_R
-    )
+    → verify).  K=MINHASH_K hashes, MINHASH_BANDS bands × MINHASH_R rows."""
     return minhash_lsh_pairs(t(spark, sf_dir, "documents"))
 
 
@@ -919,7 +917,7 @@ def dedup_minhash_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     whose {B} band signatures all disagree).  Both pair sets are
     deterministic, so the recall is a stable regression number: a drop
     after touching MINHASH_K / band geometry means the banding started
-    missing real duplicates.""".format(B="MINHASH_BANDS")
+    missing real duplicates."""
     d = t(spark, sf_dir, "documents")
     from ..queries import QUERIES as _QQ, cut_lineage
 

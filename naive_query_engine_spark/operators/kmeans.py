@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import cut_lineage, query, spread, t
+from ..queries import cut_lineage, floordiv_col, query, spread, t
 from .similarity import QUANT, quantized
 
 KMEANS_K = 8
@@ -90,9 +90,7 @@ def update_centroids(assigned: DataFrame) -> dict[int, list[int]]:
         .select(
             "cluster",
             "pos",
-            ((F.col("s") - ((F.col("s") % F.col("n")) + F.col("n")) % F.col("n")) / F.col("n"))
-            .cast("long")
-            .alias("cv"),
+            floordiv_col(F.col("s"), F.col("n")).alias("cv"),
         )
         .collect()
     )
@@ -265,11 +263,11 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     tags=("similarity", "pipeline", "clustering", "iterative"),
 )
 def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K={K} Lloyd k-means, {I} iterations, over the embeddings corpus;
+    """K=8 Lloyd k-means, 4 iterations, over the embeddings corpus;
     output = per-cluster size, min member id, and exact quantized inertia.
     Broadcast-centroid assignment (map-only) + partial-aggregated centroid
     update — the MLlib-KMeans shuffle shape, integer-exact for the oracle.
-    """.replace("{K}", str(KMEANS_K)).replace("{I}", str(KMEANS_ITERS))
+    (K/iters are KMEANS_K / KMEANS_ITERS.)"""
     e = t(spark, sf_dir, "embeddings")
     qf = e.select("vec_id", quantized(F.col("embedding")).alias("q"))
     final = lloyd_kmeans(qf)
@@ -357,7 +355,7 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the probe join touches only same-cell pairs (~N/K per cell —
     k-means cells can be skewed, which is why nprobe probing, not cell
     rebalancing, is the standard recall/latency control).
-    """.replace("{K}", str(KMEANS_K)).replace("{P}", str(IVF_KM_NPROBE))
+    """
     from pyspark.sql import Window
 
     from .similarity import N_QUERY_VECS, TOP_K, _qtable, cosine_q, dot_q

@@ -8,8 +8,9 @@ Here it's a pure column expression + a layout writer, usable on plain
 parquet.
 
 The key is built JVM-side from bit arithmetic (no UDF); rank
-normalization uses ntile so skewed value distributions still spread
-across the key space.
+normalization uses the distributed :func:`global_rank` scaled onto the
+full 16-bit range, so skewed value distributions still spread across the
+key space and no stage funnels the table through one task.
 """
 
 from __future__ import annotations
@@ -46,19 +47,21 @@ def with_zorder_key(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     draft's global-ntile windows funneled the whole table through one
     task), then interleave.
 
-    Rank ties break on the other column (layout only — any stable
-    tie-break yields the same pruning quality)."""
+    ``global_rank`` requires a TOTAL order, so ties beyond the other
+    column break on a content hash of every column: rows that are fully
+    identical may still swap ranks, but swapping identical rows is the
+    identity on the output multiset — the layout is reproducible."""
 
     def scale16(rank_col, total):
-        x = rank_col * 65535
-        d = F.lit(max(total - 1, 1)).cast("long")
-        return ((x - ((x % d) + d) % d) / d).cast("long")
+        return floordiv_col(rank_col * 65535, F.lit(max(total - 1, 1)).cast("long"))
 
-    d1, n = global_rank(df, [col_a, col_b], "_ra")
-    d2, _ = global_rank(d1, [col_b, col_a], "_rb")
+    tie = F.hash(*[F.col(c) for c, dt in df.dtypes if not dt.startswith("map")])
+    d0 = df.withColumn("_tie", tie)
+    d1, n = global_rank(d0, [col_a, col_b, "_tie"], "_ra")
+    d2, _ = global_rank(d1, [col_b, col_a, "_tie"], "_rb")
     return d2.withColumn(
         "zkey", morton_key(scale16(F.col("_ra"), n), scale16(F.col("_rb"), n))
-    ).drop("_ra", "_rb")
+    ).drop("_ra", "_rb", "_tie")
 
 
 def write_zordered(
@@ -79,7 +82,7 @@ def write_zordered(
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from ..queries import cut_lineage, query, t  # noqa: E402
+from ..queries import cut_lineage, floordiv_col, query, t  # noqa: E402
 
 
 def global_rank(
@@ -166,10 +169,11 @@ def _floordiv_sql(x: str, d: str) -> str:
 def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Z-order clustering key as a registered, oracle-checked query:
     rank-normalize (user_id, ts) onto the full 2^16 range via exact
-    integer scaling ``(rank-1) * 65535 // (n-1)`` with fully deterministic
-    windows (unique ``event_id`` tie-break — ``with_zorder_key``'s ntile
-    over a plain column order is neither tie-stable nor full-range on
-    small inputs), interleave via ``morton_key``, and report per
+    integer scaling ``(rank-1) * 65535 // (n-1)`` under a fully
+    deterministic total order (unique ``event_id`` tie-break — the
+    hash-check needs it; ``with_zorder_key`` uses a content-hash
+    tie-break for arbitrary frames), interleave via ``morton_key``, and
+    report per
     coarse-cell counts plus the bucket spread of each dimension — small
     spreads per cell are exactly the min/max-stats locality that makes
     parquet row-group pruning work on BOTH dimensions after
@@ -187,9 +191,8 @@ def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2, _ = global_rank(d1, ["ts", "event_id"], "rb")
 
     def scale(rank_col):
-        x = rank_col * 65535  # global_rank is already 0-based long
-        d = F.lit(max(n - 1, 1)).cast("long")
-        return ((x - ((x % d) + d) % d) / d).cast("long")
+        # global_rank is already 0-based long
+        return floordiv_col(rank_col * 65535, F.lit(max(n - 1, 1)).cast("long"))
 
     keyed = d2.select(
         scale(F.col("ra")).alias("ua"), scale(F.col("rb")).alias("ub")

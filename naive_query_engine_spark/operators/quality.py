@@ -585,9 +585,7 @@ def dataset_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     slicing — a pure map over the corpus (the one exchange is the
     split-aware spread of the single-split test file); chunk volume is
     O(total tokens / stride).
-    """.replace("{C}", str(CHUNK_TOKENS)).replace("{S}", str(CHUNK_STRIDE)).replace(
-        "{O}", str(CHUNK_TOKENS - CHUNK_STRIDE)
-    )
+    """
     from ..queries import spread
     from .text import tokens
 

@@ -1062,7 +1062,7 @@ def embedding_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFr
     ``similarity_topk_vectorized``: the audit matrix ({A} vectors) rides
     in one broadcast, the Arrow kernel emits per-batch top-{K} under the
     global window's exact order, and labels join onto K x {A} rows.
-    """.replace("{K}", str(KNN_K)).replace("{A}", str(KNN_AUDIT_VECS))
+    """
     import numpy as np
     import pandas as pd
 

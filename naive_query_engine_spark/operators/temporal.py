@@ -190,7 +190,7 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     a post-carry-forward predicate, free at scale.  Oracle: DuckDB's
     native ASOF LEFT JOIN with the same staleness CASE on top — an
     independent implementation of both the as-of and the bound.
-    """.replace("{D}", str(ASOF_TOLERANCE_DAYS))
+    """
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = (
         t(spark, sf_dir, "orders")

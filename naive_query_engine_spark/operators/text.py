@@ -1056,7 +1056,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the encode pass is a pure map over the corpus token
     stream (the whole merge table rides in ONE 1-row broadcast frame)
     plus a per-source aggregation — encoding cost is O(corpus), shuffle
-    is per-source partials only.""".replace("{N}", str(BPE_N_ITERS))
+    is per-source partials only."""
     from pyspark import StorageLevel
 
     d = t(spark, sf_dir, "documents")
@@ -1091,26 +1091,14 @@ def _bpe_train_oracle(n_iters: int = BPE_N_ITERS, top: int = BPE_ITER_TOP) -> st
     """Oracle by the same recurrence, one full recount per iteration (the
     oracle is the independent SPEC — the Spark side maintains the counts
     incrementally instead).  Ranks are computed on the RAW pair in an
-    inner subquery before any re-expansion (ADVICE r3)."""
+    inner subquery before any re-expansion (ADVICE r3).  The winner
+    derivation comes from the shared :func:`_bpe_winners_sql_parts` (one
+    source for the tokenization/placeholder/length-filter recurrence,
+    also used by the encode oracle); this wrapper only adds the
+    per-iteration top-k CTEs and the merged-symbol re-expansion."""
     code = lambda i: 1 + (i - 1)  # noqa: E731 — chr code of placeholder i
-    parts = [
-        r"""tok AS (
-      SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
-      FROM documents
-    )""",
-        "lt1 AS (SELECT tok FROM tok WHERE length(tok) >= 2)",
-    ]
+    parts = _bpe_winners_sql_parts(n_iters)
     for i in range(1, n_iters + 1):
-        parts.append(
-            f"""p{i} AS (
-      SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
-      FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i FROM lt{i})
-    )"""
-        )
-        parts.append(f"c{i} AS (SELECT pair, COUNT(*) AS cnt FROM p{i} GROUP BY 1)")
-        parts.append(
-            f"w{i} AS (SELECT pair AS w FROM c{i} ORDER BY cnt DESC, pair LIMIT 1)"
-        )
         parts.append(
             f"""r{i} AS (
       SELECT CAST({i} AS BIGINT) AS iter, pair, cnt, rnk
@@ -1120,14 +1108,6 @@ def _bpe_train_oracle(n_iters: int = BPE_N_ITERS, top: int = BPE_ITER_TOP) -> st
       WHERE rnk <= {top}
     )"""
         )
-        if i < n_iters:
-            parts.append(
-                f"""lt{i + 1} AS (
-      SELECT tok FROM (
-        SELECT replace(tok, (SELECT w FROM w{i}), chr({code(i)})) AS tok FROM lt{i})
-      WHERE length(tok) >= 2
-    )"""
-            )
     # merged-symbol expansions: ex_i = winner_i with earlier placeholders
     # fully expanded (stream at iteration i can only contain placeholders
     # j < i, so each ex builds on already-plain predecessors)
@@ -1277,9 +1257,7 @@ def text_adjacent_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: unigram and pair aggregations both partial-aggregate
     map-side (bounded by vocab / vocab-pair domain); the two 1-row
-    totals broadcast; TakeOrdered for the top-{T}.""".replace(
-        "{T}", str(PMI_TOP)
-    )
+    totals broadcast; TakeOrdered for the top-PMI_TOP."""
     from pyspark.sql import Window
 
     d = spread(t(spark, sf_dir, "documents")).select(
@@ -1288,7 +1266,11 @@ def text_adjacent_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = d.select(F.explode("tk").alias("tok"))
     ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     nt = uni.agg(F.count(F.lit(1)).alias("n_tok"))
-    pairs = d.select(
+    # single-token docs contribute unigrams but no pairs — and MUST be
+    # filtered before the sequence: Spark's sequence(1, 0) defaults to
+    # step -1 (a DESCENDING [1, 0]) and element_at then throws, while
+    # DuckDB's generate_series(1, 0) is simply empty
+    pairs = d.filter(F.size("tk") >= 2).select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("tk") - 1),

@@ -133,6 +133,17 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def floordiv_col(x: Column, d: Column) -> Column:
+    """Exact floor division of integer columns via non-negative modulus:
+    ``(x - ((x % d) + d) % d) / d``.  The subtraction makes the dividend
+    exactly divisible by ``d``, so the (double) division is exact and
+    floor-correct for negative ``x`` in BOTH engines regardless of their
+    integer-division semantics — the portable twin of the SQL-side
+    ``layout._floordiv_sql``.  Used by the k-means centroid update and
+    both Z-order rank scalings."""
+    return ((x - ((x % d) + d) % d) / d).cast("long")
+
+
 def epoch_micros(col: str | Column) -> Column:
     """Microseconds since the epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
 
@@ -723,6 +734,8 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop", "union"),
 )
 def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of customer and supplier nation keys — set ops are
+    absent from the reference entirely (SURVEY §2.6)."""
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct()
@@ -738,6 +751,7 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop", "intersect"),
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of customer and supplier nation keys (SURVEY §2.6)."""
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
@@ -753,6 +767,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop", "except"),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with no supplier (SURVEY §2.6)."""
     n = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return n.exceptAll(s).distinct()

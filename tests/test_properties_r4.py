@@ -184,3 +184,30 @@ def test_bpe_encode_replace_chain_matches_python(spark, toks):
         t.replace("ab", "\x01").replace("aa", "\x02") for t in toks
     )
     assert got == want
+
+
+def test_pmi_survives_single_token_and_empty_docs(spark):
+    """Regression: Spark's sequence(1, 0) is DESCENDING [1, 0] (default
+    step -1), so an unguarded pair expansion over a 1-token doc threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT while the DuckDB oracle's empty
+    generate_series silently returned no pairs."""
+    from naive_query_engine_spark.queries import QUERIES  # noqa: F401 — registry init first
+
+    import naive_query_engine_spark.operators.text as tx
+    import naive_query_engine_spark.queries as qq
+
+    df = spark.createDataFrame(
+        [(1, "word", "en", "s", 4), (2, "", "en", "s", 0),
+         (3, "a b " * 30, "en", "s", 120)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig, orig_tx = qq.t, tx.t
+    qq.t = lambda s_, d_, n_: df  # noqa: E731
+    tx.t = qq.t
+    try:
+        # min-support filtered out for the tiny frame via direct pieces:
+        out = tx.text_adjacent_pmi_top(spark, "ignored").collect()
+    finally:
+        qq.t, tx.t = orig, orig_tx
+    pairs = {(r["tok_a"], r["tok_b"]) for r in out}
+    assert ("a", "b") in pairs  # the repeated bigram survives min-support
