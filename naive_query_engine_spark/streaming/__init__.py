@@ -268,3 +268,70 @@ def read_kafka_events(
             "and a reachable broker); pipeline shape is identical to the "
             "file-source streams in this module"
         ) from exc
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals on Spark 4's
+    ``transformWithStateInPandas`` — the modern arbitrary-state API
+    (typed per-key state handles + timers + TTL) that supersedes
+    ``applyInPandasWithState``'s single-tuple GroupState.  Registered
+    side-by-side so both state surfaces stay exercised; results must be
+    identical (``tests/test_streaming.py``).
+
+    State here is one ValueState cell per user — the state store
+    partitions by the group key across executors exactly like the legacy
+    operator, so the scale shape is unchanged.
+
+    Environment gate (same pattern as the multimodal PIL codec): the
+    transformWithState state protocol runs over protobuf, which this
+    container lacks (``google.protobuf`` absent) — the query then fails
+    at stream start with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``).
+    ``tests/test_streaming.py`` runs the full stream-vs-batch check when
+    protobuf imports and pins the error contract when it doesn't.
+    """
+    try:  # the worker needs it at stream start; failing here is clearer
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(google.protobuf) for its state-server protocol; not "
+            "installed in this environment — use running_user_totals "
+            "(applyInPandasWithState) instead"
+        ) from e
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        # class defined inside the operator fn: ships by value in the
+        # cloudpickled closure (module-level would pickle by reference and
+        # break under the driver's neutral-cwd import)
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

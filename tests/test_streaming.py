@@ -326,3 +326,53 @@ def test_kafka_reader_branch_gated(spark):
     else:  # pragma: no cover - jar-dependent branch
         assert df.isStreaming
         assert {f.name for f in st.EVENTS_SCHEMA.fields} <= set(df.columns)
+
+
+def test_stateful_running_totals_tws(spark, event_files):
+    """transformWithStateInPandas (the Spark 4 typed-state API) must agree
+    with both the legacy applyInPandasWithState operator and batch totals.
+    Branch-gated like the PIL codec: the state protocol needs protobuf,
+    absent from this container — then the operator must fail AT CALL TIME
+    with the documented ImportError, not crash mid-stream.  Also requires
+    the RocksDB state store provider."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            st.running_user_totals_tws(
+                st.read_event_stream(spark, event_files, max_files_per_trigger=1)
+            )
+        return
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = st.read_event_stream(spark, event_files, max_files_per_trigger=1)
+    q = st.run_to_memory_sink(
+        st.running_user_totals_tws(stream), "user_totals_tws", "update"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: r.n_events
+            for r in spark.table("user_totals_tws")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.user_id: r.n
+        for r in spark.read.schema(st.EVENTS_SCHEMA)
+        .parquet(event_files)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if prev is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert got == want
