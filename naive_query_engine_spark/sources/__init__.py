@@ -90,6 +90,28 @@ def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     return spark.read.text(path, wholetext=whole)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """XML source (built into Spark 4 — no spark-xml package needed):
+    one row per ``row_tag`` element, attributes surfaced as ``_attr``
+    columns.  The feed/sitemap/legacy-interchange ingestion format."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows") -> None:
+    """XML sink (round-trips with :func:`read_xml`)."""
+    df.write.format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).mode("overwrite").save(path)
+
+
 def memory_table(
     spark: SparkSession,
     data: Iterable,

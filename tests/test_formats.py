@@ -3,7 +3,8 @@ relation with identical values.
 
 The reference reads only eagerly-loaded CSV (src/datasource/csv.rs:23-101);
 here each format is a lazy scan behind the same DataFrame surface, so one
-engine serves parquet / ORC / CSV / JSON-lines / raw text interchangeably.
+engine serves parquet / ORC / CSV / JSON-lines / raw text / XML
+interchangeably (XML is built into Spark 4 — no external package).
 """
 
 from __future__ import annotations
@@ -64,3 +65,17 @@ def test_text_source_lines(spark, tmp_path_factory):
     assert sorted(r.value for r in df.collect()) == ["alpha beta", "gamma"]
     whole = read_text(spark, str(p), whole=True)
     assert whole.count() == 1
+
+
+def test_xml_roundtrip(spark, nation, tmp_path_factory):
+    """Spark-4 built-in XML: write with rowTag/rootTag, read back losslessly
+    (column order differs — XML readers sort fields; compare as sets)."""
+    from naive_query_engine_spark.sources import read_xml, write_xml
+
+    path = str(tmp_path_factory.mktemp("fmt") / "nation_xml")
+    write_xml(nation, path, row_tag="nation", root_tag="nations")
+    back = read_xml(spark, path, row_tag="nation")
+    assert set(back.columns) == set(nation.columns)
+    got = sorted(tuple(r[c] for c in nation.columns) for r in back.collect())
+    want = sorted(tuple(r) for r in nation.collect())
+    assert got == want
