@@ -98,7 +98,7 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
            TRUE AS merged_within_tolerance,
-           TRUE AS merge_equals_direct
+           TRUE AS merge_close_to_direct
     FROM events
     """,
     tags=("sketch", "aggregate", "approximate", "mergeable"),
@@ -109,10 +109,15 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partitioned/incremental pipeline: sketch each shard or day, store
     the bytes), then the partial sketches are union-merged — the merged
     estimate must (a) sit within the HLL tolerance of the exact global
-    distinct and (b) equal the single-pass whole-dataset sketch exactly
-    (HLL union is a coordinate-wise max: merging partials loses nothing
-    vs sketching the whole).  Contract export only — sketch bytes differ
-    across engines (see module docstring)."""
+    distinct and (b) agree with the single-pass whole-dataset sketch to
+    within the same tolerance.  (b) is deliberately NOT exact equality:
+    in register space HLL union is a lossless coordinate-wise max, but
+    Spark's DataSketches union ACCUMULATES in HLL_8 and converts down,
+    while the direct aggregate builds HLL_4 — their estimates diverge
+    slightly once cardinality leaves sparse mode (first seen at sf0.1:
+    direct 1494 vs merged 1488 of 1500 exact; equal at sf0.01).
+    Contract export only — sketch bytes differ across engines (see
+    module docstring)."""
     ev = t(spark, sf_dir, "events")
     per_group = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
     merged = per_group.agg(
@@ -125,10 +130,13 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_err = (
         F.abs(F.col("n_merged") - F.col("n_exact")).cast("double") / F.col("n_exact")
     )
+    direct_gap = (
+        F.abs(F.col("n_merged") - F.col("n_direct")).cast("double") / F.col("n_exact")
+    )
     return direct.crossJoin(merged).select(
         F.col("n_exact").cast("long").alias("n_exact"),
         (rel_err <= HLL_TOLERANCE).alias("merged_within_tolerance"),
-        (F.col("n_merged") == F.col("n_direct")).alias("merge_equals_direct"),
+        (direct_gap <= HLL_TOLERANCE).alias("merge_close_to_direct"),
     )
 
 

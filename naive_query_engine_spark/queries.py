@@ -2208,44 +2208,60 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_corr_exact",
     oracle="""
-    WITH m AS (
-      SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
-                  AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))
-                  AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))
-                  AS DOUBLE) AS sxy
+    WITH b AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qx,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS px
       FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(qx) AS HUGEINT) AS sx,
+             CAST(SUM(px) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(qx AS HUGEINT) * qx) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(px AS HUGEINT) * px) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(qx AS HUGEINT) * px) AS HUGEINT) AS sxy
+      FROM b
     )
-    SELECT (n * sxy - sx * sy) /
-           (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
-           n AS n_rows
+    SELECT CAST(n * sxy - sx * sy AS DOUBLE) /
+           (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+            SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
+           CAST(n AS BIGINT) AS n_rows
     FROM m
     """,
     tags=("aggregate", "stats", "corr"),
 )
 def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from exact decimal moment sums + one fixed double
-    expression — engine-agnostic, unlike the streaming-recurrence corr()
-    builtin (partition-order-dependent float accumulation)."""
+    """Pearson correlation from exact integer moments — engine-agnostic,
+    unlike the streaming-recurrence corr() builtin (partition-order-
+    dependent float accumulation).  An earlier draft cast each moment sum
+    to double and evaluated ``n*sxx - sx*sx`` in floating point; DuckDB's
+    vectorized executor contracts that multiply-subtract into an FMA
+    while the JVM does not — a last-ulp mismatch, first visible at sf0.1.
+    Values are therefore CENTS integers end-to-end (correlation is
+    scale-invariant): every moment and every covariance/variance term is
+    an exact integer (DECIMAL(38,0) here, HUGEINT in the oracle — the
+    same integers), and the only float ops left (3 casts, 2 sqrts,
+    1 multiply, 1 divide) are each correctly rounded on identical inputs,
+    so the result is bit-identical by IEEE semantics, not by luck.
+    Magnitude check at 100× the bench corpus: n·syy ≈ 6e7 × 6e21 =
+    3.6e29 ≪ 1e38."""
     li = t(spark, sf_dir, "lineitem")
-    qd, pd_ = dec(F.col("l_quantity")), dec(F.col("l_extendedprice"))
+    qx = (dec(F.col("l_quantity")) * 100).cast("long")
+    px = (dec(F.col("l_extendedprice")) * 100).cast("long")
     m = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(qd).cast("double").alias("sx"),
-        F.sum(pd_).cast("double").alias("sy"),
-        F.sum(qd * qd).cast("double").alias("sxx"),
-        F.sum(pd_ * pd_).cast("double").alias("syy"),
-        F.sum(qd * pd_).cast("double").alias("sxy"),
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n"),
+        F.sum(qx).cast("decimal(19,0)").alias("sx"),
+        F.sum(px).cast("decimal(19,0)").alias("sy"),
+        F.sum((qx * qx).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((px * px).cast("decimal(38,0)")).alias("syy"),
+        F.sum((qx * px).cast("decimal(38,0)")).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    corr = (n * F.col("sxy") - sx * sy) / (
-        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    corr = (n * F.col("sxy") - sx * sy).cast("double") / (
+        F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+        * F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
     )
-    return m.select(corr.alias("corr_qty_price"), n.alias("n_rows"))
+    return m.select(corr.alias("corr_qty_price"), n.cast("long").alias("n_rows"))
 
 
 @query(
