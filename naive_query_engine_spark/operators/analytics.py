@@ -388,3 +388,39 @@ def events_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dur).cast("long").alias("total_us"),
         F.max(dur).cast("long").alias("max_us"),
     )
+
+
+@query(
+    "events_cumulative_unique_users",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    d AS (SELECT d0, COUNT(*) AS new_users FROM f GROUP BY d0)
+    SELECT strftime(d0, '%Y-%m-%d') AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY d0 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM d
+    """,
+    tags=("events", "analytics", "window", "first-touch"),
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-unique-users curve (the growth chart behind every DAU
+    dashboard) via the FIRST-TOUCH trick: a running COUNT(DISTINCT) window
+    is unbounded state, but "users seen through day d" == "users whose
+    FIRST event is <= d" — one per-user MIN (map-side-combinable), one
+    per-day count, one running sum.  The global window runs over the
+    per-day frame, which is CALENDAR-bounded (~3k rows even at 100 TB /
+    decade of logs), not corpus-bounded — the single-partition stage is
+    O(days), never O(events).  All integers; dates emitted as strings."""
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = first.groupBy("d0").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("d0", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

@@ -72,3 +72,58 @@ def median_inter_event_gap(events: DataFrame) -> DataFrame:
 def custom_agg_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median inter-event gap per user via applyInPandas (grouped-map UDAF)."""
     return median_inter_event_gap(t(spark, sf_dir, "events"))
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_quantity,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, l_quantity,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM g
+    )
+    SELECT l_returnflag,
+           CAST(MIN(l_quantity) AS DOUBLE) AS weighted_median_qty
+    FROM c WHERE cum * 2 >= tot
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "weighted-median", "order-statistic"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (revenue-weighted median order quantity per
+    return flag): the smallest q whose cumulative weight reaches half the
+    total.  Unlike the grouped-map median UDAF above, this never ships
+    whole groups to Python: collapsing to the DISTINCT value domain first
+    (groupBy flag+quantity) makes the cumulative window run over the
+    value-domain frame — bounded by distinct quantities (~50), not rows —
+    so the shape survives any corpus size.  Every weight is a DECIMAL sum
+    and the half-total test is ``cum*2 >= tot`` in decimals — no float
+    accumulation, no division, exact in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("w")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").cast("double").alias("weighted_median_qty"))
+    )

@@ -221,3 +221,52 @@ def pipeline_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return feats.mapInPandas(score_batches, "doc_id long, score long, tier string")
+
+
+MV_DELTA_MOD = 10  #: o_orderkey % 10 == MV_DELTA_REM plays the late-arriving batch
+MV_DELTA_REM = 7
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+    tags=("pipeline", "incremental", "materialized-view", "aggregate"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh — the algebra every
+    incremental pipeline (and Spark's own streaming agg state store)
+    relies on: a monthly revenue MV maintained as MERGEABLE PARTIALS
+    (count, decimal sum), refreshed by aggregating ONLY the late-arriving
+    delta batch and union-merging partials by key.  Refresh cost is
+    O(delta) + O(|MV|) — the base corpus is never rescanned, which is the
+    whole point at 100 TB.  The oracle is the full recompute over all
+    orders: merged partials must equal it EXACTLY, which only holds
+    because both partials are algebraic (count, decimal sum) — the reason
+    MVs store sum+count and derive avg, never store avg.  The delta split
+    is keyed on o_orderkey (deterministic), standing in for an ingest
+    watermark."""
+    orders = t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    is_delta = F.col("o_orderkey") % MV_DELTA_MOD == MV_DELTA_REM
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+        )
+
+    mv = partials(orders.filter(~is_delta))  # the standing view's state
+    delta = partials(orders.filter(is_delta))  # the arriving batch, pre-aggregated
+    return (
+        mv.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("cnt").cast("long").alias("order_cnt"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )

@@ -19,7 +19,7 @@ Scale paths:
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import cut_lineage, query, t
@@ -1142,4 +1142,68 @@ def embedding_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum(diff).cast("long").alias("n_disagree"),
             (F.sum(diff).cast("double") / F.count(F.lit(1))).alias("disagree_frac"),
         )
+    )
+
+
+OUTLIER_K = 5  #: flagged vectors per label
+
+
+@query(
+    "embedding_centroid_outliers",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim, SUM(v) AS s, COUNT(*) AS n FROM e GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.label,
+             SUM(CAST(cent.n * e.v - cent.s AS HUGEINT)
+                 * CAST(cent.n * e.v - cent.s AS HUGEINT)) AS d2s
+      FROM e JOIN cent ON cent.label = e.label AND cent.dim = e.dim
+      GROUP BY 1, 2
+    )
+    SELECT label, vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY label ORDER BY d2s DESC, vec_id) AS BIGINT) AS rnk,
+           CAST(d2s AS DOUBLE) AS dist2_scaled
+    FROM d2 QUALIFY rnk <= {OUTLIER_K}
+    """,
+    tags=("similarity", "pipeline", "outlier", "centroid"),
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier audit — the other half of the mislabel
+    review queue next to ``embedding_label_knn_disagreement``: the
+    OUTLIER_K vectors FARTHEST from their own label's centroid, per label.
+    Exactness trick: comparing ||v - S/n||^2 ranks identically to the
+    all-integer n^2 * ||v - S/n||^2 = sum_dims (n*v_d - S_d)^2, so the
+    whole ranking is exact integer arithmetic (DECIMAL(38,0) here /
+    HUGEINT in the oracle — n*v fits int64 but its square does not) and
+    the emitted distance is one deterministic integer->double conversion.
+    Plan: one map-side-combined centroid aggregation (K x D rows out),
+    centroids BROADCAST back onto the exploded scan (no second corpus
+    shuffle), one (vec,label) re-aggregation, one per-label ranking window
+    over N rows — everything corpus-sized moves at most twice."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode(quantized(F.col("embedding"))).alias("dim", "v")
+    )
+    cent = e.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dev = (F.col("n") * F.col("v") - F.col("s")).cast("decimal(38,0)")
+    d2 = (
+        e.join(F.broadcast(cent), ["label", "dim"])
+        .select("vec_id", "label", (dev * dev).alias("dev2"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("dev2").alias("d2s"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2s").desc(), F.col("vec_id"))
+    return (
+        d2.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= OUTLIER_K)
+        .select("label", "vec_id", "rnk", F.col("d2s").cast("double").alias("dist2_scaled"))
     )

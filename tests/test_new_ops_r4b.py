@@ -1,0 +1,87 @@
+"""Behavioral invariants for the late-round-4 operators.
+
+The DuckDB oracle (tests/test_oracle.py) already pins exact values; these
+tests pin the PROPERTIES that make each operator correct by construction,
+so a future edit that happens to move both engines the same wrong way
+still fails loudly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naive_query_engine_spark.operators.custom_agg import agg_weighted_median
+from naive_query_engine_spark.operators.analytics import (
+    events_cumulative_unique_users,
+)
+from naive_query_engine_spark.operators.pipeline import mv_incremental_refresh
+from naive_query_engine_spark.operators.similarity import (
+    OUTLIER_K,
+    embedding_centroid_outliers,
+)
+from naive_query_engine_spark.queries import t
+
+from .conftest import SF_ORACLE
+
+
+def test_weighted_median_halves_the_weight(spark):
+    """For each flag, qty <= median holds >= half the total revenue weight
+    AND qty < median holds < half — the two-sided defining property."""
+    med = {
+        r.l_returnflag: r.weighted_median_qty
+        for r in agg_weighted_median(spark, SF_ORACLE).collect()
+    }
+    li = t(spark, SF_ORACLE, "lineitem").select(
+        "l_returnflag", "l_quantity", F.col("l_extendedprice").cast("decimal(12,2)").alias("w")
+    )
+    for flag, m in med.items():
+        grp = li.filter(F.col("l_returnflag") == flag)
+        tot = grp.agg(F.sum("w")).collect()[0][0]
+        le = grp.filter(F.col("l_quantity") <= m).agg(F.sum("w")).collect()[0][0]
+        lt = grp.filter(F.col("l_quantity") < m).agg(F.sum("w")).collect()[0][0] or 0
+        assert le * 2 >= tot, (flag, m)
+        assert lt * 2 < tot, (flag, m)
+
+
+def test_cumulative_users_reconciles_and_is_monotone(spark):
+    rows = sorted(
+        events_cumulative_unique_users(spark, SF_ORACLE).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows[0].new_users == rows[0].cum_users
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_users == a.cum_users + b.new_users  # exact telescoping
+    n_users = t(spark, SF_ORACLE, "events").select("user_id").distinct().count()
+    assert rows[-1].cum_users == n_users  # curve ends at total uniques
+
+
+def test_mv_refresh_equals_full_recompute(spark):
+    """Merged partials == full recompute — the algebraic-aggregate law the
+    operator exists to demonstrate (also the oracle, re-pinned here
+    engine-internally so it holds at any SF the oracle never sees)."""
+    full = (
+        t(spark, SF_ORACLE, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("revenue"),
+        )
+    )
+    merged = mv_incremental_refresh(spark, SF_ORACLE)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_centroid_outliers_shape(spark):
+    out = embedding_centroid_outliers(spark, SF_ORACLE).collect()
+    by_label: dict[int, list] = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r)
+    n_labels = t(spark, SF_ORACLE, "embeddings").select("label").distinct().count()
+    assert len(by_label) == n_labels
+    for label, rows in by_label.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, OUTLIER_K + 1)), label
+        d = [r.dist2_scaled for r in rows]
+        assert d == sorted(d, reverse=True), label  # farthest-first
+        assert all(x >= 0 for x in d), label

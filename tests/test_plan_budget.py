@@ -153,6 +153,19 @@ BUDGETS = {
     # centroid and query frames broadcast (quantizer training sits behind
     # the cut_lineage'd frame)
     "similarity_ivf_kmeans_topk": (3, True),
+    # r4-late additions
+    # first-touch per-user min + per-day count + the calendar-bounded
+    # (O(days), never O(events)) global running-sum window
+    "events_cumulative_unique_users": (3, False),
+    # value-domain collapse (flag,qty) + flag-partitioned cumulative
+    # window; the final per-flag min reuses the window's partitioning
+    "agg_weighted_median": (2, False),
+    # base and delta partial aggregations; the union-merge re-aggregation
+    # reuses the month hash partitioning of the partial frames
+    "mv_incremental_refresh": (2, False),
+    # centroid agg (map-side combined to K x D) broadcast back onto the
+    # exploded scan + (vec,label) re-agg + per-label ranking window
+    "embedding_centroid_outliers": (3, True),
 }
 
 
