@@ -46,6 +46,11 @@ PROBE_QUERIES = [
     "text_bm25_topk",
     "embedding_kmeans_lloyd",
     "similarity_ivf_kmeans_topk",
+    # r4-late additions
+    "agg_weighted_median",
+    "events_cumulative_unique_users",
+    "mv_incremental_refresh",
+    "embedding_centroid_outliers",
 ]
 #: tables that must scale with N.  In TPC-H *everything except nation and
 #: region* grows linearly with SF — including customer/supplier/part, which
