@@ -105,6 +105,32 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert 0 < f_only < total
 
 
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: a filter on a NON-KEY dim attribute (no static constant to
+    fold through the join) still prunes the partitioned fact scan at
+    RUNTIME — Spark broadcasts the filtered dim, collects its join keys,
+    and injects ``dynamicpruningexpression`` into the scan's
+    PartitionFilters.  At 100 TB this is the star-join scan reducer:
+    'orders in final status' touches one partition directory even though
+    the predicate never mentions the partition column."""
+    out = str(tmp_path / "orders_by_status")
+    t(spark, SF_ORACLE, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    # label→status lives in DATA, not in an expression: Catalyst cannot
+    # constant-fold it, so only runtime pruning can skip partitions
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    )
+    j = fact.join(dim.filter(F.col("label") == "final"), "o_orderstatus").select(
+        "o_orderkey"
+    )
+    text = plans.explain_text(j, "formatted")
+    assert "dynamicpruningexpression" in text, text[:1500]
+    # and the pruned read returns exactly the matching partition
+    assert j.count() == fact.filter(F.col("o_orderstatus") == "F").count()
+
+
 def test_plan_node_tree_and_summary(spark):
     from naive_query_engine_spark import plans
     from naive_query_engine_spark.queries import QUERIES
