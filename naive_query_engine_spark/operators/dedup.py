@@ -190,6 +190,106 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# idf-weighted cosine near-dup (the soft/weighted complement of Jaccard)
+
+
+TFIDF_SCALE = 1000  #: fixed-point scale for the integer idf weights
+TFIDF_COSINE_THRESHOLD = 0.35
+
+
+@query(
+    "dedup_tfidf_cosine",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfreq AS (
+      SELECT g, COUNT(*) AS df FROM shingles GROUP BY g
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    wsh AS (
+      SELECT s.doc_id, s.g,
+             CAST(FLOOR({TFIDF_SCALE} * (CAST(nd.n_docs AS DOUBLE) / f.df))
+                  AS HUGEINT) AS w
+      FROM shingles s JOIN dfreq f USING (g) CROSS JOIN nd
+    ),
+    norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM wsh GROUP BY doc_id),
+    dots AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, SUM(x.w * x.w) AS dot
+      FROM wsh x JOIN wsh y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(dot AS DOUBLE)
+             / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(dot AS DOUBLE)
+            / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+          >= {TFIDF_COSINE_THRESHOLD}
+    """,
+    tags=("dedup", "pipeline", "tfidf", "cosine"),
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idf-WEIGHTED cosine near-dup pairs over the same capped shingle
+    universe as ``dedup_ngram_jaccard`` — the weighted complement of set
+    Jaccard: instead of every shingle counting 1, a shingle's weight is
+    its idf (rare shared shingles dominate the score; near-boilerplate
+    shingles contribute almost nothing even below the hard df cap).  Same
+    inverted-index self-join shape, so it scales the same way — never
+    all-pairs, candidate fan-out bounded by the df cap.
+
+    Determinism: weights are fixed-point BIGINTs — ONE double division
+    floored (identical IEEE expression both engines); dot products and
+    norms are exact integer sums in DECIMAL(38,0)/HUGEINT (a weight's
+    square can exceed int64 once n_docs is cluster-sized); the cosine is
+    one fixed double expression over those exact inputs.  Shingles are
+    distinct per doc (tf == 1), so the pair dot is the sum of shared
+    shingles' squared weights — the weight rides the inverted index, no
+    second lookup."""
+    d = t(spark, sf_dir, "documents")
+    all_sh = shingle_rows(d, 3).persist(_SPILLABLE)
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        all_sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+    )
+    w = F.floor(
+        F.lit(TFIDF_SCALE) * (F.col("n_docs").cast("double") / F.col("df"))
+    ).cast("decimal(38,0)")
+    from ..queries import cut_lineage
+
+    # three consumers (norms + both self-join sides): cut the lineage so
+    # the weighted index materializes ONCE — as a persist, the static plan
+    # re-counts the whole tokenize→distinct→df pipeline per consumer
+    # (the dedup_minhash_recall_vs_exact idiom)
+    wsh = cut_lineage(
+        all_sh.join(dfreq, "g")
+        .crossJoin(F.broadcast(nd))  # 1-row ungrouped aggregate
+        .select("doc_id", "g", w.alias("w"))
+    )
+    norms = wsh.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    x, y = wsh.alias("x"), wsh.alias("y")
+    dots = (
+        x.join(y, (F.col("x.g") == F.col("y.g")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("x.w") * F.col("x.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= TFIDF_COSINE_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 

@@ -166,6 +166,11 @@ BUDGETS = {
     # centroid agg (map-side combined to K x D) broadcast back onto the
     # exploded scan + (vec,label) re-agg + per-label ranking window
     "embedding_centroid_outliers": (3, True),
+    # weighted index behind a lineage cut (materialized once; post-cut:
+    # inverted-index self-join + pair agg + norms agg — norm joins
+    # broadcast); uncut, the static plan re-counted the tokenize →
+    # distinct → df pipeline once per consumer (27 exchanges)
+    "dedup_tfidf_cosine": (3, True),
 }
 
 
