@@ -424,3 +424,52 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+DECAY_SCALE = 1000  #: fixed-point scale for the per-event decayed weight
+
+
+@query(
+    "events_decayed_engagement",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+    w AS (
+      SELECT user_id,
+             CAST(FLOOR({DECAY_SCALE} * value
+                        / (1 + date_diff('day', CAST(ts AS DATE), mx.dmax)))
+                  AS BIGINT) AS w
+      FROM events CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(SUM(w) AS BIGINT) AS decayed_score,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY user_id
+    """,
+    tags=("events", "analytics", "decay", "scoring"),
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score per user — recency-weighted activity
+    (the ranking signal behind "active users", feed ranking, churn risk).
+    Decay is HYPERBOLIC (weight = value / (1 + age_days)) rather than
+    exponential: libm ``exp`` is not bit-portable across engines, while
+    this is one ``*``/``/``/``FLOOR`` chain — each per-event weight is a
+    fixed-point BIGINT from one identical IEEE double expression, summed
+    exactly, so the score is deterministic at any partition order.  Age
+    anchors to the corpus max date (a 1-row broadcast aggregate), never
+    ``now()``."""
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("dmax"))
+    w = F.floor(
+        F.lit(float(DECAY_SCALE))
+        * F.col("value")
+        / (F.lit(1) + F.datediff(F.col("dmax"), F.to_date("ts")))
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", w.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("w").cast("long").alias("decayed_score"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )

@@ -1207,3 +1207,57 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= OUTLIER_K)
         .select("label", "vec_id", "rnk", F.col("d2s").cast("double").alias("dist2_scaled"))
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    SELECT CAST(a.i AS BIGINT) AS dim_i, CAST(b.i AS BIGINT) AS dim_j,
+           CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS DOUBLE) AS gram
+    FROM e a JOIN e b ON b.vec_id = a.vec_id AND b.i >= a.i
+    GROUP BY 1, 2
+    """,
+    tags=("similarity", "pipeline", "pandas-udf", "linear-algebra"),
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gram matrix X'X of the (quantized) embedding corpus — the
+    primitive under PCA / whitening / covariance / linear-probe fitting.
+    The scalable shape is NOT the self-join the oracle uses (that's
+    O(N x D^2) rows through a shuffle): each Arrow batch computes its own
+    D x D partial ``Q.T @ Q`` in one numpy int64 matmul (exact — batch
+    partials stay far under 2^63) and emits D(D+1)/2 upper-triangle rows,
+    so the ONLY shuffle is batch-count x 2080 tiny partial rows, reduced
+    by an exact DECIMAL(38,0) sum (the cross-batch total can exceed int64
+    at cluster scale).  Map-only over the corpus — the same
+    partial-aggregate algebra as ``mv_incremental_refresh``, applied to a
+    matrix product."""
+    e = t(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_batches(batches):
+        # closure (NOT module-level): pickles by value so bare-session
+        # executors outside the repo cwd can run it
+        import numpy as np
+        import pandas as pd
+
+        q = float(QUANT)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy())
+            Q = np.floor(V.astype("float64") * q).astype("int64")
+            G = Q.T @ Q
+            ii, jj = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {"dim_i": ii + 1, "dim_j": jj + 1, "partial": G[ii, jj]}
+            )
+
+    partials = e.mapInPandas(gram_batches, "dim_i long, dim_j long, partial long")
+    return partials.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("partial").cast("decimal(38,0)")).cast("double").alias("gram")
+    )

@@ -1306,3 +1306,51 @@ def text_adjacent_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("tok_a", "tok_b", F.col("cnt_ab").cast("long").alias("cnt_ab"), "lift", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (the hashing trick)
+
+
+HASH_FEATURES = 256  #: feature-space size == one md5 hex-digit pair
+
+
+@query(
+    "text_hashing_trick_features",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
+      FROM documents
+    )
+    SELECT CAST((strpos('0123456789abcdef', SUBSTR(MD5(tok), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', SUBSTR(MD5(tok), 2, 1)) - 1)
+             AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM toks GROUP BY 1
+    """,
+    tags=("text", "pipeline", "featurization", "hashing-trick"),
+)
+def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick — fixed-width bag-of-words featurization with NO
+    vocabulary pass: every token maps to md5-hash bucket 0..255, so the
+    feature space is known before any data is read (the property that
+    makes streaming/online featurization possible — new tokens never grow
+    the schema, they collide).  Output profiles the hashed feature space
+    (tokens and touching docs per bucket), i.e. the collision/density
+    audit you run before trusting hashed features.  The md5-digit bucket
+    is the repo's portable hash family (engine ``hash()`` builtins are
+    not cross-engine); one explode + one aggregation, map-side
+    combinable, bucket cardinality fixed at HASH_FEATURES forever."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    bucket = F.conv(F.substring(F.md5(F.col("tok")), 1, 2), 16, 10).cast("long")
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
+        )
+    )

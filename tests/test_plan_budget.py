@@ -171,6 +171,13 @@ BUDGETS = {
     # broadcast); uncut, the static plan re-counted the tokenize →
     # distinct → df pipeline once per consumer (27 exchanges)
     "dedup_tfidf_cosine": (3, True),
+    # fixed-point decay weights map-side; the 1-row max-date aggregate
+    # broadcasts; one per-user agg (2-phase under distinct-free sums)
+    "events_decayed_engagement": (2, True),
+    # explode + (bucket) agg; the count-distinct doubles the agg phases
+    "text_hashing_trick_features": (2, False),
+    # map-only Arrow Gram partials -> ONE tiny (dim_i,dim_j) reduce
+    "embedding_gram_matrix": (1, False),
 }
 
 
