@@ -701,3 +701,77 @@ def profile_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(is_dup).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
         )
     )
+
+
+def _leakage_safe_oracle() -> str:
+    from .quality import TRAIN_BUCKETS
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_EDGES_SQL},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS component
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    tagged AS (
+      SELECT doc_id, component,
+             CASE WHEN strpos('0123456789abcdef',
+                              SUBSTR(MD5(CAST(component AS VARCHAR)), 1, 1)) - 1
+                       < {TRAIN_BUCKETS}
+                  THEN 'train' ELSE 'test' END AS split
+      FROM comp
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
+    FROM tagged GROUP BY split
+    """
+
+
+@query(
+    "dataset_split_leakage_safe",
+    oracle=_leakage_safe_oracle(),
+    tags=("pipeline", "split", "dedup", "clustering", "composition"),
+)
+def dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split — the fix for the subtle eval bug a
+    plain per-document split has: when two near-duplicate documents land
+    on opposite sides, the test side is contaminated and the benchmark
+    lies.  Here the split key is the near-dup COMPONENT id (Jaccard edges
+    → connected components → lowest-doc-id canonical), so a whole
+    duplicate cluster moves as one unit and a test document can never
+    have a training-side near-twin — by construction, not by audit.
+    Same content-hash bucketing as ``dataset_train_test_split`` (applied
+    to the component id), same ~81/19 target; singleton docs are their
+    own component, so non-duplicated data splits exactly as before."""
+    from .dedup import ngram_jaccard_pairs  # lazy: import-order safe
+    from .quality import TRAIN_BUCKETS, hash_bucket
+
+    d = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp = connected_components(d.select(F.col("doc_id").alias("id")), edges)
+    split = F.when(
+        hash_bucket(F.col("component")) < TRAIN_BUCKETS, "train"
+    ).otherwise("test")
+    return (
+        comp.select(split.alias("split"), "component")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.col("component")).cast("long").alias("n_components"),
+        )
+    )

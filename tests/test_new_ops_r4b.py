@@ -72,6 +72,37 @@ def test_mv_refresh_equals_full_recompute(spark):
     assert full.exceptAll(merged).count() == 0
 
 
+def test_leakage_safe_split_never_straddles_a_component(spark):
+    """The defining guarantee: no near-dup component has documents on
+    both sides of the split (per-doc derivation, independent of the
+    registered query's aggregated output)."""
+    from naive_query_engine_spark.operators.clustering import connected_components
+    from naive_query_engine_spark.operators.dedup import ngram_jaccard_pairs
+    from naive_query_engine_spark.operators.quality import TRAIN_BUCKETS, hash_bucket
+
+    d = t(spark, SF_ORACLE, "documents")
+    edges = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp = connected_components(d.select(F.col("doc_id").alias("id")), edges)
+    split = F.when(hash_bucket(F.col("component")) < TRAIN_BUCKETS, "train").otherwise(
+        "test"
+    )
+    straddling = (
+        comp.select("component", split.alias("split"))
+        .groupBy("component")
+        .agg(F.count_distinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert straddling == 0
+    # and there IS at least one multi-doc component, or the guarantee is vacuous
+    multi = (
+        comp.groupBy("component").count().filter(F.col("count") > 1).count()
+    )
+    assert multi > 0
+
+
 def test_centroid_outliers_shape(spark):
     out = embedding_centroid_outliers(spark, SF_ORACLE).collect()
     by_label: dict[int, list] = {}
