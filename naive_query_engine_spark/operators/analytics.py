@@ -473,3 +473,99 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)), mx.dmax) AS recency,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.dmax
+    ),
+    q AS (
+      SELECT CAST(quantile_cont(recency, 0.25) AS DOUBLE) AS r1,
+             CAST(quantile_cont(recency, 0.50) AS DOUBLE) AS r2,
+             CAST(quantile_cont(recency, 0.75) AS DOUBLE) AS r3,
+             CAST(quantile_cont(freq, 0.25) AS DOUBLE) AS f1,
+             CAST(quantile_cont(freq, 0.50) AS DOUBLE) AS f2,
+             CAST(quantile_cont(freq, 0.75) AS DOUBLE) AS f3,
+             CAST(quantile_cont(monetary, 0.25) AS DOUBLE) AS m1,
+             CAST(quantile_cont(monetary, 0.50) AS DOUBLE) AS m2,
+             CAST(quantile_cont(monetary, 0.75) AS DOUBLE) AS m3
+      FROM cust
+    ),
+    scored AS (
+      SELECT monetary,
+             4 - ((recency > r1)::INT + (recency > r2)::INT + (recency > r3)::INT) AS r,
+             1 + ((freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT) AS f,
+             1 + ((monetary > m1)::INT + (monetary > m2)::INT + (monetary > m3)::INT) AS m
+      FROM cust CROSS JOIN q
+    )
+    SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS rfm,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1
+    """,
+    tags=("analytics", "segmentation", "rfm", "percentile"),
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) — the
+    classic CRM cohorting op, built WITHOUT the global NTILE window every
+    textbook version uses (a corpus-sized single-partition sort): quartile
+    CUTPOINTS come from one exact-percentile aggregation (a 1-row frame,
+    broadcast back), and each customer scores 1–4 by three comparisons
+    against them — map-side, corpus-order-free.  Ties sit strictly on one
+    side of each cutpoint (``>`` on exact doubles), so scores are
+    deterministic without a tie-break column.  Recency anchors to the
+    corpus max date; monetary is a decimal-exact sum surfaced as double."""
+    orders = t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("dmax"))
+    cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "dmax")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("dmax"), F.col("last_d")).alias("recency"),
+            "freq",
+            "monetary",
+        )
+    )
+    q = cust.agg(
+        *[
+            F.percentile(c, p).alias(f"{c[0]}{i + 1}")
+            for c in ("recency", "freq", "monetary")
+            for i, p in enumerate((0.25, 0.50, 0.75))
+        ]
+    )
+    def n_above(c: str, cuts: tuple[str, str, str]):
+        return sum(
+            (F.col(c) > F.col(cut)).cast("int") for cut in cuts
+        )
+    scored = cust.crossJoin(F.broadcast(q)).select(
+        "monetary",
+        (F.lit(4) - n_above("recency", ("r1", "r2", "r3"))).alias("r"),
+        (F.lit(1) + n_above("freq", ("f1", "f2", "f3"))).alias("f"),
+        (F.lit(1) + n_above("monetary", ("m1", "m2", "m3"))).alias("m"),
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+            ).alias("rfm"),
+            "monetary",
+        )
+        .groupBy("rfm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("total_monetary"),
+        )
+    )

@@ -1354,3 +1354,47 @@ def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
         )
     )
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+    WITH pred AS ({_lang_id_oracle()})
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang) AS share_of_label
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    """
+
+
+@query(
+    "text_langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    tags=("text", "langid", "evaluation", "quality"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the corpus's
+    gold ``lang`` labels — the eval artifact any classifier-driven
+    curation step needs before its predictions gate data: (gold,
+    predicted, count, row-normalized share).  The share is ONE double
+    division of two exact integer counts (the denominator is a window sum
+    of counts — integer, order-free); the matrix is lang-cardinality
+    bounded, so the final window is O(langs²) regardless of corpus
+    size."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("labeled_lang"),
+        predict_lang(F.col("text")).alias("predicted_lang"),
+    )
+    conf = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return conf.select(
+        "labeled_lang",
+        "predicted_lang",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share_of_label"),
+    )

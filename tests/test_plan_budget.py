@@ -178,6 +178,16 @@ BUDGETS = {
     "text_hashing_trick_features": (2, False),
     # map-only Arrow Gram partials -> ONE tiny (dim_i,dim_j) reduce
     "embedding_gram_matrix": (1, False),
+    # (gold,pred) agg + the langs²-bounded share window
+    "text_langid_confusion": (2, False),
+    # two 1-row sketch aggregations (one broadcast) + the exact contract
+    "sketch_hll_intersection": (3, True),
+    # customer agg + 1-row quartile agg (broadcast back, replayed per
+    # consumer in the static plan) + the <=64-key segment agg
+    "orders_rfm_segmentation": (6, True),
+    # components sit behind per-iteration lineage cuts; post-cut: split
+    # tag + the count-distinct two-phase aggregation
+    "dataset_split_leakage_safe": (2, False),
 }
 
 
