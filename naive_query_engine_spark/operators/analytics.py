@@ -569,3 +569,185 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("total_monetary"),
         )
     )
+
+
+@query(
+    "events_ab_test_analysis",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN (strpos('0123456789abcdef',
+                               SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      FROM assign
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CASE WHEN conv_a = 0 OR conv_b = 0 THEN NULL
+                ELSE (CAST(conv_b AS DOUBLE) / n_b) / (CAST(conv_a AS DOUBLE) / n_a)
+           END AS lift,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+                ELSE ((CAST(conv_b AS DOUBLE) / n_b) - (CAST(conv_a AS DOUBLE) / n_a))
+                  / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+           END AS z_score
+    FROM arms
+    """,
+    tags=("events", "analytics", "experimentation", "ab-test"),
+)
+def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout — the experimentation primitive every
+    product pipeline ends in: deterministic md5 arm assignment (the same
+    content-hash family as the dataset splits — users keep their arm
+    across reruns and engines, unlike any RNG bucketing), per-user
+    conversion (did a 'purchase'), then counts, lift and the
+    two-proportion z-score.  Everything up to the final row is exact
+    integers; lift and z are fixed double expression trees over those
+    four exact counts, so the readout hash-matches across engines.  One
+    per-user aggregation, then a 1-row reduce — nothing corpus-sized
+    past the first shuffle."""
+    ev = t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    assign = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    ).select(arm.alias("arm"), "converted")
+    arms = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rb - ra) / F.sqrt(
+        pooled
+        * (F.lit(1) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    degenerate_lift = (F.col("conv_a") == 0) | (F.col("conv_b") == 0)
+    degenerate_z = (F.col("conv_a") + F.col("conv_b") == 0) | (
+        F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.when(degenerate_lift, F.lit(None).cast("double"))
+        .otherwise(rb / ra)
+        .alias("lift"),
+        F.when(degenerate_z, F.lit(None).cast("double"))
+        .otherwise(z)
+        .alias("z_score"),
+    )
+
+
+BASKET_MIN_SUPPORT = 50  #: brand pairs below this co-occurrence are noise
+BASKET_TOP = 20
+
+
+@query(
+    "orders_market_basket_lift",
+    oracle=f"""
+    WITH b AS (
+      SELECT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+    sup1 AS (SELECT p_brand, COUNT(*) AS sup FROM b GROUP BY 1),
+    pair AS (
+      SELECT x.p_brand AS brand_a, y.p_brand AS brand_b, COUNT(*) AS sup_ab
+      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT brand_a, brand_b, CAST(sup_ab AS BIGINT) AS sup_ab,
+             (CAST(sup_ab AS DOUBLE) * nb.n_orders) / (CAST(sa.sup AS DOUBLE) * sb.sup) AS lift
+      FROM pair
+      JOIN sup1 sa ON sa.p_brand = brand_a
+      JOIN sup1 sb ON sb.p_brand = brand_b
+      CROSS JOIN nb
+      WHERE sup_ab >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT brand_a, brand_b, sup_ab, lift,
+           CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, brand_a, brand_b) AS BIGINT) AS rnk
+    FROM scored QUALIFY rnk <= {BASKET_TOP}
+    """,
+    tags=("analytics", "association-rules", "basket", "topk"),
+)
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (the Apriori first step) at BRAND
+    granularity: per-order distinct brand sets, within-order pair
+    co-occurrence, support + LIFT (sup_ab·N / sup_a·sup_b), min-support
+    floor, top-{BASKET_TOP} by lift.  Brand-level keeps the pair universe
+    bounded (≤ brands², here 300) no matter the corpus size; the
+    within-order self-join fans out only basket_size² per order — the
+    same bounded-fan-out discipline as every pair op in this repo.  Lift
+    is one double expression over exact integer supports; ranking
+    tie-breaks lexicographically, and the top-k is TakeOrdered (no global
+    sort)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from ..queries import cut_lineage
+
+    # four consumers (order count, unary supports, both self-join sides):
+    # cut the lineage so the basket frame materializes once — as a plain
+    # frame the static plan replays the join+distinct per consumer
+    b = cut_lineage(
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    nb = b.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    sup1 = b.groupBy("p_brand").agg(F.count(F.lit(1)).alias("sup"))
+    x, y = b.alias("x"), b.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.p_brand") < F.col("y.p_brand")),
+        )
+        .groupBy(
+            F.col("x.p_brand").alias("brand_a"), F.col("y.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .filter(F.col("sup_ab") >= BASKET_MIN_SUPPORT)
+    )
+    sa = sup1.select(F.col("p_brand").alias("brand_a"), F.col("sup").alias("sup_a"))
+    sb = sup1.select(F.col("p_brand").alias("brand_b"), F.col("sup").alias("sup_b"))
+    lift = (F.col("sup_ab").cast("double") * F.col("n_orders")) / (
+        F.col("sup_a").cast("double") * F.col("sup_b")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+    return (
+        pair.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .select("brand_a", "brand_b", F.col("sup_ab").cast("long").alias("sup_ab"), lift.alias("lift"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= BASKET_TOP)
+    )

@@ -188,6 +188,12 @@ BUDGETS = {
     # components sit behind per-iteration lineage cuts; post-cut: split
     # tag + the count-distinct two-phase aggregation
     "dataset_split_leakage_safe": (2, False),
+    # per-user conversion agg + the 1-row arm reduce
+    "events_ab_test_analysis": (2, False),
+    # basket frame behind a lineage cut (4 consumers); post-cut: orderkey
+    # self-join + pair agg + unary supports + order count + top-k window;
+    # support/total joins broadcast
+    "orders_market_basket_lift": (7, True),
 }
 
 
