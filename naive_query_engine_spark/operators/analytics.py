@@ -751,3 +751,81 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= BASKET_TOP)
     )
+
+
+FC_SEASON = 7  #: seasonal-naive lag (weekly seasonality)
+
+
+@query(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH span AS (
+      SELECT event_type, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY event_type
+    ),
+    calendar AS (
+      SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT c.event_type, c.day, COALESCE(d.n, 0) AS n
+      FROM calendar c LEFT JOIN daily d
+        ON d.event_type = c.event_type AND d.day = c.day
+    ),
+    fc AS (
+      SELECT a.event_type, a.n AS actual, f.n AS forecast
+      FROM dense a JOIN dense f
+        ON f.event_type = a.event_type AND f.day = a.day - {FC_SEASON}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS total_abs_err,
+           CAST(SUM(ABS(actual - forecast)) AS DOUBLE) / COUNT(*) AS mae
+    FROM fc GROUP BY event_type
+    """,
+    tags=("events", "analytics", "forecast", "backtest", "timeseries"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST with the seasonal-naive baseline (forecast(d) =
+    actual(d − 7)) — the deterministic yardstick every forecasting system
+    must beat, and the only one whose backtest can hash-match across
+    engines (Holt-Winters/ETS hide libm ``pow``/``exp`` in every step).
+    Daily series are DENSIFIED first (per-type calendar, zero-filled):
+    skipping that silently drops zero-demand days and flatters MAE — the
+    classic backtest bug.  Errors are exact integers; MAE is one double
+    division per type.  The 7-day lag is an equi-join on (type, day−7)
+    against the dense frame — partition-pruned at scale, no corpus-wide
+    window."""
+    ev = t(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    span = ev.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    dense = calendar.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    a = dense.alias("a")
+    f_ = dense.select(
+        "event_type", F.date_add(F.col("day"), FC_SEASON).alias("day"),
+        F.col("n").alias("forecast"),
+    ).alias("f")
+    err = F.abs(F.col("a.n") - F.col("forecast"))
+    return (
+        a.join(f_, ["event_type", "day"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(err).cast("long").alias("total_abs_err"),
+            (F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae"),
+        )
+    )

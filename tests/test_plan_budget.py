@@ -194,6 +194,9 @@ BUDGETS = {
     # self-join + pair agg + unary supports + order count + top-k window;
     # support/total joins broadcast
     "orders_market_basket_lift": (7, True),
+    # span + daily aggs -> dense frame joined to its 7-day shift + final
+    # per-type reduce; the type-cardinality side broadcasts
+    "events_forecast_backtest": (4, True),
 }
 
 
