@@ -95,6 +95,11 @@ HINT_EXCEPTIONS = {
     # matrix, grouped by (seed, pos) — ≤ CM_SEEDS · 16^CM_HEX_DIGITS rows
     # (d·w) regardless of stream length.
     "sketch_countmin_freq": "counter matrix bounded by d x w = CM_SEEDS x 16^CM_HEX_DIGITS",
+    # operators/similarity.py: the hinted frame is the (label, dim)-keyed
+    # centroid aggregate — bounded by |labels| x D (here 10 x 64), the
+    # same label-keyed-centroid class as similarity_ivf_topk's exception;
+    # the exploded corpus side stays unhinted.
+    "embedding_centroid_outliers": "label x dim centroid aggregate (category-bounded)",
 }
 
 _MARKER = re.compile(r"[+:]- ")

@@ -114,6 +114,29 @@ ANNOTATED = {
     "table is a bounded BroadcastExchange; cell assignment ranks N x K "
     "rows in one partitioned window; probe join meets same-cell vectors "
     "only; final ranking window over probed candidates",
+    # late-r4 additions
+    "embedding_gram_matrix": "X'X as map-only Arrow partials: scan -> "
+    "MapInPandas (per-batch int64 Q.T@Q) -> ONE exchange of 2080-row "
+    "partials per batch + exact decimal reduce — the oracle's self-join "
+    "shape would shuffle O(N x D^2) rows instead",
+    "dedup_tfidf_cosine": "weighted index behind a lineage cut "
+    "(materialized once for norms + both self-join sides); post-cut: "
+    "inverted-index self-join bounded by the df cap, pair agg, broadcast "
+    "norm joins",
+    "orders_rfm_segmentation": "no global NTILE: quartile cutpoints are a "
+    "1-row percentile aggregate broadcast back; per-customer scoring is "
+    "map-side comparisons; final agg is <=64 segment keys",
+    "events_cumulative_unique_users": "first-touch inversion: per-user MIN "
+    "(map-side combinable) + per-day count; the running-sum window is "
+    "calendar-bounded (O(days)) — the only single-partition stage and it "
+    "can never grow with the corpus",
+    "mv_incremental_refresh": "mergeable partials: base and delta each "
+    "partial-aggregate (map-side combine), union-merge re-aggregates by "
+    "month — refresh cost O(delta)+O(|MV|), the base never rescanned",
+    "events_forecast_backtest": "densified daily series (per-type calendar "
+    "explode, zero-fill) joined to its 7-day shift; exact integer error "
+    "sums, one division per type — everything after the daily agg is "
+    "day-cardinality bounded",
 }
 
 
