@@ -1353,6 +1353,56 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _LATERAL_SQL)
 
 
+_UDTF_LATERAL_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS word,
+             CAST(generate_subscripts(regexp_split_to_array(text, '[ \t\n\r\f]+'), 1) - 1
+                  AS INTEGER) AS idx
+      FROM documents
+    )
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(idx) AS BIGINT) AS min_idx,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM words GROUP BY word
+"""
+
+
+@query(
+    "sql_udtf_lateral",
+    oracle=_UDTF_LATERAL_ORACLE,
+    tags=("sql", "udtf", "lateral", "python-udf"),
+)
+def sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in SQL — the table-function third of the UDF/UDAF/UDTF
+    extension triad (the reference's only hook is a compiled-in Rust
+    trait): ``split_words`` turns each document row into (word, position)
+    rows via ``LATERAL``, then plain SQL aggregates per word.  UDTFs are
+    row-at-a-time Python — the SLOW extension path, registered here to
+    prove the surface end-to-end against an oracle; anything
+    word-splitting-shaped in the hot path should use the built-in
+    split/explode (see ``text_token_stats``), which never leaves the JVM.
+    Python ``str.split()`` and the oracle's explicit whitespace class
+    agree on this corpus's ASCII text (the repo-wide `[ \t\n\r\f]`
+    hardening)."""
+    from .functions import register_split_words_udtf
+
+    register_split_words_udtf(spark)
+    from .sources import register_sf_dir
+
+    register_sf_dir(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT word,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(idx) AS BIGINT) AS min_idx,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM documents, LATERAL split_words(text)
+        GROUP BY word
+        """
+    )
+
+
 @query(
     "agg_rollup",
     oracle="""

@@ -197,6 +197,9 @@ BUDGETS = {
     # span + daily aggs -> dense frame joined to its 7-day shift + final
     # per-type reduce; the type-cardinality side broadcasts
     "events_forecast_backtest": (4, True),
+    # BatchEvalPythonUDTF expansion is map-side; word agg (count-distinct
+    # doubles the phases)
+    "sql_udtf_lateral": (2, False),
 }
 
 
