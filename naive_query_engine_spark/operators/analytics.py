@@ -829,3 +829,91 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae"),
         )
     )
+
+
+@query(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, s1.t_view,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view THEN e.ts END) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id, s1.t_view
+    ),
+    s3 AS (
+      SELECT e.user_id, s2.t_view, s2.t_click,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click THEN e.ts END)
+               AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id, s2.t_view, s2.t_click
+    ),
+    conv AS (
+      SELECT CAST(CAST(t_view AS DATE) AS VARCHAR) AS cohort_day,
+             date_diff('microsecond', t_view, t_purchase) AS ttc_us
+      FROM s3 WHERE t_purchase IS NOT NULL
+    )
+    SELECT cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_cont(ttc_us, 0.5) AS DOUBLE) AS median_us,
+           CAST(quantile_cont(ttc_us, 0.9) AS DOUBLE) AS p90_us
+    FROM conv GROUP BY cohort_day
+    """,
+    tags=("events", "analytics", "funnel", "percentile", "composition"),
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert through the full view→click→purchase funnel, per
+    first-view cohort day — the latency read on ``events_funnel``'s
+    boolean counts (how LONG conversion takes, not just whether).  Same
+    staged conditional-MIN derivation (no per-user sort anywhere);
+    durations are exact integer MICROSECONDS (second-level diffs diverge
+    across engines); median/p90 are the standard interpolated percentile
+    over those exact integers (Spark ``percentile`` ≙ DuckDB
+    ``quantile_cont``).  The percentile aggregation is keyed by cohort
+    day — bounded groups, never a global sort."""
+    ev = t(spark, sf_dir, "events")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    ttc = F.timestamp_diff("MICROSECOND", F.col("t_view"), F.col("t_purchase"))
+    return (
+        s3.filter(F.col("t_purchase").isNotNull())
+        .select(
+            F.col("t_view").cast("date").cast("string").alias("cohort_day"),
+            ttc.alias("ttc_us"),
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.percentile("ttc_us", 0.5).alias("median_us"),
+            F.percentile("ttc_us", 0.9).alias("p90_us"),
+        )
+    )

@@ -614,3 +614,80 @@ def dataset_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.col("toks"), (start + 1).cast("int"), clen.cast("int")), " ")
         ).alias("chunk_md5"),
     )
+
+
+_FP_SQL = "MD5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+@query(
+    "profile_quality_dup_correlation",
+    oracle=f"""
+    WITH fp AS (
+      SELECT {_FP_SQL} AS fp, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1
+    ),
+    b AS (
+      SELECT d.n_chars AS x,
+             CASE WHEN f.n_copies > 1 THEN 1 ELSE 0 END AS y
+      FROM documents d JOIN fp f ON f.fp = {_FP_SQL.replace('text', 'd.text')}
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM b
+    )
+    SELECT CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS corr_len_dup,
+           CAST(sy AS BIGINT) AS n_dup_docs,
+           CAST(n AS BIGINT) AS n_docs
+    FROM m
+    """,
+    tags=("quality", "dedup", "stats", "corr", "composition"),
+)
+def profile_quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family data-card metric: Pearson correlation between document
+    LENGTH and exact-duplicate membership — the "is our duplication
+    concentrated in short boilerplate?" question every curation run asks
+    before choosing dedup thresholds.  Same exact-integer-moment
+    discipline as ``agg_corr_exact`` (all six moments are DECIMAL(38,0)/
+    HUGEINT integers; the surviving float ops are correctly rounded on
+    identical operands — bit-identical by IEEE semantics); duplicate
+    membership comes from the canonical fingerprint (one window count —
+    the dedup_exact key), and degenerate variance (no dups, or all one
+    length) yields NULL identically in both engines."""
+    from .text import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint(F.col("text")))
+    b = d.select(
+        F.col("n_chars").alias("x"),
+        F.when(F.count(F.lit(1)).over(w) > 1, 1).otherwise(0).alias("y"),
+    )
+    m = b.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").cast("decimal(19,0)").alias("sx"),
+        F.sum("y").cast("decimal(19,0)").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    corr = (n * F.col("sxy") - sx * sy).cast("double") / (
+        F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double"))
+    )
+    return m.select(
+        F.when((var_x == 0) | (var_y == 0), F.lit(None).cast("double"))
+        .otherwise(corr)
+        .alias("corr_len_dup"),
+        sy.cast("long").alias("n_dup_docs"),
+        n.cast("long").alias("n_docs"),
+    )

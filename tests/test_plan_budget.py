@@ -200,6 +200,11 @@ BUDGETS = {
     # BatchEvalPythonUDTF expansion is map-side; word agg (count-distinct
     # doubles the phases)
     "sql_udtf_lateral": (2, False),
+    # three staged per-user conditional-MIN aggs + the cohort-bounded
+    # percentile agg; user frames broadcast where AQE sizes allow
+    "events_funnel_time_to_convert": (4, True),
+    # fingerprint window + the 1-row moment reduce
+    "profile_quality_dup_correlation": (2, False),
 }
 
 
