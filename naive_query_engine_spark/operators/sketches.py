@@ -444,9 +444,6 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type").isin("view", "click"), F.col("user_id")),
             rsd=0.02,
         ).alias("n_ab"),
-        F.count_distinct(
-            F.when(F.col("event_type") == "view", F.col("user_id"))
-        ).alias("x_a"),
     )
     # exact intersection for the contract, computed engine-side the cheap
     # way: |A∩B| = |A|+|B|-|A∪B| holds exactly for exact counts too
