@@ -917,3 +917,53 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
             F.percentile("ttc_us", 0.9).alias("p90_us"),
         )
     )
+
+
+@query(
+    "events_power_users_pareto",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    q AS (SELECT CAST(quantile_cont(n, 0.9) AS DOUBLE) AS p90 FROM cnt),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS total_events,
+             CAST(SUM(CASE WHEN n > q.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_power_users,
+             CAST(SUM(CASE WHEN n > q.p90 THEN n ELSE 0 END) AS BIGINT) AS power_events
+      FROM cnt CROSS JOIN q
+    )
+    SELECT n_users, n_power_users, total_events,
+           CAST(power_events AS DOUBLE) / total_events AS power_share
+    FROM agg
+    """,
+    tags=("events", "analytics", "skew", "pareto"),
+)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload-concentration audit (the Pareto/80-20 read): what share of
+    all events comes from users above the p90 activity cutpoint?  This
+    number IS the skew-mitigation decision input — when a thin slice of
+    keys carries most of the volume, keyed shuffles need salting or AQE
+    skew-splitting (``join_salted_skew`` is the remedy this query
+    justifies).  Same no-global-window discipline as RFM: the cutpoint is
+    a 1-row percentile aggregate broadcast back over the user-count
+    frame; counts and event sums are exact integers, the share is one
+    double division."""
+    ev = t(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    q = cnt.agg(F.percentile("n", 0.9).alias("p90"))
+    is_power = (F.col("n") > F.col("p90")).cast("int")
+    agg = cnt.crossJoin(F.broadcast(q)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.sum(is_power).cast("long").alias("n_power_users"),
+        F.sum(F.col("n") * is_power).cast("long").alias("power_events"),
+    )
+    return agg.select(
+        "n_users",
+        "n_power_users",
+        "total_events",
+        (F.col("power_events").cast("double") / F.col("total_events")).alias(
+            "power_share"
+        ),
+    )

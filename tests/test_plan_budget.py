@@ -205,6 +205,10 @@ BUDGETS = {
     "events_funnel_time_to_convert": (4, True),
     # fingerprint window + the 1-row moment reduce
     "profile_quality_dup_correlation": (2, False),
+    # user-count agg lineage appears under both the cutpoint and the main
+    # reduce in the static plan (runtime reuses the exchange); 1-row
+    # percentile broadcast
+    "events_power_users_pareto": (4, True),
 }
 
 
