@@ -967,3 +967,35 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "power_share"
         ),
     )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "analytics", "seasonality", "profile"),
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the seasonality fingerprint
+    behind capacity planning and the seasonal-naive forecast's lag choice
+    (``events_forecast_backtest`` assumes weekly structure; this is the
+    query that shows it).  Bounded output (7×24) at any corpus size; one
+    map-side-combinable aggregation.  Spark ``dayofweek`` and DuckDB
+    ``dayofweek`` differ by convention — Spark is 1=Sunday..7, DuckDB is
+    0=Sunday..6 — so the Spark side shifts to DuckDB's numbering."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )

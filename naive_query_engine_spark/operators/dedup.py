@@ -1052,3 +1052,41 @@ from ..queries import QUERIES as _QREG2  # noqa: E402
 _QREG2["dedup_minhash_recall_vs_exact"] = _dc2.replace(
     _QREG2["dedup_minhash_recall_vs_exact"], oracle=_minhash_recall_oracle()
 )
+
+
+@query(
+    "profile_shingle_df_histogram",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    dfreq AS (SELECT g, COUNT(*) AS df FROM shingles GROUP BY g)
+    SELECT CAST(LENGTH(bin(df)) AS BIGINT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(CASE WHEN df > {MAX_SHINGLE_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_cap
+    FROM dfreq GROUP BY 1
+    """,
+    tags=("dedup", "profile", "histogram", "tuning"),
+)
+def profile_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram (power-of-2 bins via the exact
+    ``bin()`` bit-length trick) — the TUNING INPUT for ``MAX_SHINGLE_DF``:
+    every Jaccard/MinHash/tfidf consumer drops shingles above the cap, and
+    this is the query that shows what the cap costs (``n_over_cap`` per
+    bin) and where the boilerplate mass sits (``n_postings`` is the
+    inverted-index volume — the self-join fan-out driver — per df decade).
+    Run it before moving the cap on a new corpus; df ≈ corpus size in the
+    top bins is the boilerplate signature.  One df aggregation + a
+    ~20-row rollup."""
+    d = t(spark, sf_dir, "documents")
+    dfreq = shingle_rows(d, 3).groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dfreq.groupBy(F.length(F.bin(F.col("df"))).cast("long").alias("log2_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum((F.col("df") > MAX_SHINGLE_DF).cast("int"))
+            .cast("long")
+            .alias("n_over_cap"),
+        )
+    )

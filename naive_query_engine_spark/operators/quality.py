@@ -691,3 +691,36 @@ def profile_quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFra
         sy.cast("long").alias("n_dup_docs"),
         n.cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "profile_doc_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(LENGTH(bin(n_chars)) AS BIGINT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("quality", "profile", "histogram"),
+)
+def profile_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length histogram on POWER-OF-2 bins — the
+    data-card length chart, with the log-bin trick made exact: the bin is
+    the BIT LENGTH of n_chars (length of its binary string — floor(log2)+1
+    as pure integer/string ops), because ``floor(log2(n))`` through libm
+    is not bit-portable at bucket boundaries while ``bin()`` is exact in
+    both engines.  Bounded output (langs × ~20 bins); one aggregation."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            F.length(F.bin(F.col("n_chars"))).cast("long").alias("log2_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )

@@ -209,6 +209,12 @@ BUDGETS = {
     # reduce in the static plan (runtime reuses the exchange); 1-row
     # percentile broadcast
     "events_power_users_pareto": (4, True),
+    # (dow,hour) agg; count-distinct doubles the phases; 168-row output
+    "events_seasonality_profile": (2, False),
+    # one aggregation on (lang, bit-length bin)
+    "profile_doc_length_histogram": (1, False),
+    # spread + shingle distinct + df agg + ~20-bin rollup
+    "profile_shingle_df_histogram": (4, False),
 }
 
 
