@@ -1090,3 +1090,56 @@ def profile_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_over_cap"),
         )
     )
+
+
+SWEEP_THRESHOLDS = (0.2, 0.4, 0.6, 0.8)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_CAPPED_SQL},
+    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM capped GROUP BY doc_id),
+    pair AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+      FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) AS j
+      FROM pair
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           {", ".join(
+             f"CAST(SUM(CASE WHEN j >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS n_ge_{str(t).replace('.', '')}"
+             for t in SWEEP_THRESHOLDS
+           )}
+    FROM jac
+    """,
+    tags=("dedup", "tuning", "jaccard", "sweep"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard THRESHOLD-TUNING curve in one pass: pair counts surviving
+    each candidate threshold (0.2/0.4/0.6/0.8) as conditional sums over
+    the SAME inverted-index pair frame — four dedup configurations
+    evaluated for the cost of one (the sweep every new corpus needs
+    before committing a threshold; running the dedup four times is the
+    naive alternative).  The per-pair Jaccard is the same single-division
+    double as ``dedup_ngram_jaccard``, so each >= test is the identical
+    IEEE comparison in both engines."""
+    d = t(spark, sf_dir, "documents")
+    # threshold 0 → every candidate pair with its jaccard, no filter
+    pairs = ngram_jaccard_pairs(d, threshold=0.0)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        *[
+            F.sum((F.col("jaccard") >= th).cast("int"))
+            .cast("long")
+            .alias(f"n_ge_{str(th).replace('.', '')}")
+            for th in SWEEP_THRESHOLDS
+        ],
+    )

@@ -215,6 +215,11 @@ BUDGETS = {
     "profile_doc_length_histogram": (1, False),
     # spread + shingle distinct + df agg + ~20-bin rollup
     "profile_shingle_df_histogram": (4, False),
+    # unthresholded jaccard pair frame -> 1-row conditional-sum reduce;
+    # the persisted shingle lineage (5 consumers: df, capped join, sizes,
+    # both self-join sides) is re-counted per consumer in the STATIC plan
+    # (runtime reuses the materialization — the bm25/pmi precedent)
+    "dedup_threshold_sweep": (24, True),
 }
 
 
