@@ -129,3 +129,95 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ), sess AS (
+      SELECT user_id, MIN(ts) AS s, MAX(ts) + INTERVAL 30 MINUTE AS e
+      FROM numbered GROUP BY user_id, session_no
+    ), b AS (
+      SELECT s AS ts, 1 AS delta, user_id FROM sess
+      UNION ALL
+      SELECT e AS ts, -1 AS delta, user_id FROM sess
+    ), run AS (
+      SELECT SUM(delta) OVER (ORDER BY ts, delta, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b
+    )
+    SELECT CAST(MAX(cum) AS BIGINT) AS peak_concurrency,
+           CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions
+    FROM run
+    """,
+    tags=("events", "session", "sweep-line", "concurrency"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — the interval-counting sweep-line (+1 at
+    each session start, −1 at each end, max of the running sum), which
+    naively needs one GLOBAL ordered prefix sum: a corpus-sized
+    single-partition window.  Here the sweep is DISTRIBUTED with the
+    ``layout.global_rank`` idiom, adapted from ranks to PREFIX SUMS:
+    range-partition the boundary stream on the total sweep order
+    (partitioning pinned by a lineage cut — range boundaries re-sample
+    per job otherwise), collect one delta-SUM per partition (bounded:
+    n_partitions rows), and give each partition its predecessors' sum as
+    a constant offset — the in-partition running sum then needs only an
+    in-partition sort.  Tie order is pinned (−1 before +1 at the same
+    instant, then user): touching sessions never double-count, and both
+    engines sweep identically.  Sessions come from the same 30-minute
+    ``session_window`` as ``events_sessionize``."""
+    from pyspark.sql import Window
+
+    from ..queries import cut_lineage
+
+    ev = t(spark, sf_dir, "events")
+    sess = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    starts = sess.select(
+        F.col("w.start").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    )
+    ends = sess.select(
+        F.col("w.end").alias("ts"), F.lit(-1).alias("delta"), "user_id"
+    )
+    bounds = starts.unionByName(ends)
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    d = cut_lineage(
+        bounds.repartitionByRange(n_parts, "ts", "delta", "user_id").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    psums = {
+        r["_pid"]: r["s"]
+        for r in d.groupBy("_pid").agg(F.sum("delta").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("ts", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = d.withColumn("cum", F.sum("delta").over(w) + omap[F.col("_pid")])
+    n_sessions = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return run.agg(F.max("cum").cast("long").alias("peak_concurrency")).crossJoin(
+        F.broadcast(n_sessions.select(F.col("n_sessions").cast("long").alias("n_sessions")))
+    )

@@ -103,6 +103,41 @@ def test_leakage_safe_split_never_straddles_a_component(spark):
     assert multi > 0
 
 
+def test_peak_concurrency_matches_naive_global_sweep(spark):
+    """The distributed prefix-sum sweep must equal the textbook
+    single-partition-window sweep exactly (same boundaries, same tie
+    order) — the whole point of the global_rank-style offset trick is
+    changing the PLAN, never the result."""
+    from naive_query_engine_spark.operators.events import events_peak_concurrency
+
+    row = events_peak_concurrency(spark, SF_ORACLE).collect()[0]
+    ev = t(spark, SF_ORACLE, "events")
+    sess = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = sess.select(
+        F.col("w.start").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        sess.select(F.col("w.end").alias("ts"), F.lit(-1).alias("delta"), "user_id")
+    )
+    from pyspark.sql import Window as W
+
+    naive = (
+        bounds.withColumn(
+            "cum",
+            F.sum("delta").over(
+                W.orderBy("ts", "delta", "user_id").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+        .agg(F.max("cum"))
+        .collect()[0][0]
+    )
+    assert row.peak_concurrency == naive
+    assert 1 <= row.peak_concurrency <= row.n_sessions
+
+
 def test_centroid_outliers_shape(spark):
     out = embedding_centroid_outliers(spark, SF_ORACLE).collect()
     by_label: dict[int, list] = {}

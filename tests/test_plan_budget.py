@@ -220,6 +220,11 @@ BUDGETS = {
     # both self-join sides) is re-counted per consumer in the STATIC plan
     # (runtime reuses the materialization — the bm25/pmi precedent)
     "dedup_threshold_sweep": (24, True),
+    # distributed sweep: session agg + the range repartition sits behind
+    # the lineage cut; post-cut the in-partition running sum needs NO
+    # exchange (partitionBy _pid matches the cut layout) — remaining:
+    # session-count side + final 1-row reduces
+    "events_peak_concurrency": (4, True),
 }
 
 
