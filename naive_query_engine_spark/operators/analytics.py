@@ -999,3 +999,74 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@query(
+    "orders_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m') AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort,
+             (CAST(strftime(o.o_orderdate, '%Y') AS INTEGER) * 12
+              + CAST(strftime(o.o_orderdate, '%m') AS INTEGER))
+             - (CAST(SUBSTR(f.cohort, 1, 4) AS INTEGER) * 12
+                + CAST(SUBSTR(f.cohort, 6, 2) AS INTEGER)) AS months_since,
+             CAST(o.o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    cell AS (
+      SELECT cohort, CAST(months_since AS BIGINT) AS months_since,
+             SUM(p) AS m_rev
+      FROM rev GROUP BY 1, 2
+    )
+    SELECT cohort, months_since,
+           CAST(m_rev AS DOUBLE) AS month_revenue,
+           CAST(SUM(m_rev) OVER (PARTITION BY cohort ORDER BY months_since
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM cell
+    """,
+    tags=("analytics", "cohort", "ltv", "window"),
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-LTV triangle: customers grouped by first-order month,
+    revenue accumulated by months-since-acquisition — the curve every
+    payback / retention-economics analysis reads.  Months-since is exact
+    integer calendar arithmetic (year*12+month, identical both engines —
+    date subtraction conventions are not portable); revenue is
+    decimal-exact, the cumulative window runs over the (cohort,
+    months_since) CELL frame — bounded by months², never customer- or
+    order-cardinality."""
+    orders = t(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_format(F.min(F.to_date("o_orderdate")), "yyyy-MM").alias("cohort")
+    )
+    mnum = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cnum = (
+        F.substring("cohort", 1, 4).cast("int") * 12
+        + F.substring("cohort", 6, 2).cast("int")
+    )
+    cell = (
+        orders.join(firsts, "o_custkey")
+        .select(
+            "cohort",
+            (mnum - cnum).cast("long").alias("months_since"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        )
+        .groupBy("cohort", "months_since")
+        .agg(F.sum("p").alias("m_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort",
+        "months_since",
+        F.col("m_rev").cast("double").alias("month_revenue"),
+        F.sum("m_rev").over(w).cast("double").alias("cum_revenue"),
+    )

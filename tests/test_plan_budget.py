@@ -225,6 +225,9 @@ BUDGETS = {
     # exchange (partitionBy _pid matches the cut layout) — remaining:
     # session-count side + final 1-row reduces
     "events_peak_concurrency": (4, True),
+    # first-order agg + (cohort, month) cell agg + the months^2-bounded
+    # cumulative window; customer side broadcast at oracle SF
+    "orders_cohort_ltv_curve": (3, True),
 }
 
 
