@@ -1070,3 +1070,91 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_rev").cast("double").alias("month_revenue"),
         F.sum("m_rev").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+@query(
+    "events_new_vs_returning_daily",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    )
+    SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_user_events,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_events,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) = f.d0
+                                    THEN e.user_id END) AS BIGINT) AS new_users,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) > f.d0
+                                    THEN e.user_id END) AS BIGINT) AS returning_users
+    FROM events e JOIN f ON f.user_id = e.user_id
+    GROUP BY 1
+    """,
+    tags=("events", "analytics", "first-touch", "acquisition"),
+)
+def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split (the acquisition-vs-retention
+    decomposition under every growth dashboard): an event is "new" when
+    it falls on its user's first-touch day.  One per-user MIN joined back
+    (AQE broadcasts the first-touch side while it fits, shuffles both
+    sides keyed by user at scale), then a day-keyed conditional
+    aggregation — all exact integers."""
+    ev = t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    f = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    is_new = F.col("d") == F.col("d0")
+    return (
+        ev.join(f, "user_id")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(is_new.cast("int")).cast("long").alias("new_user_events"),
+            F.sum((F.col("d") > F.col("d0")).cast("int"))
+            .cast("long")
+            .alias("returning_events"),
+            F.count_distinct(F.when(is_new, F.col("user_id")))
+            .cast("long")
+            .alias("new_users"),
+            F.count_distinct(F.when(F.col("d") > F.col("d0"), F.col("user_id")))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
+
+
+@query(
+    "orders_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+           CASE WHEN LAG(rev) OVER (ORDER BY month) IS NULL THEN NULL
+                ELSE CAST(rev AS DOUBLE) / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) - 1
+           END AS mom_growth
+    FROM m
+    """,
+    tags=("analytics", "timeseries", "growth", "window"),
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the finance run-rate read:
+    decimal-exact monthly sums, LAG over the months-bounded frame (the
+    single-partition window is O(months) forever), growth as one double
+    division of two exact decimals (NULL for the first month in both
+    engines)."""
+    orders = t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("rev").cast("double") / prev.cast("double") - 1)
+        .alias("mom_growth"),
+    )

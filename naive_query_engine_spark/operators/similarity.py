@@ -1261,3 +1261,40 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("dim_i", "dim_j").agg(
         F.sum(F.col("partial").cast("decimal(38,0)")).cast("double").alias("gram")
     )
+
+
+@query(
+    "embedding_norm_histogram",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS nrm2 FROM e GROUP BY vec_id)
+    SELECT CAST(LENGTH(bin(nrm2)) AS BIGINT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(nrm2) AS BIGINT) AS min_nrm2,
+           CAST(MAX(nrm2) AS BIGINT) AS max_nrm2
+    FROM norms GROUP BY 1
+    """,
+    tags=("similarity", "profile", "histogram", "quality"),
+)
+def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm distribution on power-of-2 bins — the vector-QA
+    profile run before trusting any cosine index: zero/degenerate vectors
+    (cosine undefined), un-normalized batches, and dtype-scale mistakes
+    all show up as stray norm bins.  Norms are the exact integer
+    quantized dot products every similarity operator here already ranks
+    with; bins use the exact bit-length trick (see
+    ``profile_doc_length_histogram``).  One aggregation per vector + a
+    ~40-row rollup."""
+    qt = _qtable(spark, sf_dir)
+    return (
+        qt.groupBy(F.length(F.bin(F.col("nrm2"))).cast("long").alias("log2_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("nrm2").cast("long").alias("min_nrm2"),
+            F.max("nrm2").cast("long").alias("max_nrm2"),
+        )
+    )

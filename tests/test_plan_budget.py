@@ -228,6 +228,13 @@ BUDGETS = {
     # first-order agg + (cohort, month) cell agg + the months^2-bounded
     # cumulative window; customer side broadcast at oracle SF
     "orders_cohort_ltv_curve": (3, True),
+    # first-touch agg joined back + day-keyed conditional agg (the two
+    # count-distincts expand the agg phases)
+    "events_new_vs_returning_daily": (3, True),
+    # monthly decimal agg + the months-bounded LAG window
+    "orders_mom_growth": (2, False),
+    # per-vector exact norm (in-row dot) + the ~40-bin rollup
+    "embedding_norm_histogram": (1, False),
 }
 
 
