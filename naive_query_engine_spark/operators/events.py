@@ -221,3 +221,84 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.agg(F.max("cum").cast("long").alias("peak_concurrency")).crossJoin(
         F.broadcast(n_sessions.select(F.col("n_sessions").cast("long").alias("n_sessions")))
     )
+
+
+DRIFT_BIN = 25.0  #: value-histogram bin width for the drift comparison
+DRIFT_FP = 1_000_000_000
+
+
+@query(
+    "events_value_drift_l1",
+    oracle=f"""
+    WITH mid AS (
+      -- exact integer epoch-us midpoint: interval/2 arithmetic rounds
+      -- differently across engines; (min+max)/2 over epoch-us BIGINTs is
+      -- exact in double (sums ~3.4e15 << 2^53) and floors identically
+      SELECT CAST(FLOOR((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / CAST(2 AS DOUBLE))
+                  AS BIGINT) AS m
+      FROM events
+    ),
+    binned AS (
+      SELECT CAST(FLOOR(value / {DRIFT_BIN}) AS BIGINT) AS bin,
+             CASE WHEN epoch_us(ts) < mid.m THEN 0 ELSE 1 END AS half
+      FROM events CROSS JOIN mid
+    ),
+    h AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+      FROM binned GROUP BY bin
+    ),
+    n AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM h),
+    terms AS (
+      SELECT CAST(FLOOR({DRIFT_FP} *
+               ABS(h.c0 / CAST(n.n0 AS DOUBLE) - h.c1 / CAST(n.n1 AS DOUBLE))
+             ) AS BIGINT) AS term_fp
+      FROM h CROSS JOIN n
+    )
+    SELECT CAST(SUM(term_fp) AS BIGINT) AS l1_drift_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_bins
+    FROM terms
+    """,
+    tags=("events", "drift", "monitoring", "histogram"),
+)
+def events_value_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-vs-late value-distribution drift: L1 (total-variation × 2)
+    distance between the value histograms of the first and second halves
+    of the time range — the PSI-style shift monitor, minus PSI's
+    logarithm (libm ln is not bit-portable; L1 over histogram rates is
+    one |p−q| per bin, floored to fixed-point before the sum).  The
+    midpoint anchors to the data's own time span (never now()); the
+    histogram frame is bin-bounded after one aggregation, so the
+    comparison costs one corpus pass regardless of scale."""
+    from ..queries import epoch_micros
+
+    ev = t(spark, sf_dir, "events")
+    us = epoch_micros(F.col("ts"))
+    mid = ev.agg(
+        F.floor((F.min(us) + F.max(us)) / F.lit(2.0)).cast("long").alias("m")
+    )
+    binned = ev.crossJoin(F.broadcast(mid)).select(
+        F.floor(F.col("value") / DRIFT_BIN).cast("long").alias("bin"),
+        F.when(us < F.col("m"), 0).otherwise(1).alias("half"),
+    )
+    h = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    n = h.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    term = F.floor(
+        F.lit(DRIFT_FP)
+        * F.abs(
+            F.col("c0") / F.col("n0").cast("double")
+            - F.col("c1") / F.col("n1").cast("double")
+        )
+    ).cast("long")
+    return (
+        h.crossJoin(F.broadcast(n))
+        .select(term.alias("term_fp"))
+        .agg(
+            F.sum("term_fp").cast("long").alias("l1_drift_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+        )
+    )

@@ -1398,3 +1398,71 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("share_of_label"),
     )
+
+
+DRIFT_SCALE = 1_000_000_000  #: fixed-point scale for per-token drift terms
+
+
+@query(
+    "text_source_drift_chisquare",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
+      FROM documents
+    ),
+    sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    st AS (SELECT source, SUM(c) AS n_s FROM sc GROUP BY 1),
+    gc AS (SELECT tok, SUM(c) AS g FROM sc GROUP BY 1),
+    gt AS (SELECT SUM(g) AS n_g FROM gc),
+    terms AS (
+      SELECT sc.source,
+             CAST(FLOOR({DRIFT_SCALE} *
+               (((sc.c / CAST(st.n_s AS DOUBLE)) - (gc.g / CAST(gt.n_g AS DOUBLE)))
+                * ((sc.c / CAST(st.n_s AS DOUBLE)) - (gc.g / CAST(gt.n_g AS DOUBLE)))
+                / ((sc.c / CAST(st.n_s AS DOUBLE)) + (gc.g / CAST(gt.n_g AS DOUBLE))))
+             ) AS BIGINT) AS term_fp
+      FROM sc
+      JOIN st ON st.source = sc.source
+      JOIN gc ON gc.tok = sc.tok
+      CROSS JOIN gt
+    )
+    SELECT source,
+           CAST(SUM(term_fp) AS BIGINT) AS chisq_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM terms GROUP BY source
+    """,
+    tags=("text", "drift", "monitoring", "quality"),
+)
+def text_source_drift_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution DRIFT against the corpus — the
+    monitoring query a production pipeline runs per ingest batch to catch
+    a source going off-distribution (scraper broke, language mix shifted,
+    spam flood).  The distance is the chi-square-style statistic
+    Σ (p−q)²/(p+q): unlike KL/JS divergence it needs NO logarithm —
+    libm log is not bit-portable, while this is one rational double
+    expression per token, floored to a fixed-point BIGINT before the sum
+    (the BM25 discipline), so the drift score is exact at any partition
+    order.  Only tokens the source actually contains contribute
+    (sparse-side iteration — the inverted-index shape again); frames are
+    token- and source-bounded after the first aggregation."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n_s"))
+    gc = sc.groupBy("tok").agg(F.sum("c").alias("g"))
+    gt = gc.agg(F.sum("g").alias("n_g"))
+    p = F.col("c") / F.col("n_s").cast("double")
+    q = F.col("g") / F.col("n_g").cast("double")
+    term = F.floor(F.lit(DRIFT_SCALE) * (((p - q) * (p - q)) / (p + q))).cast("long")
+    return (
+        sc.join(st, "source")
+        .join(gc, "tok")
+        .crossJoin(F.broadcast(gt))  # 1-row ungrouped aggregate
+        .select("source", term.alias("term_fp"))
+        .groupBy("source")
+        .agg(
+            F.sum("term_fp").cast("long").alias("chisq_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )

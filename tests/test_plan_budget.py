@@ -235,6 +235,13 @@ BUDGETS = {
     "orders_mom_growth": (2, False),
     # per-vector exact norm (in-row dot) + the ~40-bin rollup
     "embedding_norm_histogram": (1, False),
+    # (source,tok) agg lineage feeds source totals / global counts / the
+    # term join (static re-count per consumer — the bm25 precedent);
+    # 1-row corpus total broadcasts
+    "text_source_drift_chisquare": (9, True),
+    # 1-row midpoint broadcast + bin histogram + 1-row totals broadcast +
+    # final reduce (histogram lineage re-counted under the totals side)
+    "events_value_drift_l1": (6, True),
 }
 
 
