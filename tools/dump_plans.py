@@ -137,6 +137,15 @@ ANNOTATED = {
     "explode, zero-fill) joined to its 7-day shift; exact integer error "
     "sums, one division per type — everything after the daily agg is "
     "day-cardinality bounded",
+    "events_peak_concurrency": "distributed sweep-line: the boundary "
+    "stream's range repartition sits behind a lineage cut (partitioning "
+    "pinned), per-partition delta sums collected once (bounded), and the "
+    "running sum is an IN-PARTITION window offset by predecessors' totals "
+    "— the textbook global prefix-sum window never appears",
+    "text_source_drift_chisquare": "drift monitor: (source,tok) counts "
+    "aggregate once; source totals and the global token distribution are "
+    "bounded side frames; per-token chi-square terms floor to fixed-point "
+    "BIGINTs map-side so the final per-source sum is order-free",
 }
 
 
