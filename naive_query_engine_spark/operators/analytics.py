@@ -1158,3 +1158,73 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("rev").cast("double") / prev.cast("double") - 1)
         .alias("mom_growth"),
     )
+
+
+@query(
+    "orders_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev) AS total FROM rev),
+    c AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    ),
+    cls AS (
+      SELECT CASE WHEN cum * 10 <= tot.total * 7 THEN 'A'
+                  WHEN cum * 10 <= tot.total * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev
+      FROM c CROSS JOIN tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+           CAST(SUM(rev) AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM tot)
+             AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+    tags=("analytics", "abc", "pareto", "prefix-sum"),
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (cumulative-revenue-share) part classification — the inventory
+    80/20 cut: parts ranked by revenue, class A while the running share
+    is ≤70%, B to 90%, C after.  The ranking frame is PART-cardinality
+    (scales with SF), so the textbook global cumulative window is a
+    corpus-sized single-partition sort — instead the running sum comes
+    from :func:`layout.distributed_prefix_sum` (the sweep-line idiom,
+    second consumer).  Class boundaries compare ``cum*10`` against
+    ``total*7/9`` in EXACT decimals — no division touches the
+    classification, the only doubles are the reported shares."""
+    from .layout import distributed_prefix_sum
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("rev")
+    )
+    tot = rev.agg(F.sum("rev").alias("total"))
+    c = distributed_prefix_sum(
+        rev, [F.col("rev").desc(), F.col("l_partkey")], "rev", "cum"
+    )
+    cls = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("cum") * 10 <= F.col("total") * 7, "A")
+            .when(F.col("cum") * 10 <= F.col("total") * 9, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "rev",
+            "total",
+        )
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+        (F.sum("rev").cast("double") / F.first("total").cast("double")).alias(
+            "revenue_share"
+        ),
+    )

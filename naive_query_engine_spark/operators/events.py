@@ -179,9 +179,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     instant, then user): touching sessions never double-count, and both
     engines sweep identically.  Sessions come from the same 30-minute
     ``session_window`` as ``events_sessionize``."""
-    from pyspark.sql import Window
-
-    from ..queries import cut_lineage
+    from .layout import distributed_prefix_sum
 
     ev = t(spark, sf_dir, "events")
     sess = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
@@ -194,29 +192,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("ts"), F.lit(-1).alias("delta"), "user_id"
     )
     bounds = starts.unionByName(ends)
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    d = cut_lineage(
-        bounds.repartitionByRange(n_parts, "ts", "delta", "user_id").withColumn(
-            "_pid", F.spark_partition_id()
-        )
+    run = distributed_prefix_sum(
+        bounds, [F.col("ts"), F.col("delta"), F.col("user_id")], "delta", "cum"
     )
-    psums = {
-        r["_pid"]: r["s"]
-        for r in d.groupBy("_pid").agg(F.sum("delta").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(psums):
-        offsets[pid] = acc
-        acc += psums[pid]
-    omap = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-    )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy("ts", "delta", "user_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run = d.withColumn("cum", F.sum("delta").over(w) + omap[F.col("_pid")])
     n_sessions = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
     return run.agg(F.max("cum").cast("long").alias("peak_concurrency")).crossJoin(
         F.broadcast(n_sessions.select(F.col("n_sessions").cast("long").alias("n_sessions")))

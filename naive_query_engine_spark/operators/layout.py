@@ -202,3 +202,46 @@ def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ua") - F.min("ua")).cast("long").alias("ua_spread"),
         (F.max("ub") - F.min("ub")).cast("long").alias("ub_spread"),
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact running SUM of ``val_col`` over a TOTAL order without a
+    single-partition window — :func:`global_rank`'s idiom applied to
+    prefix sums (rank is the special case val=1): range-partition on the
+    order (partitioning pinned by the lineage cut — range boundaries
+    re-sample per job otherwise), collect ONE value-sum per partition
+    (bounded: n_parts rows), and hand each partition its predecessors'
+    total as a constant offset, so the running sum is an in-partition
+    window.  Total order is the caller's contract: ``order_cols`` must
+    carry a unique tie-break or rows at equal keys may swap prefix
+    values.  Consumers: ``events_peak_concurrency`` (sweep-line interval
+    counting), ``orders_abc_classification`` (cumulative revenue share)."""
+    n = n_parts or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    d = cut_lineage(
+        df.repartitionByRange(n, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    psums = {
+        r["_pid"]: r["s"]
+        for r in d.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid] or 0
+    omap = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.withColumn(out, F.sum(val_col).over(w) + omap[F.col("_pid")]).drop(
+        "_pid"
+    )

@@ -242,6 +242,9 @@ BUDGETS = {
     # 1-row midpoint broadcast + bin histogram + 1-row totals broadcast +
     # final reduce (histogram lineage re-counted under the totals side)
     "events_value_drift_l1": (6, True),
+    # part-revenue agg + distributed_prefix_sum (range shuffle behind the
+    # cut; in-partition window) + totals broadcast + 3-key class agg
+    "orders_abc_classification": (4, True),
 }
 
 
