@@ -1228,3 +1228,114 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+HHI_FP = 1_000_000_000
+
+
+@query(
+    "events_type_concentration_hhi",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT day, SUM(c) AS n FROM d GROUP BY day),
+    terms AS (
+      SELECT d.day,
+             CAST(FLOOR({HHI_FP} *
+               ((d.c / CAST(n.n AS DOUBLE)) * (d.c / CAST(n.n AS DOUBLE)))
+             ) AS BIGINT) AS term_fp
+      FROM d JOIN n ON n.day = d.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(term_fp) AS BIGINT) AS hhi_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM terms GROUP BY 1
+    """,
+    tags=("events", "analytics", "concentration", "monitoring"),
+)
+def events_type_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type concentration via the Herfindahl–Hirschman index
+    (Σ share² — the log-free concentration metric; Shannon entropy needs
+    libm log): a day whose traffic collapses into one event type jumps
+    toward HHI=1 — the mix-shift alarm complementary to the volume-based
+    drift monitors.  Per-(day,type) counts are exact; each share² is one
+    IEEE expression floored to fixed-point before the per-day sum
+    (order-free).  Frames are day×type bounded after the first
+    aggregation."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = d.groupBy("day").agg(F.sum("c").alias("n"))
+    share = F.col("c") / F.col("n").cast("double")
+    term = F.floor(F.lit(HHI_FP) * (share * share)).cast("long")
+    return (
+        d.join(n, "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), term.alias("term_fp"))
+        .groupBy("day")
+        .agg(
+            F.sum("term_fp").cast("long").alias("hhi_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+    )
+
+
+@query(
+    "supplier_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev, l_suppkey) AS BIGINT) AS rnk
+      FROM rev
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rev) AS total,
+             SUM(rev * rnk) AS weighted
+      FROM r
+    )
+    SELECT n,
+           CAST(total AS DOUBLE) AS total_revenue,
+           (2 * CAST(weighted AS DOUBLE)) / (n * CAST(total AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1) / n AS gini
+    FROM m
+    """,
+    tags=("analytics", "concentration", "gini", "distributed-rank"),
+)
+def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of supplier revenue — the inequality metric
+    behind vendor-concentration risk (and the scalar twin of the ABC
+    curve).  Needs every supplier's RANK by revenue: the third consumer
+    of the distributed-rank machinery (``layout.global_rank`` — no
+    single-partition ROW_NUMBER even though the supplier domain scales
+    with SF).  G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n with ascending ranks:
+    Σx and Σ(rank·x) are exact decimal sums (rank is an exact BIGINT), so
+    the coefficient is one fixed double expression over three exact
+    aggregates."""
+    from .layout import global_rank
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("rev")
+    )
+    ranked, n_total = global_rank(rev, ["rev", "l_suppkey"], "_r")
+    m = ranked.select(
+        "rev", (F.col("_r") + 1).alias("rnk")  # global_rank is 0-based
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").alias("total"),
+        F.sum(F.col("rev") * F.col("rnk")).alias("weighted"),
+    )
+    n, tot = F.col("n"), F.col("total").cast("double")
+    gini = (2 * F.col("weighted").cast("double")) / (n * tot) - (
+        n.cast("double") + 1
+    ) / n
+    return m.select(
+        "n", tot.alias("total_revenue"), gini.alias("gini")
+    )

@@ -245,6 +245,12 @@ BUDGETS = {
     # part-revenue agg + distributed_prefix_sum (range shuffle behind the
     # cut; in-partition window) + totals broadcast + 3-key class agg
     "orders_abc_classification": (4, True),
+    # (day,type) agg lineage under both the counts and totals sides
+    # (static re-count), then the day-bounded reduce
+    "events_type_concentration_hhi": (4, True),
+    # supplier agg + global_rank's range shuffle behind the cut + 1-row
+    # moment reduce
+    "supplier_revenue_gini": (2, False),
 }
 
 
