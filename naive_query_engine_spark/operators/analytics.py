@@ -1339,3 +1339,156 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n", tot.alias("total_revenue"), gini.alias("gini")
     )
+
+
+@query(
+    "part_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+             p_size AS size,
+             COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
+      FROM part GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT price, size AS best_size, n_parts, min_partkey,
+             ROW_NUMBER() OVER (PARTITION BY price ORDER BY size DESC) AS rn
+      FROM pts
+    ),
+    cm AS (
+      SELECT price, best_size, n_parts, min_partkey,
+             MAX(best_size) OVER (ORDER BY price
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS prevmax
+      FROM best WHERE rn = 1
+    )
+    SELECT CAST(price AS DOUBLE) AS price,
+           CAST(best_size AS BIGINT) AS best_size,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           CAST(min_partkey AS BIGINT) AS min_partkey
+    FROM cm WHERE prevmax IS NULL OR best_size > prevmax
+    """,
+    tags=("analytics", "skyline", "pareto", "prefix-max"),
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) over parts: minimize price, maximize
+    size — a part survives iff no other part is cheaper-or-equal AND
+    bigger-or-equal with at least one strict (the classic dominance
+    definition; Borzsony/Kossmann/Stocker's skyline operator, absent
+    from both Spark and the reference's algebra).
+
+    Distributed shape: the dominance test collapses to "size strictly
+    greater than the best size among all STRICTLY cheaper price points,
+    and best-of-group at its own price" — i.e. one grouped argmax per
+    price (two map-side-partial aggregations) followed by an EXCLUSIVE
+    running max over the price order, which is
+    :func:`layout.distributed_prefix_max` (the prefix-sum idiom's MAX
+    form — range partition + per-partition offsets, no single-partition
+    window even though the price domain scales with SF).  Price is cast
+    to DECIMAL(12,2) on both sides so the group key is an exact decimal,
+    never a float equality."""
+    from ..queries import dec
+    from .layout import distributed_prefix_max
+
+    p = t(spark, sf_dir, "part")
+    pts = p.groupBy(
+        dec(F.col("p_retailprice")).alias("price"), F.col("p_size").alias("size")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+    # per-price argmax by size: (price, size) is unique after the group,
+    # so the struct max is the rn=1 row of the oracle
+    best = pts.groupBy("price").agg(
+        F.max(F.struct("size", "n_parts", "min_partkey")).alias("s")
+    ).select(
+        "price",
+        F.col("s.size").alias("best_size"),
+        F.col("s.n_parts").alias("n_parts"),
+        F.col("s.min_partkey").alias("min_partkey"),
+    )
+    cm = distributed_prefix_max(best, [F.col("price")], "best_size", "prevmax")
+    sky = cm.filter(F.col("prevmax").isNull() | (F.col("best_size") > F.col("prevmax")))
+    return sky.select(
+        F.col("price").cast("double").alias("price"),
+        F.col("best_size").cast("long").alias("best_size"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.col("min_partkey").cast("long").alias("min_partkey"),
+    )
+
+
+ATTRIB_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day conversion window
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, value,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+      FROM events
+    ),
+    conv AS (
+      SELECT CASE WHEN touch_ts IS NOT NULL
+                   AND date_diff('microsecond', touch_ts, ts) <= {ATTRIB_WINDOW_US}
+                  THEN touch_type ELSE 'organic' END AS channel,
+             user_id, value
+      FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_revenue
+    FROM conv GROUP BY channel
+    """,
+    tags=("events", "analytics", "attribution", "window"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: each purchase is credited to the
+    user's most recent click/view STRICTLY before it (``last(...,
+    ignorenulls)`` over the exclusive preceding frame — the conditional
+    carry-forward twin of the as-of join) when that touch falls inside a
+    7-day conversion window, else 'organic'.  The window predicate is an
+    exact microsecond diff (second-level diffs disagree across engines);
+    revenue sums are decimal-exact.  One user-partitioned window + one
+    channel-bounded aggregation — the same scaling class as sessionize."""
+    ev = t(spark, sf_dir, "events")
+    from ..queries import dec
+
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    in_window = F.col("touch_ts").isNotNull() & (
+        F.timestamp_diff("MICROSECOND", F.col("touch_ts"), F.col("ts"))
+        <= F.lit(ATTRIB_WINDOW_US)
+    )
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(in_window, F.col("touch_type")).otherwise("organic").alias("channel"),
+        "user_id",
+        "value",
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(dec(F.col("value"))).cast("double").alias("attributed_revenue"),
+    )

@@ -775,3 +775,82 @@ def dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("component")).cast("long").alias("n_components"),
         )
     )
+
+
+BFS_MAX_HOPS = 4
+BFS_SEED_MOD = 97  # deterministic seed set: doc_id % 97 == 0
+
+
+@query(
+    "graph_bfs_reach",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_EDGES_SQL},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    walk(doc, dist) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % {BFS_SEED_MOD} = 0
+      UNION
+      SELECT s.b, w.dist + 1
+      FROM walk w JOIN sym s ON s.a = w.doc
+      WHERE w.dist < {BFS_MAX_HOPS}
+    ),
+    mind AS (SELECT doc, MIN(dist) AS hops FROM walk GROUP BY doc)
+    SELECT CAST(hops AS BIGINT) AS hops,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc) AS BIGINT) AS min_doc
+    FROM mind GROUP BY hops
+    """,
+    tags=("graph", "bfs", "iterative", "dedup"),
+)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS over the near-dup edge graph: exact shortest hop
+    distance (≤ {BFS_MAX_HOPS}) from a deterministic seed set to every
+    reachable document, reported as a per-distance histogram — the
+    "blast radius" probe behind contamination tracing (how far does a
+    tainted document's duplicate neighborhood spread?).
+
+    Spark path is frontier BFS — per level: one join of the (shrinking)
+    frontier against the symmetrized edge set + one anti-join against the
+    visited set, lineage cut per level, so each level is one keyed
+    shuffle of frontier-sized data and the plan never grows.  Level-by-
+    level discovery IS min-dist (first touch is shortest), so this
+    matches the oracle's recursive CTE with MIN(dist) semantics — the
+    depth cap makes the CTE finite on cyclic duplicate clusters.
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    sym = cut_lineage(
+        edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    seeds = d.select(F.col("doc_id").alias("doc")).filter(
+        F.col("doc") % BFS_SEED_MOD == 0
+    )
+    visited = cut_lineage(seeds.withColumn("hops", F.lit(0).cast("long")))
+    frontier = visited.select("doc")
+    for level in range(1, BFS_MAX_HOPS + 1):
+        cand = (
+            frontier.join(sym, frontier.doc == sym.a)
+            .select(F.col("b").alias("doc"))
+            .distinct()
+        )
+        newly = cut_lineage(cand.join(visited, "doc", "left_anti"))
+        visited = cut_lineage(
+            visited.unionAll(
+                newly.withColumn("hops", F.lit(level).cast("long")).select(
+                    "doc", "hops"
+                )
+            )
+        )
+        frontier = newly
+    return visited.groupBy("hops").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc").cast("long").alias("min_doc"),
+    )

@@ -245,3 +245,52 @@ def distributed_prefix_sum(
     return d.withColumn(out, F.sum(val_col).over(w) + omap[F.col("_pid")]).drop(
         "_pid"
     )
+
+
+def distributed_prefix_max(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact running MAX of ``val_col`` over a TOTAL order, EXCLUSIVE of
+    the current row (``out`` is NULL when nothing precedes) — the
+    dominance-test form ("best among strictly earlier rows") that the
+    skyline/Pareto-front operator needs, built on the same
+    range-partition + per-partition-offset idiom as
+    :func:`distributed_prefix_sum` (max is associative, so a partition's
+    offset is simply the max of its predecessors' maxima).  The exclusive
+    frame is ``rowsBetween(unboundedPreceding, -1)`` locally (NULL on
+    each partition's first row) combined with the offset via
+    ``F.greatest`` — which skips NULLs, exactly the semantics an
+    exclusive prefix wants.  Consumer: ``part_skyline_pareto``."""
+    n = n_parts or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    d = cut_lineage(
+        df.repartitionByRange(n, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    pmax = {
+        r["_pid"]: r["m"]
+        for r in d.groupBy("_pid").agg(F.max(val_col).alias("m")).collect()
+    }
+    # offset[pid] = max over all EARLIER partitions (None for the first)
+    offset_expr = F.lit(None).cast(dict(d.dtypes)[val_col])
+    best = None
+    for pid in sorted(pmax):
+        if best is not None:
+            offset_expr = F.when(F.col("_pid") == pid, F.lit(best)).otherwise(
+                offset_expr
+            )
+        m = pmax[pid]
+        if m is not None and (best is None or m > best):
+            best = m
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.withColumn(
+        out, F.greatest(F.max(val_col).over(w), offset_expr)
+    ).drop("_pid")

@@ -251,6 +251,16 @@ BUDGETS = {
     # supplier agg + global_rank's range shuffle behind the cut + 1-row
     # moment reduce
     "supplier_revenue_gini": (2, False),
+    # r4c: (price,size) agg + per-price argmax agg; prefix-max's range
+    # shuffle sits behind the lineage cut and its exclusive window is
+    # in-partition-only
+    "part_skyline_pareto": (2, False),
+    # r4c: user-partitioned carry-forward window + channel agg (the
+    # count-distinct doubles the agg phases)
+    "events_attribution_last_touch": (2, False),
+    # r4c: every BFS level is cut (frontier joins are per-level jobs);
+    # post-cut only the final hops histogram shuffles
+    "graph_bfs_reach": (1, False),
 }
 
 
