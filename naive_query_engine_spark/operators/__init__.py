@@ -27,6 +27,7 @@ def register_all() -> None:
         multimodal,
         pipeline,
         quality,
+        retrieval,
         sketches,
         similarity,
         skew,

@@ -1492,3 +1492,94 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.sum(dec(F.col("value"))).cast("double").alias("attributed_revenue"),
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "events_value_winsorized",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS lo,
+             quantile_cont(value, {WINSOR_HI}) AS hi
+      FROM events GROUP BY event_type
+    ),
+    parts AS (
+      SELECT e.event_type,
+             COUNT(*) AS n,
+             SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS n_lo,
+             SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS n_hi,
+             SUM(CASE WHEN e.value >= c.lo AND e.value <= c.hi
+                      THEN CAST(e.value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS mid_sum,
+             MIN(c.lo) AS lo, MIN(c.hi) AS hi
+      FROM events e JOIN cuts c ON c.event_type = e.event_type
+      GROUP BY e.event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_lo AS BIGINT) AS n_clipped_low,
+           CAST(n_hi AS BIGINT) AS n_clipped_high,
+           CAST(lo AS DOUBLE) AS lo_cut,
+           CAST(hi AS DOUBLE) AS hi_cut,
+           (CAST(mid_sum AS DOUBLE) + n_lo * CAST(lo AS DOUBLE) + n_hi * CAST(hi AS DOUBLE))
+             / n AS winsorized_mean
+    FROM parts
+    """,
+    tags=("analytics", "robust-stats", "winsorize", "percentile"),
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) mean per event type — the robust-statistics
+    pre-step every metrics pipeline needs before averaging heavy-tailed
+    values (a single corrupt 1e9 value otherwise owns the mean).
+
+    Determinism discipline: summing CLIPPED doubles would be a
+    non-associative float sum over interpolated cutpoints — instead the
+    mean decomposes into (exact decimal sum of in-range values) +
+    n_below·lo + n_above·hi, one fixed double expression at the end.
+    Cutpoints are exact interpolated percentiles (the
+    ``agg_percentiles_exact`` contract); the cut frame is
+    type-bounded and broadcast back onto the scan — two passes, no
+    corpus-sized sort."""
+    from ..queries import dec
+
+    ev = t(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", WINSOR_LO).alias("lo"),
+        F.percentile("value", WINSOR_HI).alias("hi"),
+    )
+    z = F.lit(0).cast("decimal(12,2)")
+    parts = (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias("n_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias("n_hi"),
+            F.sum(
+                F.when(
+                    (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")),
+                    dec(F.col("value")),
+                ).otherwise(z)
+            ).alias("mid_sum"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+    )
+    return parts.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_lo").cast("long").alias("n_clipped_low"),
+        F.col("n_hi").cast("long").alias("n_clipped_high"),
+        F.col("lo").cast("double").alias("lo_cut"),
+        F.col("hi").cast("double").alias("hi_cut"),
+        (
+            (
+                F.col("mid_sum").cast("double")
+                + F.col("n_lo") * F.col("lo").cast("double")
+                + F.col("n_hi") * F.col("hi").cast("double")
+            )
+            / F.col("n")
+        ).alias("winsorized_mean"),
+    )

@@ -280,3 +280,93 @@ def events_value_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_bins"),
         )
     )
+
+
+@query(
+    "events_value_drift_ks",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(FLOOR((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / CAST(2 AS DOUBLE))
+                  AS BIGINT) AS m
+      FROM events
+    ),
+    halved AS (
+      SELECT value, CASE WHEN epoch_us(ts) < mid.m THEN 0 ELSE 1 END AS half
+      FROM events CROSS JOIN mid
+    ),
+    h AS (
+      SELECT value,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+      FROM halved GROUP BY value
+    ),
+    n AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM h),
+    cum AS (
+      SELECT SUM(c0) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum0,
+             SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum1
+      FROM h
+    )
+    SELECT CAST(n.n0 AS BIGINT) AS n_early,
+           CAST(n.n1 AS BIGINT) AS n_late,
+           CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_values,
+           CAST(MAX(ABS(cum0 * n.n1 - cum1 * n.n0)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(cum0 * n.n1 - cum1 * n.n0)) AS DOUBLE)
+             / (CAST(n.n0 AS DOUBLE) * n.n1) AS ks_stat
+    FROM cum CROSS JOIN n
+    GROUP BY n.n0, n.n1
+    """,
+    tags=("events", "drift", "monitoring", "ks", "prefix-sum"),
+)
+def events_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-vs-late value drift as the exact two-sample KOLMOGOROV–
+    SMIRNOV statistic — the binning-free member of the drift family
+    (``events_value_drift_l1`` buckets first; KS is max CDF gap over the
+    raw value domain, so a shift smaller than a bin width still
+    registers).  Everything before the final division is INTEGER-exact:
+    per-value half counts, cumulative counts via
+    :func:`layout.distributed_prefix_sums` (both running sums share ONE
+    range shuffle — the value domain scales with the corpus, so no
+    single-partition window), and the sup as
+    max |cum0·n1 − cum1·n0| (≤ ~1e14 ≪ 2^63).  The one double division
+    happens after the max — order-free."""
+    from ..queries import epoch_micros
+    from .layout import distributed_prefix_sums
+
+    ev = t(spark, sf_dir, "events")
+    us = epoch_micros(F.col("ts"))
+    mid = ev.agg(
+        F.floor((F.min(us) + F.max(us)) / F.lit(2.0)).cast("long").alias("m")
+    )
+    h = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "value", F.when(us < F.col("m"), 0).otherwise(1).alias("half")
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    cum = distributed_prefix_sums(h, [F.col("value")], ["c0", "c1"])
+    n = h.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    gap = F.abs(F.col("c0_cum") * F.col("n1") - F.col("c1_cum") * F.col("n0"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n0", "n1", "nv")
+        .agg(F.max(gap).alias("ks_num"))
+        .select(
+            F.col("n0").cast("long").alias("n_early"),
+            F.col("n1").cast("long").alias("n_late"),
+            F.col("nv").cast("long").alias("n_values"),
+            F.col("ks_num").cast("long").alias("ks_num"),
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n0").cast("double") * F.col("n1"))
+            ).alias("ks_stat"),
+        )
+    )

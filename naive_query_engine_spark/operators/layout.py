@@ -294,3 +294,46 @@ def distributed_prefix_max(
     return d.withColumn(
         out, F.greatest(F.max(val_col).over(w), offset_expr)
     ).drop("_pid")
+
+
+def distributed_prefix_sums(
+    df: DataFrame,
+    order_cols: list,
+    val_cols: list[str],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Multi-column :func:`distributed_prefix_sum`: one range shuffle, one
+    per-partition offset collect (one row per partition carrying ALL the
+    column sums), and one in-partition window per column — for operators
+    that need several running sums over the SAME total order (the KS
+    drift statistic needs both halves' cumulative counts; running them
+    through the single-column helper would range-shuffle twice).  Output
+    columns are ``<col>_cum``.  Same total-order contract as the
+    single-column form."""
+    n = n_parts or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    d = cut_lineage(
+        df.repartitionByRange(n, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    psums = {
+        r["_pid"]: [r[f"_s_{c}"] for c in val_cols]
+        for r in d.groupBy("_pid")
+        .agg(*[F.sum(c).alias(f"_s_{c}") for c in val_cols])
+        .collect()
+    }
+    offsets, acc = {}, [0] * len(val_cols)
+    for pid in sorted(psums):
+        offsets[pid] = list(acc)
+        acc = [a + (s or 0) for a, s in zip(acc, psums[pid])]
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for i, c in enumerate(val_cols):
+        omap = F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid][i])]
+        )
+        d = d.withColumn(f"{c}_cum", F.sum(c).over(w) + omap[F.col("_pid")])
+    return d.drop("_pid")

@@ -724,3 +724,134 @@ def profile_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+@query(
+    "audit_constraints",
+    oracle="""
+    SELECT 'fk_lineitem_orders' AS constraint_name,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'fk_lineitem_part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'fk_lineitem_supplier',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'fk_orders_customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'fk_customer_nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'pk_orders_unique',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+                 (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) d
+                 WHERE c > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'pk_lineitem_unique',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+                 (SELECT COUNT(*) AS c FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber) d
+                 WHERE c > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'notnull_documents_text',
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM documents WHERE text IS NULL) AS BIGINT)
+    """,
+    tags=("quality", "audit", "constraints", "anti-join"),
+)
+def audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract audit — the dbt-test / Deequ shape: every
+    constraint (FK containment, PK uniqueness, NOT NULL) evaluated as one
+    row of (constraint, n_checked, n_violations), unioned into a single
+    contract report.  FK checks are LEFT ANTI joins (dimension side
+    broadcastable by AQE when filtered/bounded; the fact side streams);
+    PK checks are grouped duplicate-surplus sums (Σ(c−1) — counts every
+    extra copy, matching what a dedupe would delete); the frame never
+    materializes violating ROWS, only counts, so a 100 TB audit emits 8
+    rows.  A constraint-violation drill-down is the same query minus the
+    aggregation.  Note the audit FIRES on this corpus: the generator's
+    lineitem (l_orderkey, l_linenumber) is genuinely non-unique, which
+    both engines agree on exactly — the detector detecting."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    docs = t(spark, sf_dir, "documents")
+
+    def fk(name, fact, fact_key, dim, dim_key):
+        n = fact.select(F.count(F.lit(1)).alias("n_checked"))
+        v = (
+            fact.join(dim, fact[fact_key] == dim[dim_key], "left_anti")
+            .select(F.count(F.lit(1)).alias("n_violations"))
+        )
+        return n.crossJoin(v).select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n_checked").cast("long"),
+            F.col("n_violations").cast("long"),
+        )
+
+    def pk(name, frame, keys):
+        n = frame.select(F.count(F.lit(1)).alias("n_checked"))
+        v = (
+            frame.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .select(
+                F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n_violations")
+            )
+        )
+        return n.crossJoin(v).select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n_checked").cast("long"),
+            F.col("n_violations").cast("long"),
+        )
+
+    nn = (
+        docs.select(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias(
+                "n_violations"
+            ),
+        )
+        .select(
+            F.lit("notnull_documents_text").alias("constraint_name"),
+            F.col("n_checked").cast("long"),
+            F.col("n_violations").cast("long"),
+        )
+    )
+    checks = [
+        fk("fk_lineitem_orders", li, "l_orderkey", orders, "o_orderkey"),
+        fk("fk_lineitem_part", li, "l_partkey", part, "p_partkey"),
+        fk("fk_lineitem_supplier", li, "l_suppkey", supp, "s_suppkey"),
+        fk("fk_orders_customer", orders, "o_custkey", cust, "c_custkey"),
+        fk("fk_customer_nation", cust, "c_nationkey", nation, "n_nationkey"),
+        pk("pk_orders_unique", orders, ["o_orderkey"]),
+        pk("pk_lineitem_unique", li, ["l_orderkey", "l_linenumber"]),
+        nn,
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

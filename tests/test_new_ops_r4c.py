@@ -97,3 +97,102 @@ def test_bfs_seeds_are_level_zero_and_hops_bounded(spark):
     assert out[0]["n_docs"] == n_seeds
     assert out[0]["min_doc"] == 0
     assert max(out) <= BFS_MAX_HOPS
+
+
+def test_prefix_sums_multi_matches_single(spark):
+    """The multi-column prefix sum agrees with two single-column runs and
+    with a local scan."""
+    from naive_query_engine_spark.operators.layout import (
+        distributed_prefix_sum,
+        distributed_prefix_sums,
+    )
+
+    rows = [(i, i % 3, (i * 7) % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "a", "b"])
+    multi = {
+        r["k"]: (r["a_cum"], r["b_cum"])
+        for r in distributed_prefix_sums(df, [F.col("k")], ["a", "b"], n_parts=4)
+        .collect()
+    }
+    ca = cb = 0
+    for k, a, b in rows:
+        ca, cb = ca + a, cb + b
+        assert multi[k] == (ca, cb)
+    single = {
+        r["k"]: r["a_cum"]
+        for r in distributed_prefix_sum(df, [F.col("k")], "a", "a_cum", n_parts=4)
+        .collect()
+    }
+    assert single == {k: v[0] for k, v in multi.items()}
+
+
+def test_ks_bounds_and_half_sizes(spark):
+    """0 <= KS <= 1; the two halves partition the corpus; ks_num is the
+    exact integer numerator of ks_stat."""
+    from naive_query_engine_spark.operators.events import events_value_drift_ks
+    from naive_query_engine_spark.queries import t as t_
+
+    r = events_value_drift_ks(spark, SF_ORACLE).collect()[0]
+    n_total = t_(spark, SF_ORACLE, "events").count()
+    assert r["n_early"] + r["n_late"] == n_total
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    assert r["ks_num"] == round(r["ks_stat"] * r["n_early"] * r["n_late"])
+
+
+def test_winsorized_mean_between_cuts_and_conserves_counts(spark):
+    """lo_cut <= winsorized_mean <= hi_cut and the clipped counts are
+    consistent with the percentile levels (~5% each side)."""
+    from naive_query_engine_spark.operators.analytics import (
+        events_value_winsorized,
+    )
+
+    for r in events_value_winsorized(spark, SF_ORACLE).collect():
+        assert r["lo_cut"] <= r["winsorized_mean"] <= r["hi_cut"]
+        # interpolated p05/p95: at most ~5% + 1 row clipped per side
+        assert r["n_clipped_low"] <= r["n"] * 0.05 + 1
+        assert r["n_clipped_high"] <= r["n"] * 0.05 + 1
+
+
+def test_audit_constraints_finds_the_real_corpus_violation(spark):
+    """The generated corpus is referentially intact (all FK + notnull
+    checks report zero violations) — but its lineitem (l_orderkey,
+    l_linenumber) "PK" is genuinely non-unique (the generator repeats
+    line numbers), and the audit must REPORT that, not mask it.  The
+    exact surplus is pinned by the DuckDB oracle; here we pin the
+    pass/fail split."""
+    from naive_query_engine_spark.operators.quality import audit_constraints
+
+    rows = {r["constraint_name"]: r for r in audit_constraints(spark, SF_ORACLE).collect()}
+    assert len(rows) == 8
+    for name, r in rows.items():
+        assert r["n_checked"] > 0, r
+        if name == "pk_lineitem_unique":
+            assert r["n_violations"] > 0, r  # the detector must fire
+        else:
+            assert r["n_violations"] == 0, r
+
+
+def test_rrf_fusion_prefers_doubly_retrieved_docs(spark):
+    """A neighbor present in BOTH lists at rank r scores strictly above a
+    neighbor present in one list at the same rank; per-query output is
+    exactly FUSED_TOP_K rows with distinct fused ranks 1..K."""
+    from naive_query_engine_spark.operators.retrieval import (
+        FUSED_TOP_K,
+        retrieval_rrf_fusion,
+    )
+
+    out = retrieval_rrf_fusion(spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert sorted(r["fused_rnk"] for r in rows) == list(
+            range(1, FUSED_TOP_K + 1)
+        )
+    both = [r for r in out if r["lex_rank"] is not None and r["dense_rank"] is not None]
+    single = [r for r in out if (r["lex_rank"] is None) != (r["dense_rank"] is None)]
+    for b in both:
+        for s in single:
+            srank = s["lex_rank"] if s["lex_rank"] is not None else s["dense_rank"]
+            if srank >= min(b["lex_rank"], b["dense_rank"]):
+                assert b["rrf_fp"] > s["rrf_fp"], (b, s)

@@ -261,6 +261,22 @@ BUDGETS = {
     # r4c: every BFS level is cut (frontier joins are per-level jobs);
     # post-cut only the final hops histogram shuffles
     "graph_bfs_reach": (1, False),
+    # r4c: per-value half-count agg lineage re-counted under the n-side
+    # and the cum side (static re-count — the bm25 precedent); the
+    # prefix-sums range shuffle sits behind the lineage cut; 1-row
+    # midpoint + totals broadcast
+    "events_value_drift_ks": (5, True),
+    # r4c: cutpoint percentile agg (broadcast back) + the clipped
+    # moment agg
+    "events_value_winsorized": (2, True),
+    # r4c: 8 independent constraint checks unioned — each FK check is an
+    # anti-join + two 1-row reduces, each PK check a grouped dup count;
+    # every exchanged frame is a 1-row count or a key-cardinality agg
+    "audit_constraints": (17, True),
+    # r4c: the two SOURCE retrievals' full pipelines (BM25 inverted index
+    # + dense scan) appear in the static plan; the fusion itself adds
+    # only the (queries x k)-bounded outer join + ranking window
+    "retrieval_rrf_fusion": (15, True),
 }
 
 
