@@ -9,7 +9,7 @@ oracle-checkable faces of the operators that ``streaming/`` wires to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import dec, query, t
@@ -368,5 +368,95 @@ def events_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ks_num").cast("double")
                 / (F.col("n0").cast("double") * F.col("n1"))
             ).alias("ks_stat"),
+        )
+    )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS n_days FROM daily),
+    cum AS (
+      SELECT day, c,
+             SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_c,
+             ROW_NUMBER() OVER (ORDER BY day) AS k
+      FROM daily
+    ),
+    scored AS (
+      SELECT day, cum_c, k,
+             ABS(tot.n_days * cum_c - k * tot.total) AS cusum_scaled
+      FROM cum CROSS JOIN tot
+    ),
+    best AS (
+      SELECT day, cusum_scaled, cum_c, k,
+             ROW_NUMBER() OVER (ORDER BY cusum_scaled DESC, day) AS rn
+      FROM scored
+    )
+    SELECT strftime(b.day, '%Y-%m-%d') AS change_day,
+           CAST(b.cusum_scaled AS BIGINT) AS cusum_scaled,
+           CAST(b.k AS BIGINT) AS days_before,
+           CAST(tot.n_days - b.k AS BIGINT) AS days_after,
+           CAST(b.cum_c AS DOUBLE) / b.k AS mean_before,
+           CAST(tot.total - b.cum_c AS DOUBLE) / (tot.n_days - b.k) AS mean_after
+    FROM best b CROSS JOIN tot
+    WHERE b.rn = 1
+    """,
+    tags=("events", "changepoint", "cusum", "monitoring"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event volume — the
+    drift family's LOCALIZER ("the monitors fired: WHEN did behavior
+    shift?").  The classic statistic max_k |Σ_{d<=k}(c_d − mean)| looks
+    float-y, but scaling by n_days makes it exactly integer:
+    n_days·S_k = n_days·cum_k − k·total — so the argmax (the most likely
+    single change point) is bit-portable with no fixed-point flooring at
+    all; the only doubles are the reported before/after means.
+
+    Scale shape: one corpus pass to daily counts, then every frame is
+    calendar-bounded (O(days), like the cumulative-uniques curve), so
+    plain windows over the day order are fine — no distributed prefix
+    machinery needed where the domain cannot grow with the corpus."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = daily.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.sum("c").over(w).alias("cum_c"),
+        F.row_number().over(wk).alias("k"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "cum_c",
+        "k",
+        "total",
+        "n_days",
+        F.abs(
+            F.col("n_days") * F.col("cum_c") - F.col("k") * F.col("total")
+        ).alias("cusum_scaled"),
+    )
+    wbest = Window.orderBy(F.col("cusum_scaled").desc(), F.col("day"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+            F.col("k").cast("long").alias("days_before"),
+            (F.col("n_days") - F.col("k")).cast("long").alias("days_after"),
+            (F.col("cum_c").cast("double") / F.col("k")).alias("mean_before"),
+            (
+                (F.col("total") - F.col("cum_c")).cast("double")
+                / (F.col("n_days") - F.col("k"))
+            ).alias("mean_after"),
         )
     )

@@ -855,3 +855,51 @@ def audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+K_ANON = 5  # the conventional "small cell" reporting threshold
+
+
+@query(
+    "audit_k_anonymity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS cell_n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN(cell_n) AS BIGINT) AS min_cell,
+           CAST(SUM(CASE WHEN cell_n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_cells,
+           CAST(SUM(CASE WHEN cell_n < {K_ANON} THEN cell_n ELSE 0 END) AS BIGINT)
+             AS n_exposed_rows,
+           CAST(SUM(CASE WHEN cell_n < {K_ANON} THEN cell_n ELSE 0 END) AS DOUBLE)
+             / SUM(cell_n) AS exposed_share
+    FROM cells
+    """,
+    tags=("quality", "audit", "privacy", "k-anonymity"),
+)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (market segment,
+    nation): how many equivalence classes are smaller than k={K_ANON},
+    and what share of rows sit in them — the small-cell disclosure-risk
+    report a dataset must pass before release (re-identification risk
+    concentrates exactly in the small cells).  One grouped count + one
+    bounded rollup; at 100 TB the cell frame is |QI-domain|-bounded, not
+    corpus-bounded.  The remediation operators already exist in this
+    repo: generalize the QI (coarser bins) or suppress the small cells —
+    both are one filter/withColumn away from this frame."""
+    c = t(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    )
+    small = F.when(F.col("cell_n") < K_ANON, F.col("cell_n")).otherwise(0)
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("cell_n").cast("long").alias("min_cell"),
+        F.sum((F.col("cell_n") < K_ANON).cast("int")).cast("long").alias(
+            "n_small_cells"
+        ),
+        F.sum(small).cast("long").alias("n_exposed_rows"),
+        (F.sum(small).cast("double") / F.sum("cell_n")).alias("exposed_share"),
+    )

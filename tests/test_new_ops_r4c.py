@@ -196,3 +196,50 @@ def test_rrf_fusion_prefers_doubly_retrieved_docs(spark):
             srank = s["lex_rank"] if s["lex_rank"] is not None else s["dense_rank"]
             if srank >= min(b["lex_rank"], b["dense_rank"]):
                 assert b["rrf_fp"] > s["rrf_fp"], (b, s)
+
+
+def test_cusum_changepoint_matches_local_argmax(spark):
+    """The reported change day is the argmax of |n·cum_k − k·total| over a
+    locally recomputed daily series, and the means are the exact
+    before/after averages."""
+    from naive_query_engine_spark.operators.events import (
+        events_changepoint_cusum,
+    )
+
+    r = events_changepoint_cusum(spark, SF_ORACLE).collect()[0]
+    daily = sorted(
+        (str(row["day"]), row["c"])
+        for row in t(spark, SF_ORACLE, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    total = sum(c for _, c in daily)
+    n = len(daily)
+    best, cum = None, 0
+    for k, (day, c) in enumerate(daily, start=1):
+        cum += c
+        s = abs(n * cum - k * total)
+        if best is None or s > best[0] or (s == best[0] and day < best[1]):
+            best = (s, day, k, cum)
+    assert r["change_day"] == best[1]
+    assert r["cusum_scaled"] == best[0]
+    assert r["days_before"] == best[2]
+    assert r["mean_before"] == best[3] / best[2]
+
+
+def test_k_anonymity_counts_are_consistent(spark):
+    """Cell counts partition the table; exposed rows are bounded by
+    n_small_cells * (K_ANON - 1)."""
+    from naive_query_engine_spark.operators.quality import (
+        K_ANON,
+        audit_k_anonymity,
+    )
+
+    r = audit_k_anonymity(spark, SF_ORACLE).collect()[0]
+    n_customers = t(spark, SF_ORACLE, "customer").count()
+    assert r["n_cells"] > 0 and r["min_cell"] >= 1
+    assert r["n_exposed_rows"] <= r["n_small_cells"] * (K_ANON - 1)
+    assert 0.0 <= r["exposed_share"] <= 1.0
+    # exposed_share denominator is the full table
+    assert abs(r["exposed_share"] - r["n_exposed_rows"] / n_customers) < 1e-12

@@ -277,6 +277,11 @@ BUDGETS = {
     # + dense scan) appear in the static plan; the fusion itself adds
     # only the (queries x k)-bounded outer join + ranking window
     "retrieval_rrf_fusion": (15, True),
+    # r4c: daily agg lineage re-counted under the totals side (static
+    # re-count); the O(days) windows move the day frame, never the corpus
+    "events_changepoint_cusum": (4, True),
+    # r4c: QI-cell count + the bounded rollup
+    "audit_k_anonymity": (2, False),
 }
 
 
