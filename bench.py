@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     "dedup_substring",
     "dedup_substring_strided",
     "fuzzy_entity_resolution",
+    # r4c rotation (same rationale): the learned-quantizer k-means path,
+    # the hybrid-retrieval composition, and the binning-free drift
+    # statistic join the artifact so each round measures them
+    "embedding_kmeans_lloyd",
+    "retrieval_rrf_fusion",
+    "events_value_drift_ks",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays

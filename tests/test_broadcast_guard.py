@@ -100,6 +100,15 @@ HINT_EXCEPTIONS = {
     # same label-keyed-centroid class as similarity_ivf_topk's exception;
     # the exploded corpus side stays unhinted.
     "embedding_centroid_outliers": "label x dim centroid aggregate (category-bounded)",
+    # operators/analytics.py: the hinted frame is the per-type percentile
+    # cutpoints — a grouped aggregate keyed by the event_type vocabulary
+    # (~5 values), the same category-keyed class as the centroid
+    # exceptions; the corpus side of the join stays unhinted.
+    "events_value_winsorized": "per-type percentile cutpoints (event_type-keyed, category-bounded)",
+    # operators/retrieval.py: composes similarity_topk_bruteforce,
+    # inheriting its bounded 5-row query-set hint (vec_id < N_QUERY_VECS
+    # literal filter) — the same inheritance as similarity_recall_at_k.
+    "retrieval_rrf_fusion": "inherits bruteforce's vec_id < N_QUERY_VECS hint",
 }
 
 _MARKER = re.compile(r"[+:]- ")

@@ -146,6 +146,38 @@ ANNOTATED = {
     "aggregate once; source totals and the global token distribution are "
     "bounded side frames; per-token chi-square terms floor to fixed-point "
     "BIGINTs map-side so the final per-source sum is order-free",
+    # --- r4c additions ---
+    "part_skyline_pareto": "skyline via per-price argmax (two map-side-"
+    "partial aggs) + distributed_prefix_max: the range repartition sits "
+    "behind a lineage cut and the EXCLUSIVE running max is an "
+    "in-partition window — no single-partition window over the "
+    "SF-scaling price domain",
+    "events_attribution_last_touch": "conditional carry-forward window "
+    "(user-partitioned, exclusive preceding frame) + channel-bounded "
+    "agg; the 7-day predicate is exact microseconds",
+    "graph_bfs_reach": "frontier BFS: per-level joins are behind "
+    "per-level lineage cuts (each level one keyed shuffle of "
+    "frontier-sized data); the static plan shows only the final hops "
+    "histogram",
+    "events_value_drift_ks": "per-value half counts aggregate once; "
+    "BOTH cumulative sums share one range shuffle "
+    "(distributed_prefix_sums); sup of integer cross-products, one "
+    "double division after the max",
+    "events_value_winsorized": "type-keyed percentile cutpoints "
+    "broadcast back onto the scan (category-bounded, documented guard "
+    "exception); clipped mean decomposed into exact decimal + "
+    "count*cutpoint terms",
+    "audit_constraints": "8 count-only constraint checks unioned: FK "
+    "anti-joins (sort-merge at scale), PK duplicate-surplus aggs, "
+    "notnull conditional count — output is 8 rows at any corpus size",
+    "retrieval_rrf_fusion": "both source retrievals' full pipelines "
+    "(BM25 inverted-index probe; broadcast-query dense scan) feed a "
+    "(queries x k)-bounded full outer join + ranking window",
+    "events_changepoint_cusum": "one corpus pass to daily counts; the "
+    "cumulative/argmax windows run over the O(days) calendar frame "
+    "(bounded-domain exception to the no-global-window rule)",
+    "audit_k_anonymity": "QI-cell grouped count + bounded rollup; "
+    "cell frame is |QI-domain|-bounded",
 }
 
 
