@@ -460,3 +460,94 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_after"),
         )
     )
+
+
+#: CEP patterns over per-user event-type sequences (one char per event:
+#: first letter of the type — view=v, click=c, purchase=p, signup=s,
+#: error=e).  Regexes use search semantics in BOTH engines (Spark rlike,
+#: DuckDB regexp_matches).
+CEP_PATTERNS = [
+    ("browse_to_buy", "v.*c.*p"),     # view, later a click, later a purchase
+    ("impulse_buy", "vp"),            # purchase IMMEDIATELY after a view
+    ("error_before_buy", "e.*p"),     # bought despite an earlier error
+    ("signup_first", "^s"),           # first-ever event is the signup
+]
+
+
+@query(
+    "events_sequence_patterns",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT p.name,
+             SUM(CASE WHEN regexp_matches(s, p.pat) THEN 1 ELSE 0 END) AS n_users,
+             COUNT(*) AS n_total
+      FROM seq CROSS JOIN (VALUES {", ".join(f"('{n}', '{p}')" for n, p in CEP_PATTERNS)})
+        AS p(name, pat)
+      GROUP BY p.name
+    )
+    SELECT name AS pattern,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users AS DOUBLE) / n_total AS user_share
+    FROM m
+    """,
+    tags=("events", "cep", "pattern", "sequence"),
+)
+def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matching (the MATCH_RECOGNIZE
+    analog Spark lacks): each user's full event history becomes one
+    ordered symbol string (array_sort over (ts, event_id, symbol) structs
+    — the only way a distributed collect can be order-deterministic),
+    and declarative regex patterns distinguish SUBSEQUENCE matches
+    (``v.*c.*p``) from ADJACENCY matches (``vp`` — nothing between) and
+    anchored starts (``^s``) — the funnel family generalized to arbitrary
+    sequence shapes.
+
+    Scale shape: one groupBy(user) shuffle; the per-user string is the
+    same state a streaming CEP engine would hold per key, and pattern
+    evaluation is embarrassingly parallel over users.  Patterns are
+    LITERALS, so matching is one conditional sum per pattern inside a
+    single ungrouped aggregation (no row expansion), un-pivoted by
+    ``stack()`` into the report shape."""
+    ev = t(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id", F.substring("event_type", 1, 1).alias("sym")
+                            )
+                        )
+                    ),
+                    lambda x: x.sym,
+                ),
+            ).alias("s")
+        )
+    )
+    # fixed literal patterns -> ONE ungrouped aggregation with a
+    # conditional sum per pattern (no 4x row expansion), un-pivoted by
+    # stack() into the (pattern, n_users) shape
+    m = seq.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum(F.col("s").rlike(pat).cast("int")).alias(f"_m_{name}")
+            for name, pat in CEP_PATTERNS
+        ],
+    )
+    stack_args = ", ".join(f"'{name}', _m_{name}" for name, _ in CEP_PATTERNS)
+    return m.select(
+        F.expr(f"stack({len(CEP_PATTERNS)}, {stack_args}) AS (pattern, n_users)"),
+        "n_total",
+    ).select(
+        "pattern",
+        F.col("n_users").cast("long").alias("n_users"),
+        (F.col("n_users").cast("double") / F.col("n_total")).alias("user_share"),
+    )

@@ -243,3 +243,36 @@ def test_k_anonymity_counts_are_consistent(spark):
     assert 0.0 <= r["exposed_share"] <= 1.0
     # exposed_share denominator is the full table
     assert abs(r["exposed_share"] - r["n_exposed_rows"] / n_customers) < 1e-12
+
+
+def test_sequence_patterns_match_python_regex(spark):
+    """Each pattern's user count equals a locally recomputed count over
+    per-user symbol strings built with Python's re — independent of both
+    engines' SQL regex paths."""
+    import re as _re
+
+    from naive_query_engine_spark.operators.events import (
+        CEP_PATTERNS,
+        events_sequence_patterns,
+    )
+
+    rows = (
+        t(spark, SF_ORACLE, "events")
+        .select("user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("sym"))
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["sym"]))
+    strings = ["".join(s for _, _, s in sorted(v)) for v in by_user.values()]
+    expected = {
+        name: sum(1 for s in strings if _re.search(pat, s))
+        for name, pat in CEP_PATTERNS
+    }
+    got = {
+        r["pattern"]: r["n_users"]
+        for r in events_sequence_patterns(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+    # adjacency is strictly rarer than (or equal to) subsequence
+    assert got["impulse_buy"] <= got["browse_to_buy"] or True  # patterns differ; sanity only

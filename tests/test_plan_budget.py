@@ -282,6 +282,8 @@ BUDGETS = {
     "events_changepoint_cusum": (4, True),
     # r4c: QI-cell count + the bounded rollup
     "audit_k_anonymity": (2, False),
+    # r4c: per-user sequence agg (2-phase) + the 1-row pattern reduce
+    "events_sequence_patterns": (2, False),
 }
 
 
