@@ -1583,3 +1583,115 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).alias("winsorized_mean"),
     )
+
+
+@query(
+    "events_ab_cuped",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(FLOOR((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / CAST(2 AS DOUBLE))
+                  AS BIGINT) AS m
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN (strpos('0123456789abcdef',
+                               SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             SUM(CASE WHEN epoch_us(ts) < mid.m THEN 1 ELSE 0 END) AS pre,
+             SUM(CASE WHEN epoch_us(ts) >= mid.m THEN 1 ELSE 0 END) AS post
+      FROM events CROSS JOIN mid
+      GROUP BY user_id
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(pre) AS sx, SUM(post) AS sy,
+             SUM(pre * pre) AS sxx, SUM(pre * post) AS sxy,
+             SUM(post * post) AS syy
+      FROM per_user
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n_arm, SUM(pre) AS sx_arm, SUM(post) AS sy_arm
+      FROM per_user GROUP BY arm
+    )
+    SELECT arm,
+           CAST(n_arm AS BIGINT) AS n_users,
+           CAST(sy_arm AS BIGINT) AS sum_post,
+           CAST(sy_arm AS DOUBLE) / n_arm AS mean_post,
+           (CAST(sy_arm AS DOUBLE) / n_arm)
+             - ((CAST(mom.n * mom.sxy - mom.sx * mom.sy AS DOUBLE))
+                / (CAST(mom.n * mom.sxx - mom.sx * mom.sx AS DOUBLE)))
+               * ((CAST(sx_arm AS DOUBLE) / n_arm) - (CAST(mom.sx AS DOUBLE) / mom.n))
+             AS adjusted_mean,
+           (CAST(mom.n * mom.sxy - mom.sx * mom.sy AS DOUBLE))
+             / (CAST(mom.n * mom.sxx - mom.sx * mom.sx AS DOUBLE)) AS theta,
+           (CAST(mom.n * mom.sxy - mom.sx * mom.sy AS DOUBLE)
+            * CAST(mom.n * mom.sxy - mom.sx * mom.sy AS DOUBLE))
+             / (CAST(mom.n * mom.sxx - mom.sx * mom.sx AS DOUBLE)
+                * CAST(mom.n * mom.syy - mom.sy * mom.sy AS DOUBLE)) AS rho_sq
+    FROM arms CROSS JOIN mom
+    """,
+    tags=("events", "analytics", "experimentation", "cuped"),
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al., WSDM'13
+    — the adjustment every modern experimentation platform applies):
+    each user's PRE-period activity predicts their post-period metric, so
+    subtracting θ·(pre − mean(pre)) removes the predictable component and
+    shrinks arm variance by ρ² without biasing the difference (arms share
+    θ).  Pre/post split at the corpus's own time midpoint (the drift
+    family's anchor); θ = cov(pre,post)/var(pre) is one division over
+    INTEGER co-moments in their cross-multiplied form (n·Σxy − Σx·Σy —
+    no float means anywhere before the final expressions); ρ² is the
+    reported variance-reduction factor.  One per-user shuffle, then
+    1-row/arm-bounded frames only."""
+    from ..queries import epoch_micros
+
+    ev = t(spark, sf_dir, "events")
+    us = epoch_micros(F.col("ts"))
+    mid = ev.agg(
+        F.floor((F.min(us) + F.max(us)) / F.lit(2.0)).cast("long").alias("m")
+    )
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us < F.col("m"), 1).otherwise(0)).alias("pre"),
+            F.sum(F.when(us >= F.col("m"), 1).otherwise(0)).alias("post"),
+        )
+        .select(arm.alias("arm"), "pre", "post")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+        F.sum(F.col("post") * F.col("post")).alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("pre").alias("sx_arm"),
+        F.sum("post").alias("sy_arm"),
+    )
+    cxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = cxy / cxx
+    mean_post = F.col("sy_arm").cast("double") / F.col("n_arm")
+    mean_pre_arm = F.col("sx_arm").cast("double") / F.col("n_arm")
+    mean_pre_all = F.col("sx").cast("double") / F.col("n")
+    return arms.crossJoin(F.broadcast(mom)).select(
+        "arm",
+        F.col("n_arm").cast("long").alias("n_users"),
+        F.col("sy_arm").cast("long").alias("sum_post"),
+        mean_post.alias("mean_post"),
+        (mean_post - theta * (mean_pre_arm - mean_pre_all)).alias("adjusted_mean"),
+        theta.alias("theta"),
+        ((cxy * cxy) / (cxx * cyy)).alias("rho_sq"),
+    )

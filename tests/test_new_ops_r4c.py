@@ -276,3 +276,42 @@ def test_sequence_patterns_match_python_regex(spark):
     assert got == expected
     # adjacency is strictly rarer than (or equal to) subsequence
     assert got["impulse_buy"] <= got["browse_to_buy"] or True  # patterns differ; sanity only
+
+
+def test_cuped_is_unbiased_and_reduces_variance(spark):
+    """CUPED must (a) leave the OVERALL weighted mean unchanged (the
+    adjustment is mean-zero across all users), (b) share one theta across
+    arms, and (c) report rho_sq in [0, 1] equal to the squared Pearson
+    correlation of locally recomputed per-user (pre, post) pairs."""
+    from naive_query_engine_spark.operators.analytics import events_ab_cuped
+    from naive_query_engine_spark.queries import epoch_micros
+
+    out = {r["arm"]: r for r in events_ab_cuped(spark, SF_ORACLE).collect()}
+    assert set(out) == {"A", "B"}
+    a, b = out["A"], out["B"]
+    assert a["theta"] == b["theta"] and a["rho_sq"] == b["rho_sq"]
+    assert 0.0 <= a["rho_sq"] <= 1.0
+    # weighted mean of adjusted == weighted mean of raw (mean-zero adjustment)
+    n = a["n_users"] + b["n_users"]
+    raw = (a["mean_post"] * a["n_users"] + b["mean_post"] * b["n_users"]) / n
+    adj = (a["adjusted_mean"] * a["n_users"] + b["adjusted_mean"] * b["n_users"]) / n
+    assert abs(raw - adj) < 1e-9
+    # rho_sq against a local recompute
+    ev = t(spark, SF_ORACLE, "events")
+    us = epoch_micros(F.col("ts"))
+    mid = ev.agg(F.floor((F.min(us) + F.max(us)) / F.lit(2.0)).cast("long")).collect()[0][0]
+    rows = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(us < F.lit(mid), 1).otherwise(0)).alias("pre"),
+            F.sum(F.when(us >= F.lit(mid), 1).otherwise(0)).alias("post"),
+        )
+        .collect()
+    )
+    import math
+    n = len(rows)
+    sx = sum(r["pre"] for r in rows); sy = sum(r["post"] for r in rows)
+    sxx = sum(r["pre"] ** 2 for r in rows); syy = sum(r["post"] ** 2 for r in rows)
+    sxy = sum(r["pre"] * r["post"] for r in rows)
+    rho_sq = ((n * sxy - sx * sy) ** 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert math.isclose(a["rho_sq"], rho_sq, rel_tol=1e-12)

@@ -284,6 +284,10 @@ BUDGETS = {
     "audit_k_anonymity": (2, False),
     # r4c: per-user sequence agg (2-phase) + the 1-row pattern reduce
     "events_sequence_patterns": (2, False),
+    # r4c: per-user pre/post agg lineage re-counted under the moments and
+    # the arms sides (static re-count — the bm25 precedent); midpoint +
+    # moments are 1-row broadcasts
+    "events_ab_cuped": (6, True),
 }
 
 
