@@ -335,3 +335,79 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cep_pattern_alerts(events: DataFrame) -> DataFrame:
+    """Streaming CEP: the micro-batch variant of the batch
+    ``events_sequence_patterns`` query (operators/events.py) — per-user
+    event-symbol history carried in ``applyInPandasWithState``, declarative
+    regex patterns re-evaluated as the history grows, one alert row
+    emitted per (user, pattern) THE MOMENT the pattern first matches.
+
+    State is the user's full (ts, event_id, symbol) history, re-sorted on
+    every update, so matching is correct under ARBITRARY micro-batch
+    arrival order (late events slot into place before matching).  The
+    subtle part — which the first draft got wrong and the equivalence
+    test caught — is that ANCHORED and ADJACENCY patterns are
+    NON-MONOTONE under out-of-order arrival: `^s` can match a prefix of
+    the history and be invalidated when an EARLIER event arrives later,
+    so "fire once and remember" emits false alerts.  The sound contract
+    under disorder is LATEST-WINS: every update emits the user's full
+    currently-matched set stamped with a monotone per-user version, and
+    consumers read the max-version row set (exactly the update-mode
+    semantics `running_user_totals` relies on).  The final version per
+    user equals the batch query's match set for ANY batch interleaving
+    (`tests/test_streaming.py`).  Production note: a real deployment
+    bounds state and disorder by a watermark horizon — then sticky
+    alerts become sound once the horizon passes, the same trade
+    documented for `deduplicated`."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.events import CEP_PATTERNS
+
+    patterns = list(CEP_PATTERNS)
+
+    def update(key, pdfs, state: GroupState):
+        import re as _re
+
+        if state.exists:
+            ts_l, eid_l, sym_l, version = state.get
+            ts_l, eid_l, sym_l = list(ts_l), list(eid_l), list(sym_l)
+        else:
+            ts_l, eid_l, sym_l, version = [], [], [], 0
+        for pdf in pdfs:
+            for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                ts_l.append(int(pd.Timestamp(ts).value))
+                eid_l.append(int(eid))
+                sym_l.append(str(etype)[:1])
+        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], eid_l[i]))
+        ts_l = [ts_l[i] for i in order]
+        eid_l = [eid_l[i] for i in order]
+        sym_l = [sym_l[i] for i in order]
+        s = "".join(sym_l)
+        version += 1
+        matched = [name for name, pat in patterns if _re.search(pat, s)]
+        state.update((ts_l, eid_l, sym_l, version))
+        # the sentinel NULL row makes every version visible even when the
+        # matched set is (or becomes) empty — without it a match
+        # invalidated by a late-arriving earlier event would leave the
+        # stale version as the sink's latest
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * (len(matched) + 1),
+                "version": [version] * (len(matched) + 1),
+                "pattern": matched + [None],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, version long, pattern string",
+        stateStructType=(
+            "ts_us array<long>, eid array<long>, sym array<string>, version int"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -376,3 +376,50 @@ def test_stateful_running_totals_tws(spark, event_files):
     else:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert got == want
+
+
+def test_streaming_cep_alerts_equal_batch_pattern_match(spark, event_files):
+    """The streaming CEP operator's alert set over all micro-batches must
+    equal the batch sequence-pattern match set — state re-sorts per-user
+    history, so batch boundaries and file order cannot change the
+    result; the fired-bitmask makes each (user, pattern) alert unique."""
+    import re as _re
+
+    from naive_query_engine_spark.operators.events import CEP_PATTERNS
+
+    stream = st.read_event_stream(spark, event_files, max_files_per_trigger=1)
+    q = st.run_to_memory_sink(st.cep_pattern_alerts(stream), "cep_alerts", "update")
+    try:
+        q.processAllAvailable()
+        rows = spark.table("cep_alerts").collect()
+    finally:
+        q.stop()
+    # LATEST-WINS consumer contract: the max-version row set per user is
+    # the current match set (the sentinel NULL row keeps empty sets
+    # visible); earlier versions are superseded interim states
+    latest = {}
+    for r in rows:
+        if r["user_id"] not in latest or r["version"] > latest[r["user_id"]]:
+            latest[r["user_id"]] = r["version"]
+    alerts = [
+        (r["user_id"], r["pattern"])
+        for r in rows
+        if r["version"] == latest[r["user_id"]] and r["pattern"] is not None
+    ]
+    assert len(alerts) == len(set(alerts))  # no duplicate (user, pattern)
+    rows = (
+        spark.read.schema(st.EVENTS_SCHEMA)
+        .parquet(event_files)
+        .select("user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("sym"))
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["sym"]))
+    want = set()
+    for uid, evs in by_user.items():
+        s = "".join(sym for _, _, sym in sorted(evs))
+        for name, pat in CEP_PATTERNS:
+            if _re.search(pat, s):
+                want.add((uid, name))
+    assert set(alerts) == want
