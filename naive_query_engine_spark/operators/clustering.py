@@ -478,6 +478,77 @@ _QREG["dedup_keep_best"] = _dc.replace(_QREG["dedup_keep_best"], oracle=_keep_be
 TRI_TOPN = 10
 
 
+def _cosupplier_graph(spark: SparkSession, sf_dir: str):
+    """Shared builder for the dominant co-supplier graph queries
+    (``graph_triangle_count``, ``graph_clustering_coefficient``): returns
+    ``(edges, deg, tri)`` — undirected edges (top-2 suppliers per part),
+    per-node degrees, and the exactly-once triangle list from the
+    degree-ordered orientation."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    wp = Window.partitionBy("l_partkey").orderBy(F.col("qty").desc(), F.col("l_suppkey"))
+    pe = (
+        ps.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 2)
+        .groupBy("l_partkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("l_suppkey"))).alias("s1"),
+            F.min(F.when(F.col("rn") == 2, F.col("l_suppkey"))).alias("s2"),
+        )
+        .filter(F.col("s2").isNotNull())
+    )
+    edges = pe.select(
+        F.least("s1", "s2").alias("u"), F.greatest("s1", "s2").alias("v")
+    ).distinct()
+    # the edge list (≤ |part| rows, one per part) fans out to FIVE consumers
+    # (degree twice, orientation, both wedge sides via orientation); cut the
+    # lineage so the lineitem aggregation runs once, not per consumer — the
+    # same localCheckpoint idiom as pagerank/connected_components.
+    # Trade-offs (ADVICE r2): localCheckpoint is EAGER — merely building
+    # this DataFrame (plan dumps, budget tests) executes the lineitem agg —
+    # and it hides the checkpointed stages' exchanges from the static plan
+    # (the declared budget counts post-checkpoint work only) and is not
+    # resilient to executor loss (acceptable in-session; a restartable
+    # production job would use reliable checkpoint() to cluster storage)
+    edges = edges.transform(cut_lineage)
+
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ku = F.struct(F.col("du"), F.col("u"))
+    kv = F.struct(F.col("dv"), F.col("v"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(ku < kv, F.col("dv")).otherwise(F.col("du")).alias("td"),
+        )
+    )
+    # three consumers (two wedge sides + closing-edge probe)
+    oriented = oriented.transform(cut_lineage)
+
+    o1 = oriented.select(F.col("s"), F.col("t").alias("b"), F.col("td").alias("bd"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("c"), F.col("td").alias("cd"))
+    wedges = o1.join(o2, "s").filter(
+        F.struct(F.col("bd"), F.col("b")) < F.struct(F.col("cd"), F.col("c"))
+    )
+    closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("s", "b", "c")
+    return edges, deg, tri
+
+
 @query(
     "graph_triangle_count",
     oracle=f"""
@@ -552,67 +623,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    li = t(spark, sf_dir, "lineitem")
     sup = t(spark, sf_dir, "supplier")
-
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
-    )
-    wp = Window.partitionBy("l_partkey").orderBy(F.col("qty").desc(), F.col("l_suppkey"))
-    pe = (
-        ps.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= 2)
-        .groupBy("l_partkey")
-        .agg(
-            F.min(F.when(F.col("rn") == 1, F.col("l_suppkey"))).alias("s1"),
-            F.min(F.when(F.col("rn") == 2, F.col("l_suppkey"))).alias("s2"),
-        )
-        .filter(F.col("s2").isNotNull())
-    )
-    edges = pe.select(
-        F.least("s1", "s2").alias("u"), F.greatest("s1", "s2").alias("v")
-    ).distinct()
-    # the edge list (≤ |part| rows, one per part) fans out to FIVE consumers
-    # (degree twice, orientation, both wedge sides via orientation); cut the
-    # lineage so the lineitem aggregation runs once, not per consumer — the
-    # same localCheckpoint idiom as pagerank/connected_components.
-    # Trade-offs (ADVICE r2): localCheckpoint is EAGER — merely building
-    # this DataFrame (plan dumps, budget tests) executes the lineitem agg —
-    # and it hides the checkpointed stages' exchanges from the static plan
-    # (the declared budget counts post-checkpoint work only) and is not
-    # resilient to executor loss (acceptable in-session; a restartable
-    # production job would use reliable checkpoint() to cluster storage)
-    edges = edges.transform(cut_lineage)
-
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ku = F.struct(F.col("du"), F.col("u"))
-    kv = F.struct(F.col("dv"), F.col("v"))
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(ku < kv, F.col("dv")).otherwise(F.col("du")).alias("td"),
-        )
-    )
-    # three consumers (two wedge sides + closing-edge probe)
-    oriented = oriented.transform(cut_lineage)
-
-    o1 = oriented.select(F.col("s"), F.col("t").alias("b"), F.col("td").alias("bd"))
-    o2 = oriented.select(F.col("s"), F.col("t").alias("c"), F.col("td").alias("cd"))
-    wedges = o1.join(o2, "s").filter(
-        F.struct(F.col("bd"), F.col("b")) < F.struct(F.col("cd"), F.col("c"))
-    )
-    closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).select("s", "b", "c")
+    _, _, tri = _cosupplier_graph(spark, sf_dir)
 
     pn = (
         tri.select(F.explode(F.array("s", "b", "c")).alias("node"))
@@ -853,4 +865,96 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.groupBy("hops").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc").cast("long").alias("min_doc"),
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT l_partkey, l_suppkey,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY qty DESC, l_suppkey) AS rn
+      FROM ps
+    ),
+    pe AS (
+      SELECT l_partkey,
+             MIN(CASE WHEN rn = 1 THEN l_suppkey END) AS s1,
+             MIN(CASE WHEN rn = 2 THEN l_suppkey END) AS s2
+      FROM rk WHERE rn <= 2 GROUP BY 1
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(s1, s2) AS u, GREATEST(s1, s2) AS v
+      FROM pe WHERE s2 IS NOT NULL
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+      GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS td
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+      SELECT o1.s AS a, o1.t AS b, o2.t AS c
+      FROM oriented o1
+      JOIN oriented o2 ON o1.s = o2.s AND (o1.td, o1.t) < (o2.td, o2.t)
+      JOIN oriented o3 ON o3.s = o1.t AND o3.t = o2.t
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri),
+    wd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1)) AS BIGINT) AS wedges_x2
+      FROM deg
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT wd.n_nodes, ne.n_edges,
+           CAST(wd.wedges_x2 / 2 AS BIGINT) AS wedges,
+           m.n_triangles,
+           CASE WHEN wd.wedges_x2 = 0 THEN NULL
+                ELSE CAST(6 * m.n_triangles AS DOUBLE) / wd.wedges_x2
+           END AS global_clustering
+    FROM wd CROSS JOIN ne CROSS JOIN m
+    """,
+    tags=("graph", "triangle", "clustering-coefficient"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (transitivity) clustering coefficient of the co-supplier
+    graph: C = 3·triangles / wedges — the closure statistic that tells a
+    graph-quality audit whether affinity edges form cliques (template
+    supply chains) or stars (hub suppliers).  Composes the shared
+    :func:`_cosupplier_graph` builder with two bounded reductions: the
+    triangle list count and Σd(d−1) (= 2·wedges, an exact BIGINT).  The
+    only double is the final 6T/Σd(d−1) (≡ 3T/W) division; the NULL case
+    (no wedges) is emitted identically by both engines."""
+    edges, deg, tri = _cosupplier_graph(spark, sf_dir)
+    m = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    wd = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("long").alias("wedges_x2"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        wd.crossJoin(ne)
+        .crossJoin(m)
+        .select(
+            "n_nodes",
+            "n_edges",
+            (F.col("wedges_x2") / 2).cast("long").alias("wedges"),
+            "n_triangles",
+            F.when(F.col("wedges_x2") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                (6 * F.col("n_triangles")).cast("double") / F.col("wedges_x2")
+            )
+            .alias("global_clustering"),
+        )
     )

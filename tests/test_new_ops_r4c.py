@@ -315,3 +315,36 @@ def test_cuped_is_unbiased_and_reduces_variance(spark):
     sxy = sum(r["pre"] * r["post"] for r in rows)
     rho_sq = ((n * sxy - sx * sy) ** 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert math.isclose(a["rho_sq"], rho_sq, rel_tol=1e-12)
+
+
+def test_clustering_coefficient_consistent_with_triangle_list(spark):
+    """C = 3T/W identity against locally recomputed wedge and triangle
+    counts from the SAME graph (brute-force over the collapsed edge
+    list — independent of the oriented enumeration)."""
+    from itertools import combinations
+
+    from naive_query_engine_spark.operators.clustering import (
+        _cosupplier_graph,
+        graph_clustering_coefficient,
+    )
+
+    r = graph_clustering_coefficient(spark, SF_ORACLE).collect()[0]
+    edges_df, _, _ = _cosupplier_graph(spark, SF_ORACLE)
+    edges = {(row["u"], row["v"]) for row in edges_df.collect()}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    wedges = sum(len(nb) * (len(nb) - 1) // 2 for nb in adj.values())
+    # each triangle counted once: from its (u, v) edge with the third
+    # vertex strictly greater than both endpoints
+    triangles = 0
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            if w > v and w > u:
+                triangles += 1
+    assert r["n_edges"] == len(edges)
+    assert r["wedges"] == wedges
+    assert r["n_triangles"] == triangles
+    if wedges:
+        assert abs(r["global_clustering"] - 3 * triangles / wedges) < 1e-12

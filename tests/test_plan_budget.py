@@ -288,6 +288,9 @@ BUDGETS = {
     # the arms sides (static re-count — the bm25 precedent); midpoint +
     # moments are 1-row broadcasts
     "events_ab_cuped": (6, True),
+    # r4c: edges/oriented are behind the shared builder's lineage cuts;
+    # post-cut the degree agg + three 1-row reduces remain
+    "graph_clustering_coefficient": (4, True),
 }
 
 
