@@ -464,3 +464,163 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("long").alias("n_exact"),
         (rel_err <= HLL_INTERSECT_TOLERANCE).alias("within_tolerance"),
     )
+
+
+#: KMV (k-minimum-values) sketch geometry: keep the K smallest 48-bit
+#: md5-derived hash values per set.  Unlike HLL, every step is
+#: DETERMINISTIC-portable (same md5, same k-min set in any engine), so the
+#: estimates themselves hash-match the oracle exactly — no tolerance
+#: booleans needed.  This is the intersection-capable sketch the
+#: sketch_hll_intersection docstring points to (theta/KMV family).
+KMV_K = 64
+KMV_HEX_DIGITS = 12  # 48-bit hash space
+KMV_SPACE = float(16 ** KMV_HEX_DIGITS)
+KMV_SALTS = 8  # phase-1 parallelism for the distributed bottom-k
+
+
+def _kmv_hash_sql(col: str) -> str:
+    return _hex_int_sql(f"MD5(CAST({col} AS VARCHAR))", KMV_HEX_DIGITS)
+
+
+@query(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
+    b AS (SELECT DISTINCT doc_id FROM documents
+          WHERE CAST(SUBSTR(source, 4) AS INTEGER) < 10),
+    ha AS (SELECT DISTINCT {_kmv_hash_sql('doc_id')} AS h FROM a),
+    hb AS (SELECT DISTINCT {_kmv_hash_sql('doc_id')} AS h FROM b),
+    sa AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha)
+           WHERE rn <= {KMV_K}),
+    sb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb)
+           WHERE rn <= {KMV_K}),
+    mu AS (SELECT h FROM (
+             SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+             FROM (SELECT h FROM sa UNION SELECT h FROM sb))
+           WHERE rn <= {KMV_K}),
+    mstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_m,
+                      CAST(MAX(h) AS BIGINT) AS kth FROM mu),
+    common AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+               FROM mu JOIN sa USING (h) JOIN sb USING (h)),
+    exact AS (
+      SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+             CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+             CAST((SELECT COUNT(*) FROM a JOIN b USING (doc_id)) AS BIGINT)
+               AS exact_intersection,
+             CAST((SELECT COUNT(*) FROM (SELECT doc_id FROM a
+                                         UNION SELECT doc_id FROM b)) AS BIGINT)
+               AS exact_union
+    )
+    SELECT exact_a, exact_b, exact_union, exact_intersection,
+           n_m AS sketch_size, n_common,
+           CASE WHEN n_m < {KMV_K} THEN CAST(n_m AS DOUBLE)
+                ELSE (CAST({KMV_K} AS DOUBLE) - 1) * {KMV_SPACE!r} / kth
+           END AS est_union,
+           CAST(n_common AS DOUBLE) / n_m AS est_jaccard,
+           (CAST(n_common AS DOUBLE) / n_m)
+             * (CASE WHEN n_m < {KMV_K} THEN CAST(n_m AS DOUBLE)
+                     ELSE (CAST({KMV_K} AS DOUBLE) - 1) * {KMV_SPACE!r} / kth
+                END) AS est_intersection
+    FROM mstats CROSS JOIN common CROSS JOIN exact
+    """,
+    tags=("sketch", "approximate", "set-ops", "kmv"),
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch intersection — the
+    theta-family answer to HLL's weak intersections
+    (``sketch_hll_intersection`` documents the gap): keep the K smallest
+    hash values per set; the merged bottom-K of two sketches yields BOTH
+    a union estimate ((K−1)·space/kth-min) and a Jaccard estimate (share
+    of merged minima present in both sketches), whose product estimates
+    the intersection directly — one estimator error, not three
+    compounded.
+
+    Because the hash is the portable seeded-md5 family, the k-min sets —
+    and therefore the ESTIMATES THEMSELVES — are bit-identical across
+    engines: this sketch query hash-matches its oracle exactly, with no
+    ``within_tolerance`` escape hatch.  Sets smaller than K degenerate to
+    exact counts (the sketch IS the set) via the same CASE in both
+    engines.
+
+    Scale shape: per-set distinct hashes (one shuffle), then the
+    distributed bottom-k runs as a salted two-phase window (per-salt
+    bottom-K, then bottom-K of the ≤ SALTS·K survivors — the
+    ``dataset_reservoir_per_lang`` idiom); every frame after the
+    sketches is ≤ 2K rows."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, KMV_HEX_DIGITS), 16, 10
+    ).cast("long")
+    a = d.filter(F.col("lang") == "en").select(h.alias("h")).distinct()
+    b = (
+        d.filter(F.substring("source", 4, 10).cast("int") < 10)
+        .select(h.alias("h"))
+        .distinct()
+    )
+
+    def bottom_k(df, k):
+        w1 = Window.partitionBy(F.col("h") % KMV_SALTS).orderBy("h")
+        w2 = Window.orderBy("h")
+        return (
+            df.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= k)
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k)
+            .select("h")
+        )
+
+    from ..queries import cut_lineage
+
+    # each sketch frame has two consumers (merge + common-membership);
+    # the cut materializes the <=K-row sketch once instead of replaying
+    # the distinct+window lineage per consumer
+    sa, sb = cut_lineage(bottom_k(a, KMV_K)), cut_lineage(bottom_k(b, KMV_K))
+    mu = cut_lineage(bottom_k(sa.unionAll(sb).distinct(), KMV_K))
+    mstats = mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_m"),
+        F.max("h").cast("long").alias("kth"),
+    )
+    common = (
+        mu.join(sa, "h").join(sb, "h").agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    da = d.filter(F.col("lang") == "en").select("doc_id").distinct()
+    db = (
+        d.filter(F.substring("source", 4, 10).cast("int") < 10)
+        .select("doc_id")
+        .distinct()
+    )
+    exact = (
+        da.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+        .crossJoin(db.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
+        .crossJoin(
+            da.join(db, "doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("exact_intersection")
+            )
+        )
+        .crossJoin(
+            da.unionAll(db)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+        )
+    )
+    est_union = F.when(
+        F.col("n_m") < KMV_K, F.col("n_m").cast("double")
+    ).otherwise((F.lit(float(KMV_K)) - 1) * F.lit(KMV_SPACE) / F.col("kth"))
+    est_jaccard = F.col("n_common").cast("double") / F.col("n_m")
+    return (
+        exact.crossJoin(F.broadcast(mstats))
+        .crossJoin(F.broadcast(common))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersection",
+            F.col("n_m").alias("sketch_size"),
+            "n_common",
+            est_union.alias("est_union"),
+            est_jaccard.alias("est_jaccard"),
+            (est_jaccard * est_union).alias("est_intersection"),
+        )
+    )

@@ -348,3 +348,25 @@ def test_clustering_coefficient_consistent_with_triangle_list(spark):
     assert r["n_triangles"] == triangles
     if wedges:
         assert abs(r["global_clustering"] - 3 * triangles / wedges) < 1e-12
+
+
+def test_kmv_estimates_within_theory_bounds(spark):
+    """KMV at K=64: union/intersection estimates within 3-sigma
+    (~3/sqrt(K-1) ≈ 38%) of exact; jaccard in [0,1]; the sketch is
+    saturated at this SF (the sub-K degenerate branch is covered by the
+    sf0.001 oracle run, where it must equal the exact count)."""
+    from naive_query_engine_spark.operators.sketches import (
+        KMV_K,
+        sketch_kmv_jaccard,
+    )
+
+    r = sketch_kmv_jaccard(spark, SF_ORACLE).collect()[0]
+    assert r["sketch_size"] == KMV_K  # saturated at sf0.01
+    assert 0.0 <= r["est_jaccard"] <= 1.0
+    bound = 3.0 / (KMV_K - 1) ** 0.5
+    assert abs(r["est_union"] - r["exact_union"]) / r["exact_union"] <= bound
+    assert (
+        abs(r["est_intersection"] - r["exact_intersection"])
+        / max(r["exact_intersection"], 1)
+        <= 2 * bound  # two estimator factors compound
+    )

@@ -291,6 +291,11 @@ BUDGETS = {
     # r4c: edges/oriented are behind the shared builder's lineage cuts;
     # post-cut the degree agg + three 1-row reduces remain
     "graph_clustering_coefficient": (4, True),
+    # r4c: sketches sit behind lineage cuts (<=K rows each); the exact-
+    # truth side replays the two distinct lineages per consumer (static
+    # re-count — the bm25 precedent) and every exchanged frame is
+    # key-cardinality bounded
+    "sketch_kmv_jaccard": (26, True),
 }
 
 
