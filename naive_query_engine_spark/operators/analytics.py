@@ -1695,3 +1695,53 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         theta.alias("theta"),
         ((cxy * cxy) / (cxx * cyy)).alias("rho_sq"),
     )
+
+
+@query(
+    "orders_shipping_latency_sla",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30d,
+           CAST(SUM(CASE WHEN d <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_60d,
+           CAST(SUM(CASE WHEN d <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_90d,
+           CAST(SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS sla_30d_rate,
+           CAST(MAX(d) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "sla", "join", "latency"),
+)
+def orders_shipping_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA attainment by priority class — the fulfilment
+    dashboard's core metric: per priority, the share of lineitems shipped
+    within 30/60/90 days of order placement.  Latency is an exact integer
+    DAY diff on DATE-cast values (both engines count calendar days
+    between dates identically; timestamp-level diffs would re-open the
+    truncation-vs-boundary divergence the microsecond queries avoid).
+    The lineitem⋈orders join is the SF-dominant fact join — unhinted, so
+    AQE broadcasts at bench SF and switches to sort-merge at scale (the
+    probed q09 behavior); everything after is a priority-bounded rollup."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    d = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", d.alias("d")
+    )
+    within = lambda days: F.sum((F.col("d") <= days).cast("int"))  # noqa: E731
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        within(30).cast("long").alias("n_within_30d"),
+        within(60).cast("long").alias("n_within_60d"),
+        within(90).cast("long").alias("n_within_90d"),
+        (within(30).cast("double") / F.count(F.lit(1))).alias("sla_30d_rate"),
+        F.max("d").cast("long").alias("max_days"),
+    )

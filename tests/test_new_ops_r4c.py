@@ -1,9 +1,13 @@
-"""Behavioral invariants for the r4c operators (skyline / attribution /
-bounded-hop BFS) and the ``distributed_prefix_max`` primitive.
+"""Behavioral invariants for the r4c operators (skyline, attribution,
+bounded-hop BFS, KS drift, winsorized mean, constraint audit, RRF fusion,
+CUSUM change point, k-anonymity, CEP patterns, CUPED, clustering
+coefficient, KMV sketch) and the prefix-max / multi-column prefix-sum
+primitives.
 
-The DuckDB oracle (tests/test_oracle.py) pins exact values for all three
-registered queries; these tests pin the PROPERTIES that make each operator
-correct by construction.
+The DuckDB oracle (tests/test_oracle.py) pins exact values for every
+registered query; these tests pin the PROPERTIES that make each operator
+correct by construction — several against independent local recomputes
+(Python re, brute-force dominance/adjacency scans, argmax replays).
 """
 
 from __future__ import annotations
@@ -274,8 +278,6 @@ def test_sequence_patterns_match_python_regex(spark):
         for r in events_sequence_patterns(spark, SF_ORACLE).collect()
     }
     assert got == expected
-    # adjacency is strictly rarer than (or equal to) subsequence
-    assert got["impulse_buy"] <= got["browse_to_buy"] or True  # patterns differ; sanity only
 
 
 def test_cuped_is_unbiased_and_reduces_variance(spark):
@@ -370,3 +372,17 @@ def test_kmv_estimates_within_theory_bounds(spark):
         / max(r["exact_intersection"], 1)
         <= 2 * bound  # two estimator factors compound
     )
+
+
+def test_sla_buckets_are_monotone_and_partition(spark):
+    """30d ⊆ 60d ⊆ 90d ⊆ all; rates consistent with counts."""
+    from naive_query_engine_spark.operators.analytics import (
+        orders_shipping_latency_sla,
+    )
+
+    for r in orders_shipping_latency_sla(spark, SF_ORACLE).collect():
+        assert (
+            r["n_within_30d"] <= r["n_within_60d"] <= r["n_within_90d"] <= r["n_lineitems"]
+        )
+        assert abs(r["sla_30d_rate"] - r["n_within_30d"] / r["n_lineitems"]) < 1e-12
+        assert r["max_days"] >= 0

@@ -296,6 +296,8 @@ BUDGETS = {
     # re-count — the bm25 precedent) and every exchanged frame is
     # key-cardinality bounded
     "sketch_kmv_jaccard": (26, True),
+    # r4c: the one fact join (AQE strategy) + priority-bounded rollup
+    "orders_shipping_latency_sla": (2, True),
 }
 
 
