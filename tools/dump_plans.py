@@ -178,6 +178,19 @@ ANNOTATED = {
     "(bounded-domain exception to the no-global-window rule)",
     "audit_k_anonymity": "QI-cell grouped count + bounded rollup; "
     "cell frame is |QI-domain|-bounded",
+    "events_sequence_patterns": "per-user ordered symbol strings "
+    "(deterministic array_sort collect); literal patterns as conditional "
+    "sums in ONE ungrouped agg + stack() — no row expansion",
+    "events_ab_cuped": "per-user pre/post agg; moments and arm frames "
+    "are 1-row/2-row reduces broadcast back; theta/rho from integer "
+    "co-moments",
+    "graph_clustering_coefficient": "shared co-supplier builder behind "
+    "lineage cuts; post-cut degree agg + three bounded reduces",
+    "sketch_kmv_jaccard": "per-set distinct hashes + salted two-phase "
+    "bottom-K; sketch frames lineage-cut at <=K rows; exact-truth side "
+    "is the only corpus-sized work",
+    "orders_shipping_latency_sla": "one SF-dominant fact join (AQE "
+    "strategy) + priority-bounded conditional-sum rollup",
 }
 
 
