@@ -1745,3 +1745,185 @@ def orders_shipping_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         (within(30).cast("double") / F.count(F.lit(1))).alias("sla_30d_rate"),
         F.max("d").cast("long").alias("max_days"),
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) / 7)
+                  AS BIGINT) AS week
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(week) AS first_week FROM wk GROUP BY user_id),
+    seq AS (
+      SELECT w.user_id, w.week, f.first_week,
+             LAG(w.week) OVER (PARTITION BY w.user_id ORDER BY w.week) AS prev_week
+      FROM wk w JOIN firsts f USING (user_id)
+    ),
+    states AS (
+      SELECT week,
+             SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS n_new,
+             SUM(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END) AS n_retained,
+             SUM(CASE WHEN week > first_week
+                       AND (prev_week IS NULL OR prev_week < week - 1)
+                  THEN 1 ELSE 0 END) AS n_resurrected
+      FROM seq GROUP BY week
+    ),
+    churn AS (
+      SELECT week + 1 AS week, COUNT(*) AS active_prev
+      FROM wk GROUP BY week
+    ),
+    nxt AS (
+      SELECT s.week, s.n_new, s.n_retained, s.n_resurrected,
+             COALESCE(c.active_prev, 0) - s.n_retained AS n_churned
+      FROM states s LEFT JOIN churn c USING (week)
+    )
+    SELECT CAST(week AS BIGINT) AS week,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_retained AS BIGINT) AS n_retained,
+           CAST(n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(n_churned AS BIGINT) AS n_churned
+    FROM nxt
+    """,
+    tags=("events", "analytics", "growth-accounting", "lifecycle"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital framework every
+    consumer dashboard reduces to): per week, users split into NEW (first
+    active week), RETAINED (also active the week before), RESURRECTED
+    (returning after a gap), and CHURNED (active last week, absent this
+    week — credited to the week they went missing).  The identity
+    ``active(w) = new + retained + resurrected`` and churn =
+    active(w−1) − retained(w) hold exactly; tests pin both.
+
+    Week boundary anchors to epoch Monday (1970-01-05) via integer floor
+    division of day diffs — engine-portable, unlike week-of-year
+    functions whose ISO conventions differ.  Shapes: one (user, week)
+    dedupe, one per-user LAG window, then week-bounded frames only."""
+    from ..queries import floordiv_col
+
+    ev = t(spark, sf_dir, "events")
+    week = floordiv_col(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))).cast("long"),
+        F.lit(7).cast("long"),
+    )
+    wk = ev.select("user_id", week.alias("week")).distinct()
+    firsts = wk.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = wk.join(firsts, "user_id").select(
+        "week",
+        "first_week",
+        F.lag("week").over(w).alias("prev_week"),
+    )
+    states = seq.groupBy("week").agg(
+        F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(F.when(F.col("prev_week") == F.col("week") - 1, 1).otherwise(0)).alias(
+            "n_retained"
+        ),
+        F.sum(
+            F.when(
+                (F.col("week") > F.col("first_week"))
+                & (
+                    F.col("prev_week").isNull()
+                    | (F.col("prev_week") < F.col("week") - 1)
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    churn = wk.groupBy("week").agg(F.count(F.lit(1)).alias("active_prev")).select(
+        (F.col("week") + 1).alias("week"), "active_prev"
+    )
+    return states.join(churn, "week", "left").select(
+        F.col("week").cast("long").alias("week"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        F.col("n_resurrected").cast("long").alias("n_resurrected"),
+        (F.coalesce(F.col("active_prev"), F.lit(0)) - F.col("n_retained"))
+        .cast("long")
+        .alias("n_churned"),
+    )
+
+
+@query(
+    "orders_discount_elasticity",
+    oracle="""
+    WITH base AS (
+      SELECT p.p_brand,
+             CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d,
+             CAST(l.l_quantity AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    mom AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(d) AS sx, SUM(q) AS sy,
+             SUM(d * d) AS sxx, SUM(d * q) AS sxy, SUM(q * q) AS syy
+      FROM base GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_qty_per_pct,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n
+           END AS intercept_qty,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+                ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS r_sq
+    FROM mom
+    """,
+    tags=("analytics", "regression", "ols", "elasticity"),
+)
+def orders_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of order quantity on discount percentage — the
+    price-response (elasticity) readout, and the regression twin of
+    ``agg_corr_exact``/CUPED's moment machinery: slope = Cxy/Cxx and
+    intercept from the SAME exact integer co-moments (discount becomes an
+    exact integer percent via a DECIMAL(4,2) bridge — multiplying the raw
+    double by 100 would manufacture 5.000000000000001), R² = ρ².
+    Degenerate brands (a single discount level) emit NULLs identically.
+    One fact join (AQE) + one grouped moment aggregation; the brand
+    domain is bounded."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    base = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long").alias("d"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    mom = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("q").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+        F.sum(F.col("d") * F.col("q")).alias("sxy"),
+        F.sum(F.col("q") * F.col("q")).alias("syy"),
+    )
+    cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cxy.cast("double") / cxx.cast("double")
+    return mom.select(
+        "p_brand",
+        "n",
+        F.when(cxx == 0, F.lit(None).cast("double")).otherwise(slope).alias(
+            "slope_qty_per_pct"
+        ),
+        F.when(cxx == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"))
+        .alias("intercept_qty"),
+        F.when((cxx == 0) | (cyy == 0), F.lit(None).cast("double"))
+        .otherwise((cxy.cast("double") * cxy.cast("double")) / (cxx.cast("double") * cyy.cast("double")))
+        .alias("r_sq"),
+    )

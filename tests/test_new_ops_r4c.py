@@ -386,3 +386,67 @@ def test_sla_buckets_are_monotone_and_partition(spark):
         )
         assert abs(r["sla_30d_rate"] - r["n_within_30d"] / r["n_lineitems"]) < 1e-12
         assert r["max_days"] >= 0
+
+
+def test_growth_accounting_identities(spark):
+    """active(w) = new + retained + resurrected (recomputed independently
+    from the (user, week) frame) and churned(w) = active(w-1) −
+    retained(w) — the accounting must balance exactly."""
+    from naive_query_engine_spark.operators.analytics import (
+        events_growth_accounting,
+    )
+    from naive_query_engine_spark.queries import floordiv_col
+
+    out = {r["week"]: r for r in events_growth_accounting(spark, SF_ORACLE).collect()}
+    week = floordiv_col(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))).cast("long"),
+        F.lit(7).cast("long"),
+    )
+    active = {
+        r["week"]: r["n"]
+        for r in t(spark, SF_ORACLE, "events")
+        .select("user_id", week.alias("week"))
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for w, r in out.items():
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == active[w]
+        if w - 1 in active:
+            assert r["n_churned"] == active[w - 1] - r["n_retained"]
+
+
+def test_elasticity_matches_numpy_polyfit(spark):
+    """Per-brand slope/intercept equal numpy's least-squares fit over the
+    same (discount_pct, quantity) pairs — an independent solver."""
+    import numpy as np
+
+    from naive_query_engine_spark.operators.analytics import (
+        orders_discount_elasticity,
+    )
+
+    out = {r["p_brand"]: r for r in orders_discount_elasticity(spark, SF_ORACLE).collect()}
+    li = t(spark, SF_ORACLE, "lineitem")
+    p = t(spark, SF_ORACLE, "part")
+    rows = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long").alias("d"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .collect()
+    )
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r["p_brand"], []).append((r["d"], r["q"]))
+    for brand, pts in by_brand.items():
+        xs = np.array([x for x, _ in pts], dtype=float)
+        ys = np.array([y for _, y in pts], dtype=float)
+        if np.ptp(xs) == 0:
+            assert out[brand]["slope_qty_per_pct"] is None
+            continue
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(out[brand]["slope_qty_per_pct"] - slope) < 1e-8
+        assert abs(out[brand]["intercept_qty"] - intercept) < 1e-6

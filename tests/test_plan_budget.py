@@ -298,6 +298,12 @@ BUDGETS = {
     "sketch_kmv_jaccard": (26, True),
     # r4c: the one fact join (AQE strategy) + priority-bounded rollup
     "orders_shipping_latency_sla": (2, True),
+    # r4c: (user,week) dedupe lineage re-counted under firsts/lag/churn
+    # consumers (static re-count); all post-dedupe frames week- or
+    # user-week-bounded
+    "events_growth_accounting": (6, True),
+    # r4c: one fact join + brand-bounded moment agg
+    "orders_discount_elasticity": (1, True),
 }
 
 
