@@ -211,3 +211,38 @@ def test_pmi_survives_single_token_and_empty_docs(spark):
         qq.t, tx.t = orig, orig_tx
     pairs = {(r["tok_a"], r["tok_b"]) for r in out}
     assert ("a", "b") in pairs  # the repeated bigram survives min-support
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_prefix_primitives_match_local_scan(spark, vals, n_parts):
+    """distributed_prefix_sums / distributed_prefix_max equal a
+    single-threaded scan for ANY data and partition count — the
+    range-partition + offset machinery must be invisible."""
+    from naive_query_engine_spark.operators.layout import (
+        distributed_prefix_max,
+        distributed_prefix_sums,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got_sum = {
+        r["k"]: r["v_cum"]
+        for r in distributed_prefix_sums(df, [F.col("k")], ["v"], n_parts=n_parts)
+        .collect()
+    }
+    got_max = {
+        r["k"]: r["pm"]
+        for r in distributed_prefix_max(df, [F.col("k")], "v", "pm", n_parts=n_parts)
+        .collect()
+    }
+    acc, best = 0, None
+    for k, v in rows:
+        acc += v
+        assert got_sum[k] == acc
+        assert got_max[k] == best  # EXCLUSIVE: best BEFORE this row
+        best = v if best is None or v > best else best

@@ -51,6 +51,12 @@ PROBE_QUERIES = [
     "events_cumulative_unique_users",
     "mv_incremental_refresh",
     "embedding_centroid_outliers",
+    # r4c additions: the prefix-max skyline, the binning-free drift
+    # statistic, and the hybrid-retrieval composition — future rounds
+    # measure them at scale by default
+    "part_skyline_pareto",
+    "events_value_drift_ks",
+    "retrieval_rrf_fusion",
 ]
 #: tables that must scale with N.  In TPC-H *everything except nation and
 #: region* grows linearly with SF — including customer/supplier/part, which
