@@ -40,10 +40,12 @@ MIN_TOKENS = 20
 MAX_PUNCT_RATIO = 0.1
 
 
-def curate(d: DataFrame) -> DataFrame:
-    """documents → per-doc curation columns → filter → exact-dedup.
-    Returns the surviving docs with (doc_id, predicted_lang, n_tok,
-    n_char, n_punct, n_bpe)."""
+def scored_filtered(d: DataFrame) -> DataFrame:
+    """documents → per-doc curation columns (lang-ID, token/char/punct/BPE
+    counts, content fingerprint) → quality filter.  Per-doc maps only —
+    this is the expensive stage, and it commutes with batch splitting,
+    which is what makes the curation pipeline incrementally mergeable
+    (``pipeline_incremental_curation``)."""
     txt = F.col("text")
     toks = tokens(txt)
     scored = d.select(
@@ -55,10 +57,17 @@ def curate(d: DataFrame) -> DataFrame:
         bpe_ish_token_count(txt).alias("n_bpe"),
         fingerprint(txt).alias("fp"),
     )
-    kept = scored.filter(
+    return scored.filter(
         (F.col("n_tok") >= MIN_TOKENS)
         & ((F.col("n_punct").cast("double") / F.col("n_char")) <= MAX_PUNCT_RATIO)
     )
+
+
+def curate(d: DataFrame) -> DataFrame:
+    """documents → per-doc curation columns → filter → exact-dedup.
+    Returns the surviving docs with (doc_id, predicted_lang, n_tok,
+    n_char, n_punct, n_bpe)."""
+    kept = scored_filtered(d)
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
         kept.withColumn("rn", F.row_number().over(w))
@@ -269,4 +278,56 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("long").alias("order_cnt"),
             F.sum("rev").cast("double").alias("revenue"),
         )
+    )
+
+
+def curation_partials(batch: DataFrame) -> DataFrame:
+    """One batch's mergeable curation state: per content fingerprint, the
+    argmin-by-doc_id canonical document with its features, as a
+    ``min(struct(doc_id, ...))`` aggregate — MIN is
+    associative/commutative, so partial states from any batch split merge
+    into exactly the full-corpus state."""
+    kept = scored_filtered(batch)
+    return kept.groupBy("fp").agg(
+        F.min(
+            F.struct(
+                "doc_id", "predicted_lang", "n_tok", "n_char", "n_punct", "n_bpe"
+            )
+        ).alias("s")
+    )
+
+
+@query(
+    "pipeline_incremental_curation",
+    oracle=_curation_oracle(),
+    tags=("pipeline", "text", "dedup", "composition", "incremental"),
+)
+def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline run INCREMENTALLY — the mv_incremental_refresh
+    law applied to the LLM-data flow: the corpus splits into a base batch
+    and a delta batch (deterministic doc_id % 5), each batch pays the
+    expensive per-doc stage (regex features, lang-ID, fingerprint) ONCE,
+    and the per-fingerprint argmin-canonical states merge by another MIN —
+    so ingesting a delta never re-curates the base corpus.  The oracle is
+    the FULL single-pass recompute (``pipeline_corpus_curation``'s), which
+    the merge must equal exactly: dedup-by-min is an algebraic aggregate,
+    and the per-doc stage commutes with batching.  At 100 TB this is the
+    difference between a nightly full rebuild and an O(delta) refresh of
+    a maintained curated-state table (the persistent-index pattern
+    ``dedup_incremental`` establishes for the near-dup path)."""
+    d = t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    merged = (
+        curation_partials(base)
+        .unionAll(curation_partials(delta))
+        .groupBy("fp")
+        .agg(F.min("s").alias("s"))
+    )
+    kept = merged.select("s.*")
+    return kept.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_doc_tokens"),
+        (F.sum("n_punct").cast("double") / F.sum("n_char")).alias("corpus_punct_ratio"),
     )

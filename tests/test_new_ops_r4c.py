@@ -450,3 +450,37 @@ def test_elasticity_matches_numpy_polyfit(spark):
         slope, intercept = np.polyfit(xs, ys, 1)
         assert abs(out[brand]["slope_qty_per_pct"] - slope) < 1e-8
         assert abs(out[brand]["intercept_qty"] - intercept) < 1e-6
+
+
+def test_incremental_curation_equals_batch_for_any_split(spark):
+    """The merge law: partials from ANY batch split merge into the full
+    recompute — checked against pipeline_corpus_curation (the single-pass
+    form) for a different split than the registered query's %5."""
+    from naive_query_engine_spark.operators.pipeline import (
+        curation_partials,
+        pipeline_corpus_curation,
+    )
+
+    d = t(spark, SF_ORACLE, "documents")
+    parts = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    state = None
+    for p in parts:
+        pp = curation_partials(p)
+        state = pp if state is None else state.unionAll(pp)
+    kept = (
+        state.groupBy("fp").agg(F.min("s").alias("s")).select("s.*")
+    )
+    got = {
+        r["predicted_lang"]: (r["n_docs"], r["total_bpe_tokens"])
+        for r in kept.groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+        )
+        .collect()
+    }
+    want = {
+        r["predicted_lang"]: (r["n_docs"], r["total_bpe_tokens"])
+        for r in pipeline_corpus_curation(spark, SF_ORACLE).collect()
+    }
+    assert got == want

@@ -304,6 +304,8 @@ BUDGETS = {
     "events_growth_accounting": (6, True),
     # r4c: one fact join + brand-bounded moment agg
     "orders_discount_elasticity": (1, True),
+    # r4c: two batch partial aggs + the merge agg + the lang summary
+    "pipeline_incremental_curation": (4, False),
 }
 
 
