@@ -331,3 +331,169 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_doc_tokens"),
         (F.sum("n_punct").cast("double") / F.sum("n_char")).alias("corpus_punct_ratio"),
     )
+
+
+def _cascade_oracle() -> str:
+    from .clustering import _EDGES_SQL
+    from .shingles_sql import SHINGLES_SQL
+    from .similarity import _Q_SQL, COSINE_THRESHOLD
+
+    shingles_s1 = SHINGLES_SQL.replace("FROM documents", "FROM docs_s1")
+    q_s2 = (
+        _Q_SQL.replace(
+            "FROM embeddings",
+            "FROM embeddings WHERE vec_id IN (SELECT canon FROM s2)",
+        )
+        # without materialization DuckDB INLINES these CTEs, so every
+        # reference to `e` (dots joins it twice, norms once) re-runs the
+        # whole stage-2 recursive pipeline the IN-subquery depends on
+        .replace("e AS (", "e AS MATERIALIZED (")
+        .replace("norms AS (", "norms AS MATERIALIZED (")
+    )
+    return f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id,
+             MD5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    s1 AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+    docs_s1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN s1 USING (doc_id)),
+    {shingles_s1},
+    {_EDGES_SQL},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp2 AS MATERIALIZED (
+      SELECT d.doc_id,
+             CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+               AS component
+      FROM docs_s1 d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    s2 AS MATERIALIZED (SELECT DISTINCT component AS canon FROM comp2),
+    {q_s2},
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    cedges AS (
+      SELECT vec_a AS a, vec_b AS b
+      FROM dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+      WHERE CAST(dot AS DOUBLE)
+            / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
+            >= {COSINE_THRESHOLD}
+    ),
+    sym3 AS (
+      SELECT a, b FROM cedges
+      UNION
+      SELECT b, a FROM cedges
+    ),
+    reach3(a, b) AS (
+      SELECT a, b FROM sym3
+      UNION
+      SELECT r.a, s.b FROM reach3 r JOIN sym3 s ON r.b = s.a
+    ),
+    comp3 AS (
+      SELECT v.canon,
+             CAST(LEAST(v.canon, COALESCE(MIN(r.b), v.canon)) AS BIGINT)
+               AS component
+      FROM s2 v LEFT JOIN reach3 r ON r.a = v.canon
+      GROUP BY v.canon
+    ),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n0,
+             (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(DISTINCT component) FROM comp2) AS n2,
+             (SELECT COUNT(DISTINCT component) FROM comp3) AS n3
+    )
+    SELECT 'exact' AS stage, CAST(n0 AS BIGINT) AS n_in,
+           CAST(n1 AS BIGINT) AS n_kept, CAST(n0 - n1 AS BIGINT) AS n_removed
+    FROM n
+    UNION ALL
+    SELECT 'near_dup', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT),
+           CAST(n1 - n2 AS BIGINT) FROM n
+    UNION ALL
+    SELECT 'semantic', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT),
+           CAST(n2 - n3 AS BIGINT) FROM n
+    """
+
+
+@query(
+    "pipeline_dedup_cascade",
+    oracle=_cascade_oracle(),
+    tags=("pipeline", "dedup", "composition", "cascade"),
+)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL every data card reports: exact (content
+    fingerprint) → near-dup (n-gram Jaccard components) → semantic
+    (embedding-cosine components, via the corpus's vec_id ≡ doc_id
+    alignment), each stage operating only on the previous stage's
+    survivors, with exact in/kept/removed counts per stage.
+
+    This is the composition argument for the whole dedup family: the
+    cheap exact pass shrinks the expensive stages' input (the same reason
+    `pipeline_corpus_curation` runs exact dedup first and BASELINE.md's
+    minhash 10× note tells replicated corpora to), and the three stages'
+    machinery — fingerprint groupBy, inverted-index Jaccard + label
+    propagation, blocked-matmul cosine + label propagation — is exactly
+    the already-proven operators re-scoped to survivor frames."""
+    from .clustering import connected_components
+    from .dedup import ngram_jaccard_pairs
+    from .similarity import _qtable, cosine_block_pairs
+    from .text import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    n0 = d.count()
+
+    s1_ids = (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs_s1 = d.join(s1_ids, "doc_id")
+    n1 = docs_s1.count()
+
+    edges2 = ngram_jaccard_pairs(docs_s1).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp2 = connected_components(
+        docs_s1.select(F.col("doc_id").alias("id")), edges2
+    )
+    s2_ids = comp2.select(F.col("component").alias("vec_id")).distinct()
+    n2 = s2_ids.count()
+
+    # embeddings cover only a PREFIX of the doc_id space (the corpus has
+    # fewer vectors than documents at sf0.1) — survivors without a vector
+    # cannot be semantically compared and must PASS THROUGH stage 3 as
+    # their own canonicals, so the component vertex set is ALL stage-2
+    # survivors while edges exist only among the embedded ones.  (The
+    # first draft ran components over the embedded subset only, silently
+    # discarding un-embedded survivors — caught by the sf0.1 oracle.)
+    qt = _qtable(spark, sf_dir).join(s2_ids, "vec_id")
+    edges3 = cosine_block_pairs(qt).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    comp3 = connected_components(
+        s2_ids.select(F.col("vec_id").alias("id")), edges3
+    )
+    n3 = comp3.select("component").distinct().count()
+
+    rows = [
+        ("exact", n0, n1, n0 - n1),
+        ("near_dup", n1, n2, n1 - n2),
+        ("semantic", n2, n3, n2 - n3),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, n_in long, n_kept long, n_removed long"
+    )

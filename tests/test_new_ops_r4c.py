@@ -484,3 +484,25 @@ def test_incremental_curation_equals_batch_for_any_split(spark):
         for r in pipeline_corpus_curation(spark, SF_ORACLE).collect()
     }
     assert got == want
+
+
+def test_dedup_cascade_stage_accounting(spark):
+    """Stages chain (kept_i == in_{i+1}), counts are monotone, removed
+    balances, and un-embedded survivors PASS THROUGH the semantic stage
+    (kept >= in - n_embedded — the sf0.1 oracle caught the draft that
+    dropped them)."""
+    from naive_query_engine_spark.operators.pipeline import (
+        pipeline_dedup_cascade,
+    )
+
+    rows = {r["stage"]: r for r in pipeline_dedup_cascade(spark, SF_ORACLE).collect()}
+    assert list(rows) == ["exact", "near_dup", "semantic"] or set(rows) == {
+        "exact", "near_dup", "semantic"
+    }
+    ex, nd, se = rows["exact"], rows["near_dup"], rows["semantic"]
+    for r in (ex, nd, se):
+        assert r["n_removed"] == r["n_in"] - r["n_kept"] >= 0
+    assert ex["n_kept"] == nd["n_in"]
+    assert nd["n_kept"] == se["n_in"]
+    n_embedded = t(spark, SF_ORACLE, "embeddings").count()
+    assert se["n_kept"] >= se["n_in"] - n_embedded

@@ -306,6 +306,9 @@ BUDGETS = {
     "orders_discount_elasticity": (1, True),
     # r4c: two batch partial aggs + the merge agg + the lang summary
     "pipeline_incremental_curation": (4, False),
+    # r4c: all three stages execute at CONSTRUCTION (driver-side counts,
+    # like the iterative ops); the returned frame is a literal
+    "pipeline_dedup_cascade": (0, False),
 }
 
 
