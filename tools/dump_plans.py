@@ -191,6 +191,13 @@ ANNOTATED = {
     "is the only corpus-sized work",
     "orders_shipping_latency_sla": "one SF-dominant fact join (AQE "
     "strategy) + priority-bounded conditional-sum rollup",
+    "events_growth_accounting": "(user,week) dedupe + per-user LAG; "
+    "every later frame is week-bounded",
+    "orders_discount_elasticity": "one fact join + brand-bounded integer "
+    "co-moment aggregation; slope/intercept/R2 are final expressions",
+    "pipeline_incremental_curation": "per-batch scored_filtered partials "
+    "(the expensive per-doc stage, paid once per batch) + argmin-state "
+    "merge + lang summary — the algebraic-MV law on the curation flow",
 }
 
 
