@@ -551,3 +551,96 @@ def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n_users"),
         (F.col("n_users").cast("double") / F.col("n_total")).alias("user_share"),
     )
+
+
+BOT_MIN_EVENTS = 20  #: flag only users with enough events to judge regularity
+
+
+@query(
+    "events_bot_regularity",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, gap_us // 1000000 AS gap_s
+      FROM seq WHERE gap_us IS NOT NULL
+    ),
+    mom AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             SUM(gap_s) AS s1,
+             SUM(gap_s * gap_s) AS s2
+      FROM g GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, n_gaps,
+             CAST(s1 AS DOUBLE) / n_gaps AS mean_gap_s,
+             (CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n_gaps AS DOUBLE)
+                  * (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS cv_sq
+      FROM mom WHERE n_gaps >= {BOT_MIN_EVENTS} AND s1 > 0
+    )
+    SELECT user_id, n_gaps, mean_gap_s, cv_sq,
+           cv_sq < CAST(0.5 AS DOUBLE) AS regular_flag
+    FROM scored
+    """,
+    tags=("events", "quality", "bot-detection", "regularity"),
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by INTER-ARRIVAL REGULARITY: humans
+    produce bursty traffic (squared coefficient of variation of
+    consecutive gaps ≈ 1 for a Poisson process, > 1 bursty), schedulers
+    produce metronome traffic (CV² → 0).  Gaps come from an exact
+    microsecond LAG diff, then floor to whole SECONDS by pure integer
+    division (microsecond squares overflow int64 at month-scale gaps;
+    second-level date_diff would reopen the truncation-vs-boundary
+    engine divergence, so the µs→s floor happens AFTER the exact diff,
+    identically both engines).  Σg and Σg² stay exact BIGINTs; CV² =
+    (n·Σg² − Σg²ᵗᵒᵗ) / (n·Σg·Σg) is computed in one identically-ordered
+    double expression (the n·Σg² product can exceed int64 at high
+    activity — the established fixed-double-over-exact-aggregates
+    discipline).  Only users with ≥ {BOT_MIN_EVENTS} gaps and nonzero
+    total gap time are judged (CV² = (n·Σg² − (Σg)²) / (n·(Σg)²)).
+    One user window + one per-user moment
+    aggregation."""
+    from ..queries import floordiv_col
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    g = (
+        ev.select("user_id", gap_us.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .select(
+            "user_id",
+            floordiv_col(F.col("gap_us"), F.lit(1_000_000).cast("long")).alias(
+                "gap_s"
+            ),
+        )
+    )
+    mom = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+    )
+    n_d = F.col("n_gaps").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    mean_gap = s1_d / F.col("n_gaps")
+    cv_sq = (n_d * s2_d - s1_d * s1_d) / (n_d * (s1_d * s1_d))
+    return (
+        mom.filter((F.col("n_gaps") >= BOT_MIN_EVENTS) & (F.col("s1") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            mean_gap.alias("mean_gap_s"),
+            cv_sq.alias("cv_sq"),
+            (cv_sq < F.lit(0.5)).alias("regular_flag"),
+        )
+    )

@@ -1298,3 +1298,43 @@ def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm2").cast("long").alias("max_nrm2"),
         )
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH {_Q_SQL}
+    SELECT CAST(i - 1 AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v) AS BIGINT) AS min_q,
+           CAST(MAX(v) AS BIGINT) AS max_q,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_q,
+           (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v * v) AS DOUBLE)
+            - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)) AS var_q
+    FROM e GROUP BY i
+    """,
+    tags=("similarity", "embedding", "profile", "stats"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics (mean/variance/min/max of the
+    quantized components) — the whitening/standardization prep and the
+    QA view that catches dead dimensions (zero variance), saturated
+    dimensions, and train/serve scale mismatches before any index is
+    built; the per-axis complement of ``embedding_norm_histogram`` (row
+    norms) and ``embedding_gram_matrix`` (cross-moments).  Sums of
+    quantized ints are exact; mean and population variance are
+    identically-ordered double expressions over them.  One posexplode +
+    one D-bounded aggregation — a single corpus pass."""
+    qt = _qtable(spark, sf_dir)
+    e = qt.select("vec_id", F.posexplode(F.col("q")).alias("dim", "v"))
+    n_d = F.count(F.lit(1)).cast("double")
+    s1_d = F.sum("v").cast("double")
+    s2_d = F.sum(F.col("v") * F.col("v")).cast("double")
+    return e.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").cast("long").alias("min_q"),
+        F.max("v").cast("long").alias("max_q"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_q"),
+        ((n_d * s2_d - s1_d * s1_d) / (n_d * F.count(F.lit(1)))).alias("var_q"),
+    )

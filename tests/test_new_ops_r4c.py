@@ -506,3 +506,51 @@ def test_dedup_cascade_stage_accounting(spark):
     assert nd["n_kept"] == se["n_in"]
     n_embedded = t(spark, SF_ORACLE, "embeddings").count()
     assert se["n_kept"] >= se["n_in"] - n_embedded
+
+
+def test_bot_regularity_agrees_with_local_recompute(spark):
+    """CV² per user equals a Python recompute over second-floored gaps;
+    every judged user has enough gaps; flags match the threshold."""
+    from naive_query_engine_spark.operators.events import (
+        BOT_MIN_EVENTS,
+        events_bot_regularity,
+    )
+
+    out = {r["user_id"]: r for r in events_bot_regularity(spark, SF_ORACLE).collect()}
+    rows = (
+        t(spark, SF_ORACLE, "events").select("user_id", "ts", "event_id").collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    for uid, evs in by_user.items():
+        evs.sort()
+        gaps = [
+            int((b[0] - a[0]).total_seconds() * 1_000_000) // 1_000_000
+            for a, b in zip(evs, evs[1:])
+        ]
+        if len(gaps) < BOT_MIN_EVENTS or sum(gaps) == 0:
+            assert uid not in out
+            continue
+        n, s1, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        cv_sq = (n * s2 - s1 * s1) / (n * s1 * s1)
+        r = out[uid]
+        assert r["n_gaps"] == n
+        assert abs(r["cv_sq"] - cv_sq) < 1e-9
+        assert r["regular_flag"] == (r["cv_sq"] < 0.5)
+
+
+def test_dim_stats_shape_and_nonnegative_variance(spark):
+    """Exactly D dimensions, each covering every vector; population
+    variance is non-negative and zero iff min == max."""
+    from naive_query_engine_spark.operators.similarity import embedding_dim_stats
+
+    out = embedding_dim_stats(spark, SF_ORACLE).collect()
+    n_vecs = t(spark, SF_ORACLE, "embeddings").count()
+    assert len(out) == 64
+    for r in out:
+        assert r["n"] == n_vecs
+        assert r["var_q"] >= 0
+        if r["min_q"] == r["max_q"]:
+            assert r["var_q"] == 0.0
+        assert r["min_q"] <= r["mean_q"] <= r["max_q"]

@@ -309,6 +309,10 @@ BUDGETS = {
     # r4c: all three stages execute at CONSTRUCTION (driver-side counts,
     # like the iterative ops); the returned frame is a literal
     "pipeline_dedup_cascade": (0, False),
+    # r4c: per-user LAG window + per-user moment agg reusing its layout
+    "events_bot_regularity": (2, False),
+    # r4c: posexplode + D-bounded agg
+    "embedding_dim_stats": (1, False),
 }
 
 
