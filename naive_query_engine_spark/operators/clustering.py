@@ -958,3 +958,53 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_EDGES_SQL},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a)
+    SELECT CAST(LENGTH(bin(d)) AS BIGINT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(d) AS BIGINT) AS sum_degree
+    FROM deg GROUP BY 1
+    """,
+    tags=("graph", "profile", "histogram", "dedup"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph on exact power-of-2 bins
+    (the bit-length log-bin trick) — the graph-QA chart read before
+    trusting any component/BFS result on it: boilerplate collapse shows
+    up as a heavy high-degree tail (exactly what MAX_SHINGLE_DF guards
+    against), and Σdegree = 2·|edges| gives the edge count for free.
+    Isolated documents are excluded (degree 0 has no bin); the node
+    frame is survivor-bounded after one edge aggregation."""
+    from .dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    # the symmetrization consumes the pair frame twice — cut so the
+    # jaccard machinery runs once and the static plan shows post-cut work
+    edges = cut_lineage(
+        ngram_jaccard_pairs(d).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+    )
+    sym = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(
+        F.length(F.bin(F.col("d"))).cast("long").alias("log2_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum("d").cast("long").alias("sum_degree"),
+    )

@@ -554,3 +554,19 @@ def test_dim_stats_shape_and_nonnegative_variance(spark):
         if r["min_q"] == r["max_q"]:
             assert r["var_q"] == 0.0
         assert r["min_q"] <= r["mean_q"] <= r["max_q"]
+
+
+def test_degree_distribution_edge_identity(spark):
+    """Σdegree across bins = 2·|edges| of the same graph, and every bin's
+    min/max respect the bit-length bucket boundaries."""
+    from naive_query_engine_spark.operators.clustering import (
+        graph_degree_distribution,
+    )
+    from naive_query_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = graph_degree_distribution(spark, SF_ORACLE).collect()
+    n_edges = ngram_jaccard_pairs(t(spark, SF_ORACLE, "documents")).count()
+    assert sum(r["sum_degree"] for r in out) == 2 * n_edges
+    for r in out:
+        lo, hi = 2 ** (r["log2_bin"] - 1), 2 ** r["log2_bin"] - 1
+        assert lo <= r["min_degree"] <= r["max_degree"] <= hi

@@ -313,6 +313,9 @@ BUDGETS = {
     "events_bot_regularity": (2, False),
     # r4c: posexplode + D-bounded agg
     "embedding_dim_stats": (1, False),
+    # r4c: the pair frame sits behind a lineage cut (symmetrization
+    # consumes it twice); post-cut the degree agg + bin rollup remain
+    "graph_degree_distribution": (2, False),
 }
 
 
