@@ -1927,3 +1927,70 @@ def orders_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((cxy.cast("double") * cxy.cast("double")) / (cxx.cast("double") * cyy.cast("double")))
         .alias("r_sq"),
     )
+
+
+@query(
+    "revenue_share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, SUM(rev) AS region_rev FROM rev GROUP BY region),
+    tot AS (SELECT SUM(rev) AS total_rev FROM rev)
+    SELECT rev.region, rev.nation,
+           CAST(rev.rev AS DOUBLE) AS nation_revenue,
+           CAST(rev.rev AS DOUBLE) / CAST(reg.region_rev AS DOUBLE)
+             AS share_of_region,
+           CAST(reg.region_rev AS DOUBLE) / CAST(tot.total_rev AS DOUBLE)
+             AS region_share_of_total
+    FROM rev JOIN reg USING (region) CROSS JOIN tot
+    """,
+    tags=("analytics", "bi", "ratio-to-report", "hierarchy"),
+)
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent (the RATIO_TO_REPORT idiom every BI
+    tool ships): nation revenue as a share of its REGION, and each
+    region as a share of the GRAND total — two rollup levels re-joined
+    onto the leaf frame.  All revenue sums are exact decimals; the two
+    shares are single divisions.  The star join is the q05 shape
+    (SF-scaling sides unhinted — AQE broadcasts at bench SF, sort-merge
+    at scale); everything after the first aggregation is
+    nation/region-bounded, so the share joins never touch the fact
+    table again."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("rev"))
+    )
+    reg = rev.groupBy("region").agg(F.sum("rev").alias("region_rev"))
+    tot = rev.agg(F.sum("rev").alias("total_rev"))
+    return (
+        rev.join(reg, "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("rev").cast("double").alias("nation_revenue"),
+            (F.col("rev").cast("double") / F.col("region_rev").cast("double")).alias(
+                "share_of_region"
+            ),
+            (
+                F.col("region_rev").cast("double") / F.col("total_rev").cast("double")
+            ).alias("region_share_of_total"),
+        )
+    )

@@ -570,3 +570,22 @@ def test_degree_distribution_edge_identity(spark):
     for r in out:
         lo, hi = 2 ** (r["log2_bin"] - 1), 2 ** r["log2_bin"] - 1
         assert lo <= r["min_degree"] <= r["max_degree"] <= hi
+
+
+def test_share_of_parent_sums_to_one(spark):
+    """Shares within each region sum to 1; region shares sum to 1."""
+    from collections import defaultdict
+
+    from naive_query_engine_spark.operators.analytics import (
+        revenue_share_of_parent,
+    )
+
+    out = revenue_share_of_parent(spark, SF_ORACLE).collect()
+    by_region = defaultdict(float)
+    region_share = {}
+    for r in out:
+        by_region[r["region"]] += r["share_of_region"]
+        region_share[r["region"]] = r["region_share_of_total"]
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 1e-9, (region, s)
+    assert abs(sum(region_share.values()) - 1.0) < 1e-9

@@ -316,6 +316,9 @@ BUDGETS = {
     # r4c: the pair frame sits behind a lineage cut (symmetrization
     # consumes it twice); post-cut the degree agg + bin rollup remain
     "graph_degree_distribution": (2, False),
+    # r4c: q05-shaped star agg lineage re-counted under the leaf/region/
+    # total sides (static re-count); all post-agg frames nation-bounded
+    "revenue_share_of_parent": (8, True),
 }
 
 
