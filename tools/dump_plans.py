@@ -198,6 +198,15 @@ ANNOTATED = {
     "pipeline_incremental_curation": "per-batch scored_filtered partials "
     "(the expensive per-doc stage, paid once per batch) + argmin-state "
     "merge + lang summary — the algebraic-MV law on the curation flow",
+    "events_bot_regularity": "per-user LAG gaps floored to seconds by "
+    "integer division; exact moment agg; CV2 as one double expression",
+    "embedding_dim_stats": "posexplode + D-bounded aggregation — one "
+    "corpus pass for the whitening-prep stats",
+    "graph_degree_distribution": "pair frame behind a lineage cut "
+    "(symmetrization reads it twice); post-cut degree agg + bit-length "
+    "bin rollup",
+    "revenue_share_of_parent": "q05-shaped star agg re-joined at two "
+    "bounded rollup levels; the share joins never touch the fact table",
 }
 
 
