@@ -903,3 +903,76 @@ def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(small).cast("long").alias("n_exposed_rows"),
         (F.sum(small).cast("double") / F.sum("cell_n")).alias("exposed_share"),
     )
+
+
+#: Benford expected first-digit probabilities log10(1+1/d), d=1..9 — fixed
+#: literals so no libm log enters either engine.
+BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829993,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+BENFORD_FP = 1_000_000_000
+
+
+@query(
+    "audit_benford_first_digit",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS s
+      FROM events WHERE value > 0
+    ),
+    d AS (
+      SELECT CAST(regexp_extract(s, '[1-9]') AS BIGINT) AS digit FROM pos
+      WHERE regexp_extract(s, '[1-9]') <> ''
+    ),
+    h AS (SELECT digit, COUNT(*) AS c FROM d GROUP BY digit),
+    n AS (SELECT SUM(c) AS n FROM h),
+    terms AS (
+      SELECT h.digit, h.c,
+             CAST(FLOOR({BENFORD_FP} * ABS(
+               h.c / CAST(n.n AS DOUBLE)
+               - CASE h.digit {" ".join(f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in BENFORD_P.items())} END
+             )) AS BIGINT) AS dev_fp
+      FROM h CROSS JOIN n
+    )
+    SELECT digit, CAST(c AS BIGINT) AS n_values,
+           CAST(dev_fp AS BIGINT) AS benford_dev_fp
+    FROM terms
+    """,
+    tags=("quality", "audit", "benford", "fraud"),
+)
+def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit — the classic
+    fabricated-data / broken-generator detector: per digit 1–9, the
+    observed count and the fixed-point absolute deviation from the
+    Benford probability (log10(1+1/d), baked in as LITERALS so no libm
+    log runs in either engine; synthetic uniform data fails Benford
+    loudly, which is itself the finding).  Digit extraction goes through
+    the DECIMAL(12,2) STRING bridge — double→string formatting differs
+    across engines, decimal→string does not — then one regexp for the
+    first nonzero digit.  One scan + a 9-row rollup."""
+    ev = t(spark, sf_dir, "events")
+    from ..queries import dec
+
+    s = dec(F.col("value")).cast("string")
+    d = (
+        ev.filter(F.col("value") > 0)
+        .select(F.regexp_extract(s, "[1-9]", 0).alias("ds"))
+        .filter(F.col("ds") != "")
+        .select(F.col("ds").cast("long").alias("digit"))
+    )
+    h = d.groupBy("digit").agg(F.count(F.lit(1)).alias("c"))
+    n = h.agg(F.sum("c").alias("n"))
+    pmap = F.create_map(
+        *[F.lit(x) for dd, p in BENFORD_P.items() for x in (dd, p)]
+    )
+    dev = F.floor(
+        F.lit(BENFORD_FP)
+        * F.abs(F.col("c") / F.col("n").cast("double") - pmap[F.col("digit")])
+    ).cast("long")
+    return h.crossJoin(F.broadcast(n)).select(
+        "digit",
+        F.col("c").cast("long").alias("n_values"),
+        dev.alias("benford_dev_fp"),
+    )

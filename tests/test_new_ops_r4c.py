@@ -589,3 +589,21 @@ def test_share_of_parent_sums_to_one(spark):
     for region, s in by_region.items():
         assert abs(s - 1.0) < 1e-9, (region, s)
     assert abs(sum(region_share.values()) - 1.0) < 1e-9
+
+
+def test_benford_digits_partition_positive_values(spark):
+    """Digits 1-9 partition the positive values; deviations are bounded
+    by the fixed-point scale (shares and probabilities are both <= 1)."""
+    from naive_query_engine_spark.operators.quality import (
+        BENFORD_FP,
+        audit_benford_first_digit,
+    )
+
+    out = audit_benford_first_digit(spark, SF_ORACLE).collect()
+    assert {r["digit"] for r in out} <= set(range(1, 10))
+    n_pos = (
+        t(spark, SF_ORACLE, "events").filter(F.col("value") > 0).count()
+    )
+    assert sum(r["n_values"] for r in out) == n_pos
+    for r in out:
+        assert 0 <= r["benford_dev_fp"] <= BENFORD_FP

@@ -319,6 +319,9 @@ BUDGETS = {
     # r4c: q05-shaped star agg lineage re-counted under the leaf/region/
     # total sides (static re-count); all post-agg frames nation-bounded
     "revenue_share_of_parent": (8, True),
+    # r4c: digit agg lineage re-counted under the totals side; 9-row
+    # rollup + 1-row broadcast
+    "audit_benford_first_digit": (3, True),
 }
 
 
