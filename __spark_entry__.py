@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from naive_query_engine_spark import queries as _queries  # noqa: E402
+from naive_query_engine_spark.rotation import ordered_names as _ordered_names  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,14 +25,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Every implemented query/operator, keyed by SURVEY §2-derived name."""
-    return {name: spec.fn for name, spec in _queries.QUERIES.items()}
+    """Every implemented query/operator, keyed by SURVEY §2-derived name.
+
+    Dict order is the driver's correctness-sample order (it checks the
+    first 50 entries): ``rotation.ordered_names()`` puts this round's
+    never-yet-sampled flagship window first — see rotation.py.
+    """
+    return {name: _queries.QUERIES[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
     return {
-        name: spec.oracle
-        for name, spec in _queries.QUERIES.items()
-        if spec.oracle is not None
+        name: _queries.QUERIES[name].oracle
+        for name in _ordered_names()
+        if _queries.QUERIES[name].oracle is not None
     }

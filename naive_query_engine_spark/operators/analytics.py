@@ -1604,10 +1604,11 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     ),
     mom AS (
-      SELECT COUNT(*) AS n,
-             SUM(pre) AS sx, SUM(post) AS sy,
-             SUM(pre * pre) AS sxx, SUM(pre * post) AS sxy,
-             SUM(post * post) AS syy
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(pre) AS HUGEINT) AS sx, CAST(SUM(post) AS HUGEINT) AS sy,
+             SUM(CAST(pre AS HUGEINT) * pre) AS sxx,
+             SUM(CAST(pre AS HUGEINT) * post) AS sxy,
+             SUM(CAST(post AS HUGEINT) * post) AS syy
       FROM per_user
     ),
     arms AS (
@@ -1643,8 +1644,11 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     family's anchor); θ = cov(pre,post)/var(pre) is one division over
     INTEGER co-moments in their cross-multiplied form (n·Σxy − Σx·Σy —
     no float means anywhere before the final expressions); ρ² is the
-    reported variance-reduction factor.  One per-user shuffle, then
-    1-row/arm-bounded frames only."""
+    reported variance-reduction factor.  Moments and cross-terms
+    accumulate in DECIMAL(38,0) (HUGEINT in the oracle — ADVICE r4):
+    high-activity users at large SF would silently wrap a raw-BIGINT
+    n·Σyy in Spark while DuckDB errors; the agg_corr_exact discipline.
+    One per-user shuffle, then 1-row/arm-bounded frames only."""
     from ..queries import epoch_micros
 
     ev = t(spark, sf_dir, "events")
@@ -1667,12 +1671,12 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(arm.alias("arm"), "pre", "post")
     )
     mom = per_user.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("pre").alias("sx"),
-        F.sum("post").alias("sy"),
-        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
-        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
-        F.sum(F.col("post") * F.col("post")).alias("syy"),
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("pre").cast("decimal(19,0)").alias("sx"),
+        F.sum("post").cast("decimal(19,0)").alias("sy"),
+        F.sum((F.col("pre") * F.col("pre")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("pre") * F.col("post")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("post") * F.col("post")).cast("decimal(38,0)")).alias("syy"),
     )
     arms = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n_arm"),
@@ -1860,12 +1864,14 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mom AS (
       SELECT p_brand,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(d) AS sx, SUM(q) AS sy,
-             SUM(d * d) AS sxx, SUM(d * q) AS sxy, SUM(q * q) AS syy
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(d) AS HUGEINT) AS sx, CAST(SUM(q) AS HUGEINT) AS sy,
+             SUM(CAST(d AS HUGEINT) * d) AS sxx,
+             SUM(CAST(d AS HUGEINT) * q) AS sxy,
+             SUM(CAST(q AS HUGEINT) * q) AS syy
       FROM base GROUP BY p_brand
     )
-    SELECT p_brand, n,
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
            CASE WHEN n * sxx - sx * sx = 0 THEN NULL
                 ELSE CAST(n * sxy - sx * sy AS DOUBLE)
                      / CAST(n * sxx - sx * sx AS DOUBLE)
@@ -1893,8 +1899,12 @@ def orders_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer percent via a DECIMAL(4,2) bridge — multiplying the raw
     double by 100 would manufacture 5.000000000000001), R² = ρ².
     Degenerate brands (a single discount level) emit NULLs identically.
-    One fact join (AQE) + one grouped moment aggregation; the brand
-    domain is bounded."""
+    Moments and the n·Σxy − Σx·Σy cross-terms accumulate in
+    DECIMAL(38,0) (HUGEINT in the oracle — the same integers; ADVICE r4):
+    raw BIGINT would silently wrap in Spark's non-ANSI mode at large SF
+    (n·syy ≈ 1.4e20 for lineitem at SF~1000) while DuckDB errors —
+    the agg_corr_exact overflow discipline.  One fact join (AQE) + one
+    grouped moment aggregation; the brand domain is bounded."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     base = li.join(p, li.l_partkey == p.p_partkey).select(
@@ -1903,12 +1913,12 @@ def orders_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("q"),
     )
     mom = base.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("d").alias("sx"),
-        F.sum("q").alias("sy"),
-        F.sum(F.col("d") * F.col("d")).alias("sxx"),
-        F.sum(F.col("d") * F.col("q")).alias("sxy"),
-        F.sum(F.col("q") * F.col("q")).alias("syy"),
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("d").cast("decimal(19,0)").alias("sx"),
+        F.sum("q").cast("decimal(19,0)").alias("sy"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("d") * F.col("q")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("syy"),
     )
     cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     cxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -1916,7 +1926,7 @@ def orders_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = cxy.cast("double") / cxx.cast("double")
     return mom.select(
         "p_brand",
-        "n",
+        F.col("n").cast("long").alias("n"),
         F.when(cxx == 0, F.lit(None).cast("double")).otherwise(slope).alias(
             "slope_qty_per_pct"
         ),

@@ -789,7 +789,7 @@ def dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BFS_MAX_HOPS = 4
+BFS_MAX_HOPS = 4  # value quoted in graph_bfs_reach's docstring
 BFS_SEED_MOD = 97  # deterministic seed set: doc_id % 97 == 0
 
 
@@ -820,7 +820,7 @@ BFS_SEED_MOD = 97  # deterministic seed set: doc_id % 97 == 0
 )
 def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop BFS over the near-dup edge graph: exact shortest hop
-    distance (≤ {BFS_MAX_HOPS}) from a deterministic seed set to every
+    distance (≤ BFS_MAX_HOPS = 4) from a deterministic seed set to every
     reachable document, reported as a per-distance histogram — the
     "blast radius" probe behind contamination tracing (how far does a
     tainted document's duplicate neighborhood spread?).

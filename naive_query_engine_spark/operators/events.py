@@ -309,8 +309,10 @@ def events_value_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n.n0 AS BIGINT) AS n_early,
            CAST(n.n1 AS BIGINT) AS n_late,
            CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_values,
-           CAST(MAX(ABS(cum0 * n.n1 - cum1 * n.n0)) AS BIGINT) AS ks_num,
-           CAST(MAX(ABS(cum0 * n.n1 - cum1 * n.n0)) AS DOUBLE)
+           CAST(MAX(ABS(CAST(cum0 AS HUGEINT) * n.n1
+                        - CAST(cum1 AS HUGEINT) * n.n0)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(CAST(cum0 AS HUGEINT) * n.n1
+                        - CAST(cum1 AS HUGEINT) * n.n0)) AS DOUBLE)
              / (CAST(n.n0 AS DOUBLE) * n.n1) AS ks_stat
     FROM cum CROSS JOIN n
     GROUP BY n.n0, n.n1
@@ -327,8 +329,14 @@ def events_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`layout.distributed_prefix_sums` (both running sums share ONE
     range shuffle — the value domain scales with the corpus, so no
     single-partition window), and the sup as
-    max |cum0·n1 − cum1·n0| (≤ ~1e14 ≪ 2^63).  The one double division
-    happens after the max — order-free."""
+    max |cum0·n1 − cum1·n0|, cross-multiplied in DECIMAL(38,0)/HUGEINT
+    (ADVICE r4: the product is bounded by N², which overflows int64 at
+    N ≳ 3e9 events — raw BIGINT would silently wrap in Spark while
+    DuckDB errors).  ks_stat divides the exact decimal sup, so it stays
+    correct at any N; only the diagnostic ks_num OUTPUT column is
+    int64-bounded (valid for N < ~3e9; kept BIGINT because decimal
+    output rendering is a known cross-engine hash risk).  The one double
+    division happens after the max — order-free."""
     from ..queries import epoch_micros
     from .layout import distributed_prefix_sums
 
@@ -354,18 +362,21 @@ def events_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").alias("n1"),
         F.count(F.lit(1)).alias("nv"),
     )
-    gap = F.abs(F.col("c0_cum") * F.col("n1") - F.col("c1_cum") * F.col("n0"))
+    gap = F.abs(
+        F.col("c0_cum").cast("decimal(19,0)") * F.col("n1").cast("decimal(19,0)")
+        - F.col("c1_cum").cast("decimal(19,0)") * F.col("n0").cast("decimal(19,0)")
+    )
     return (
         cum.crossJoin(F.broadcast(n))
         .groupBy("n0", "n1", "nv")
-        .agg(F.max(gap).alias("ks_num"))
+        .agg(F.max(gap).alias("ks_num_dec"))
         .select(
             F.col("n0").cast("long").alias("n_early"),
             F.col("n1").cast("long").alias("n_late"),
             F.col("nv").cast("long").alias("n_values"),
-            F.col("ks_num").cast("long").alias("ks_num"),
+            F.col("ks_num_dec").cast("long").alias("ks_num"),
             (
-                F.col("ks_num").cast("double")
+                F.col("ks_num_dec").cast("double")
                 / (F.col("n0").cast("double") * F.col("n1"))
             ).alias("ks_stat"),
         )

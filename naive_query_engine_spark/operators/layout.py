@@ -275,17 +275,27 @@ def distributed_prefix_max(
         r["_pid"]: r["m"]
         for r in d.groupBy("_pid").agg(F.max(val_col).alias("m")).collect()
     }
-    # offset[pid] = max over all EARLIER partitions (None for the first)
-    offset_expr = F.lit(None).cast(dict(d.dtypes)[val_col])
+    # offset[pid] = max over all EARLIER partitions, computed in Python and
+    # emitted as ONE flat map lookup (ADVICE r4: the earlier nested-F.when
+    # chain was O(n_parts) deep — hundreds of partitions on a cluster would
+    # bloat the expression tree and analyzer time; prefix_sum's create_map
+    # idiom is flat).  pids with no preceding max are omitted so the map
+    # lookup yields NULL, which F.greatest skips.
+    offsets: dict[int, object] = {}
     best = None
     for pid in sorted(pmax):
         if best is not None:
-            offset_expr = F.when(F.col("_pid") == pid, F.lit(best)).otherwise(
-                offset_expr
-            )
+            offsets[pid] = best
         m = pmax[pid]
         if m is not None and (best is None or m > best):
             best = m
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+        offset_expr = omap[F.col("_pid")].cast(dict(d.dtypes)[val_col])
+    else:
+        offset_expr = F.lit(None).cast(dict(d.dtypes)[val_col])
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)

@@ -857,7 +857,7 @@ def audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-K_ANON = 5  # the conventional "small cell" reporting threshold
+K_ANON = 5  # conventional "small cell" threshold (value quoted in the docstring)
 
 
 @query(
@@ -881,7 +881,7 @@ K_ANON = 5  # the conventional "small cell" reporting threshold
 )
 def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over the quasi-identifier pair (market segment,
-    nation): how many equivalence classes are smaller than k={K_ANON},
+    nation): how many equivalence classes are smaller than k = K_ANON = 5,
     and what share of rows sit in them — the small-cell disclosure-risk
     report a dataset must pass before release (re-identification risk
     concentrates exactly in the small cells).  One grouped count + one

@@ -1,0 +1,276 @@
+"""Driver correctness-window rotation (VERDICT r4 #1).
+
+The round driver samples exactly the FIRST 50 entries of
+``__spark_entry__.queries()`` (verified by the r4 judge: the key sets of
+CORRECTNESS_r01..r04 equal ``list(queries())[:50]`` every round).  Insertion
+order of that dict is builder-controlled, so which 50 of the 220 registered
+queries get a driver-green row each round is a scheduling decision, not a
+driver limitation.
+
+This module owns that schedule:
+
+- ``DRIVER_SAMPLED``: names with a driver CORRECTNESS row from r1–r4
+  (frozen historical fact — append per round, never rewrite).
+- ``SENTINELS``: a handful of SURVEY §2 staples re-pinned in every window so
+  each round's driver run still covers scan/join/agg/window/TPC-H basics.
+- ``ROTATION``: every never-sampled query in planned order.  Round 5 takes
+  ``SENTINELS + ROTATION[:45]``; round 6 shifts to ``ROTATION[45:90]``; by
+  ~r8 every registered query has a first-party driver row.
+
+``ordered_names()`` returns the full registry ordering: current window
+first, then the remaining rotation queue (so a driver that samples more
+than 50 still prioritizes never-checked queries), then everything already
+driver-green in r1–r4.
+"""
+
+from __future__ import annotations
+
+from .queries import QUERIES
+
+# Names with at least one driver-green CORRECTNESS row (union of the key
+# sets of CORRECTNESS_r01.json .. CORRECTNESS_r04.json).  55 names: the
+# driver window was the registry head all four rounds, which drifted as
+# registration order evolved r1->r2.
+DRIVER_SAMPLED: frozenset[str] = frozenset(
+    {
+        "agg_cube", "agg_distinct", "agg_grouped_computed_key",
+        "agg_multi_key_having", "agg_rollup", "agg_stats_exact",
+        "agg_ungrouped", "case_in_between_like", "cast_types",
+        "custom_agg_median_gap", "dedup_connected_components", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "distinct_rows",
+        "events_anomaly_outliers", "events_daily_gapfill", "events_funnel",
+        "events_retention_cohorts", "events_transition_paths",
+        "events_value_histogram", "expr_arith_logic", "filter_project",
+        "join_anti", "join_cross", "join_full_outer", "join_inner_chain",
+        "join_left_outer", "join_multi_key", "join_right_outer", "join_semi",
+        "math_funcs", "q01_pricing_summary", "q03_shipping_priority",
+        "q04_order_priority", "q05_region_revenue", "q06_forecast_revenue",
+        "q10_returned_items", "q12_priority_by_status", "q14_promo_share",
+        "q18_large_orders", "scan_project_expr", "set_except",
+        "set_intersect", "set_union", "sort_topk", "sql_implicit_join",
+        "sql_lateral_join", "sql_subquery_scalar", "sql_udtf_lateral",
+        "sql_union_all", "string_funcs", "window_range_frame", "window_rank",
+        "window_running_sum",
+    }
+)
+
+# SURVEY §2 staples kept in EVERY round's window (scan+expr, a join, an
+# agg, a window function, a TPC-H query) so the driver's sample never
+# loses sight of the reference-parity core.
+SENTINELS: tuple[str, ...] = (
+    "scan_project_expr",
+    "join_inner_chain",
+    "agg_grouped_computed_key",
+    "window_rank",
+    "q01_pricing_summary",
+)
+
+WINDOW_SIZE = 50
+
+# Planned order for every never-sampled query.  Slots 1-45 (round 5) are
+# the flagship LLM-pipeline operators the r4 VERDICT called out: near-dup
+# dedup, ANN/k-means similarity, BM25/BPE text, multimodal, sketches,
+# pipeline compositions, graph, retrieval fusion, entity resolution,
+# layout, temporal joins.  Later slots hold the remaining analytics /
+# dataset / TPC-H shapes for rounds 6-8.
+ROTATION: tuple[str, ...] = (
+    # --- round 5 window (45) ---
+    # dedup family
+    "dedup_simhash",
+    "dedup_substring",
+    "dedup_substring_strided",
+    "dedup_tfidf_cosine",
+    "dedup_incremental",
+    "dedup_minhash_recall_vs_exact",
+    "dedup_threshold_sweep",
+    "dataset_contamination_check",
+    # similarity / ANN
+    "similarity_cosine_pairs",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "similarity_topk_vectorized",
+    "similarity_ivf_topk",
+    "similarity_pq_adc_topk",
+    "similarity_recall_at_k",
+    "embedding_kmeans_lloyd",
+    "similarity_ivf_kmeans_topk",
+    # text analysis
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_bm25_topk",
+    "text_bpe_train_8iters",
+    "text_bpe_encode",
+    "text_pii_scrub",
+    # multimodal
+    "multimodal_decode_meta",
+    "multimodal_png_header_parse",
+    "multimodal_wav_header_parse",
+    "multimodal_mime_sniff",
+    # sketches
+    "sketch_approx_distinct",
+    "sketch_hll_mergeable",
+    "sketch_bloom_membership",
+    "sketch_countmin_freq",
+    "sketch_kmv_jaccard",
+    # pipeline compositions
+    "pipeline_corpus_curation",
+    "pipeline_dedup_cascade",
+    "pipeline_incremental_curation",
+    # graph
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_bfs_reach",
+    # retrieval / linkage / layout / temporal
+    "retrieval_rrf_fusion",
+    "fuzzy_entity_resolution",
+    "events_zorder_locality",
+    "asof_join_events_orders",
+    "range_join_event_pairs",
+    # --- round 6 window (45) ---
+    "dedup_semantic",
+    "dedup_keep_best",
+    "similarity_ivf_multiprobe",
+    "similarity_quantized_rerank",
+    "similarity_kmeans_recall_at_k",
+    "embedding_hard_negatives",
+    "embedding_label_centroids",
+    "embedding_label_knn_disagreement",
+    "embedding_centroid_outliers",
+    "embedding_gram_matrix",
+    "embedding_norm_histogram",
+    "embedding_dim_stats",
+    "text_top_ngrams",
+    "text_tfidf_top_terms",
+    "text_edit_distance_neighbors",
+    "text_repetition_signals",
+    "text_vocab_coverage",
+    "text_char_bigram_likelihood",
+    "text_bpe_merge_candidates",
+    "text_bpe_train_2iters",
+    "text_adjacent_pmi_top",
+    "text_hashing_trick_features",
+    "text_langid_confusion",
+    "text_source_drift_chisquare",
+    "pipeline_model_scoring",
+    "mv_incremental_refresh",
+    "multimodal_frame_sample",
+    "multimodal_payload_chunks",
+    "sketch_approx_quantiles",
+    "sketch_hll_intersection",
+    "events_wau_sliding",
+    "graph_clustering_coefficient",
+    "graph_degree_distribution",
+    "fuzzy_match_part_names",
+    "fuzzy_match_multipass",
+    "join_salted_skew",
+    "asof_join_tolerance",
+    "events_sessionize",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_peak_concurrency",
+    "events_value_drift_ks",
+    "events_value_drift_l1",
+    "events_changepoint_cusum",
+    "events_sequence_patterns",
+    # --- round 7 window (45) ---
+    "events_bot_regularity",
+    "events_activity_islands",
+    "events_state_durations",
+    "events_cumulative_unique_users",
+    "events_decayed_engagement",
+    "events_ab_test_analysis",
+    "events_ab_cuped",
+    "events_forecast_backtest",
+    "events_funnel_time_to_convert",
+    "events_power_users_pareto",
+    "events_seasonality_profile",
+    "events_new_vs_returning_daily",
+    "events_type_concentration_hhi",
+    "events_attribution_last_touch",
+    "events_value_winsorized",
+    "events_growth_accounting",
+    "events_json_extract",
+    "events_variant_props",
+    "orders_rfm_segmentation",
+    "orders_market_basket_lift",
+    "orders_cohort_ltv_curve",
+    "orders_mom_growth",
+    "orders_abc_classification",
+    "orders_shipping_latency_sla",
+    "orders_discount_elasticity",
+    "supplier_revenue_gini",
+    "part_skyline_pareto",
+    "revenue_share_of_parent",
+    "audit_constraints",
+    "audit_k_anonymity",
+    "audit_benford_first_digit",
+    "profile_dedup_rate_by_source",
+    "profile_orders",
+    "profile_documents_by_source",
+    "profile_quality_dup_correlation",
+    "profile_doc_length_histogram",
+    "profile_shingle_df_histogram",
+    "dataset_train_test_split",
+    "dataset_mixture_sample",
+    "dataset_reservoir_per_lang",
+    "dataset_pack_context_windows",
+    "dataset_global_interleave",
+    "dataset_curriculum_bins",
+    "dataset_chunk_documents",
+    "dataset_split_leakage_safe",
+    # --- round 8 window (remainder) ---
+    "agg_weighted_median",
+    "agg_percentiles_exact",
+    "agg_pivot",
+    "agg_grouping_sets",
+    "agg_string_concat",
+    "agg_boolean",
+    "agg_corr_exact",
+    "window_value_functions",
+    "misc_scalar_funcs",
+    "datetime_funcs",
+    "array_funcs",
+    "null_handling",
+    "unpivot_part_attrs",
+    "array_explode_positions",
+    "set_ops_all",
+    "sql_correlated_scalar_subquery",
+    "sql_recursive_chain",
+    "q02_top_customer_per_nation",
+    "q07_nation_trade",
+    "q08_market_share",
+    "q09_profit_by_nation_year",
+    "q11_important_balance",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_filter",
+    "q20_excess_stock_analog",
+    "q21_sole_supplier_orders",
+    "q22_idle_customers",
+)
+
+
+def ordered_names() -> list[str]:
+    """Full registry ordering for the driver-visible dicts.
+
+    Window (sentinels + next 45 never-sampled) first, then the rest of the
+    never-sampled rotation queue, then the already-driver-green names in
+    registration order.  Any registry name missing from the schedule (a
+    future addition not yet slotted) lands right after the rotation queue
+    so new operators are still sampled before re-checking old ones.
+    """
+    window = list(SENTINELS) + [n for n in ROTATION[: WINDOW_SIZE - len(SENTINELS)]]
+    rest_rotation = [n for n in ROTATION[WINDOW_SIZE - len(SENTINELS):]]
+    placed = set(window) | set(rest_rotation) | DRIVER_SAMPLED
+    unplaced_new = [n for n in QUERIES if n not in placed]
+    sampled_tail = [n for n in QUERIES if n in DRIVER_SAMPLED and n not in set(window)]
+    out = window + rest_rotation + unplaced_new + sampled_tail
+    # Safety: the ordering must be a permutation of the registry.
+    assert len(out) == len(QUERIES) and set(out) == set(QUERIES), (
+        len(out), len(QUERIES), set(QUERIES) ^ set(out),
+    )
+    return out

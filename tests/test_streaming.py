@@ -382,7 +382,10 @@ def test_streaming_cep_alerts_equal_batch_pattern_match(spark, event_files):
     """The streaming CEP operator's alert set over all micro-batches must
     equal the batch sequence-pattern match set — state re-sorts per-user
     history, so batch boundaries and file order cannot change the
-    result; the fired-bitmask makes each (user, pattern) alert unique."""
+    result.  Uniqueness is the LATEST-WINS version contract (see
+    cep_pattern_alerts's docstring for why the earlier fired-bitmask
+    design was wrong): within the max-version row set per user, each
+    (user, pattern) appears at most once."""
     import re as _re
 
     from naive_query_engine_spark.operators.events import CEP_PATTERNS
