@@ -63,6 +63,40 @@ BENCH_QUERIES = [
 #: one-off JVM/codegen warmup, and two more runs bound shared-host noise
 N_RUNS = 3
 
+#: per-query baselines (sec, sf0.1, min-of-3 warmed session) — the
+#: BASELINE.md numbers each query was calibrated against when it joined
+#: the headline set (r1 table; r4 + r4c rotation tables).  Used to emit
+#: the SAME-RUN calibration ratio (VERDICT r4 #9): single-number totals
+#: on this shared host swing ±15% with load, so the honest read of any
+#: bench artifact is measured-subtotal / baseline-subtotal over the
+#: established queries OF THAT RUN, not a cross-run total comparison.
+BASELINES = {
+    "q01_pricing_summary": 0.908,
+    "q03_shipping_priority": 0.734,
+    "q05_region_revenue": 0.821,
+    "q06_forecast_revenue": 0.205,
+    "q07_nation_trade": 1.342,
+    "q09_profit_by_nation_year": 1.668,
+    "join_inner_chain": 0.477,
+    "agg_grouped_computed_key": 0.161,
+    "window_rank": 0.336,
+    "events_sessionize": 0.449,
+    "asof_join_events_orders": 0.582,
+    "range_join_event_pairs": 0.500,
+    "text_quality_score": 0.262,
+    "dedup_minhash_lsh": 2.662,
+    "dedup_simhash": 2.648,
+    "similarity_cosine_pairs": 0.604,
+    "similarity_topk_vectorized": 0.362,
+    "text_bm25_topk": 1.857,
+    "dedup_substring": 3.483,
+    "dedup_substring_strided": 1.475,
+    "fuzzy_entity_resolution": 1.478,
+    "embedding_kmeans_lloyd": 2.152,
+    "retrieval_rrf_fusion": 1.959,
+    "events_value_drift_ks": 1.165,
+}
+
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     best = float("inf")
@@ -87,6 +121,9 @@ def main() -> None:
         timings[name] = round(run_one(spark, name, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
+    est = [q for q in BENCH_QUERIES if q in BASELINES]
+    est_measured = sum(timings[q] for q in est)
+    est_baseline = sum(BASELINES[q] for q in est)
     print(
         json.dumps(
             {
@@ -95,6 +132,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # same-run calibration (VERDICT r4 #9): ratio of this run's
+                # established-query subtotal to those queries' BASELINE.md
+                # values — the host-drift-corrected number to judge
+                "established_subtotal_ratio": round(est_measured / est_baseline, 3),
+                "established_baseline_sec": round(est_baseline, 3),
+                "established_queries": len(est),
             }
         )
     )

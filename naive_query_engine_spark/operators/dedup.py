@@ -26,7 +26,7 @@ strings is a valid uniform min-hash and compares identically (ASCII order).
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import query, spread, t
@@ -129,22 +129,31 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int = MAX_SHINGLE_DF,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard, via inverted-index join
-    over the stop-shingle-capped universe (see ``MAX_SHINGLE_DF``)."""
-    # persist the exploded/distinct shingle set: it feeds BOTH the
-    # doc-frequency aggregate and the capped join below, and the
-    # tokenize→explode→distinct pipeline is the dominant cost — without
-    # the persist it would run twice (different downstream keys defeat
-    # ReuseExchange)
-    all_sh = shingle_rows(d, n).persist(_SPILLABLE)
-    rare = (
-        all_sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("g")
-    )
-    sh = all_sh.join(rare, "g").persist(_SPILLABLE)
+    over the stop-shingle-capped universe (see ``MAX_SHINGLE_DF``).
+
+    ``sh`` — a prebuilt capped shingle index (doc_id, g) for the DEFAULT
+    (n=3, max_df=MAX_SHINGLE_DF) universe: registered queries pass the
+    session-cached :func:`cached_capped_index` so the tokenize→distinct→
+    df machinery runs once per session instead of once per consumer
+    (VERDICT r4 #3); callers with non-default n/max_df must leave it
+    None."""
+    if sh is None:
+        # persist the exploded/distinct shingle set: it feeds BOTH the
+        # doc-frequency aggregate and the capped join below, and the
+        # tokenize→explode→distinct pipeline is the dominant cost — without
+        # the persist it would run twice (different downstream keys defeat
+        # ReuseExchange)
+        all_sh = shingle_rows(d, n).persist(_SPILLABLE)
+        rare = (
+            all_sh.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        sh = all_sh.join(rare, "g").persist(_SPILLABLE)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -186,7 +195,9 @@ def ngram_jaccard_pairs(
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (jaccard >= threshold).  The
     single-division double is deterministic across engines — no rounding."""
-    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), sh=cached_capped_index(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +206,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TFIDF_SCALE = 1000  #: fixed-point scale for the integer idf weights
 TFIDF_COSINE_THRESHOLD = 0.35
+#: per-doc output cap (VERDICT r4 #2): a duplicate-saturated shard emits
+#: ~quadratically many >=threshold pairs (the replicated 10x probe corpus
+#: hit 253,600); keeping each doc's top-K strongest matches bounds output
+#: at K x n_docs — corpus-LINEAR — and K=20 far exceeds any reviewable
+#: per-doc duplicate list.  Mirrored in the oracle.
+TFIDF_TOPK_PER_DOC = 20
 
 
 @query(
@@ -209,24 +226,34 @@ TFIDF_COSINE_THRESHOLD = 0.35
     wsh AS (
       SELECT s.doc_id, s.g,
              CAST(FLOOR({TFIDF_SCALE} * (CAST(nd.n_docs AS DOUBLE) / f.df))
-                  AS HUGEINT) AS w
+                  AS HUGEINT)
+             * CAST(FLOOR({TFIDF_SCALE} * (CAST(nd.n_docs AS DOUBLE) / f.df))
+                    AS HUGEINT) AS w2
       FROM shingles s JOIN dfreq f USING (g) CROSS JOIN nd
     ),
-    norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM wsh GROUP BY doc_id),
+    norms AS (SELECT doc_id, SUM(w2) AS n2 FROM wsh GROUP BY doc_id),
     dots AS (
-      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, SUM(x.w * x.w) AS dot
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, SUM(x.w2) AS dot
       FROM wsh x JOIN wsh y ON x.g = y.g AND x.doc_id < y.doc_id
       GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             CAST(dot AS DOUBLE)
+               / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
+      FROM dots
+      JOIN norms na ON na.doc_id = doc_a
+      JOIN norms nb ON nb.doc_id = doc_b
+      WHERE CAST(dot AS DOUBLE)
+              / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+            >= {TFIDF_COSINE_THRESHOLD}
     )
-    SELECT doc_a, doc_b,
-           CAST(dot AS DOUBLE)
-             / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
-    FROM dots
-    JOIN norms na ON na.doc_id = doc_a
-    JOIN norms nb ON nb.doc_id = doc_b
-    WHERE CAST(dot AS DOUBLE)
-            / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
-          >= {TFIDF_COSINE_THRESHOLD}
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT doc_a, doc_b, cosine,
+             ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY cosine DESC, doc_b)
+               AS rk
+      FROM scored
+    ) WHERE rk <= {TFIDF_TOPK_PER_DOC}
     """,
     tags=("dedup", "pipeline", "tfidf", "cosine"),
 )
@@ -246,46 +273,64 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fixed double expression over those exact inputs.  Shingles are
     distinct per doc (tf == 1), so the pair dot is the sum of shared
     shingles' squared weights — the weight rides the inverted index, no
-    second lookup."""
+    second lookup.
+
+    Output cap (VERDICT r4 #2): each doc keeps its top K =
+    TFIDF_TOPK_PER_DOC = 20 matches (ROW_NUMBER over cosine DESC with
+    doc_b as the deterministic tie-break — cosine is a bit-identical
+    double in both engines, so the rank order is too).  A duplicate-
+    saturated corpus otherwise emits a ~quadratic pair list; with the
+    cap, output is <= K x n_docs — corpus-linear — while the strongest
+    evidence per doc is kept verbatim."""
     d = t(spark, sf_dir, "documents")
-    all_sh = shingle_rows(d, 3).persist(_SPILLABLE)
+    # the session-cached capped index IS the df<=cap universe; re-counting
+    # df inside it returns the same values the global df aggregate would
+    # for every surviving shingle (an over-cap shingle has no rows here)
+    all_sh = cached_capped_index(spark, sf_dir)
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = (
-        all_sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-    )
+    dfreq = all_sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = F.floor(
         F.lit(TFIDF_SCALE) * (F.col("n_docs").cast("double") / F.col("df"))
-    ).cast("decimal(38,0)")
+    ).cast("decimal(19,0)")
     from ..queries import cut_lineage
 
     # three consumers (norms + both self-join sides): cut the lineage so
     # the weighted index materializes ONCE — as a persist, the static plan
     # re-counts the whole tokenize→distinct→df pipeline per consumer
     # (the dedup_minhash_recall_vs_exact idiom)
+    # carry w² (not w): the dot of a pair with tf==1 shingles is the sum of
+    # shared shingles' SQUARED weights, so squaring once per posting row
+    # (corpus-linear) replaces a decimal multiply per candidate pair-posting
+    # (the 10×-probe's dominant term: 51.6M pair-postings vs 2.6M postings
+    # on the replicated corpus) and halves the joined payload
     wsh = cut_lineage(
         all_sh.join(dfreq, "g")
         .crossJoin(F.broadcast(nd))  # 1-row ungrouped aggregate
-        .select("doc_id", "g", w.alias("w"))
+        .select("doc_id", "g", (w * w).alias("w2"))
     )
-    norms = wsh.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    norms = wsh.groupBy("doc_id").agg(F.sum(F.col("w2")).alias("n2"))
     x, y = wsh.alias("x"), wsh.alias("y")
     dots = (
         x.join(y, (F.col("x.g") == F.col("y.g")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.sum(F.col("x.w") * F.col("x.w")).alias("dot"))
+        .agg(F.sum(F.col("x.w2")).alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
     cosine = F.col("dot").cast("double") / (
         F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
     )
-    return (
+    scored = (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= TFIDF_COSINE_THRESHOLD)
+    )
+    wk = Window.partitionBy("doc_a").orderBy(F.col("cosine").desc(), F.col("doc_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TFIDF_TOPK_PER_DOC)
+        .drop("rk")
     )
 
 
@@ -579,6 +624,28 @@ def capped_shingle_index(d: DataFrame) -> DataFrame:
     return all_sh.join(rare, "g")
 
 
+#: session-scoped cache of the capped shingle index, keyed by (spark
+#: application id, sf_dir) — the in-session stand-in for the MAINTAINED
+#: bucketed table (``write_shingle_index``).  Before r5, ten registered
+#: queries each re-ran tokenize→explode→distinct→df per run; at the 10×
+#: probe tier that linear machinery was ~60% of the dedup families'
+#: runtime.  Reuse changes no results: every consumer reads the identical
+#: (doc_id, g) relation.
+_CAPPED_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_capped_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached :func:`capped_shingle_index` of the corpus's
+    documents table, persisted MEMORY_AND_DISK.  Lazy: no job runs until
+    a consumer's first action."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CAPPED_INDEX_CACHE:
+        _CAPPED_INDEX_CACHE[key] = capped_shingle_index(
+            t(spark, sf_dir, "documents")
+        ).persist(_SPILLABLE)
+    return _CAPPED_INDEX_CACHE[key]
+
+
 def write_shingle_index(d: DataFrame, table: str, n_buckets: int = 32) -> None:
     """Persist the capped shingle index BUCKETED BY SHINGLE — the
     production form of the incremental-dedup index at 100 TB: the shuffle
@@ -697,8 +764,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The "new batch" is a deterministic ~10% slice (doc_id % 10 == 7) so
     both engines agree without any sampling dependence."""
-    d = t(spark, sf_dir, "documents")
-    sh = capped_shingle_index(d).persist(_SPILLABLE)
+    sh = cached_capped_index(spark, sf_dir)
     return incremental_pairs(sh)
 
 
@@ -757,8 +823,7 @@ def dataset_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_incremental``, cost O(|eval| x bucket width); the train side
     never self-joins.  The stop-shingle cap bounds fan-out exactly as in
     the dedup family."""
-    d = t(spark, sf_dir, "documents")
-    sh = capped_shingle_index(d).persist(_SPILLABLE)
+    sh = cached_capped_index(spark, sf_dir)
     in_eval = lambda c: c % EVAL_SET_MOD == EVAL_SET_REM  # noqa: E731
     ev = sh.filter(in_eval(F.col("doc_id"))).alias("ev")
     tr = sh.filter(~in_eval(F.col("doc_id"))).alias("tr")
@@ -1093,6 +1158,12 @@ def profile_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SWEEP_THRESHOLDS = (0.2, 0.4, 0.6, 0.8)
+#: per-doc candidate cap for the sweep (VERDICT r4 #2): the threshold
+#: curve only needs each doc's strongest matches — a doc with 200
+#: near-identical copies contributes the same tuning signal through its
+#: top 20 as through all 200, and the uncapped pair list is ~quadratic on
+#: a duplicate-saturated shard.  Mirrored in the oracle.
+SWEEP_TOPK_PER_DOC = 20
 
 
 @query(
@@ -1107,10 +1178,19 @@ SWEEP_THRESHOLDS = (0.2, 0.4, 0.6, 0.8)
       GROUP BY 1, 2
     ),
     jac AS (
-      SELECT CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) AS j
+      SELECT doc_a, doc_b,
+             CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) AS j
       FROM pair
       JOIN cnt ca ON ca.doc_id = doc_a
       JOIN cnt cb ON cb.doc_id = doc_b
+    ),
+    capped_jac AS (
+      SELECT j FROM (
+        SELECT j,
+               ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY j DESC, doc_b)
+                 AS rk
+        FROM jac
+      ) WHERE rk <= {SWEEP_TOPK_PER_DOC}
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
            {", ".join(
@@ -1118,7 +1198,7 @@ SWEEP_THRESHOLDS = (0.2, 0.4, 0.6, 0.8)
              f" AS n_ge_{str(t).replace('.', '')}"
              for t in SWEEP_THRESHOLDS
            )}
-    FROM jac
+    FROM capped_jac
     """,
     tags=("dedup", "tuning", "jaccard", "sweep"),
 )
@@ -1130,10 +1210,25 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     before committing a threshold; running the dedup four times is the
     naive alternative).  The per-pair Jaccard is the same single-division
     double as ``dedup_ngram_jaccard``, so each >= test is the identical
-    IEEE comparison in both engines."""
+    IEEE comparison in both engines.
+
+    Candidate cap (VERDICT r4 #2): the curve is computed over each doc's
+    top K = SWEEP_TOPK_PER_DOC = 20 candidates (ROW_NUMBER over jaccard
+    DESC, doc_b tie-break — same deterministic-rank argument as
+    ``dedup_tfidf_cosine``), so the swept pair set is <= K x n_docs even
+    on a duplicate-saturated shard where the uncapped set grows
+    ~quadratically."""
     d = t(spark, sf_dir, "documents")
     # threshold 0 → every candidate pair with its jaccard, no filter
-    pairs = ngram_jaccard_pairs(d, threshold=0.0)
+    pairs = ngram_jaccard_pairs(d, threshold=0.0, sh=cached_capped_index(spark, sf_dir))
+    wk = Window.partitionBy("doc_a").orderBy(
+        F.col("jaccard").desc(), F.col("doc_b")
+    )
+    pairs = (
+        pairs.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= SWEEP_TOPK_PER_DOC)
+        .drop("rk")
+    )
     return pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
         *[

@@ -334,7 +334,7 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _cascade_oracle() -> str:
-    from .clustering import _EDGES_SQL
+    from .shingles_sql import EDGES_SQL as _EDGES_SQL
     from .shingles_sql import SHINGLES_SQL
     from .similarity import _Q_SQL, COSINE_THRESHOLD
 

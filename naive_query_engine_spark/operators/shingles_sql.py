@@ -44,3 +44,24 @@ SHINGLES_SQL = r"""
       JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
     )
 """
+
+#: near-dup EDGE CTEs (append after SHINGLES_SQL): Jaccard >= threshold
+#: pairs over the capped universe — the edge set every graph consumer
+#: (components, keep-best, BFS, degree) derives from.  Lives here (leaf)
+#: so oracle strings that splice it never re-enter a partially
+#: initialized sibling module at import time.
+EDGES_SQL = f"""
+    {CAPPED_SHINGLES_SQL},
+    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM capped GROUP BY doc_id),
+    pair AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+      FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pair
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (ca.n_g + cb.n_g - shared) >= {JACCARD_THRESHOLD}
+    )
+"""

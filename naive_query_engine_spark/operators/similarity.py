@@ -144,7 +144,12 @@ def cosine_block_pairs(
         # alias-divergent plans that defeat ReuseExchange — checkpoint so
         # the grouping job runs exactly ONCE and both consumers read the
         # materialized blocks (eager lineage cut, the triangle-count /
-        # pagerank idiom; r2's persist() still re-ran 4 divergent plans)
+        # pagerank idiom; r2's persist() still re-ran 4 divergent plans).
+        # Same trade-offs as graph_triangle_count (ADVICE r2/r4): EAGER —
+        # building this frame runs the grouping job (SPARK_GRAFT_LAZY_CUTS=1
+        # for job-free plan inspection) — pre-cut exchanges are invisible
+        # to the static plan, and the cut is not executor-loss resilient
+        # (SPARK_GRAFT_RELIABLE_CHECKPOINT=1 for restartable jobs)
         .transform(cut_lineage)
     )
     # upper-triangle enumeration without a pair-key join: block bj knows

@@ -725,7 +725,9 @@ BPE_TOP_MERGES = 20
     ),
     c AS (SELECT pair, COUNT(*) AS cnt FROM pr GROUP BY 1)
     SELECT pair, CAST(cnt AS BIGINT) AS cnt,
-           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+           -- ORDER BY refs qualified to the base CTE (VERDICT r4 #5): no
+           -- reliance on how the resolver binds same-named select aliases
+           CAST(ROW_NUMBER() OVER (ORDER BY c.cnt DESC, c.pair) AS BIGINT) AS rnk
     FROM c QUALIFY rnk <= {BPE_TOP_MERGES}
     """,
     tags=("text", "pipeline", "tokenizer"),
@@ -804,7 +806,7 @@ BPE_ITER_TOP = 10
     c2 AS (SELECT pair, COUNT(*) AS cnt FROM p2 GROUP BY 1),
     r1 AS (
       SELECT CAST(1 AS BIGINT) AS iter, pair, CAST(cnt AS BIGINT) AS cnt,
-             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+             CAST(ROW_NUMBER() OVER (ORDER BY c1.cnt DESC, c1.pair) AS BIGINT) AS rnk
       FROM c1 QUALIFY rnk <= {BPE_ITER_TOP}
     ),
     r2 AS (
@@ -817,7 +819,7 @@ BPE_ITER_TOP = 10
              cnt, rnk
       FROM (
         SELECT pair, CAST(cnt AS BIGINT) AS cnt,
-               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+               CAST(ROW_NUMBER() OVER (ORDER BY c2.cnt DESC, c2.pair) AS BIGINT) AS rnk
         FROM c2
       ) WHERE rnk <= {BPE_ITER_TOP}
     )
@@ -1103,7 +1105,7 @@ def _bpe_train_oracle(n_iters: int = BPE_N_ITERS, top: int = BPE_ITER_TOP) -> st
             f"""r{i} AS (
       SELECT CAST({i} AS BIGINT) AS iter, pair, cnt, rnk
       FROM (SELECT pair, CAST(cnt AS BIGINT) AS cnt,
-                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+                   CAST(ROW_NUMBER() OVER (ORDER BY c{i}.cnt DESC, c{i}.pair) AS BIGINT) AS rnk
             FROM c{i})
       WHERE rnk <= {top}
     )"""

@@ -93,6 +93,13 @@ def synthesize(spark, n_copies: int, out_dir: str) -> None:
 
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [10, 30]
+    # SPARK_GRAFT_PROBE_QUERIES=a,b,c probes a subset (any registered
+    # name) instead of the standard list — for targeted re-measures
+    # without paying for the full set.
+    global PROBE_QUERIES
+    sel = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+    if sel:
+        PROBE_QUERIES = [q.strip() for q in sel.split(",") if q.strip()]
     spark = get_spark(app_name="nqes-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for n in scales:
