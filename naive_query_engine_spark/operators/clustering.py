@@ -1037,7 +1037,10 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     against), and Σdegree = 2·|edges| gives the edge count for free.
     Isolated documents are excluded (degree 0 has no bin); the node
     frame is survivor-bounded after one edge aggregation."""
-    return degree_log_histogram(symmetrized_edges(spark, sf_dir))
+    # cut so the static plan shows post-edge work only (the cached edge
+    # frame materializes once per session regardless; the cut keeps the
+    # declared 2-exchange budget meaningful) — same idiom as BFS's sym cut
+    return degree_log_histogram(cut_lineage(symmetrized_edges(spark, sf_dir)))
 
 
 def degree_log_histogram(sym: DataFrame) -> DataFrame:

@@ -168,9 +168,10 @@ BUDGETS = {
     "embedding_centroid_outliers": (3, True),
     # weighted index behind a lineage cut (materialized once; post-cut:
     # inverted-index self-join + pair agg + norms agg — norm joins
-    # broadcast); uncut, the static plan re-counted the tokenize →
-    # distinct → df pipeline once per consumer (27 exchanges)
-    "dedup_tfidf_cosine": (3, True),
+    # broadcast — + ONE doc_a repartition for the r5 per-doc top-20
+    # output-cap window); uncut, the static plan re-counted the
+    # tokenize → distinct → df pipeline once per consumer (27 exchanges)
+    "dedup_tfidf_cosine": (4, True),
     # fixed-point decay weights map-side; the 1-row max-date aggregate
     # broadcasts; one per-user agg (2-phase under distinct-free sums)
     "events_decayed_engagement": (2, True),
@@ -215,11 +216,12 @@ BUDGETS = {
     "profile_doc_length_histogram": (1, False),
     # spread + shingle distinct + df agg + ~20-bin rollup
     "profile_shingle_df_histogram": (4, False),
-    # unthresholded jaccard pair frame -> 1-row conditional-sum reduce;
-    # the persisted shingle lineage (5 consumers: df, capped join, sizes,
+    # unthresholded jaccard pair frame -> per-doc top-20 cap window (one
+    # doc_a repartition, r5) -> 1-row conditional-sum reduce; the
+    # persisted shingle lineage (5 consumers: df, capped join, sizes,
     # both self-join sides) is re-counted per consumer in the STATIC plan
     # (runtime reuses the materialization — the bm25/pmi precedent)
-    "dedup_threshold_sweep": (24, True),
+    "dedup_threshold_sweep": (25, True),
     # distributed sweep: session agg + the range repartition sits behind
     # the lineage cut; post-cut the in-partition running sum needs NO
     # exchange (partitionBy _pid matches the cut layout) — remaining:
