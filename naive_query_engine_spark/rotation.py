@@ -129,6 +129,7 @@ ROTATION: tuple[str, ...] = (
     "asof_join_events_orders",
     "range_join_event_pairs",
     # --- round 6 window (45) ---
+    "dedup_tfidf_cosine_prefix",
     "dedup_semantic",
     "dedup_keep_best",
     "similarity_ivf_multiprobe",

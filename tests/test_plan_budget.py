@@ -166,6 +166,11 @@ BUDGETS = {
     # centroid agg (map-side combined to K x D) broadcast back onto the
     # exploded scan + (vec,label) re-agg + per-label ranking window
     "embedding_centroid_outliers": (3, True),
+    # prefix-filtered all-pairs (r5): weighted index behind the same
+    # lineage cut; post-cut: norms agg + per-doc prefix window + candidate
+    # distinct + verify-dot agg + cap window + scored join key exchange —
+    # each frame prefix- or candidate-bounded; norm/cand joins broadcast
+    "dedup_tfidf_cosine_prefix": (6, True),
     # weighted index behind a lineage cut (materialized once; post-cut:
     # inverted-index self-join + pair agg + norms agg — norm joins
     # broadcast — + ONE doc_a repartition for the r5 per-doc top-20
