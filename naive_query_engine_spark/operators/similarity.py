@@ -1268,6 +1268,178 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# top principal component by fixed-point power iteration
+
+PC_ITERS = 6  #: power-iteration count (the result is DEFINED as 6 steps)
+PC_SCALE = 1_000_000  #: fixed-point scale of the iterated vector
+
+
+def _top_pc_oracle() -> str:
+    """Unrolled power-iteration CTEs (the BPE-trainer idiom): u_k = G·v_{k-1}
+    exactly in HUGEINT, then max-normalize back to PC_SCALE fixed point
+    through ONE double expression — (u/m)·S floored — identical in both
+    engines."""
+    parts = [
+        f"""e AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )""",
+        """g AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS gij
+      FROM e a JOIN e b ON b.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )""",
+        f"v0 AS (SELECT DISTINCT i AS j, CAST({PC_SCALE} AS HUGEINT) AS v FROM e)",
+    ]
+    for k in range(1, PC_ITERS + 1):
+        parts.append(
+            f"""u{k} AS (
+      SELECT g.i, SUM(g.gij * x.v) AS u FROM g JOIN v{k - 1} x ON x.j = g.j GROUP BY 1
+    )"""
+        )
+        parts.append(f"m{k} AS (SELECT MAX(ABS(u)) AS m FROM u{k})")
+        parts.append(
+            f"""v{k} AS (
+      SELECT u{k}.i AS j,
+             CAST(FLOOR((CAST(u AS DOUBLE) / CAST(m{k}.m AS DOUBLE))
+                        * CAST({PC_SCALE} AS DOUBLE)) AS HUGEINT) AS v
+      FROM u{k} CROSS JOIN m{k}
+    )"""
+        )
+    last = f"v{PC_ITERS}"
+    parts.append(
+        f"""uf AS (
+      SELECT g.i, SUM(g.gij * x.v) AS u FROM g JOIN {last} x ON x.j = g.j GROUP BY 1
+    )"""
+    )
+    parts.append(
+        f"""ray AS (
+      SELECT SUM(x.v * uf.u) AS num, SUM(x.v * x.v) AS den
+      FROM uf JOIN {last} x ON x.j = uf.i
+    )"""
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(x.j - 1 AS BIGINT) AS dim,
+           CAST(x.v AS BIGINT) AS pc_fixed,
+           CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE) AS eigenvalue
+    FROM {last} x CROSS JOIN ray
+    """
+
+
+@query(
+    "embedding_top_pc_power_iteration",
+    oracle=_top_pc_oracle(),
+    tags=("similarity", "pipeline", "linear-algebra", "iterative", "pca"),
+)
+def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by FIXED-POINT
+    power iteration over the exact integer Gram matrix — the first step
+    of PCA / whitening / spectral embedding-QA (a corpus whose top PC
+    eats most of the variance is collapsed or mis-normalized; the PC
+    direction itself is the debias/whitening axis).
+
+    Exactness design: the Gram matrix reuses ``embedding_gram_matrix``'s
+    Arrow kernel (batch-local int64 Q'Q partials, DECIMAL(38,0) merge —
+    the ONLY corpus-sized stage, map-only + one tiny D² reduce); the
+    iteration then runs on the D²-row frame: u = G·v in exact decimal,
+    max-normalize back to PC_SCALE fixed point via one floored double
+    expression (decimal→double casts are correctly rounded identically
+    in both engines), repeat PC_ITERS times, Rayleigh quotient from
+    exact integer num/den at the end.  The result is DEFINED as
+    "PC_ITERS fixed-point steps from the all-ones start", so both
+    engines agree bit-for-bit regardless of spectral gap; the all-ones
+    start also pins the sign.  Convergence honesty: the rate is
+    (λ2/λ1)^k, and this corpus's spectrum is nearly flat (λ2/λ1 ≈ 0.93
+    measured), so six steps land a top-eigenspace MIX whose Rayleigh
+    quotient reaches ~0.88·λ1 (``tests/test_top_pc.py`` pins bit-exact
+    recurrence equality + the variational bounds); a production run on a
+    corpus with an actual dominant direction converges in the same six,
+    and more steps cost one broadcast join over a D²-row frame each —
+    iterate until the Rayleigh delta is small.  Magnitudes: |G_ij| ≤ N·(100·QUANT)² ~
+    2e19 (needs decimal/HUGEINT), |u_i| ≤ D·|G|·PC_SCALE ~ 1.3e27,
+    Rayleigh num ≤ 8e34 — all < 1e38.
+
+    Scale shape: corpus cost is one map-only Gram pass (batch-count ×
+    D(D+1)/2 partial rows through the one shuffle); the 6 iterations
+    touch only the D²-row cut frame with broadcast 64-row vectors —
+    driver never holds more than a 1-row max."""
+    e = t(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_batches(batches):
+        # closure (NOT module-level): pickles by value for bare sessions
+        import numpy as np
+        import pandas as pd
+
+        q = float(QUANT)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy())
+            Q = np.floor(V.astype("float64") * q).astype("int64")
+            G = Q.T @ Q
+            ii, jj = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {"dim_i": ii + 1, "dim_j": jj + 1, "partial": G[ii, jj]}
+            )
+
+    partials = e.mapInPandas(gram_batches, "dim_i long, dim_j long, partial long")
+    tri = partials.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("partial").cast("decimal(38,0)")).alias("gij")
+    )
+    full = tri.unionAll(
+        tri.filter(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"), F.col("dim_i").alias("dim_j"), "gij"
+        )
+    )
+    # D²-row frame consumed by every iteration — materialize once
+    G = cut_lineage(
+        full.select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "gij")
+    )
+    v = G.select("i").distinct().select(
+        F.col("i").alias("j"), F.lit(PC_SCALE).cast("decimal(19,0)").alias("v")
+    )
+    for _ in range(PC_ITERS):
+        u = (
+            G.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("gij") * F.col("v")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = cut_lineage(
+            u.crossJoin(F.broadcast(m)).select(
+                F.col("i").alias("j"),
+                F.floor(
+                    (F.col("u").cast("double") / F.col("m").cast("double"))
+                    * F.lit(float(PC_SCALE))
+                )
+                .cast("decimal(19,0)")
+                .alias("v"),
+            )
+        )
+    uf = (
+        G.join(F.broadcast(v), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("gij") * F.col("v")).alias("u"))
+    )
+    vi = v.select(F.col("j").alias("i"), "v")
+    ray = uf.join(vi, "i").agg(
+        F.sum((F.col("v") * F.col("u")).cast("decimal(38,0)")).alias("num"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("den"),
+    )
+    return vi.crossJoin(F.broadcast(ray)).select(
+        (F.col("i") - 1).cast("long").alias("dim"),
+        F.col("v").cast("long").alias("pc_fixed"),
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "eigenvalue"
+        ),
+    )
+
+
 @query(
     "embedding_norm_histogram",
     oracle=f"""

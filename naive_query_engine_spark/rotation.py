@@ -130,6 +130,7 @@ ROTATION: tuple[str, ...] = (
     "range_join_event_pairs",
     # --- round 6 window (45) ---
     "dedup_tfidf_cosine_prefix",
+    "embedding_top_pc_power_iteration",
     "dedup_semantic",
     "dedup_keep_best",
     "similarity_ivf_multiprobe",

@@ -184,6 +184,10 @@ BUDGETS = {
     "text_hashing_trick_features": (2, False),
     # map-only Arrow Gram partials -> ONE tiny (dim_i,dim_j) reduce
     "embedding_gram_matrix": (1, False),
+    # same Gram build behind a lineage cut; post-cut: the final G.v join's
+    # D-row agg + Rayleigh agg + distinct-dim seed (iteration exchanges
+    # run at construction behind per-step cuts); v frames broadcast
+    "embedding_top_pc_power_iteration": (3, True),
     # (gold,pred) agg + the langs²-bounded share window
     "text_langid_confusion": (2, False),
     # two 1-row sketch aggregations (one broadcast) + the exact contract
