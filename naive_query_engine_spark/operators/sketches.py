@@ -624,3 +624,120 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est_jaccard * est_union).alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join-size estimation by count-min inner product (the CBO primitive)
+
+#: join-size sketch geometry: wider than the frequency CM (w = 16^4 =
+#: 65,536) because the inner-product estimator's bias is ‖fA‖₁·‖fB‖₁/w —
+#: at w=256 the collision mass would swamp the true join size.  Still a
+#: fixed-size summary: d·w = 196,608 counters regardless of input.
+JS_HEX_DIGITS = 4
+JS_SEEDS = 3
+
+
+@query(
+    "sketch_join_size_estimate",
+    oracle=f"""
+    WITH seeds AS (SELECT UNNEST(range({JS_SEEDS})) AS seed),
+    cm_e AS (
+      SELECT seed,
+             {_hex_int_sql(_seeded_md5_sql('user_id', 'seed'), JS_HEX_DIGITS)} AS pos,
+             CAST(COUNT(*) AS HUGEINT) AS cnt
+      FROM events CROSS JOIN seeds
+      GROUP BY 1, 2
+    ),
+    cm_o AS (
+      SELECT seed,
+             {_hex_int_sql(_seeded_md5_sql('o_custkey', 'seed'), JS_HEX_DIGITS)} AS pos,
+             CAST(COUNT(*) AS HUGEINT) AS cnt
+      FROM orders CROSS JOIN seeds
+      GROUP BY 1, 2
+    ),
+    per_row AS (
+      SELECT e.seed, SUM(e.cnt * o.cnt) AS ip
+      FROM cm_e e JOIN cm_o o ON o.seed = e.seed AND o.pos = e.pos
+      GROUP BY e.seed
+    ),
+    est AS (SELECT MIN(ip) AS est_rows FROM per_row),
+    fe AS (SELECT user_id AS k, CAST(COUNT(*) AS HUGEINT) AS f FROM events GROUP BY 1),
+    fo AS (SELECT o_custkey AS k, CAST(COUNT(*) AS HUGEINT) AS f FROM orders GROUP BY 1),
+    truth AS (
+      SELECT COALESCE(SUM(fe.f * fo.f), CAST(0 AS HUGEINT)) AS true_rows
+      FROM fe JOIN fo ON fo.k = fe.k
+    )
+    SELECT CAST(est.est_rows AS BIGINT) AS est_rows,
+           CAST(truth.true_rows AS BIGINT) AS true_rows,
+           CAST(est.est_rows - truth.true_rows AS BIGINT) AS overcount,
+           CAST(est.est_rows AS DOUBLE) / CAST(truth.true_rows AS DOUBLE)
+             AS est_over_true
+    FROM est CROSS JOIN truth
+    """,
+    tags=("sketch", "countmin", "join", "cardinality", "cbo"),
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE estimation from two count-min sketches — the
+    cost-based-optimizer primitive: |A ⋈ₖ B| = Σₖ f_A(k)·f_B(k), and the
+    inner product of the two key-frequency sketches estimates it WITHOUT
+    executing (or even co-locating) the join.  Per hash row j the
+    estimate Σ_w cm_A[j][w]·cm_B[j][w] ≥ truth (collisions only add);
+    min over the d rows is the standard estimator (AMS/CM inner
+    product).  Estimated here: events ⋈ orders on user/customer key —
+    the fan-out join a planner most needs to size before picking a
+    strategy.  The exact Σ f_A·f_B rides along to SCORE the estimator
+    (``est_over_true``); a production CBO consults only the sketch side,
+    which is a fixed d·w summary each table maintains incrementally
+    (counter-wise SUM-mergeable, like ``sketch_countmin_freq``).
+
+    Scale shape: each sketch is one hashed partial aggregation down to
+    d·w = 196,608 counters no matter the table size; the estimator is a
+    (seed,pos)-aligned join of two bounded frames.  Products accumulate
+    in HUGEINT/DECIMAL(38,0): per-bucket counts are corpus-sized, so
+    cnt_A·cnt_B can pass int64 at cluster scale.
+
+    Determinism: seeded-md5 bucket family shared with every sketch here;
+    exact integer counters, products, and sums; MIN over exact integers;
+    one final double division."""
+    ev = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders")
+
+    def cm(df, key):
+        return (
+            df.select(_seed_rows(F.col(key), JS_SEEDS, JS_HEX_DIGITS).alias("sp"))
+            .select("sp.seed", "sp.pos")
+            .groupBy("seed", "pos")
+            .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("cnt"))
+        )
+
+    cm_e, cm_o = cm(ev, "user_id"), cm(o, "o_custkey")
+    per_row = (
+        cm_e.alias("e")
+        .join(
+            cm_o.alias("x"),
+            (F.col("e.seed") == F.col("x.seed")) & (F.col("e.pos") == F.col("x.pos")),
+        )
+        .groupBy(F.col("e.seed"))
+        .agg(F.sum((F.col("e.cnt") * F.col("x.cnt")).cast("decimal(38,0)")).alias("ip"))
+    )
+    est = per_row.agg(F.min("ip").alias("est_rows"))
+    fe = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("fa")
+    )
+    fo = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("fb")
+    )
+    truth = fe.join(fo, "k").agg(
+        F.coalesce(
+            F.sum((F.col("fa") * F.col("fb")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("true_rows")
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.col("est_rows").cast("long").alias("est_rows"),
+        F.col("true_rows").cast("long").alias("true_rows"),
+        (F.col("est_rows") - F.col("true_rows")).cast("long").alias("overcount"),
+        (
+            F.col("est_rows").cast("double") / F.col("true_rows").cast("double")
+        ).alias("est_over_true"),
+    )

@@ -131,6 +131,7 @@ ROTATION: tuple[str, ...] = (
     # --- round 6 window (45) ---
     "dedup_tfidf_cosine_prefix",
     "embedding_top_pc_power_iteration",
+    "sketch_join_size_estimate",
     "dedup_semantic",
     "dedup_keep_best",
     "similarity_ivf_multiprobe",

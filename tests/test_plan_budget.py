@@ -80,6 +80,10 @@ BUDGETS = {
     "sketch_bloom_membership": (12, True),
     # counter-matrix agg + truth agg + probe-min agg; counters broadcast
     "sketch_countmin_freq": (3, True),
+    # two sketch aggs + (seed,pos) alignment join + per-seed/min reduces
+    # + two exact-frequency aggs + truth join/reduce (the truth side
+    # exists to score the estimator; a CBO consults the sketches only)
+    "sketch_join_size_estimate": (14, True),
     # the iterative UnionLoop's per-step exchanges are internal to the
     # recursion node, not visible in the static plan
     "sql_recursive_chain": (0, False),
