@@ -490,3 +490,110 @@ def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nb").cast("long").alias("total_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG/JFIF: marker-segment walk (variable-length segments, unlike PNG's
+# fixed-offset IHDR — exercises the harder real-world parse shape)
+
+
+def make_jpeg_payload(width_expr, height_expr):
+    """Column expr: minimal JFIF bytes — SOI, APP0 (JFIF v1.1), and an
+    SOF0 frame header carrying the given dimensions (3 components,
+    8-bit precision).  Built JVM-side like :func:`make_png_payload`;
+    entropy-coded scan data is absent (frame metadata does not need it)."""
+    from pyspark.sql import functions as F
+
+    def be16(c):
+        return F.unhex(F.lpad(F.conv(c.cast("string"), 10, 16), 4, "0"))
+
+    return F.concat(
+        F.unhex(F.lit("FFD8")),                       # SOI
+        F.unhex(F.lit("FFE0" "0010")),                # APP0, length 16
+        F.lit(b"JFIF\x00"),
+        F.unhex(F.lit("0101" "00" "0001" "0001" "00" "00")),  # v1.1, no thumb
+        F.unhex(F.lit("FFC0" "0011" "08")),           # SOF0, length 17, 8-bit
+        be16(height_expr),
+        be16(width_expr),
+        F.unhex(F.lit("03" "011100" "021101" "031101")),  # 3 components
+    )
+
+
+def jpeg_meta_kernel():
+    """mapInPandas kernel walking REAL JPEG marker segments: verify SOI,
+    skip variable-length segments by their declared big-endian lengths,
+    stop at the first SOF0–SOF15 frame marker (skipping DHT/DAC/RST per
+    spec) and unpack precision/height/width/components.  Closure →
+    pickles by value for bare sessions."""
+    import struct
+
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            ws, hs, nc, ok = [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                w = h = n = 0
+                good = False
+                if b[:2] == b"\xff\xd8":  # SOI
+                    i = 2
+                    while i + 4 <= len(b):
+                        if b[i] != 0xFF:
+                            break
+                        marker = b[i + 1]
+                        # SOF0..SOF15 minus DHT(C4)/DAC(CC)/JPG(C8)
+                        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                            if i + 9 <= len(b):
+                                _, h, w, n = struct.unpack(
+                                    ">BHHB", b[i + 4 : i + 10]
+                                )
+                                good = True
+                            break
+                        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                        i += 2 + seg_len
+                ws.append(w); hs.append(h); nc.append(n); ok.append(good)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "n_components": nc,
+                    "is_valid_jpeg": ok,
+                }
+            )
+
+    return parse
+
+
+@query(
+    "multimodal_jpeg_header_parse",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 4096 AS BIGINT)       AS width,
+           CAST(16 + (doc_id * 7) % 4096 AS BIGINT) AS height,
+           CAST(3 AS BIGINT)                        AS n_components,
+           TRUE AS is_valid_jpeg
+    FROM documents
+    """,
+    tags=("multimodal", "pipeline", "binary", "pandas-udf"),
+)
+def multimodal_jpeg_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through JPEG/JFIF — the VARIABLE-LENGTH-segment binary
+    format (PNG's IHDR sits at a fixed offset; JPEG requires walking
+    APPn/DQT/... segments by their declared lengths to find the SOFn
+    frame header, which is what real image ingest must do).  Payload
+    bytes are built JVM-side with deterministic dims from doc_id; the
+    Arrow-batched kernel walks markers with struct.unpack — no image
+    library.  The oracle recomputes the dims arithmetically — agreement
+    proves the encode→walk→decode path is bit-correct end-to-end.
+    Scale shape: map-only (one kernel pass, no shuffle before the
+    driver-side collect of results by the harness)."""
+    d = t(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 4096).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 4096).cast("int")
+    payloads = d.select("doc_id", make_jpeg_payload(w, h).alias("payload"))
+    return payloads.mapInPandas(
+        jpeg_meta_kernel(),
+        "doc_id long, width long, height long, n_components long, is_valid_jpeg boolean",
+    )

@@ -132,6 +132,7 @@ ROTATION: tuple[str, ...] = (
     "dedup_tfidf_cosine_prefix",
     "embedding_top_pc_power_iteration",
     "sketch_join_size_estimate",
+    "multimodal_jpeg_header_parse",
     "dedup_semantic",
     "dedup_keep_best",
     "similarity_ivf_multiprobe",

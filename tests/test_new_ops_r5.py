@@ -22,3 +22,43 @@ def test_join_size_estimator_bounds(spark):
     assert r["true_rows"] == true_rows
     assert r["est_rows"] >= r["true_rows"]  # CM never undercounts
     assert r["est_over_true"] < 1.25, r["est_over_true"]
+
+
+def test_jpeg_kernel_handles_malformed_payloads(spark):
+    """The marker walk must reject truncated / non-JPEG / SOF-less
+    payloads instead of mis-parsing them (real ingest sees all three),
+    and parse a hand-built JFIF with extra segments correctly."""
+    import struct
+
+    from naive_query_engine_spark.operators.multimodal import jpeg_meta_kernel
+
+    import pandas as pd
+
+    def jfif(h, w, extra_app=False):
+        b = b"\xff\xd8" + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        if extra_app:
+            b += b"\xff\xe1\x00\x06exif"  # APP1, length 6 (4 payload bytes)
+        b += b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        return b
+
+    cases = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "payload": [
+                jfif(480, 640),
+                jfif(7, 9, extra_app=True),  # segment walk must skip APP1
+                b"\x89PNG\r\n\x1a\n",  # not a JPEG
+                b"\xff\xd8\xff\xe0\x00\x10JF",  # truncated mid-APP0
+                b"\xff\xd8",  # SOI only, no SOF
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for _, r in next(jpeg_meta_kernel()([cases])).iterrows()
+    }
+    assert (out[1]["width"], out[1]["height"], out[1]["is_valid_jpeg"]) == (640, 480, True)
+    assert (out[2]["width"], out[2]["height"], out[2]["n_components"]) == (9, 7, 3)
+    assert not out[3]["is_valid_jpeg"]
+    assert not out[4]["is_valid_jpeg"]
+    assert not out[5]["is_valid_jpeg"]

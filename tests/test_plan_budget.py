@@ -98,6 +98,7 @@ BUDGETS = {
     # two-phase shape as dataset_reservoir_per_lang
     "dataset_global_interleave": (2, False),
     "multimodal_mime_sniff": (1, False),      # single agg by detected type
+    "multimodal_jpeg_header_parse": (0, False),  # map-only marker walk
     # r3 additions.  The persisted-frame lineages (tf / wins) are
     # re-counted per consumer in the STATIC plan — runtime reuses the
     # materialization; budgets pin the static shape all the same
