@@ -2004,3 +2004,139 @@ def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("region_share_of_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-robust uncertainty: delete-one-bucket jackknife
+
+JK_BUCKETS = 16  #: content-hash user buckets (hash_bucket's native width)
+JK_FP_SCALE = 1_000_000_000  #: fixed-point scale for leave-one-out means
+
+
+@query(
+    "events_value_jackknife_ci",
+    oracle=f"""
+    WITH b AS (
+      SELECT (strpos('0123456789abcdef',
+                     SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) AS bk,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(v) AS DECIMAL(38,2)) AS s FROM b),
+    per AS (
+      SELECT bk, CAST(COUNT(*) AS HUGEINT) AS nb, CAST(SUM(v) AS DECIMAL(38,2)) AS sb
+      FROM b GROUP BY bk
+    ),
+    loo AS (
+      SELECT bk,
+             CAST(FLOOR((CAST(tot.s - per.sb AS DOUBLE)
+                         / CAST(tot.n - per.nb AS DOUBLE))
+                        * CAST({JK_FP_SCALE} AS DOUBLE)) AS HUGEINT) AS mfp
+      FROM per CROSS JOIN tot
+    ),
+    agg1 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nb_buckets, SUM(mfp) AS sfp FROM loo),
+    var_s AS (
+      SELECT SUM((agg1.nb_buckets * loo.mfp - agg1.sfp)
+                 * (agg1.nb_buckets * loo.mfp - agg1.sfp)) AS var_scaled
+      FROM loo CROSS JOIN agg1
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_events,
+           CAST(agg1.nb_buckets AS BIGINT) AS n_buckets,
+           CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE) AS mean_value,
+           SQRT(CAST(var_s.var_scaled AS DOUBLE)
+                * (CAST(agg1.nb_buckets AS DOUBLE) - 1)
+                / CAST(agg1.nb_buckets AS DOUBLE))
+             / (CAST(agg1.nb_buckets AS DOUBLE) * CAST({JK_FP_SCALE} AS DOUBLE))
+             AS se_jackknife,
+           (CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             - 1.96 * (SQRT(CAST(var_s.var_scaled AS DOUBLE)
+                            * (CAST(agg1.nb_buckets AS DOUBLE) - 1)
+                            / CAST(agg1.nb_buckets AS DOUBLE))
+                       / (CAST(agg1.nb_buckets AS DOUBLE) * CAST({JK_FP_SCALE} AS DOUBLE)))
+             AS ci_lo,
+           (CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             + 1.96 * (SQRT(CAST(var_s.var_scaled AS DOUBLE)
+                            * (CAST(agg1.nb_buckets AS DOUBLE) - 1)
+                            / CAST(agg1.nb_buckets AS DOUBLE))
+                       / (CAST(agg1.nb_buckets AS DOUBLE) * CAST({JK_FP_SCALE} AS DOUBLE)))
+             AS ci_hi
+    FROM tot CROSS JOIN agg1 CROSS JOIN var_s
+    """,
+    tags=("events", "analytics", "experimentation", "jackknife", "uncertainty"),
+)
+def events_value_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-robust standard error of the mean event value by
+    DELETE-ONE-BUCKET JACKKNIFE over content-hash USER buckets — the
+    uncertainty readout a metrics platform attaches to every dashboard
+    number: per-user correlation makes the naive s/√n SE overconfident,
+    and the delete-one-group jackknife (the estimator behind every
+    online-experimentation platform's CIs) handles it without
+    distributional assumptions or RNG.  Buckets are the deterministic
+    md5 buckets of ``quality.hash_bucket`` (retry-stable, engine-
+    portable; a user's events always leave together — the clustering
+    requirement).
+
+    Determinism: bucket sums are exact decimals; each leave-one-out mean
+    is ONE double expression floored to JK_FP_SCALE fixed point, so the
+    across-bucket variance Σ(B·m_b − Σm)² is an EXACT integer (summing
+    raw double means across buckets would be order-dependent — the usual
+    float-sum trap, avoided by quantize-then-sum); the SE/CI are fixed
+    double expressions over those exact inputs.  Magnitudes: m_fp ~
+    1e11, (B·m_fp)² ~ 1e25·B ≪ 1e38.
+
+    Scale shape: one corpus pass to B=16 bucket partials (map-side
+    combined), then everything is 16-row frames — the same
+    bounded-reduce shape as the moment queries."""
+    from .quality import hash_bucket
+
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        hash_bucket(F.col("user_id")).alias("bk"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("v").cast("decimal(38,2)").alias("s"),
+    )
+    per = b.groupBy("bk").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("nb"),
+        F.sum("v").cast("decimal(38,2)").alias("sb"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        F.floor(
+            (
+                (F.col("s") - F.col("sb")).cast("double")
+                / (F.col("n") - F.col("nb")).cast("double")
+            )
+            * F.lit(float(JK_FP_SCALE))
+        )
+        .cast("decimal(19,0)")
+        .alias("mfp"),
+    )
+    agg1 = loo.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("nb_buckets"),
+        F.sum("mfp").alias("sfp"),
+    )
+    dev = F.col("nb_buckets") * F.col("mfp") - F.col("sfp")
+    var_s = (
+        loo.crossJoin(F.broadcast(agg1))
+        .agg(F.sum((dev * dev).cast("decimal(38,0)")).alias("var_scaled"))
+    )
+    bN = F.col("nb_buckets").cast("double")
+    se = F.sqrt(
+        F.col("var_scaled").cast("double") * (bN - 1) / bN
+    ) / (bN * F.lit(float(JK_FP_SCALE)))
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    return (
+        tot.crossJoin(F.broadcast(agg1))
+        .crossJoin(F.broadcast(var_s))
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            F.col("nb_buckets").cast("long").alias("n_buckets"),
+            mean.alias("mean_value"),
+            se.alias("se_jackknife"),
+            (mean - 1.96 * se).alias("ci_lo"),
+            (mean + 1.96 * se).alias("ci_hi"),
+        )
+    )

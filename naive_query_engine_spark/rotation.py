@@ -133,6 +133,7 @@ ROTATION: tuple[str, ...] = (
     "embedding_top_pc_power_iteration",
     "sketch_join_size_estimate",
     "multimodal_jpeg_header_parse",
+    "events_value_jackknife_ci",
     "dedup_semantic",
     "dedup_keep_best",
     "similarity_ivf_multiprobe",

@@ -62,3 +62,40 @@ def test_jpeg_kernel_handles_malformed_payloads(spark):
     assert not out[3]["is_valid_jpeg"]
     assert not out[4]["is_valid_jpeg"]
     assert not out[5]["is_valid_jpeg"]
+
+
+def test_jackknife_ci_matches_pandas_recompute(spark):
+    """Exact recompute: bucket sums in pandas Decimal-exact arithmetic,
+    leave-one-out means floored to the same fixed point, variance as an
+    exact integer — the SE must match Spark's bit-for-bit, and bracket
+    the naive s/sqrt(n) SE from above (clustered users => wider CI)."""
+    import math
+    from decimal import Decimal
+
+    from naive_query_engine_spark.operators.analytics import JK_FP_SCALE
+
+    r = QUERIES["events_value_jackknife_ci"].fn(spark, SF_SMOKE).collect()[0]
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["user_id", "value"]]
+    import hashlib
+
+    bk = ev["user_id"].map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[0], 16)
+    )
+    v = ev["value"].map(lambda x: Decimal(str(round(x, 2))))
+    n, s = len(v), sum(v)
+    mfp = []
+    for b in sorted(bk.unique()):
+        sel = bk == b
+        nb, sb = int(sel.sum()), sum(v[sel])
+        mfp.append(math.floor(float(s - sb) / float(n - nb) * JK_FP_SCALE))
+    B, sfp = len(mfp), sum(mfp)
+    var_scaled = sum((B * m - sfp) ** 2 for m in mfp)
+    se = math.sqrt(float(var_scaled) * (float(B) - 1) / float(B)) / (
+        float(B) * float(JK_FP_SCALE)
+    )
+    assert r["n_buckets"] == B
+    assert r["se_jackknife"] == se
+    # naive iid SE for comparison: jackknife must not be narrower
+    x = ev["value"].to_numpy()
+    naive = x.std(ddof=1) / np.sqrt(len(x))
+    assert se >= naive * 0.8, (se, naive)

@@ -80,6 +80,11 @@ BUDGETS = {
     "sketch_bloom_membership": (12, True),
     # counter-matrix agg + truth agg + probe-min agg; counters broadcast
     "sketch_countmin_freq": (3, True),
+    # one corpus pass to 16 bucket partials; the summary-of-aggregates
+    # crossJoins re-count the scan-agg lineage per consumer in the STATIC
+    # plan (the sketch_bloom_membership precedent) — every exchanged
+    # frame after the two scans is 16- or 1-row
+    "events_value_jackknife_ci": (22, True),
     # two sketch aggs + (seed,pos) alignment join + per-seed/min reduces
     # + two exact-frequency aggs + truth join/reduce (the truth side
     # exists to score the estimator; a CBO consults the sketches only)
