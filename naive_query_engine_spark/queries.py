@@ -2146,6 +2146,37 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume_dist,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution-functions"),
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / dense_rank — the distribution window
+    family (SURVEY §2.8 breadth; the reference has no windows at all).
+    Both are single divisions of identical integers ((rank−1)/(n−1),
+    rank/n), so the doubles agree bit-for-bit; the unique o_orderkey
+    tie-break pins every rank."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.dense_rank().over(w).cast("long").alias("dense_rnk"),
+    )
+
+
+@query(
     "agg_string_concat",
     oracle="""
     SELECT c_nationkey,

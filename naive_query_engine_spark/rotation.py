@@ -134,6 +134,8 @@ ROTATION: tuple[str, ...] = (
     "sketch_join_size_estimate",
     "multimodal_jpeg_header_parse",
     "events_value_jackknife_ci",
+    "text_zipf_slope",
+    "window_distribution_functions",
     "dedup_semantic",
     "dedup_keep_best",
     "similarity_ivf_multiprobe",

@@ -99,3 +99,27 @@ def test_jackknife_ci_matches_pandas_recompute(spark):
     x = ev["value"].to_numpy()
     naive = x.std(ddof=1) / np.sqrt(len(x))
     assert se >= naive * 0.8, (se, naive)
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    """Independent recompute: top-1000 word counts in pandas, the same
+    1e6-quantized log10 points, numpy.polyfit — slope/intercept must
+    match to float precision, and n_words equals the (tiny synthetic)
+    vocabulary size."""
+    from naive_query_engine_spark.operators.text import ZIPF_FP, ZIPF_TOP
+
+    r = QUERIES["text_zipf_slope"].fn(spark, SF_SMOKE).collect()[0]
+    import re
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")["text"]
+    cnt: dict = {}
+    for txt in docs:
+        for w in re.split(r"[ \t\n\r\f]+", txt.strip().lower()):
+            cnt[w] = cnt.get(w, 0) + 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    assert r["n_words"] == len(top)
+    x = np.array([round(np.log10(i + 1) * ZIPF_FP) for i in range(len(top))])
+    y = np.array([round(np.log10(c) * ZIPF_FP) for _, c in top])
+    slope, intercept = np.polyfit(x.astype(float), y.astype(float), 1)
+    assert abs(r["zipf_slope"] - slope) < 1e-9, (r["zipf_slope"], slope)
+    assert abs(r["log10_intercept"] - intercept / ZIPF_FP) < 1e-9

@@ -69,6 +69,7 @@ BUDGETS = {
     # correlated LATERAL → join + per-group limit; nation side broadcast
     "sql_lateral_join": (1, True),
     "window_range_frame": (1, False),         # one partition-by shuffle
+    "window_distribution_functions": (1, False),  # one partition-by shuffle
     "agg_boolean": (1, False),                # single partial+final agg
     # bigram counts: repartition (single-split input) + (doc,gram) agg +
     # doc rollup
@@ -80,6 +81,9 @@ BUDGETS = {
     "sketch_bloom_membership": (12, True),
     # counter-matrix agg + truth agg + probe-min agg; counters broadcast
     "sketch_countmin_freq": (3, True),
+    # word-count agg + TakeOrdered; the 1000-survivor ranking window and
+    # the 1-row moment reduce ride the collected top-k (pagerank idiom)
+    "text_zipf_slope": (3, False),
     # one corpus pass to 16 bucket partials; the summary-of-aggregates
     # crossJoins re-count the scan-agg lineage per consumer in the STATIC
     # plan (the sketch_bloom_membership precedent) — every exchanged
