@@ -136,6 +136,7 @@ ROTATION: tuple[str, ...] = (
     "events_value_jackknife_ci",
     "text_zipf_slope",
     "window_distribution_functions",
+    "retrieval_eval_mrr_ndcg",
     "dedup_semantic",
     "dedup_keep_best",
     "similarity_ivf_multiprobe",

@@ -123,3 +123,26 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
     slope, intercept = np.polyfit(x.astype(float), y.astype(float), 1)
     assert abs(r["zipf_slope"] - slope) < 1e-9, (r["zipf_slope"], slope)
     assert abs(r["log10_intercept"] - intercept / ZIPF_FP) < 1e-9
+
+
+def test_retrieval_eval_metrics_consistency(spark):
+    """Metric identities that hold for ANY ranking: rr_fp = floor(FP /
+    first_rel_rank) when a hit exists (0 otherwise), dcg <= idcg so
+    ndcg in [0, 1], precision = n_rel/k, and the label is non-vacuous
+    (at least one query has a relevant hit on the smoke corpus)."""
+    import math
+
+    from naive_query_engine_spark.operators.retrieval import EVAL_FP
+
+    rows = QUERIES["retrieval_eval_mrr_ndcg"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r["n_rel_topk"] > 0 for r in rows)  # non-vacuous label
+    for r in rows:
+        if r["first_rel_rank"] is None:
+            assert r["rr_fp"] == 0 and r["dcg_fp"] == 0 and r["ndcg_at_k"] == 0.0
+        else:
+            assert r["rr_fp"] == math.floor(EVAL_FP / float(r["first_rel_rank"]))
+            assert r["dcg_fp"] > 0
+        assert 0 <= r["dcg_fp"] <= r["idcg_fp"]
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0
+        assert r["precision_at_k"] == r["n_rel_topk"] / r["n_retrieved"]

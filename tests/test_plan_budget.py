@@ -84,6 +84,10 @@ BUDGETS = {
     # word-count agg + TakeOrdered; the 1000-survivor ranking window and
     # the 1-row moment reduce ride the collected top-k (pagerank idiom)
     "text_zipf_slope": (3, False),
+    # all corpus cost is the spliced BM25 operator (its tf lineage
+    # re-counts per consumer in the STATIC plan, bm25 precedent); the
+    # eval layer adds label joins + (queries x k)-bounded aggs
+    "retrieval_eval_mrr_ndcg": (18, True),
     # one corpus pass to 16 bucket partials; the summary-of-aggregates
     # crossJoins re-count the scan-agg lineage per consumer in the STATIC
     # plan (the sketch_bloom_membership precedent) — every exchanged
