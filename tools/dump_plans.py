@@ -207,6 +207,25 @@ ANNOTATED = {
     "bin rollup",
     "revenue_share_of_parent": "q05-shaped star agg re-joined at two "
     "bounded rollup levels; the share joins never touch the fact table",
+    # r5 additions
+    "dedup_tfidf_cosine_prefix": "prefix-pruned candidate join (19% of "
+    "postings indexed at t=0.8) + full-index verify + per-doc top-20 cap "
+    "window; weighted index behind the shared lineage cut",
+    "embedding_top_pc_power_iteration": "map-only Arrow Gram partials "
+    "behind a cut; six fixed-point iterations ride D^2-row frames with "
+    "broadcast vectors — iteration exchanges run at construction",
+    "sketch_join_size_estimate": "two fixed d*w sketch aggregations + "
+    "(seed,pos)-aligned join; the truth side is the scorer, not the path",
+    "multimodal_jpeg_header_parse": "map-only: JVM-side payload build + "
+    "Arrow marker-walk kernel, zero exchanges",
+    "events_value_jackknife_ci": "one corpus pass to 16 bucket partials "
+    "(map-side combined); every later frame is 16- or 1-row",
+    "text_zipf_slope": "word-count agg + TakeOrdered; the ranking window "
+    "sees only the 1000 survivors; 1-row exact moment reduce",
+    "retrieval_eval_mrr_ndcg": "all corpus cost in the spliced BM25 "
+    "operator; label joins and DCG aggs are (queries x k)-bounded",
+    "window_distribution_functions": "one partition-by shuffle; "
+    "percent_rank/cume_dist ride the same sort",
 }
 
 
