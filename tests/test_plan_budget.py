@@ -93,6 +93,11 @@ BUDGETS = {
     # plan (the sketch_bloom_membership precedent) — every exchanged
     # frame after the two scans is 16- or 1-row
     "events_value_jackknife_ci": (22, True),
+    # manifest agg + the bounded planning window + group rollup
+    "layout_compaction_plan": (2, False),
+    # build distinct + bit-set distinct + probe-key distinct + hit agg +
+    # flags joins + the fact rollup; bits/flags broadcast
+    "join_bloom_prefilter": (6, True),
     # two sketch aggs + (seed,pos) alignment join + per-seed/min reduces
     # + two exact-frequency aggs + truth join/reduce (the truth side
     # exists to score the estimator; a CBO consults the sketches only)
