@@ -1591,3 +1591,114 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((cxy * cxy) / (cxx * cyy)).alias("r_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic curation rules
+
+#: rule thresholds (integers only — every rule below is an integer
+#: comparison, so both engines agree bit-for-bit with no float thresholds)
+GOPHER_MIN_TOK = 20
+GOPHER_MAX_TOK = 90
+GOPHER_MIN_MEAN_LEN = 4  # mean non-space chars per token, lower bound
+GOPHER_MAX_MEAN_LEN = 5  # upper bound
+GOPHER_MIN_STOP = 2      # minimum stopword hits (Gopher's "has >=2 of ...")
+
+
+@query(
+    "text_gopher_quality_rules",
+    oracle=rf"""
+    WITH q AS (
+      SELECT source,
+             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS BIGINT) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, '[ \t\n\r\f]+', '', 'g')) AS BIGINT) AS n_nonspace,
+             CAST(LENGTH(list_filter(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+'),
+                                     x -> list_contains([{_STOP_SQL}], x))) AS BIGINT) AS n_stop,
+             CAST(LENGTH(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+'))) AS BIGINT) AS n_distinct
+      FROM documents
+    ), r AS (
+      SELECT source,
+             (n_tok BETWEEN {GOPHER_MIN_TOK} AND {GOPHER_MAX_TOK}) AS r_len,
+             (n_nonspace >= {GOPHER_MIN_MEAN_LEN} * n_tok
+              AND n_nonspace <= {GOPHER_MAX_MEAN_LEN} * n_tok) AS r_word_len,
+             (n_stop >= {GOPHER_MIN_STOP}) AS r_stop,
+             (2 * n_distinct >= n_tok) AS r_rep
+      FROM q
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE NOT r_len) AS BIGINT) AS fail_len,
+           CAST(COUNT(*) FILTER (WHERE NOT r_word_len) AS BIGINT) AS fail_word_len,
+           CAST(COUNT(*) FILTER (WHERE NOT r_stop) AS BIGINT) AS fail_stopword,
+           CAST(COUNT(*) FILTER (WHERE NOT r_rep) AS BIGINT) AS fail_repetition,
+           CAST(COUNT(*) FILTER (WHERE r_len AND r_word_len AND r_stop AND r_rep) AS BIGINT) AS pass_all,
+           CAST(COUNT(*) FILTER (WHERE r_len AND r_word_len AND r_stop AND r_rep) AS DOUBLE)
+             / COUNT(*) AS pass_rate
+    FROM r
+    GROUP BY source
+    """,
+    tags=("text", "pipeline", "quality", "curation"),
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic curation rules (Rae et al. 2021 §A1.1, C4's
+    heuristic-filter family), reported as a per-source rule-attribution
+    table: how many documents each rule rejects, and the all-rules pass
+    rate — the report a curation run produces BEFORE committing a filter,
+    so threshold changes are reviewed against what they would delete.
+
+    Rules (every one an integer comparison — no float thresholds, so the
+    oracle matches bit-for-bit; bounds chosen to discriminate on this
+    corpus, n_tok in [10, 99], 22% of docs under GOPHER_MIN_STOP = 2
+    stopword hits):
+      r_len        GOPHER_MIN_TOK = 20 <= n_tok <= GOPHER_MAX_TOK = 90
+      r_word_len   GOPHER_MIN_MEAN_LEN = 4 <= mean non-space chars/token
+                   <= GOPHER_MAX_MEAN_LEN = 5 (integer cross-multiplied;
+                   Gopher's published band is [3, 10] — tightened here so
+                   the rule is NON-VACUOUS on this corpus, whose per-doc
+                   means span 3.7..5.3)
+      r_stop       >= GOPHER_MIN_STOP = 2 stopword hits (Gopher's
+                   "contains two of the common function words")
+      r_rep        distinct-token ratio >= 1/2 (word-soup / template
+                   repetition; integer cross-multiplied)
+
+    Scale shape: ONE corpus scan; every rule is a per-row JVM expression
+    (split / regexp / array_distinct — no explode, no Python); the only
+    shuffle is the source-keyed agg with map-side partial rows bounded by
+    n_sources.  At 100 TB this is scan-bandwidth-bound, exactly like
+    text_quality_score.  The reference has no text surface; this extends
+    the quality family with the rule-attribution report.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_nonspace = F.length(
+        F.regexp_replace(F.col("text"), r"[ \t\n\r\f]+", "")
+    ).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    r_len = (n_tok >= GOPHER_MIN_TOK) & (n_tok <= GOPHER_MAX_TOK)
+    r_word_len = (n_nonspace >= GOPHER_MIN_MEAN_LEN * n_tok) & (
+        n_nonspace <= GOPHER_MAX_MEAN_LEN * n_tok
+    )
+    r_stop = n_stop >= GOPHER_MIN_STOP
+    r_rep = (2 * n_distinct) >= n_tok
+    r_all = r_len & r_word_len & r_stop & r_rep
+    fails = lambda c: F.sum(F.when(~c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        d.select(F.col("source"), r_len.alias("r_len"),
+                 r_word_len.alias("r_word_len"), r_stop.alias("r_stop"),
+                 r_rep.alias("r_rep"), r_all.alias("r_all"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            fails(F.col("r_len")).alias("fail_len"),
+            fails(F.col("r_word_len")).alias("fail_word_len"),
+            fails(F.col("r_stop")).alias("fail_stopword"),
+            fails(F.col("r_rep")).alias("fail_repetition"),
+            F.sum(F.when(F.col("r_all"), 1).otherwise(0)).cast("long").alias("pass_all"),
+            (
+                F.sum(F.when(F.col("r_all"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("pass_rate"),
+        )
+    )

@@ -139,6 +139,7 @@ ROTATION: tuple[str, ...] = (
     "retrieval_eval_mrr_ndcg",
     "layout_compaction_plan",
     "join_bloom_prefilter",
+    "text_gopher_quality_rules",
     "dedup_semantic",
     "dedup_keep_best",
     "similarity_ivf_multiprobe",

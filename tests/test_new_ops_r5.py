@@ -178,3 +178,58 @@ def test_bloom_prefilter_never_false_negative(spark):
     o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
     keys = set(c.loc[c["c_acctbal"] > 9000, "c_custkey"])
     assert r["n_true_match"] == int(o["o_custkey"].isin(keys).sum())
+
+
+def test_gopher_rules_match_python_recompute(spark):
+    """Every per-source rule-failure count must equal an independent
+    pure-Python recompute (re.split tokenization, set() for distinct),
+    and no rule may be vacuous corpus-wide (a rule that never fires is
+    not a filter — the same standard that rejected the vacuous
+    same-source retrieval label)."""
+    import re
+
+    from naive_query_engine_spark.operators.text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_TOK,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP,
+        GOPHER_MIN_TOK,
+        STOPWORDS,
+    )
+
+    rows = {
+        r["source"]: r
+        for r in QUERIES["text_gopher_quality_rules"].fn(spark, SF_SMOKE).collect()
+    }
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    stop = set(STOPWORDS)
+    exp: dict[str, dict[str, int]] = {}
+    for _, d in docs.iterrows():
+        toks = re.split(r"[ \t\n\r\f]+", d["text"].strip().lower())
+        n_tok = len(toks)
+        n_nonspace = len(re.sub(r"[ \t\n\r\f]+", "", d["text"]))
+        r_len = GOPHER_MIN_TOK <= n_tok <= GOPHER_MAX_TOK
+        r_word_len = (
+            GOPHER_MIN_MEAN_LEN * n_tok <= n_nonspace <= GOPHER_MAX_MEAN_LEN * n_tok
+        )
+        r_stop = sum(1 for w in toks if w in stop) >= GOPHER_MIN_STOP
+        r_rep = 2 * len(set(toks)) >= n_tok
+        e = exp.setdefault(
+            d["source"],
+            {"n_docs": 0, "fail_len": 0, "fail_word_len": 0,
+             "fail_stopword": 0, "fail_repetition": 0, "pass_all": 0},
+        )
+        e["n_docs"] += 1
+        e["fail_len"] += not r_len
+        e["fail_word_len"] += not r_word_len
+        e["fail_stopword"] += not r_stop
+        e["fail_repetition"] += not r_rep
+        e["pass_all"] += r_len and r_word_len and r_stop and r_rep
+    assert set(rows) == set(exp)
+    for src, e in exp.items():
+        for k, v in e.items():
+            assert rows[src][k] == v, (src, k, rows[src][k], v)
+    # non-vacuity: every rule fires somewhere, and some docs still pass
+    for k in ("fail_len", "fail_word_len", "fail_stopword", "fail_repetition"):
+        assert sum(e[k] for e in exp.values()) > 0, k
+    assert sum(e["pass_all"] for e in exp.values()) > 0

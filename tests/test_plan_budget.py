@@ -95,6 +95,8 @@ BUDGETS = {
     "events_value_jackknife_ci": (22, True),
     # manifest agg + the bounded planning window + group rollup
     "layout_compaction_plan": (2, False),
+    # one corpus scan; per-row JVM rule exprs; single source-keyed agg
+    "text_gopher_quality_rules": (1, False),
     # build distinct + bit-set distinct + probe-key distinct + hit agg +
     # flags joins + the fact rollup; bits/flags broadcast
     "join_bloom_prefilter": (6, True),
