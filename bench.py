@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "embedding_kmeans_lloyd",
     "retrieval_rrf_fusion",
     "events_value_drift_ks",
+    # r5 rotation (same rationale): the prefix-filtered high-sim dedup
+    # pass, the fixed-point top-PC, the CBO join-size sketch, and the
+    # jackknife CI join the artifact so each round measures them
+    "dedup_tfidf_cosine_prefix",
+    "embedding_top_pc_power_iteration",
+    "sketch_join_size_estimate",
+    "events_value_jackknife_ci",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays
@@ -95,6 +102,12 @@ BASELINES = {
     "embedding_kmeans_lloyd": 2.152,
     "retrieval_rrf_fusion": 1.959,
     "events_value_drift_ks": 1.165,
+    # r5 rotation: from a run whose established-24-query subtotal read
+    # 0.99x its baseline (BASELINE.md round-5 table)
+    "dedup_tfidf_cosine_prefix": 2.905,
+    "embedding_top_pc_power_iteration": 1.749,
+    "sketch_join_size_estimate": 0.904,
+    "events_value_jackknife_ci": 0.532,
 }
 
 

@@ -1,0 +1,45 @@
+"""Driver-window rotation invariants (rotation.py is what decides which
+queries the round driver correctness-checks — a name typo there would
+silently shrink the window, so pin its contract)."""
+
+from __future__ import annotations
+
+from naive_query_engine_spark.queries import QUERIES
+from naive_query_engine_spark.rotation import (
+    DRIVER_SAMPLED,
+    ROTATION,
+    SENTINELS,
+    WINDOW_SIZE,
+    ordered_names,
+)
+
+
+def test_ordering_is_a_permutation_of_the_registry():
+    names = ordered_names()
+    assert len(names) == len(QUERIES)
+    assert set(names) == set(QUERIES)
+
+
+def test_schedule_names_all_exist():
+    for n in SENTINELS + ROTATION:
+        assert n in QUERIES, n
+    for n in DRIVER_SAMPLED:
+        assert n in QUERIES, n
+
+
+def test_window_shape():
+    names = ordered_names()
+    window = names[:WINDOW_SIZE]
+    # sentinels lead every window
+    assert list(window[: len(SENTINELS)]) == list(SENTINELS)
+    # the rest of the window is never-driver-sampled work
+    for n in window[len(SENTINELS) :]:
+        assert n not in DRIVER_SAMPLED, n
+    # every window entry carries a full oracle (rows+schema+hash check)
+    for n in window:
+        assert QUERIES[n].oracle is not None, n
+
+
+def test_rotation_has_no_duplicates():
+    assert len(ROTATION) == len(set(ROTATION))
+    assert not (set(ROTATION) & set(SENTINELS))
