@@ -430,3 +430,180 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(key).alias("first_partition"),
         F.max(key).alias("last_partition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zone maps / data skipping
+
+ZONE_N = 64  # zones per layout (a real table's per-file footer count analog)
+
+#: the representative predicate set the report scores (literals shared
+#: verbatim with the oracle)
+ZONE_PRED_DATE_LO = "1997-07-01"
+ZONE_PRED_DATE_HI = "1997-10-01"
+ZONE_PRED_PRICE_MIN = 450000.0
+ZONE_PRED_KEY_LO = 100
+ZONE_PRED_KEY_HI = 400
+
+
+@query(
+    "layout_zone_map_stats",
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders),
+    ri AS (SELECT o_orderkey, o_orderdate, o_totalprice,
+                  ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS r,
+                  COUNT(*) OVER () AS n
+           FROM base),
+    rd AS (SELECT o_orderkey, o_orderdate, o_totalprice,
+                  ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS r,
+                  COUNT(*) OVER () AS n
+           FROM base),
+    si AS MATERIALIZED (
+      SELECT {_floordiv_sql('r * ' + str(ZONE_N), 'n')} AS z,
+             MIN(o_orderkey) AS k_lo, MAX(o_orderkey) AS k_hi,
+             MIN(o_orderdate) AS d_lo, MAX(o_orderdate) AS d_hi,
+             MAX(o_totalprice) AS p_hi, COUNT(*) AS cnt
+      FROM ri GROUP BY 1),
+    sd AS MATERIALIZED (
+      SELECT {_floordiv_sql('r * ' + str(ZONE_N), 'n')} AS z,
+             MIN(o_orderkey) AS k_lo, MAX(o_orderkey) AS k_hi,
+             MIN(o_orderdate) AS d_lo, MAX(o_orderdate) AS d_hi,
+             MAX(o_totalprice) AS p_hi, COUNT(*) AS cnt
+      FROM rd GROUP BY 1),
+    both_layouts AS (
+      SELECT 'ingest' AS layout, * FROM si
+      UNION ALL
+      SELECT 'date_sorted' AS layout, * FROM sd),
+    flags AS (
+      SELECT layout, cnt,
+             (d_hi < TIMESTAMP '{ZONE_PRED_DATE_LO}'
+              OR d_lo >= TIMESTAMP '{ZONE_PRED_DATE_HI}') AS s_date,
+             (p_hi < {ZONE_PRED_PRICE_MIN}) AS s_price,
+             (k_hi < {ZONE_PRED_KEY_LO} OR k_lo > {ZONE_PRED_KEY_HI}) AS s_key
+      FROM both_layouts),
+    agg AS (
+      SELECT layout,
+             CAST(COUNT(*) AS BIGINT) AS n_zones,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN s_date THEN 1 ELSE 0 END) AS BIGINT) AS zd,
+             CAST(SUM(CASE WHEN s_date THEN cnt ELSE 0 END) AS BIGINT) AS rd_,
+             CAST(SUM(CASE WHEN s_price THEN 1 ELSE 0 END) AS BIGINT) AS zp,
+             CAST(SUM(CASE WHEN s_price THEN cnt ELSE 0 END) AS BIGINT) AS rp,
+             CAST(SUM(CASE WHEN s_key THEN 1 ELSE 0 END) AS BIGINT) AS zk,
+             CAST(SUM(CASE WHEN s_key THEN cnt ELSE 0 END) AS BIGINT) AS rk
+      FROM flags GROUP BY layout)
+    SELECT layout, predicate, n_zones, n_zones_skipped,
+           CAST(n_zones_skipped AS DOUBLE) / n_zones AS zone_skip_rate,
+           n_rows_skipped,
+           CAST(n_rows_skipped AS DOUBLE) / n_rows AS row_skip_rate
+    FROM (
+      SELECT layout, 'date_q3_1997' AS predicate, n_zones, n_rows,
+             zd AS n_zones_skipped, rd_ AS n_rows_skipped FROM agg
+      UNION ALL
+      SELECT layout, 'price_ge_450k', n_zones, n_rows, zp, rp FROM agg
+      UNION ALL
+      SELECT layout, 'orderkey_100_400', n_zones, n_rows, zk, rk FROM agg)
+    """,
+    tags=("layout", "scale", "data-skipping", "zonemap"),
+)
+def layout_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping report: how much of the table a scan can
+    SKIP, per candidate layout, for a representative predicate set — the
+    report that justifies (or rejects) a re-clustering before anyone
+    pays for the rewrite.  Every lakehouse scan planner works this way:
+    per-file min/max footers (zone maps), prune files whose [min,max]
+    cannot intersect the predicate.  Here the table is carved into
+    ZONE_N = 64 equal-row zones under two layouts — 'ingest' (o_orderkey
+    order: what the table looks like as written) and 'date_sorted'
+    (o_orderdate order: the proposed re-cluster) — and each predicate is
+    scored as zones-skippable / rows-skippable from the zone stats ONLY.
+
+    Expected shape (and what the corpus shows): the orderkey slice
+    prunes ~62/64 zones on the ingest layout and 0 after the date sort;
+    the date quarter prunes ~61/64 on the date sort and 0 on ingest;
+    the price predicate prunes ~0 on BOTH — the deliberate negative
+    control (o_totalprice is uncorrelated with either sort key, the case
+    where zone maps buy nothing and a Z-ORDER/space-filling layout —
+    events_zorder_locality — is the right tool instead).
+
+    Scale shape: one `global_rank` per layout (repartitionByRange +
+    bounded per-partition-count collect — the distributed-rank idiom,
+    no single-partition window on the Spark side), one zone agg each
+    (ZONE_N-bounded output), then all predicate scoring runs on the
+    64-row zone frames.  Two corpus passes total, both
+    range-partitioned.  At 100 TB the zone frame is the FILE MANIFEST
+    (~1e5 rows), not the data.
+
+    Determinism: zone = rank*64 // n in exact integer math
+    (`floordiv_col` / `_floordiv_sql`); ranks are total-ordered by
+    unique keys; skip flags are integer/timestamp comparisons; the two
+    rates are single double divisions of exact integers.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    lo_ts = F.lit(ZONE_PRED_DATE_LO).cast("timestamp")
+    hi_ts = F.lit(ZONE_PRED_DATE_HI).cast("timestamp")
+    reports = []
+    for layout, cols in (
+        ("ingest", ["o_orderkey"]),
+        ("date_sorted", ["o_orderdate", "o_orderkey"]),
+    ):
+        ranked, n = global_rank(o, cols, "r")
+        zoned = ranked.withColumn(
+            "z", floordiv_col(F.col("r") * ZONE_N, F.lit(n).cast("long"))
+        )
+        zstats = zoned.groupBy("z").agg(
+            F.min("o_orderkey").alias("k_lo"),
+            F.max("o_orderkey").alias("k_hi"),
+            F.min("o_orderdate").alias("d_lo"),
+            F.max("o_orderdate").alias("d_hi"),
+            F.max("o_totalprice").alias("p_hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        s_date = (F.col("d_hi") < lo_ts) | (F.col("d_lo") >= hi_ts)
+        s_price = F.col("p_hi") < F.lit(ZONE_PRED_PRICE_MIN)
+        s_key = (F.col("k_hi") < ZONE_PRED_KEY_LO) | (
+            F.col("k_lo") > ZONE_PRED_KEY_HI
+        )
+        zones = lambda s: F.sum(s.cast("int")).cast("long")  # noqa: E731
+        rows = lambda s: F.sum(F.when(s, F.col("cnt")).otherwise(0)).cast("long")  # noqa: E731
+        one = zstats.agg(
+            F.count(F.lit(1)).cast("long").alias("n_zones"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            zones(s_date).alias("zd"), rows(s_date).alias("rd"),
+            zones(s_price).alias("zp"), rows(s_price).alias("rp"),
+            zones(s_key).alias("zk"), rows(s_key).alias("rk"),
+        )
+        pred = lambda name, z, r: F.struct(  # noqa: E731
+            F.lit(name).alias("predicate"),
+            F.col(z).alias("n_zones_skipped"),
+            F.col(r).alias("n_rows_skipped"),
+        )
+        reports.append(
+            one.select(
+                F.lit(layout).alias("layout"),
+                F.col("n_zones"),
+                F.col("n_rows"),
+                F.explode(
+                    F.array(
+                        pred("date_q3_1997", "zd", "rd"),
+                        pred("price_ge_450k", "zp", "rp"),
+                        pred("orderkey_100_400", "zk", "rk"),
+                    )
+                ).alias("p"),
+            ).select(
+                "layout",
+                F.col("p.predicate").alias("predicate"),
+                "n_zones",
+                F.col("p.n_zones_skipped").alias("n_zones_skipped"),
+                (
+                    F.col("p.n_zones_skipped").cast("double") / F.col("n_zones")
+                ).alias("zone_skip_rate"),
+                F.col("p.n_rows_skipped").alias("n_rows_skipped"),
+                (
+                    F.col("p.n_rows_skipped").cast("double") / F.col("n_rows")
+                ).alias("row_skip_rate"),
+            )
+        )
+    return reports[0].unionAll(reports[1])

@@ -140,6 +140,7 @@ ROTATION: tuple[str, ...] = (
     "layout_compaction_plan",
     "join_bloom_prefilter",
     "text_gopher_quality_rules",
+    "layout_zone_map_stats",
     "dedup_semantic",
     "dedup_keep_best",
     "similarity_ivf_multiprobe",

@@ -233,3 +233,54 @@ def test_gopher_rules_match_python_recompute(spark):
     for k in ("fail_len", "fail_word_len", "fail_stopword", "fail_repetition"):
         assert sum(e[k] for e in exp.values()) > 0, k
     assert sum(e["pass_all"] for e in exp.values()) > 0
+
+
+def test_zone_map_stats_match_pandas_recompute(spark):
+    """Zone assignment, zone min/max, and every skip count must equal an
+    independent pandas recompute; and the report must show the layout
+    CONTRAST that is its whole point (key predicate prunes on ingest
+    only, date predicate on date_sorted only; the price predicate is the
+    documented negative control on both)."""
+    from naive_query_engine_spark.operators.layout import (
+        ZONE_N,
+        ZONE_PRED_DATE_HI,
+        ZONE_PRED_DATE_LO,
+        ZONE_PRED_KEY_HI,
+        ZONE_PRED_KEY_LO,
+        ZONE_PRED_PRICE_MIN,
+    )
+
+    got = {
+        (r["layout"], r["predicate"]): r
+        for r in QUERIES["layout_zone_map_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    lo = pd.Timestamp(ZONE_PRED_DATE_LO)
+    hi = pd.Timestamp(ZONE_PRED_DATE_HI)
+    for layout, cols in (
+        ("ingest", ["o_orderkey"]),
+        ("date_sorted", ["o_orderdate", "o_orderkey"]),
+    ):
+        d = o.sort_values(cols, kind="mergesort").reset_index(drop=True)
+        d["z"] = (d.index.values * ZONE_N) // len(d)
+        g = d.groupby("z").agg(
+            k_lo=("o_orderkey", "min"), k_hi=("o_orderkey", "max"),
+            d_lo=("o_orderdate", "min"), d_hi=("o_orderdate", "max"),
+            p_hi=("o_totalprice", "max"), cnt=("o_orderkey", "size"),
+        )
+        flags = {
+            "date_q3_1997": (g["d_hi"] < lo) | (g["d_lo"] >= hi),
+            "price_ge_450k": g["p_hi"] < ZONE_PRED_PRICE_MIN,
+            "orderkey_100_400": (g["k_hi"] < ZONE_PRED_KEY_LO)
+            | (g["k_lo"] > ZONE_PRED_KEY_HI),
+        }
+        for pname, s in flags.items():
+            r = got[(layout, pname)]
+            assert r["n_zones"] == len(g)
+            assert r["n_zones_skipped"] == int(s.sum()), (layout, pname)
+            assert r["n_rows_skipped"] == int(g.loc[s, "cnt"].sum()), (layout, pname)
+    # the layout contrast: each sort key prunes its own predicate only
+    assert got[("ingest", "orderkey_100_400")]["zone_skip_rate"] > 0.7
+    assert got[("ingest", "date_q3_1997")]["n_zones_skipped"] == 0
+    assert got[("date_sorted", "date_q3_1997")]["zone_skip_rate"] > 0.7
+    assert got[("date_sorted", "orderkey_100_400")]["n_zones_skipped"] == 0

@@ -97,6 +97,9 @@ BUDGETS = {
     "layout_compaction_plan": (2, False),
     # one corpus scan; per-row JVM rule exprs; single source-keyed agg
     "text_gopher_quality_rules": (1, False),
+    # per layout: global_rank range repartition + zone agg + 1-row
+    # summary agg; predicate scoring rides the 64-row zone frames
+    "layout_zone_map_stats": (6, False),
     # build distinct + bit-set distinct + probe-key distinct + hit agg +
     # flags joins + the fact rollup; bits/flags broadcast
     "join_bloom_prefilter": (6, True),
