@@ -344,9 +344,9 @@ def _ivf_kmeans_oracle(
 def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN whose coarse quantizer is LEARNED — the k-means and ANN
     families composed the way a real vector index is built:
-    :func:`train_centroids` fits K={K} Lloyd centroids, every corpus
+    :func:`train_centroids` fits K={KMEANS_K} Lloyd centroids, every corpus
     vector is assigned to its nearest cell, and each query searches its
-    {P} nearest cells only (nprobe={P}, the recall lever).  Compare
+    {IVF_KM_NPROBE} nearest cells only (nprobe={IVF_KM_NPROBE}, the recall lever).  Compare
     ``similarity_ivf_topk``, whose cells are the given labels: this is
     the label-free path a production index takes.
 

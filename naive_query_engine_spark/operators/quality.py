@@ -574,8 +574,8 @@ CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
 )
 def dataset_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking — the cut every pre-training pipeline makes
-    before packing: each document becomes overlapping {C}-token chunks at
-    stride {S} ({O}-token overlap so no span is ever split across a chunk
+    before packing: each document becomes overlapping {CHUNK_TOKENS}-token chunks
+    at stride {CHUNK_STRIDE} (32-token overlap so no span is ever split across a chunk
     boundary without a copy that contains it whole); the tail chunk is
     short rather than dropped, and a short document still yields one
     chunk.  ``chunk_md5`` digests the exact token slice, so the output is

@@ -1057,7 +1057,7 @@ KNN_K = 10
 )
 def embedding_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise audit: for each audit vector, the fraction of its
-    {K} nearest neighbors (exact cosine) carrying a DIFFERENT label — the
+    {KNN_K} nearest neighbors (exact cosine) carrying a DIFFERENT label — the
     neighbor-voting mislabel detector (confident-learning style).  A high
     ``disagree_frac`` flags a vector whose label its embedding
     neighborhood contradicts — the rows a label-cleaning pass reviews
@@ -1065,7 +1065,7 @@ def embedding_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFr
 
     Same corpus-size-independent shuffle shape as
     ``similarity_topk_vectorized``: the audit matrix ({A} vectors) rides
-    in one broadcast, the Arrow kernel emits per-batch top-{K} under the
+    in one broadcast, the Arrow kernel emits per-batch top-{KNN_K} under the
     global window's exact order, and labels join onto K x {A} rows.
     """
     import numpy as np

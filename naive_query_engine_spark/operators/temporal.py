@@ -183,7 +183,7 @@ ASOF_TOLERANCE_DAYS = 30
 def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a TOLERANCE bound (pandas ``merge_asof(tolerance=)``
     / kdb ``wj`` semantics): each event takes the user's most recent order
-    at event time, but a match staler than {D} days is nulled out — stale
+    at event time, but a match staler than {ASOF_TOLERANCE_DAYS} days is nulled out — stale
     state must not be carried forward indefinitely (feature freshness in
     training pipelines).  Same union+window machinery as ``asof_join``
     (one shuffle on the key, no inequality-join fan-out); the tolerance is

@@ -1049,7 +1049,7 @@ def _bpe_encode_oracle(n_iters: int = BPE_N_ITERS) -> str:
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained BPE merge table at corpus scale — the other half
     of the tokenizer story (``text_bpe_train_8iters`` learns the merges;
-    this encodes with them): train the same {N} winners, then rewrite
+    this encodes with them): train the same {BPE_N_ITERS} winners, then rewrite
     EVERY token through the merge chain (literal replaces, leftmost
     non-overlapping in both engines — the greedy merge-application order)
     and report per-source symbol counts vs raw char counts — the
@@ -1250,7 +1250,7 @@ PMI_TOP = 50
     tags=("text", "pipeline", "collocation"),
 )
 def text_adjacent_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation (phrase) mining: top-{T} adjacent-token pairs by PMI
+    """Collocation (phrase) mining: top-{PMI_TOP} adjacent-token pairs by PMI
     lift ``P(ab) / (P(a)·P(b))`` with a min-support cut — the phrase
     candidates a tokenizer/vocab build promotes to single units (the
     statistical cousin of the BPE merge rule, which ranks by raw count).
