@@ -110,6 +110,26 @@ BASELINES = {
     "events_value_jackknife_ci": 0.532,
 }
 
+#: the calibration population (ADVICE r5): only queries whose baselines
+#: carry multi-round independent confirmation enter the host-drift
+#: ratio.  Freshly-rotated queries keep their single-run
+#: 0.99x-calibrated baselines in BASELINES (still reported per-query)
+#: but are EXCLUDED from the calibration subtotal until two independent
+#: rounds re-measure them consistently — otherwise the drift correction
+#: is partially self-referential on their first re-read.  Graduation
+#: ledger: the r5 four (tfidf-prefix / top-PC / join-size sketch /
+#: jackknife) have ONE confirmation so far — BENCH_r05 read them at
+#: 1.106/1.082/1.046/1.079x their baselines inside a run whose
+#: established-24 ratio was 1.097x (pure host drift, no per-query
+#: deviation); they graduate into ESTABLISHED when BENCH_r06 agrees.
+FRESH_ROTATION: list[str] = [
+    "dedup_tfidf_cosine_prefix",
+    "embedding_top_pc_power_iteration",
+    "sketch_join_size_estimate",
+    "events_value_jackknife_ci",
+]
+ESTABLISHED = [q for q in BASELINES if q not in FRESH_ROTATION]
+
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     best = float("inf")
@@ -134,7 +154,7 @@ def main() -> None:
         timings[name] = round(run_one(spark, name, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
-    est = [q for q in BENCH_QUERIES if q in BASELINES]
+    est = [q for q in BENCH_QUERIES if q in ESTABLISHED]
     est_measured = sum(timings[q] for q in est)
     est_baseline = sum(BASELINES[q] for q in est)
     print(
@@ -151,6 +171,19 @@ def main() -> None:
                 "established_subtotal_ratio": round(est_measured / est_baseline, 3),
                 "established_baseline_sec": round(est_baseline, 3),
                 "established_queries": len(est),
+                # first-re-measure evidence for freshly-rotated queries
+                # (their single-run baselines are NOT in the calibration
+                # ratio above; this field is what graduates them)
+                "fresh_subtotal_ratio": round(
+                    sum(timings[q] for q in BENCH_QUERIES if q in FRESH_ROTATION)
+                    / max(
+                        sum(BASELINES[q] for q in BENCH_QUERIES if q in FRESH_ROTATION),
+                        1e-9,
+                    ),
+                    3,
+                )
+                if any(q in FRESH_ROTATION for q in BENCH_QUERIES)
+                else None,
             }
         )
     )

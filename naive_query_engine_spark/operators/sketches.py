@@ -670,8 +670,8 @@ JS_SEEDS = 3
     SELECT CAST(est.est_rows AS BIGINT) AS est_rows,
            CAST(truth.true_rows AS BIGINT) AS true_rows,
            CAST(est.est_rows - truth.true_rows AS BIGINT) AS overcount,
-           CAST(est.est_rows AS DOUBLE) / CAST(truth.true_rows AS DOUBLE)
-             AS est_over_true
+           CAST(est.est_rows AS DOUBLE)
+             / NULLIF(CAST(truth.true_rows AS DOUBLE), 0) AS est_over_true
     FROM est CROSS JOIN truth
     """,
     tags=("sketch", "countmin", "join", "cardinality", "cbo"),
@@ -737,8 +737,11 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_rows").cast("long").alias("est_rows"),
         F.col("true_rows").cast("long").alias("true_rows"),
         (F.col("est_rows") - F.col("true_rows")).cast("long").alias("overcount"),
-        (
-            F.col("est_rows").cast("double") / F.col("true_rows").cast("double")
+        # guarded denominator (ADVICE r5): an empty true join must read
+        # NULL in BOTH engines (DuckDB raw division would yield inf)
+        F.when(
+            F.col("true_rows") != 0,
+            F.col("est_rows").cast("double") / F.col("true_rows").cast("double"),
         ).alias("est_over_true"),
     )
 
@@ -783,7 +786,7 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(truth) AS BIGINT) AS n_true_match,
            CAST(SUM(pass) - SUM(truth) AS BIGINT) AS n_false_positive,
            CAST(SUM(pass) - SUM(truth) AS DOUBLE)
-             / (COUNT(*) - SUM(truth)) AS fp_rate,
+             / NULLIF(COUNT(*) - SUM(truth), 0) AS fp_rate,
            CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS bloom_selectivity
     FROM per_order
     """,
@@ -848,9 +851,14 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pass").cast("long").alias("n_pass_bloom"),
         F.sum("truth").cast("long").alias("n_true_match"),
         (F.sum("pass") - F.sum("truth")).cast("long").alias("n_false_positive"),
-        (
+        # guarded denominator (ADVICE r5): a corpus where every order
+        # matches the build side has no true-negative population, so
+        # fp_rate must read NULL in BOTH engines rather than DuckDB
+        # inf/NaN vs a Spark error/NULL divergence
+        F.when(
+            (F.count(F.lit(1)) - F.sum("truth")) != 0,
             (F.sum("pass") - F.sum("truth")).cast("double")
-            / (F.count(F.lit(1)) - F.sum("truth"))
+            / (F.count(F.lit(1)) - F.sum("truth")),
         ).alias("fp_rate"),
         (F.sum("pass").cast("double") / F.count(F.lit(1))).alias(
             "bloom_selectivity"

@@ -1535,10 +1535,11 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the two log10s are the one libm step — both engines
     compute a correctly-rounded double on identical integer inputs — and
-    are immediately quantized to 1e9 fixed point (the math_funcs ROUND
-    discipline), after which the OLS runs on EXACT integers through the
-    agg_corr_exact moment machinery (HUGEINT/DECIMAL(38,0) cross-terms;
-    n·Σyy here ≤ 1e3·1e3·(13·1e9)² ≈ 2e26 ≪ 1e38).
+    are immediately quantized to ZIPF_FP = 1e6 fixed point (the
+    math_funcs ROUND discipline), after which the OLS runs on EXACT
+    integers through the agg_corr_exact moment machinery
+    (HUGEINT/DECIMAL(38,0) cross-terms; n·Σyy here ≤
+    1e3·1e3·(13·1e6)² ≈ 2e20 ≪ 1e38).
 
     Scale shape: one shuffle on the word for counts, TakeOrdered for the
     top-1000 (never a global sort), then every frame is 1000 rows — the
@@ -1567,9 +1568,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(19,0)")
         .alias("y"),
     )
-    # products in DECIMAL (operands cast BEFORE the multiply — a raw
-    # long*long x·y overflows int64 under Spark 4's default ANSI mode
-    # once counts push y past ~4e9 at a 1e9 scale; ADVICE-r4 discipline)
+    # products in DECIMAL (operands cast BEFORE the multiply).  At the
+    # 1e6 scale x·y ≤ 3e6 · 13e6 ≈ 4e13 and cannot itself overflow
+    # int64; the cast is kept as the uniform ADVICE-r4 moment-math
+    # discipline, and keeps the expression safe if ZIPF_FP is raised.
     m = pts.agg(
         F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
         F.sum("x").cast("decimal(19,0)").alias("sx"),

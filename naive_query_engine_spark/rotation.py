@@ -9,23 +9,34 @@ driver limitation.
 
 This module owns that schedule:
 
-- ``DRIVER_SAMPLED``: names with a driver CORRECTNESS row from r1–r4
-  (frozen historical fact — append per round, never rewrite).
+- ``DRIVER_SAMPLED``: names with a driver CORRECTNESS row so far
+  (frozen historical fact — append the previous window per round, never
+  rewrite).
 - ``SENTINELS``: a handful of SURVEY §2 staples re-pinned in every window so
   each round's driver run still covers scan/join/agg/window/TPC-H basics.
-- ``ROTATION``: every never-sampled query in planned order.  Round 5 takes
-  ``SENTINELS + ROTATION[:45]``; round 6 shifts to ``ROTATION[45:90]``; by
-  ~r8 every registered query has a first-party driver row.
+- ``ROTATION``: the full planned order; each round's fresh slots are the
+  next never-sampled names in this order (``DRIVER_SAMPLED`` membership,
+  not slice arithmetic, decides what "next" means — so appending the
+  previous window automatically advances the queue).
+- RESAMPLE slots (ADVICE r5 #1): beyond the 5 fixed sentinels, each window
+  reserves ``RESAMPLE_SLOTS`` positions for a deterministic rotating subset
+  of already-driver-green names, so a driver-visible regression in an
+  old query is eventually re-caught by the external check too (the local
+  all-registry ``tests/test_oracle.py`` sweep remains the primary net).
 
 ``ordered_names()`` returns the full registry ordering: current window
 first, then the remaining rotation queue (so a driver that samples more
 than 50 still prioritizes never-checked queries), then everything already
-driver-green in r1–r4.
+driver-green in earlier rounds.
 """
 
 from __future__ import annotations
 
 from .queries import QUERIES
+
+#: bump when the previous round's window is folded into DRIVER_SAMPLED —
+#: drives the deterministic resample-slot rotation below
+ROUND = 6
 
 # Names with at least one driver-green CORRECTNESS row (union of the key
 # sets of CORRECTNESS_r01.json .. CORRECTNESS_r04.json).  55 names: the
@@ -51,6 +62,28 @@ DRIVER_SAMPLED: frozenset[str] = frozenset(
         "sql_lateral_join", "sql_subquery_scalar", "sql_udtf_lateral",
         "sql_union_all", "string_funcs", "window_range_frame", "window_rank",
         "window_running_sum",
+        # --- r5 window (CORRECTNESS_r05.json: 50/50 green, 45 first-ever
+        # rows) ---
+        "dedup_simhash", "dedup_substring", "dedup_substring_strided",
+        "dedup_tfidf_cosine", "dedup_incremental",
+        "dedup_minhash_recall_vs_exact", "dedup_threshold_sweep",
+        "dataset_contamination_check", "similarity_cosine_pairs",
+        "similarity_topk_bruteforce", "similarity_lsh_bucketed",
+        "similarity_topk_vectorized", "similarity_ivf_topk",
+        "similarity_pq_adc_topk", "similarity_recall_at_k",
+        "embedding_kmeans_lloyd", "similarity_ivf_kmeans_topk",
+        "text_token_stats", "text_lang_id", "text_quality_score",
+        "text_fingerprint", "text_bm25_topk", "text_bpe_train_8iters",
+        "text_bpe_encode", "text_pii_scrub", "multimodal_decode_meta",
+        "multimodal_png_header_parse", "multimodal_wav_header_parse",
+        "multimodal_mime_sniff", "sketch_approx_distinct",
+        "sketch_hll_mergeable", "sketch_bloom_membership",
+        "sketch_countmin_freq", "sketch_kmv_jaccard",
+        "pipeline_corpus_curation", "pipeline_dedup_cascade",
+        "pipeline_incremental_curation", "graph_pagerank",
+        "graph_triangle_count", "graph_bfs_reach", "retrieval_rrf_fusion",
+        "fuzzy_entity_resolution", "events_zorder_locality",
+        "asof_join_events_orders", "range_join_event_pairs",
     }
 )
 
@@ -66,6 +99,29 @@ SENTINELS: tuple[str, ...] = (
 )
 
 WINDOW_SIZE = 50
+
+#: window slots reserved each round for re-sampling already-driver-green
+#: names beyond the fixed sentinels (ADVICE r5 #1): without these, a name
+#: leaving the window would never be externally re-checked again.  Three
+#: slots cycle deterministically through the sorted sampled pool, so over
+#: the remaining rounds a drifting regression in an old query still gets
+#: a driver re-read; the cost is 3 fresh slots/round (full first-pass
+#: coverage lands ~1 round later than the resample-free schedule).
+RESAMPLE_SLOTS = 3
+
+
+def resample_names() -> tuple[str, ...]:
+    """The deterministic rotating re-check subset for this ROUND.
+
+    Pool = every driver-green name that is not a fixed sentinel, sorted
+    (stable across rounds as the pool only appends).  The window into the
+    pool advances by RESAMPLE_SLOTS per ROUND, wrapping — a pure function
+    of (ROUND, pool) with no RNG, so the driver, tests, and a re-run all
+    agree on the same three names.
+    """
+    pool = sorted(DRIVER_SAMPLED - set(SENTINELS))
+    start = (ROUND * RESAMPLE_SLOTS) % len(pool)
+    return tuple(pool[(start + i) % len(pool)] for i in range(RESAMPLE_SLOTS))
 
 # Planned order for every never-sampled query.  Slots 1-45 (round 5) are
 # the flagship LLM-pipeline operators the r4 VERDICT called out: near-dup
@@ -269,17 +325,22 @@ ROTATION: tuple[str, ...] = (
 def ordered_names() -> list[str]:
     """Full registry ordering for the driver-visible dicts.
 
-    Window (sentinels + next 45 never-sampled) first, then the rest of the
-    never-sampled rotation queue, then the already-driver-green names in
-    registration order.  Any registry name missing from the schedule (a
-    future addition not yet slotted) lands right after the rotation queue
-    so new operators are still sampled before re-checking old ones.
+    Window = 5 sentinels + RESAMPLE_SLOTS rotating re-checks + the next
+    never-sampled names in ROTATION order.  Then the rest of the
+    never-sampled rotation queue, then any registry name missing from the
+    schedule (a future addition not yet slotted — lands right after the
+    rotation queue so new operators are still sampled before re-checking
+    old ones), then the already-driver-green names in registration order.
     """
-    window = list(SENTINELS) + [n for n in ROTATION[: WINDOW_SIZE - len(SENTINELS)]]
-    rest_rotation = [n for n in ROTATION[WINDOW_SIZE - len(SENTINELS):]]
+    fresh_queue = [n for n in ROTATION if n not in DRIVER_SAMPLED]
+    n_fresh = WINDOW_SIZE - len(SENTINELS) - RESAMPLE_SLOTS
+    window = list(SENTINELS) + list(resample_names()) + fresh_queue[:n_fresh]
+    rest_rotation = fresh_queue[n_fresh:]
     placed = set(window) | set(rest_rotation) | DRIVER_SAMPLED
     unplaced_new = [n for n in QUERIES if n not in placed]
-    sampled_tail = [n for n in QUERIES if n in DRIVER_SAMPLED and n not in set(window)]
+    sampled_tail = [
+        n for n in QUERIES if n in DRIVER_SAMPLED and n not in set(window)
+    ]
     out = window + rest_rotation + unplaced_new + sampled_tail
     # Safety: the ordering must be a permutation of the registry.
     assert len(out) == len(QUERIES) and set(out) == set(QUERIES), (

@@ -7,10 +7,12 @@ from __future__ import annotations
 from naive_query_engine_spark.queries import QUERIES
 from naive_query_engine_spark.rotation import (
     DRIVER_SAMPLED,
+    RESAMPLE_SLOTS,
     ROTATION,
     SENTINELS,
     WINDOW_SIZE,
     ordered_names,
+    resample_names,
 )
 
 
@@ -30,14 +32,29 @@ def test_schedule_names_all_exist():
 def test_window_shape():
     names = ordered_names()
     window = names[:WINDOW_SIZE]
+    k = len(SENTINELS)
     # sentinels lead every window
-    assert list(window[: len(SENTINELS)]) == list(SENTINELS)
+    assert list(window[:k]) == list(SENTINELS)
+    # then the rotating re-check slots (ADVICE r5 #1): already-green,
+    # not sentinels, deterministic
+    resample = window[k : k + RESAMPLE_SLOTS]
+    assert list(resample) == list(resample_names())
+    for n in resample:
+        assert n in DRIVER_SAMPLED and n not in SENTINELS, n
     # the rest of the window is never-driver-sampled work
-    for n in window[len(SENTINELS) :]:
+    for n in window[k + RESAMPLE_SLOTS :]:
         assert n not in DRIVER_SAMPLED, n
     # every window entry carries a full oracle (rows+schema+hash check)
     for n in window:
         assert QUERIES[n].oracle is not None, n
+
+
+def test_resample_slots_are_deterministic_and_valid():
+    a, b = resample_names(), resample_names()
+    assert a == b
+    assert len(a) == RESAMPLE_SLOTS == len(set(a))
+    for n in a:
+        assert n in QUERIES and QUERIES[n].oracle is not None, n
 
 
 def test_rotation_has_no_duplicates():
