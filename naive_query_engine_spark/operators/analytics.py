@@ -2140,3 +2140,131 @@ def events_value_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean + 1.96 * se).alias("ci_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robust trend estimation (Theil–Sen) vs OLS
+
+
+@query(
+    "events_trend_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT b.x - a.x AS dx, b.y - a.y AS dy,
+             CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+      FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    ranked AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope, dx, dy) AS rn,
+             COUNT(*) OVER () AS n
+      FROM pairs
+    ),
+    med AS (
+      SELECT AVG(slope) AS theil_sen_slope,
+             CAST(MAX(n) AS BIGINT) AS n_pairs
+      FROM ranked
+      WHERE rn IN (CAST(FLOOR((n + 1) / 2.0) AS BIGINT),
+                   CAST(FLOOR((n + 2) / 2.0) AS BIGINT))
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      FROM daily
+    ),
+    ols AS (
+      SELECT CAST(n AS BIGINT) AS n_days,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS ols_slope
+      FROM mom
+    )
+    SELECT ols.n_days, med.n_pairs, med.theil_sen_slope, ols.ols_slope
+    FROM ols CROSS JOIN med
+    """,
+    tags=("events", "analytics", "robust", "trend"),
+)
+def events_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST trend of daily event volume — the Theil–Sen estimator
+    (median of all pairwise day-to-day slopes) next to the plain OLS
+    slope on the same points.  Theil–Sen has a 29% breakdown point: a
+    traffic-spike day (bot burst, backfill replay, collection outage)
+    drags OLS arbitrarily but moves a median-of-slopes only one rank —
+    the pair of numbers IS the anomaly report (they agree ⇒ the trend is
+    real; they diverge ⇒ inspect the outlier days before believing
+    either).
+
+    Scale shape: the ONLY corpus-scale stage is the daily count (one
+    map-side-combined groupBy on the date).  Everything after runs on a
+    frame bounded by the TIMESPAN, not the row count: d days ⇒ d(d−1)/2
+    slope pairs (30 days ⇒ 435 rows here; ten YEARS of days is still
+    only ~6.7M pairs).  The single-partition ranking window is over that
+    bounded pair frame — the zipf-slope "survivors only" idiom, never
+    over corpus rows.
+
+    Determinism: slopes are single IEEE divisions of exact integer
+    deltas (identical in both engines); the median rank runs over the
+    total order (slope, dx, dy); the even-count median averages the same
+    two doubles in both engines.  OLS moments ride the exact
+    DECIMAL(38,0)/HUGEINT machinery (agg_corr_exact discipline), one
+    final double division."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("x")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    # bounded frame: |pairs| = days², never corpus rows (docstring)
+    w = Window.orderBy("slope", "dx", "dy")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long"))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / F.lit(2.0)).cast("long"))
+    ).agg(
+        F.avg("slope").alias("theil_sen_slope"),
+        F.max("n").cast("long").alias("n_pairs"),
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").cast("decimal(19,0)").alias("sx"),
+        F.sum("y").cast("decimal(19,0)").alias("sy"),
+        F.sum(
+            (F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            (F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    ols = mom.select(
+        n.cast("long").alias("n_days"),
+        (
+            (n * F.col("sxy") - sx * sy).cast("double")
+            / (n * F.col("sxx") - sx * sx).cast("double")
+        ).alias("ols_slope"),
+    )
+    return ols.crossJoin(F.broadcast(med)).select(
+        "n_days", "n_pairs", "theil_sen_slope", "ols_slope"
+    )

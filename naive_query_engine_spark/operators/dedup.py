@@ -1428,3 +1428,101 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for th in SWEEP_THRESHOLDS
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (quote / truncation / subset detection)
+
+#: minimum fraction of the SMALLER document's shingle set that must appear
+#: in the larger one.  0.9 is the Broder containment regime for "A is
+#: essentially inside B" — high enough that prefix/truncation pairs pass
+#: while topically-similar documents don't.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_CAPPED_SQL},
+    cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM capped GROUP BY doc_id),
+    pair AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+      FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, shared, ca.n_g AS na, cb.n_g AS nb
+      FROM pair
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+    )
+    SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_contained,
+           CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_container,
+           CAST(LEAST(na, nb) AS BIGINT) AS n_contained_shingles,
+           CAST(shared AS DOUBLE) / LEAST(na, nb) AS containment,
+           CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+    FROM scored
+    WHERE CAST(shared AS DOUBLE) / LEAST(na, nb) >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("dedup", "pipeline", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — Broder containment
+    c(A,B) = |S(A)∩S(B)| / |S(A)| with A the smaller shingle set: the
+    detector for documents that live INSIDE other documents (quotes,
+    truncated mirrors, articles embedded in aggregator pages).  Symmetric
+    Jaccard is structurally blind to these — a 50-shingle doc fully
+    contained in a 5000-shingle doc scores jaccard ≈ 0.01 but
+    containment = 1.0 — and a dedup pipeline that only thresholds Jaccard
+    ships the small doc twice.  Output is DIRECTIONAL: (doc_contained,
+    doc_container), with jaccard riding along so the consumer can split
+    "mutual near-dup" (both high) from "one-sided subset" (containment
+    high, jaccard low).
+
+    Regime on THIS corpus (measured, sf0.01): all 25 containment-≥0.9
+    pairs are also jaccard-≥0.2 near-dups — the synthetic generator
+    replicates whole documents, never truncates them, so the one-sided
+    regime is empty here.  The operator's distinct value is exactly the
+    pairs that regime would add on a real crawl; the direction column is
+    non-vacuous either way.
+
+    Scale shape: identical to ``dedup_ngram_jaccard`` — the pair frame
+    comes from the SAME session-cached capped inverted index (df-capped
+    fanout, never all-pairs), and containment adds only the LEAST() on
+    the already-joined size columns.  One extra projection, zero extra
+    shuffles beyond the shared pair build."""
+    d = t(spark, sf_dir, "documents")
+    sh = cached_capped_index(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))
+    na, nb, sh_c = F.col("na"), F.col("nb"), F.col("shared")
+    small = F.least(na, nb)
+    containment = sh_c.cast("double") / small
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.when(na <= nb, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "doc_contained"
+            ),
+            F.when(na <= nb, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "doc_container"
+            ),
+            small.cast("long").alias("n_contained_shingles"),
+            containment.alias("containment"),
+            (sh_c.cast("double") / (na + nb - sh_c)).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )

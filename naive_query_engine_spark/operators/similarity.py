@@ -121,16 +121,13 @@ def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_block_pairs(_qtable(spark, sf_dir))
 
 
-def cosine_block_pairs(
-    qt: DataFrame, block_size: int = COSINE_BLOCK_SIZE
-) -> DataFrame:
-    """Block-pair all-pairs cosine over a quantized frame
-    (vec_id, q: array<long>, nrm2: long) — see ``similarity_cosine_pairs``.
-    ``block_size`` is parameterized so property tests can exercise the
-    multi-block path on tiny corpora (``tests/test_properties.py``)."""
-    import numpy as np
-    import pandas as pd
-
+def block_pair_frame(qt: DataFrame, block_size: int = COSINE_BLOCK_SIZE) -> DataFrame:
+    """Upper-triangle block-pair frame over a quantized embedding frame
+    (vec_id, q: array<long>, nrm2: long): one row per block pair
+    (bi ≤ bj) carrying both blocks' ids/norms/vectors — the shared
+    enumeration under every distributed all-pairs kernel here
+    (``cosine_block_pairs`` thresholded pairs, ``similarity_mutual_knn``
+    per-row top-k candidates)."""
     blocked = (
         qt.groupBy((F.floor(F.col("vec_id") / block_size)).alias("block"))
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "nrm2", "q"))).alias("vs"))
@@ -176,7 +173,20 @@ def cosine_block_pairs(
         F.col("n2s").alias("n2s_a"),
         F.col("vecs").alias("vecs_a"),
     )
-    pairs = b_side.join(a_side, "bi")
+    return b_side.join(a_side, "bi")
+
+
+def cosine_block_pairs(
+    qt: DataFrame, block_size: int = COSINE_BLOCK_SIZE
+) -> DataFrame:
+    """Block-pair all-pairs cosine over a quantized frame
+    (vec_id, q: array<long>, nrm2: long) — see ``similarity_cosine_pairs``.
+    ``block_size`` is parameterized so property tests can exercise the
+    multi-block path on tiny corpora (``tests/test_properties.py``)."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = block_pair_frame(qt, block_size)
 
     def block_matmul(batches):
         # one yield per block pair: peak memory = one input Arrow batch
@@ -1514,4 +1524,138 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").cast("long").alias("max_q"),
         (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_q"),
         ((n_d * s2_d - s1_d * s1_d) / (n_d * F.count(F.lit(1)))).alias("var_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mutual k-nearest-neighbor graph (the curation / SemDeDup-style primitive)
+
+
+@query(
+    "similarity_mutual_knn",
+    oracle=f"""
+    WITH {_Q_SQL},
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT vec_a, vec_b,
+             CAST(dot AS DOUBLE)
+               / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
+               AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+    ),
+    directed AS (
+      SELECT vec_a AS src, vec_b AS dst, cosine FROM cos
+      UNION ALL
+      SELECT vec_b, vec_a, cosine FROM cos
+    ),
+    ranked AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+      FROM directed
+    )
+    SELECT x.src AS vec_a, x.dst AS vec_b, x.cosine AS cosine
+    FROM ranked x
+    JOIN ranked y ON y.src = x.dst AND y.dst = x.src AND y.rk <= {TOP_K}
+    WHERE x.rk <= {TOP_K} AND x.src < x.dst
+    """,
+    tags=("similarity", "pipeline", "knn", "graph", "curation"),
+)
+def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-NN graph over the embedding corpus: edge (a, b) iff b is
+    in a's top-k cosine neighbors AND a is in b's — the symmetric
+    neighborhood graph semantic-curation pipelines build before anything
+    else (SemDeDup-style cluster pruning, diversity sampling, label
+    propagation, manifold/intrinsic-dimension probes all consume this
+    frame).  Mutuality is the robustness filter: a hub vector appears in
+    thousands of top-k lists, but keeps an edge only to vectors IT also
+    ranks — one-directional "everything is near the hub" edges drop out.
+
+    Distributed shape: the same upper-triangle ``block_pair_frame`` as
+    the all-pairs cosine, but the Arrow kernel reduces each block pair to
+    per-row TOP-K candidates in both directions instead of emitting
+    every above-threshold cell — the shuffled candidate frame is
+    n·B·k rows (B = block count), never n².  The global rank then runs
+    per-src over ≤ B·k candidates, and the mutual join touches n·k
+    directed survivors.  Selection is by the TOTAL order
+    (cosine DESC, dst ASC) at both levels, so per-block top-k provably
+    contains the global top-k (monotone selection under one total
+    order).  At IVF scale the same kernel runs per probed cell, bounding
+    B by nprobe.
+
+    Determinism: exact quantized-integer dots (< 2^53, exact in the
+    kernel's float64 matmul), the shared single-division cosine, and the
+    tie-free (cosine DESC, dst) rank — identical in kernel, window, and
+    oracle."""
+    import numpy as np
+    import pandas as pd
+
+    k = TOP_K
+    pairs = block_pair_frame(_qtable(spark, sf_dir))
+
+    def block_topk(batches):
+        # per block pair: top-k candidate DSTs per row, BOTH directions
+        # (a rows scanning b columns, b rows scanning a columns); the
+        # diagonal pair (bi == bj) already contains every within-block
+        # directed pair on the a side, so its b side is skipped
+        got_any = False
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                mat_a = np.asarray(list(row.vecs_a), dtype=np.float64)
+                mat_b = np.asarray(list(row.vecs_b), dtype=np.float64)
+                nrm_a = np.sqrt(np.asarray(row.n2s_a, dtype=np.float64))
+                nrm_b = np.sqrt(np.asarray(row.n2s_b, dtype=np.float64))
+                cos = (mat_a @ mat_b.T) / (nrm_a[:, None] * nrm_b[None, :])
+                diagonal = bool(ids_a[0] == ids_b[0]) and len(ids_a) == len(ids_b)
+                outs = []
+                sides = [(ids_a, ids_b, cos)]
+                if not diagonal:
+                    sides.append((ids_b, ids_a, cos.T))
+                for srcs, dsts, mat in sides:
+                    for i in range(len(srcs)):
+                        r = mat[i]
+                        mask = dsts != srcs[i]
+                        cand_dst, cand_cos = dsts[mask], r[mask]
+                        if not len(cand_dst):
+                            continue
+                        # total order (cosine DESC, dst ASC): lexsort keys
+                        # are applied last-key-primary
+                        order = np.lexsort((cand_dst, -cand_cos))[:k]
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "src": np.full(len(order), srcs[i]),
+                                    "dst": cand_dst[order],
+                                    "cosine": cand_cos[order],
+                                }
+                            )
+                        )
+                if outs:
+                    got_any = True
+                    yield pd.concat(outs, ignore_index=True)
+        if not got_any:
+            yield pd.DataFrame({"src": [], "dst": [], "cosine": []})
+
+    cands = pairs.mapInPandas(block_topk, "src long, dst long, cosine double")
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    knn = cands.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    x, y = knn.alias("x"), knn.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("y.src") == F.col("x.dst")) & (F.col("y.dst") == F.col("x.src")),
+        )
+        .filter(F.col("x.src") < F.col("x.dst"))
+        .select(
+            F.col("x.src").alias("vec_a"),
+            F.col("x.dst").alias("vec_b"),
+            F.col("x.cosine").alias("cosine"),
+        )
     )

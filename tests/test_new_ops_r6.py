@@ -1,0 +1,179 @@
+"""Behavioral invariants for round-6 operators (independent local
+recomputes, per the landing discipline)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from naive_query_engine_spark.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def _shingle_sets(max_df: int = 100):
+    """Independent pandas recompute of the capped 3-gram shingle sets
+    (mirrors operators.dedup.raw_shingle_rows + the df cap, with Python
+    re/sets instead of Spark expressions)."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    sets: dict[int, set[str]] = {}
+    for doc_id, text in docs.itertuples(index=False):
+        toks = re.split(r"[ \t\n\r\f]+", text.strip().lower())
+        if len(toks) < 3:
+            continue
+        sets[doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    df: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    return {
+        d: {g for g in s if df[g] <= max_df} for d, s in sets.items()
+    }
+
+
+def test_containment_matches_bruteforce(spark):
+    """Exact pair set, direction, and scores vs a Python-set recompute
+    over every document pair."""
+    capped = _shingle_sets()
+    want = {}
+    ids = sorted(capped)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = capped[a], capped[b]
+            shared = len(sa & sb)
+            if not shared:
+                continue
+            na, nb = len(sa), len(sb)
+            small = min(na, nb)
+            containment = shared / small
+            if containment < 0.9:
+                continue
+            contained, container = (a, b) if na <= nb else (b, a)
+            want[(contained, container)] = (
+                small,
+                containment,
+                shared / (na + nb - shared),
+            )
+    rows = QUERIES["dedup_containment"].fn(spark, SF_SMOKE).collect()
+    got = {
+        (r["doc_contained"], r["doc_container"]): (
+            r["n_contained_shingles"],
+            r["containment"],
+            r["jaccard"],
+        )
+        for r in rows
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert np.isclose(got[k][1], want[k][1], rtol=0, atol=1e-12)
+        assert np.isclose(got[k][2], want[k][2], rtol=0, atol=1e-12)
+    # direction invariant: the contained side never has the larger set
+    for (contained, container), (small, _, _) in want.items():
+        assert len(capped[contained]) <= len(capped[container])
+        assert small == min(len(capped[contained]), len(capped[container]))
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    """Median-of-slopes and OLS vs numpy over the daily counts."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    daily = (
+        ev.assign(d=pd.to_datetime(ev["ts"]).dt.floor("D"))
+        .groupby("d")
+        .size()
+        .sort_index()
+    )
+    x = (daily.index - pd.Timestamp("1970-01-01")).days.to_numpy()
+    y = daily.to_numpy()
+    slopes = []
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            slopes.append(
+                ((y[j] - y[i]) / (x[j] - x[i]), x[j] - x[i], y[j] - y[i])
+            )
+    slopes.sort()
+    n = len(slopes)
+    lo, hi = (n + 1) // 2 - 1, (n + 2) // 2 - 1
+    ts_want = (slopes[lo][0] + slopes[hi][0]) / 2
+    ols_want = np.polyfit(x.astype(float), y.astype(float), 1)[0]
+    r = QUERIES["events_trend_theil_sen"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_days"] == len(x)
+    assert r["n_pairs"] == n
+    assert np.isclose(r["theil_sen_slope"], ts_want, rtol=0, atol=1e-12)
+    assert np.isclose(r["ols_slope"], ols_want, rtol=1e-9)
+    # robustness property (the reason the operator exists): poisoning one
+    # day with a huge spike moves the recomputed OLS slope by orders of
+    # magnitude more than the recomputed Theil-Sen slope
+    y2 = y.copy()
+    y2[len(y2) // 2] *= 50
+    spiked = []
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            spiked.append((y2[j] - y2[i]) / (x[j] - x[i]))
+    spiked.sort()
+    ts_spiked = (spiked[lo] + spiked[hi]) / 2
+    ols_spiked = np.polyfit(x.astype(float), y2.astype(float), 1)[0]
+    assert abs(ols_spiked - ols_want) > 10 * abs(ts_spiked - ts_want)
+
+
+def test_ams_f2_matches_hashlib(spark):
+    """Z_s sign sums and the estimator vs a hashlib recompute; the truth
+    side is the exact pandas Σf²."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")["user_id"]
+    n_seeds = 16
+    zs = []
+    for s in range(n_seeds):
+        tot = 0
+        for k, cnt in ev.value_counts().items():
+            digit = int(
+                hashlib.md5(f"{s}|{k}".encode()).hexdigest()[0], 16
+            )
+            tot += cnt if digit % 2 == 0 else -cnt
+        zs.append(tot)
+    est_want = sum(z * z for z in zs) / n_seeds
+    true_want = int((ev.value_counts() ** 2).sum())
+    r = QUERIES["sketch_ams_f2"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_rows"] == len(ev)
+    assert r["true_f2"] == true_want
+    assert np.isclose(r["est_f2"], est_want, rtol=0, atol=1e-6)
+    assert r["est_f2"] > 0
+
+
+def test_mutual_knn_matches_bruteforce(spark):
+    """Edge set and cosines vs a dense numpy kNN on the quantized
+    vectors, plus the mutuality invariant itself."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.floor(
+        np.stack(emb["embedding"].to_numpy()[order]).astype(np.float64) * 1_000_000
+    )
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+    k = 5
+    topk: dict[int, set[int]] = {}
+    for i in range(len(ids)):
+        cand = [(-cos[i, j], ids[j]) for j in range(len(ids)) if j != i]
+        cand.sort()
+        topk[ids[i]] = {d for _, d in cand[:k]}
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if b in topk[a] and a in topk[b]:
+                want.add((a, b))
+    rows = QUERIES["similarity_mutual_knn"].fn(spark, SF_SMOKE).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert got == want
+    idx = {v: i for i, v in enumerate(ids)}
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]  # canonical orientation
+        assert np.isclose(
+            r["cosine"], cos[idx[r["vec_a"]], idx[r["vec_b"]]], rtol=0, atol=1e-12
+        )

@@ -361,6 +361,23 @@ BUDGETS = {
     # r4c: digit agg lineage re-counted under the totals side; 9-row
     # rollup + 1-row broadcast
     "audit_benford_first_digit": (3, True),
+    # r6: the session-cached capped-index lineage statically re-counts
+    # under its three consumers (sizes + both self-join sides) exactly
+    # like dedup_threshold_sweep; at runtime the persisted index is one
+    # build
+    "dedup_containment": (23, True),
+    # r6: the 30-row daily frame re-counts under both pair sides, the
+    # rank window, the global count window, and the OLS moments — every
+    # exchanged frame after the first daily agg is timespan-bounded
+    "events_trend_theil_sen": (5, True),
+    # r6: one map-side-combined sign pass, the truth key agg, and its
+    # final 1-row merge; truth broadcast back
+    "sketch_ams_f2": (3, True),
+    # r6: blocked frame (pre-explode repartition) feeds the kernel; the
+    # rank window's partition-by and the mutual self-join re-count the
+    # candidate pipeline under both aliases (ReuseExchange collapses at
+    # runtime)
+    "similarity_mutual_knn": (8, True),
 }
 
 

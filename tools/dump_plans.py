@@ -226,6 +226,19 @@ ANNOTATED = {
     "operator; label joins and DCG aggs are (queries x k)-bounded",
     "window_distribution_functions": "one partition-by shuffle; "
     "percent_rank/cume_dist ride the same sort",
+    # r6
+    "dedup_containment": "same session-cached capped inverted index as "
+    "ngram-jaccard (df-capped fanout, never all-pairs); containment adds "
+    "one LEAST() projection to the already-joined pair frame",
+    "events_trend_theil_sen": "one map-side-combined daily agg is the only "
+    "corpus-scale stage; pair/rank/moment frames are timespan-bounded "
+    "(days^2 rows)",
+    "sketch_ams_f2": "16 sign-sum aggregate expressions in ONE "
+    "map-side-combined pass (no per-seed row blowup); truth side is the "
+    "only key shuffle, broadcast back for scoring",
+    "similarity_mutual_knn": "block-pair frame + per-row top-k inside the "
+    "Arrow kernel (n*B*k candidates, never n^2); global rank per src; "
+    "mutual self-join over n*k survivors",
 }
 
 
