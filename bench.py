@@ -64,6 +64,13 @@ BENCH_QUERIES = [
     "embedding_top_pc_power_iteration",
     "sketch_join_size_estimate",
     "events_value_jackknife_ci",
+    # r6 rotation (same rationale): the asymmetric containment pass, the
+    # robust-trend estimator, the AMS F2 sketch, and the mutual k-NN
+    # graph join the artifact so each round measures them
+    "dedup_containment",
+    "events_trend_theil_sen",
+    "sketch_ams_f2",
+    "similarity_mutual_knn",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays
@@ -108,6 +115,13 @@ BASELINES = {
     "embedding_top_pc_power_iteration": 1.749,
     "sketch_join_size_estimate": 0.904,
     "events_value_jackknife_ci": 0.532,
+    # r6 rotation: from a run whose established-24-query subtotal read
+    # 0.938x its baseline (the better-calibrated of two same-day runs;
+    # the other read 1.074x — BASELINE.md round-6 table)
+    "dedup_containment": 1.004,
+    "events_trend_theil_sen": 0.410,
+    "sketch_ams_f2": 1.451,
+    "similarity_mutual_knn": 1.358,
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
@@ -118,15 +132,21 @@ BASELINES = {
 #: rounds re-measure them consistently — otherwise the drift correction
 #: is partially self-referential on their first re-read.  Graduation
 #: ledger: the r5 four (tfidf-prefix / top-PC / join-size sketch /
-#: jackknife) have ONE confirmation so far — BENCH_r05 read them at
-#: 1.106/1.082/1.046/1.079x their baselines inside a run whose
-#: established-24 ratio was 1.097x (pure host drift, no per-query
-#: deviation); they graduate into ESTABLISHED when BENCH_r06 agrees.
+#: jackknife) have THREE confirmations — BENCH_r05 read them at
+#: 1.106/1.082/1.046/1.079x their baselines inside a 1.097x-ratio run,
+#: and the two r6 calibration runs read their subtotal at 1.004x and
+#: 0.975x (runs whose established ratios were 1.074x/0.938x); they
+#: graduate into ESTABLISHED when BENCH_r06 lands as the independent
+#: same-artifact read.  The r6 four await their first BENCH_r06 reading.
 FRESH_ROTATION: list[str] = [
     "dedup_tfidf_cosine_prefix",
     "embedding_top_pc_power_iteration",
     "sketch_join_size_estimate",
     "events_value_jackknife_ci",
+    "dedup_containment",
+    "events_trend_theil_sen",
+    "sketch_ams_f2",
+    "similarity_mutual_knn",
 ]
 ESTABLISHED = [q for q in BASELINES if q not in FRESH_ROTATION]
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries import QUERIES, query, t
+from ..queries import QUERIES, cut_lineage, query, t
 
 # importing for registration side effects AND to compose their oracle SQL;
 # these imports also guarantee registry order (text/similarity register
@@ -262,4 +262,219 @@ def retrieval_eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rel_topk").cast("double") / F.col("n_retrieved")).alias(
             "precision_at_k"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR result diversification (the greedy re-ranking stage)
+
+#: trade-off weight: score = MMR_LAMBDA·relevance − (1−λ)·max-sim-to-picked.
+#: Both engines use the LITERAL doubles 0.7 / 0.3 — never a computed
+#: ``1 − 0.7`` (which is 0.30000000000000004 in IEEE and would diverge).
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    from .similarity import _Q_SQL
+    from .text import BM25_TOP_K
+
+    lex = QUERIES["text_bm25_topk"].oracle
+    steps = []
+    picks = []
+    for i in range(1, BM25_TOP_K + 1):
+        prev = f"sel{i - 1}"
+        steps.append(f"""
+    pick{i} AS (
+      SELECT query_id, d, score FROM (
+        SELECT query_id, d, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, d) AS rn
+        FROM (
+          SELECT c.query_id, c.d,
+                 CAST(0.7 AS DOUBLE) * c.rel_norm
+                   - CAST(0.3 AS DOUBLE)
+                     * COALESCE(MAX(s.cosine), CAST(0 AS DOUBLE)) AS score
+          FROM rel c
+          LEFT JOIN {prev} p ON p.query_id = c.query_id
+          LEFT JOIN sims s ON s.query_id = c.query_id
+                          AND s.a = c.d AND s.b = p.d
+          WHERE NOT EXISTS (SELECT 1 FROM {prev} q
+                            WHERE q.query_id = c.query_id AND q.d = c.d)
+          GROUP BY c.query_id, c.d, c.rel_norm
+        ) t
+      ) r WHERE rn = 1
+    ),
+    sel{i} AS (
+      SELECT query_id, d FROM {prev}
+      UNION ALL
+      SELECT query_id, d FROM pick{i}
+    )""")
+        picks.append(
+            f"SELECT query_id, CAST({i} AS BIGINT) AS pick_rank,"
+            f" d AS neighbor_id, score AS mmr_score FROM pick{i}"
+        )
+    return f"""
+    WITH {_Q_SQL},
+    lex AS MATERIALIZED ({lex}),
+    rel AS MATERIALIZED (
+      SELECT query_id, neighbor_id AS d,
+             CAST(bm25_q AS DOUBLE)
+               / CAST(MAX(bm25_q) OVER (PARTITION BY query_id) AS DOUBLE)
+               AS rel_norm
+      FROM lex
+    ),
+    cdots AS (
+      SELECT r1.query_id, r1.d AS a, r2.d AS b, SUM(ea.v * eb.v) AS dot
+      FROM rel r1
+      JOIN rel r2 ON r2.query_id = r1.query_id AND r2.d <> r1.d
+      JOIN e ea ON ea.vec_id = r1.d
+      JOIN e eb ON eb.vec_id = r2.d AND eb.i = ea.i
+      GROUP BY 1, 2, 3
+    ),
+    sims AS MATERIALIZED (
+      -- MATERIALIZED hints (lex/rel/sims): DuckDB inlines CTEs, and the
+      -- unrolled greedy steps reference these frames ~12x — without the
+      -- hints the whole spliced BM25 pipeline would re-run per step
+      SELECT c.query_id, c.a, c.b,
+             CAST(c.dot AS DOUBLE)
+               / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
+               AS cosine
+      FROM cdots c
+      JOIN norms na ON na.vec_id = c.a
+      JOIN norms nb ON nb.vec_id = c.b
+    ),
+    sel0 AS (SELECT query_id, d FROM rel WHERE FALSE),
+    {','.join(steps)}
+    {' UNION ALL '.join(picks)}
+    """
+
+
+@query(
+    "retrieval_mmr_diversify",
+    oracle=_mmr_oracle(),
+    tags=("retrieval", "mmr", "diversity", "rerank", "pipeline"),
+)
+def retrieval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    SIGIR'98) of the BM25 top-k: greedily pick the candidate maximizing
+    λ·rel_norm − (1−λ)·max_cosine_to_already_picked — the diversity
+    stage between retrieval and consumption (search results, RAG context
+    packing, eval-set selection) that stops five copies of the same
+    answer from filling the window.  Relevance is the BM25 score
+    normalized per query; redundancy is embedding cosine against the
+    picked set (the lexical retriever and the dense redundancy signal
+    compose, like ``retrieval_rrf_fusion``).  A candidate with no
+    embedding row (the corpus has more documents than vectors at sf0.1)
+    FAILS OPEN: it contributes no redundancy signal and competes on
+    relevance alone — the production treatment of missing vectors, and
+    identical in both engines (NULL sim skipped by max-over-available).
+    Non-vacuity measured at sf0.01: ALL five query lists reorder vs
+    pure-relevance order.
+
+    Scale shape: every corpus-scale cost lives inside the spliced BM25
+    operator and the candidate-id equi-join into the embedding table
+    (pushdown-able point lookups).  The MMR stage itself touches
+    (queries × k) candidates and (queries × k²) pairwise sims; the
+    greedy loop runs per query inside an Arrow ``applyInPandas`` kernel
+    — per-query parallel, k² state, the standard reranker deployment
+    shape (never a driver loop).
+
+    Determinism: rel_norm and cosine are the established exact-integer/
+    single-division doubles; the score is one fixed IEEE expression with
+    LITERAL 0.7/0.3 weights (see MMR_LAMBDA note); selection order is
+    the total order (score DESC, doc id) at every step, mirrored by the
+    oracle's unrolled per-step ROW_NUMBER CTEs."""
+    from .similarity import _qtable, cosine_q, dot_q
+
+    lex = QUERIES["text_bm25_topk"].fn(spark, sf_dir)
+    wmax = Window.partitionBy("query_id")
+    rel = lex.select(
+        "query_id",
+        F.col("neighbor_id").alias("d"),
+        (
+            F.col("bm25_q").cast("double")
+            / F.max("bm25_q").over(wmax).cast("double")
+        ).alias("rel_norm"),
+        # (queries × k)-row frame consumed by BOTH pair sides below —
+        # cut the lineage so the spliced BM25 pipeline runs ONCE, not
+        # once per side (the pagerank/blocked-cosine idiom; same
+        # eager/lazy/reliable toggles via queries.cut_lineage)
+    ).transform(cut_lineage)
+    qt = _qtable(spark, sf_dir)
+    # LEFT joins: rel is the spine.  A candidate whose doc id has no
+    # embedding row (sf0.1: 5000 docs vs 2000 vectors) still competes —
+    # with a NULL sim it contributes no redundancy signal and is scored
+    # on relevance alone (fail-open, matching the oracle's
+    # MAX-over-available-sims + COALESCE(…, 0) semantics)
+    a = rel.join(
+        qt.select(
+            F.col("vec_id").alias("d"),
+            F.col("q").alias("qa"),
+            F.col("nrm2").alias("na2"),
+        ),
+        "d",
+        "left",
+    )
+    b = rel.select("query_id", F.col("d").alias("other")).join(
+        qt.select(
+            F.col("vec_id").alias("other"),
+            F.col("q").alias("qb"),
+            F.col("nrm2").alias("nb2"),
+        ),
+        "other",
+        "left",
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("d") != F.col("other"))
+        .select(
+            "query_id",
+            "d",
+            "rel_norm",
+            "other",
+            F.when(
+                F.col("qa").isNotNull() & F.col("qb").isNotNull(),
+                cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2")),
+            ).alias("sim"),
+        )
+    )
+
+    def mmr_kernel(pdf):
+        import pandas as pd
+
+        qid = int(pdf["query_id"].iloc[0])
+        rel_of: dict[int, float] = {}
+        sim_of: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples(index=False):
+            rel_of[int(r.d)] = float(r.rel_norm)
+            # NULL sim (no embedding for one side) arrives as NaN —
+            # absent from the dict, so max-over-available skips it,
+            # mirroring the oracle's MAX ignoring NULLs
+            if r.sim == r.sim:
+                sim_of[(int(r.d), int(r.other))] = float(r.sim)
+        remaining = sorted(rel_of)
+        picked: list[int] = []
+        out = {"query_id": [], "pick_rank": [], "neighbor_id": [], "mmr_score": []}
+        rank = 0
+        while remaining:
+            rank += 1
+            best_key, best_d, best_score = None, None, None
+            for d in remaining:
+                vals = [sim_of[(d, s)] for s in picked if (d, s) in sim_of]
+                ms = max(vals) if vals else 0.0
+                score = 0.7 * rel_of[d] - 0.3 * ms
+                key = (-score, d)
+                if best_key is None or key < best_key:
+                    best_key, best_d, best_score = key, d, score
+            picked.append(best_d)
+            remaining.remove(best_d)
+            out["query_id"].append(qid)
+            out["pick_rank"].append(rank)
+            out["neighbor_id"].append(best_d)
+            out["mmr_score"].append(best_score)
+        return pd.DataFrame(out)
+
+    return pairs.groupBy("query_id").applyInPandas(
+        mmr_kernel,
+        "query_id long, pick_rank long, neighbor_id long, mmr_score double",
     )

@@ -243,6 +243,13 @@ ROTATION: tuple[str, ...] = (
     "events_changepoint_cusum",
     "events_sequence_patterns",
     # --- round 7 window (45) ---
+    # r6-created operators first: never-sampled new work outranks the
+    # older backlog (same rule as every round)
+    "dedup_containment",
+    "events_trend_theil_sen",
+    "sketch_ams_f2",
+    "similarity_mutual_knn",
+    "retrieval_mmr_diversify",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

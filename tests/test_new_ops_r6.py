@@ -177,3 +177,57 @@ def test_mutual_knn_matches_bruteforce(spark):
         assert np.isclose(
             r["cosine"], cos[idx[r["vec_a"]], idx[r["vec_b"]]], rtol=0, atol=1e-12
         )
+
+
+def test_mmr_matches_bruteforce_greedy(spark):
+    """MMR picks vs an independent Python greedy over independently
+    recomputed relevance (from the query output's own BM25 frame) and
+    cosines (numpy on the quantized vectors) — and the non-vacuity
+    check: at least one query must reorder vs pure relevance."""
+    lex = {
+        (r["query_id"], r["neighbor_id"]): (r["bm25_q"], r["rnk"])
+        for r in QUERIES["text_bm25_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.floor(
+        np.stack(emb["embedding"].to_numpy()[order]).astype(np.float64) * 1_000_000
+    )
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def cosine(a, b):
+        return float(mat[idx[a]] @ mat[idx[b]] / (nrm[idx[a]] * nrm[idx[b]]))
+
+    want = {}
+    reordered = 0
+    for qid in sorted({q for q, _ in lex}):
+        cands = {d: s for (q, d), (s, _) in lex.items() if q == qid}
+        mx = max(cands.values())
+        reln = {d: s / mx for d, s in cands.items()}
+        remaining, picked, rank = sorted(cands), [], 0
+        while remaining:
+            rank += 1
+            best = None
+            for d in remaining:
+                ms = max((cosine(d, s) for s in picked), default=0.0)
+                key = (-(0.7 * reln[d] - 0.3 * ms), d)
+                if best is None or key < best:
+                    best = key
+            d = best[1]
+            picked.append(d)
+            remaining.remove(d)
+            want[(qid, rank)] = (d, -best[0])
+        rel_order = [
+            d for d, _ in sorted(cands.items(), key=lambda kv: (-kv[1], kv[0]))
+        ]
+        reordered += picked != rel_order
+    rows = QUERIES["retrieval_mmr_diversify"].fn(spark, SF_SMOKE).collect()
+    got = {(r["query_id"], r["pick_rank"]): (r["neighbor_id"], r["mmr_score"]) for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert np.isclose(got[k][1], want[k][1], rtol=0, atol=1e-12)
+    assert reordered >= 1  # diversity term actually does something here

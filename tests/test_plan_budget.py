@@ -378,6 +378,10 @@ BUDGETS = {
     # candidate pipeline under both aliases (ReuseExchange collapses at
     # runtime)
     "similarity_mutual_knn": (8, True),
+    # r6: the (queries x k)-row rel frame sits behind a lineage cut (both
+    # pair sides consume it; the spliced BM25 runs once) — post-cut only
+    # the pair join and the per-query applyInPandas shuffle remain
+    "retrieval_mmr_diversify": (2, True),
 }
 
 

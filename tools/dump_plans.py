@@ -239,6 +239,9 @@ ANNOTATED = {
     "similarity_mutual_knn": "block-pair frame + per-row top-k inside the "
     "Arrow kernel (n*B*k candidates, never n^2); global rank per src; "
     "mutual self-join over n*k survivors",
+    "retrieval_mmr_diversify": "spliced BM25 probe behind a lineage cut "
+    "(both pair sides read the 25-row rel frame); candidate-id point "
+    "lookups into embeddings; per-query greedy in applyInPandas",
 }
 
 
