@@ -127,3 +127,46 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("l_quantity").cast("double").alias("weighted_median_qty"))
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    SELECT o_orderstatus, mode_priority, CAST(mode_count AS BIGINT) AS mode_count
+    FROM (
+      SELECT o_orderstatus, o_orderpriority AS mode_priority,
+             COUNT(*) AS mode_count,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    ) t WHERE rn = 1
+    """,
+    tags=("aggregate", "mode", "order-statistic"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC mode per group (most frequent order priority per
+    order status, lowest value on count ties).  Spark's builtin
+    ``F.mode`` is documented non-deterministic on ties (and DuckDB's
+    ``mode()`` makes its own tie choice), so a hash-stable mode must be
+    the two-level formulation: count (group, value) pairs — map-side
+    combinable, the heavy stage — then a value-cardinality-bounded
+    ROW_NUMBER over (count DESC, value).  The window never sees corpus
+    rows, only one row per distinct (status, priority) — mode at 100 TB
+    is an aggregation problem, not a sort problem."""
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("mode_count")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("mode_count").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("mode_count").cast("long").alias("mode_count"),
+        )
+    )

@@ -597,3 +597,125 @@ def multimodal_jpeg_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpeg_meta_kernel(),
         "doc_id long, width long, height long, n_components long, is_valid_jpeg boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) top-level box walk — the length-prefixed container shape
+
+
+def make_mp4_payload(doc_id_expr):
+    """Column expr: minimal ISO-BMFF bytes — three top-level boxes
+    (`ftyp` with a doc-dependent major brand, `moov` wrapping one `mvhd`
+    child, `mdat` with a doc-dependent payload size).  Unlike the
+    JPEG/PNG fixed-header formats this is the LENGTH-PREFIXED CONTAINER
+    shape (every box declares its own 32-bit big-endian size; the file
+    is valid iff the declared sizes tile it exactly) — the parse
+    structure shared by MP4/MOV/HEIF and, loosely, by every TLV codec."""
+    from pyspark.sql import functions as F
+
+    def be32(c):
+        return F.unhex(F.lpad(F.conv(c.cast("string"), 10, 16), 8, "0"))
+
+    brand = F.when(doc_id_expr % 2 == 0, F.lit(b"isom")).otherwise(F.lit(b"mp42"))
+    mdat_payload = (doc_id_expr % 4096).cast("int")
+    # ftyp: size 24 = 8 header + major(4) + minor(4) + 2 compat brands
+    ftyp = F.concat(
+        be32(F.lit(24)), F.lit(b"ftyp"), brand, be32(F.lit(0)),
+        F.lit(b"iso2"), F.lit(b"avc1"),
+    )
+    # moov: 8 header + one mvhd child of size 16 (8 header + 8 zeros)
+    moov = F.concat(
+        be32(F.lit(8 + 16)), F.lit(b"moov"),
+        be32(F.lit(16)), F.lit(b"mvhd"), F.unhex(F.lit("00" * 8)),
+    )
+    # mdat: declared size includes the 8-byte header; body is zeros
+    # repeated to the doc-dependent length (repeat('00', n) hex-decodes
+    # to n zero bytes JVM-side — no Python in the build path)
+    mdat = F.concat(
+        be32(mdat_payload + F.lit(8)),
+        F.lit(b"mdat"),
+        F.unhex(F.repeat(F.lit("00"), mdat_payload)),
+    )
+    return F.concat(ftyp, moov, mdat)
+
+
+def mp4_box_kernel():
+    """mapInPandas kernel walking REAL ISO-BMFF top-level boxes
+    (struct.unpack on each 8-byte size+type header): a payload is valid
+    iff ≥1 box, the first box is `ftyp`, every declared size is ≥ 8 and
+    in bounds, and the boxes tile the payload EXACTLY.  Truncated
+    payloads, undersized boxes, and trailing garbage all reject
+    (`tests/test_new_ops_r6.py` feeds each).  Closure → pickles by
+    value."""
+    import struct
+
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_boxes": [], "major_brand": [],
+                "mdat_bytes": [], "is_valid_mp4": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                off, boxes, ok = 0, [], True
+                while off < len(b):
+                    if off + 8 > len(b):
+                        ok = False
+                        break
+                    size, typ = struct.unpack(">I4s", b[off : off + 8])
+                    if size < 8 or off + size > len(b):
+                        ok = False
+                        break
+                    boxes.append((typ, size))
+                    off += size
+                ok = ok and off == len(b) and bool(boxes) and boxes[0][0] == b"ftyp"
+                brand = b[8:12].decode("ascii", "replace") if ok else ""
+                mdat = next((s - 8 for t, s in boxes if t == b"mdat"), 0) if ok else 0
+                rows["doc_id"].append(doc_id)
+                rows["n_boxes"].append(len(boxes) if ok else 0)
+                rows["major_brand"].append(brand)
+                rows["mdat_bytes"].append(mdat)
+                rows["is_valid_mp4"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return parse
+
+
+@query(
+    "multimodal_mp4_box_parse",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_boxes,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+           CAST(doc_id % 4096 AS BIGINT) AS mdat_bytes,
+           TRUE AS is_valid_mp4
+    FROM documents
+    """,
+    tags=("multimodal", "pipeline", "binary", "pandas-udf", "container"),
+)
+def multimodal_mp4_box_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the ISO-BMFF CONTAINER format: build
+    ftyp/moov/mdat boxes (deterministic brand + mdat size from doc_id)
+    JVM-side, walk them back in an Arrow-batched kernel.  This is the
+    third binary-parse SHAPE in the family — PNG = fixed signature +
+    known-offset fields, JPEG = 0xFF-marker segment walk, MP4 =
+    length-prefixed box tiling where the declared sizes must account for
+    every byte — and the one real ingest hits for video/audio containers
+    before any codec work (brand sniffing, stream-size accounting,
+    moov/mdat ordering for streamability).  The oracle recomputes the
+    expected metadata arithmetically — agreement proves the binary
+    encode→walk path is bit-correct end-to-end; kernel REJECTION paths
+    (truncated header, undersized box, trailing bytes, missing ftyp) are
+    pinned by direct kernel tests rather than the oracle (the corpus
+    round-trip contains no malformed payloads by construction)."""
+    d = t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", make_mp4_payload(F.col("doc_id")).alias("payload")
+    )
+    return payloads.mapInPandas(
+        mp4_box_kernel(),
+        "doc_id long, n_boxes long, major_brand string, mdat_bytes long,"
+        " is_valid_mp4 boolean",
+    )

@@ -250,6 +250,8 @@ ROTATION: tuple[str, ...] = (
     "sketch_ams_f2",
     "similarity_mutual_knn",
     "retrieval_mmr_diversify",
+    "multimodal_mp4_box_parse",
+    "agg_mode_exact",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -231,3 +231,54 @@ def test_mmr_matches_bruteforce_greedy(spark):
         assert got[k][0] == want[k][0], (k, got[k], want[k])
         assert np.isclose(got[k][1], want[k][1], rtol=0, atol=1e-12)
     assert reordered >= 1  # diversity term actually does something here
+
+
+def test_mp4_kernel_rejects_malformed_payloads(spark):
+    """The box walk must reject truncated headers, undersized boxes,
+    trailing garbage, and a missing leading ftyp — and parse a
+    hand-built two-box file (with a 0-byte mdat) correctly."""
+    import struct
+
+    from naive_query_engine_spark.operators.multimodal import mp4_box_kernel
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    good = box(b"ftyp", b"mp42" + b"\x00" * 4 + b"iso2") + box(b"mdat", b"")
+    cases = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "payload": [
+                good,
+                good + b"\x01\x02\x03",            # trailing garbage
+                good[:-3],                          # truncated mid-box
+                struct.pack(">I", 4) + b"ftyp",     # size < 8
+                box(b"moov", b"") + box(b"ftyp", b"mp42"),  # ftyp not first
+                b"",                                # empty payload
+            ],
+        }
+    )
+    out = {r["doc_id"]: r for _, r in next(mp4_box_kernel()([cases])).iterrows()}
+    assert (
+        out[1]["n_boxes"],
+        out[1]["major_brand"],
+        out[1]["mdat_bytes"],
+        out[1]["is_valid_mp4"],
+    ) == (2, "mp42", 0, True)
+    for bad in (2, 3, 4, 5, 6):
+        assert not out[bad]["is_valid_mp4"], bad
+        assert out[bad]["n_boxes"] == 0
+
+
+def test_mode_matches_pandas(spark):
+    """Deterministic mode vs an independent pandas recompute with the
+    same (count DESC, value ASC) tie rule."""
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    want = {}
+    for status, grp in o.groupby("o_orderstatus"):
+        counts = grp["o_orderpriority"].value_counts()
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[status] = top
+    rows = QUERIES["agg_mode_exact"].fn(spark, SF_SMOKE).collect()
+    got = {r["o_orderstatus"]: (r["mode_priority"], r["mode_count"]) for r in rows}
+    assert got == want

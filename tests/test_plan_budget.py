@@ -382,6 +382,11 @@ BUDGETS = {
     # pair sides consume it; the spliced BM25 runs once) — post-cut only
     # the pair join and the per-query applyInPandas shuffle remain
     "retrieval_mmr_diversify": (2, True),
+    # r6: map-only — JVM payload build + Arrow box walk, no exchange
+    "multimodal_mp4_box_parse": (0, False),
+    # r6: the (status, priority) count agg + the value-cardinality
+    # window's partition-by; the window never sees corpus rows
+    "agg_mode_exact": (2, False),
 }
 
 

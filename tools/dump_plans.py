@@ -242,6 +242,10 @@ ANNOTATED = {
     "retrieval_mmr_diversify": "spliced BM25 probe behind a lineage cut "
     "(both pair sides read the 25-row rel frame); candidate-id point "
     "lookups into embeddings; per-query greedy in applyInPandas",
+    "multimodal_mp4_box_parse": "map-only: JVM-side box build + Arrow "
+    "box-tiling walk; no exchange anywhere",
+    "agg_mode_exact": "(group, value) count agg is the only corpus "
+    "stage; the tie-broken rank window sees one row per distinct value",
 }
 
 
