@@ -828,7 +828,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k", _seed_rows(F.col("k"), BLOOM_SEEDS, BLOOM_HEX_DIGITS).alias("sp")
         )
         .select("k", "sp.seed", "sp.pos")
-        .join(F.broadcast(bits), ["seed", "pos"])
+        # no broadcast hint: bits is ≤ k·m = 12,288 DISTINCT positions at
+        # ANY corpus size, but its lineage passes through the scaling
+        # customer scan — AQE broadcasts it by MEASURED size, which is
+        # both correct here and honest at 100 TB (the broadcast-guard
+        # test rejects hints whose lineage covers a scaling relation)
+        .join(bits, ["seed", "pos"])
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
@@ -843,9 +848,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("truth"), F.lit(0)).alias("truth"),
         )
     )
-    per_order = o.join(
-        F.broadcast(flags), o.o_custkey == flags.k
-    ).select("pass", "truth")
+    # no broadcast hint: flags scales with the probe-side KEY DOMAIN
+    # (distinct customers), so forcing a broadcast would be the r1
+    # scaling-dimension mistake — AQE broadcasts at small SF and
+    # switches to shuffle join when the key domain outgrows the
+    # threshold
+    per_order = o.join(flags, o.o_custkey == flags.k).select("pass", "truth")
     return per_order.agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("pass").cast("long").alias("n_pass_bloom"),

@@ -1704,3 +1704,154 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pass_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit (the zipf fit's companion diagnostic)
+
+HEAPS_STEPS = 16  #: ingest-order checkpoints for the V(N) curve
+HEAPS_FP = 1_000_000  #: fixed-point scale for the rounded log10 values
+#: (same 1e6 discipline as ZIPF_FP: x·y ≤ (13e6)² ≈ 1.7e14 ≪ int64)
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    firsts AS (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY w),
+    mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+    thr AS (
+      SELECT CAST(s.i AS BIGINT) AS i,
+             CAST(FLOOR(s.i * (mx.max_id + 1) / {HEAPS_STEPS}.0) AS BIGINT) - 1 AS c
+      FROM (SELECT UNNEST(range(1, {HEAPS_STEPS + 1})) AS i) s CROSS JOIN mx
+    ),
+    npts AS (
+      SELECT t.i, SUM(CASE WHEN d.doc_id <= t.c THEN d.dl ELSE 0 END) AS nn
+      FROM thr t CROSS JOIN dl d GROUP BY t.i
+    ),
+    vpts AS (
+      SELECT t.i, SUM(CASE WHEN f.fd <= t.c THEN 1 ELSE 0 END) AS vv
+      FROM thr t CROSS JOIN firsts f GROUP BY t.i
+    ),
+    pts AS (
+      SELECT CAST(ROUND(LOG10(CAST(nn AS DOUBLE)) * {HEAPS_FP}, 0) AS BIGINT) AS x,
+             CAST(ROUND(LOG10(CAST(vv AS DOUBLE)) * {HEAPS_FP}, 0) AS BIGINT) AS y
+      FROM npts JOIN vpts USING (i)
+      WHERE nn > 0 AND vv > 0
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS heaps_beta,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)) * sx)
+             / n / {HEAPS_FP} AS log10_k,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE), 0) AS r_sq
+    FROM m
+    """,
+    tags=("text", "pipeline", "heaps", "regression", "quality"),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW fit of vocabulary growth: V(N) ≈ K·N^β, estimated as
+    the log-log OLS slope over {HEAPS_STEPS} ingest-order checkpoints
+    (cumulative tokens N vs cumulative distinct terms V at each
+    checkpoint).  Natural text reads β ≈ 0.4–0.6; a crawl snapshot whose
+    β collapses is template/boilerplate-saturated, and one whose β rises
+    is picking up new domains/languages — the vocabulary-side companion
+    to ``text_zipf_slope`` (this synthetic 31-word corpus saturates
+    immediately: β ≈ 0, the detector correctly flagging non-natural
+    text).
+
+    Scale shape: NO global token ordering is materialized — the curve
+    comes from per-doc token counts and per-term FIRST-occurrence doc
+    ids (two corpus aggregations, both map-side combinable), then a
+    {HEAPS_STEPS}-way conditional rollup against broadcast checkpoint
+    thresholds.  Every frame after the two aggs is
+    checkpoint/vocabulary-bounded; the OLS is the shared exact-moment
+    machinery on {HEAPS_STEPS} quantized points.
+
+    Determinism: checkpoint thresholds are integer FLOOR of one double
+    expression; N/V are exact integers; log10 quantized to HEAPS_FP
+    fixed point (the math_funcs ROUND discipline); DECIMAL(38,0)/
+    HUGEINT moments; three final double divisions."""
+    from ..queries import spread as spread_
+
+    d = spread_(t(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    steps = spark.range(1, HEAPS_STEPS + 1).select(F.col("id").alias("i"))
+    thr = steps.crossJoin(F.broadcast(mx)).select(
+        "i",
+        (
+            F.floor(
+                F.col("i") * (F.col("max_id") + 1) / F.lit(float(HEAPS_STEPS))
+            ).cast("long")
+            - 1
+        ).alias("c"),
+    )
+    npts = (
+        dl.crossJoin(F.broadcast(thr))
+        .groupBy("i")
+        .agg(F.sum(F.when(F.col("doc_id") <= F.col("c"), F.col("dl")).otherwise(0)).alias("nn"))
+    )
+    vpts = (
+        firsts.crossJoin(F.broadcast(thr))
+        .groupBy("i")
+        .agg(F.sum(F.when(F.col("fd") <= F.col("c"), 1).otherwise(0)).alias("vv"))
+    )
+    pts = (
+        npts.join(vpts, "i")
+        .filter((F.col("nn") > 0) & (F.col("vv") > 0))
+        .select(
+            F.round(F.log10(F.col("nn").cast("double")) * HEAPS_FP, 0)
+            .cast("decimal(19,0)")
+            .alias("x"),
+            F.round(F.log10(F.col("vv").cast("double")) * HEAPS_FP, 0)
+            .cast("decimal(19,0)")
+            .alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").cast("decimal(19,0)").alias("sx"),
+        F.sum("y").cast("decimal(19,0)").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cxy = (n * F.col("sxy") - sx * sy).cast("double")
+    cxx = (n * F.col("sxx") - sx * sx).cast("double")
+    cyy = (n * F.col("syy") - sy * sy).cast("double")
+    # guarded denominators (the ADVICE-r5 NULLIF discipline): a
+    # variance-free axis — exactly what THIS corpus produces, its 31-word
+    # vocabulary saturates V at the first checkpoint so cyy = 0 — must
+    # read NULL in both engines, not an ANSI divide error / DuckDB NaN
+    slope = F.when(cxx != 0, cxy / cxx)
+    return m.select(
+        n.cast("long").alias("n_points"),
+        slope.alias("heaps_beta"),
+        ((sy.cast("double") - slope * sx) / n / F.lit(float(HEAPS_FP))).alias(
+            "log10_k"
+        ),
+        F.when(cxx * cyy != 0, (cxy * cxy) / (cxx * cyy)).alias("r_sq"),
+    )

@@ -252,6 +252,7 @@ ROTATION: tuple[str, ...] = (
     "retrieval_mmr_diversify",
     "multimodal_mp4_box_parse",
     "agg_mode_exact",
+    "text_heaps_law_fit",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -282,3 +282,43 @@ def test_mode_matches_pandas(spark):
     rows = QUERIES["agg_mode_exact"].fn(spark, SF_SMOKE).collect()
     got = {r["o_orderstatus"]: (r["mode_priority"], r["mode_count"]) for r in rows}
     assert got == want
+
+
+def test_heaps_fit_matches_pandas(spark):
+    """Checkpoint curve and quantized OLS vs an independent pandas
+    recompute — including the saturation signature this corpus must
+    produce (constant vocabulary ⇒ beta 0, r_sq NULL)."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    toks = {
+        d: re.split(r"[ \t\n\r\f]+", t.strip().lower())
+        for d, t in docs.itertuples(index=False)
+    }
+    max_id = max(toks)
+    firsts: dict[str, int] = {}
+    for d in sorted(toks):
+        for w in toks[d]:
+            firsts.setdefault(w, d)
+    pts = []
+    for i in range(1, 17):
+        c = int(np.floor(i * (max_id + 1) / 16.0)) - 1
+        nn = sum(len(ws) for d, ws in toks.items() if d <= c)
+        vv = sum(1 for fd in firsts.values() if fd <= c)
+        if nn > 0 and vv > 0:
+            pts.append(
+                (round(np.log10(nn) * 1e6), round(np.log10(vv) * 1e6))
+            )
+    x = np.array([p[0] for p in pts], dtype=object)
+    y = np.array([p[1] for p in pts], dtype=object)
+    n = len(pts)
+    cxy = float(n * sum(a * b for a, b in pts) - sum(x) * sum(y))
+    cxx = float(n * sum(a * a for a in x) - sum(x) ** 2)
+    r = QUERIES["text_heaps_law_fit"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_points"] == n
+    assert np.isclose(r["heaps_beta"], cxy / cxx, rtol=0, atol=1e-12)
+    # the corpus signature: 31-word vocab saturates at checkpoint 1 ⇒
+    # zero variance in V ⇒ r_sq must be NULL, never NaN/inf/an error
+    assert len(set(y)) == 1 and r["r_sq"] is None
+    assert np.isclose(
+        r["log10_k"], (float(sum(y)) - (cxy / cxx) * float(sum(x))) / n / 1e6,
+        rtol=0, atol=1e-9,
+    )

@@ -384,6 +384,10 @@ BUDGETS = {
     "retrieval_mmr_diversify": (2, True),
     # r6: map-only — JVM payload build + Arrow box walk, no exchange
     "multimodal_mp4_box_parse": (0, False),
+    # r6: the shared token-explode lineage statically re-counts under
+    # the dl and first-occurrence aggs and their checkpoint rollups;
+    # post-agg frames are 16-row / vocabulary-bounded
+    "text_heaps_law_fit": (11, True),
     # r6: the (status, priority) count agg + the value-cardinality
     # window's partition-by; the window never sees corpus rows
     "agg_mode_exact": (2, False),

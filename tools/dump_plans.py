@@ -246,6 +246,9 @@ ANNOTATED = {
     "box-tiling walk; no exchange anywhere",
     "agg_mode_exact": "(group, value) count agg is the only corpus "
     "stage; the tie-broken rank window sees one row per distinct value",
+    "text_heaps_law_fit": "two map-side aggs (doc lengths, per-term "
+    "first occurrence) + 16-way broadcast-threshold rollup; no global "
+    "token ordering anywhere",
 }
 
 
