@@ -1056,3 +1056,122 @@ def degree_log_histogram(sym: DataFrame) -> DataFrame:
         F.max("d").cast("long").alias("max_degree"),
         F.sum("d").cast("long").alias("sum_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-aware mixture planning (the composition after profiling)
+
+
+@query(
+    "pipeline_dedup_weighted_mixture",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_EDGES_SQL},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS component
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    per_src AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN c.component = d.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_effective
+      FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+      GROUP BY d.source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_effective) AS BIGINT) AS total_eff,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.n_effective,
+           CAST(p.n_docs - p.n_effective AS DOUBLE) / p.n_docs AS dup_rate,
+           CAST(t.total_eff // t.n_sources AS BIGINT) AS source_budget,
+           CASE WHEN p.n_effective > t.total_eff // t.n_sources
+                THEN CAST(t.total_eff // t.n_sources AS DOUBLE) / p.n_effective
+                ELSE CAST(1 AS DOUBLE) END AS sample_rate
+    FROM per_src p CROSS JOIN tot t
+    """,
+    tags=("dedup", "pipeline", "mixture", "clustering", "composition", "iterative"),
+)
+def pipeline_dedup_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE MIXTURE PLANNING — the composition a training-data run
+    executes between profiling and sampling: compute each source's
+    EFFECTIVE (post-dedup) document mass, then size an equal-share
+    mixture against effective docs rather than raw docs.  Raw-count
+    mixing over-weights duplicate-heavy feeds (a template farm with 40%
+    dup rate contributes 40% less unique signal than its row count
+    claims); planning on canonical-representative counts is the fix, and
+    the per-source ``sample_rate`` is directly consumable by the
+    content-hash samplers (``dataset_mixture_sample``'s bucketing).
+
+    Effective mass = docs that are their near-dup component's canonical
+    representative (doc_id == component id, the lowest id in the
+    cluster) — singletons count themselves; a cross-source cluster
+    credits the canonical doc's source (the deterministic convention;
+    the alternative — fractional credit — needs no new machinery, just
+    a different aggregate).  ``source_budget`` = ⌊total_effective /
+    n_sources⌋; a source under budget keeps rate 1.0 (never
+    up-sampled).
+
+    Scale shape: everything corpus-sized is the proven components
+    machinery (session-cached Jaccard edges → label-propagation
+    fixpoint); this adds one source-keyed aggregation and a 1-row
+    totals broadcast.  Determinism: exact integer masses and integer
+    floor division for the budget; rates are single double divisions;
+    the CASE guard keeps under-budget sources at literal 1.0 in both
+    engines."""
+    d = t(spark, sf_dir, "documents")
+    edges = near_dup_edges(spark, sf_dir)
+    comp = connected_components(d.select(F.col("doc_id").alias("id")), edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    per_src = (
+        d.select("doc_id", "source")
+        .join(comp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("component") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_effective"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_effective").alias("total_eff"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    # exact integer division (Spark `div` ≙ DuckDB `//`): floor of a
+    # DOUBLE quotient could disagree at the 2^53 boundary on a cluster-
+    # scale corpus, integer division never does
+    budget = F.expr("CAST(total_eff AS BIGINT) div CAST(n_sources AS BIGINT)").cast(
+        "long"
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_effective").cast("long").alias("n_effective"),
+        (
+            (F.col("n_docs") - F.col("n_effective")).cast("double")
+            / F.col("n_docs")
+        ).alias("dup_rate"),
+        budget.alias("source_budget"),
+        F.when(
+            F.col("n_effective") > budget,
+            budget.cast("double") / F.col("n_effective"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("sample_rate"),
+    )

@@ -253,6 +253,7 @@ ROTATION: tuple[str, ...] = (
     "multimodal_mp4_box_parse",
     "agg_mode_exact",
     "text_heaps_law_fit",
+    "pipeline_dedup_weighted_mixture",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

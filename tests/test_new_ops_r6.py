@@ -322,3 +322,57 @@ def test_heaps_fit_matches_pandas(spark):
         r["log10_k"], (float(sum(y)) - (cxy / cxx) * float(sum(x))) / n / 1e6,
         rtol=0, atol=1e-9,
     )
+
+
+def test_dedup_weighted_mixture_matches_unionfind(spark):
+    """Effective-mass accounting vs an independent union-find over the
+    recomputed Jaccard-edge graph, plus the planner invariants."""
+    capped = _shingle_sets()
+    parent = {d: d for d in capped}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ids = sorted(capped)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = capped[a], capped[b]
+            shared = len(sa & sb)
+            if shared and shared / (len(sa) + len(sb) - shared) >= 0.2:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "source"]]
+    comp = {d: find(d) for d in capped}
+    eff, n = {}, {}
+    for doc_id, source in docs.itertuples(index=False):
+        n[source] = n.get(source, 0) + 1
+        # docs too short to shingle are their own singleton component
+        if comp.get(doc_id, doc_id) == doc_id:
+            eff[source] = eff.get(source, 0) + 1
+    total_eff = sum(eff.values())
+    budget = total_eff // len(n)
+    rows = QUERIES["pipeline_dedup_weighted_mixture"].fn(spark, SF_SMOKE).collect()
+    assert {r["source"] for r in rows} == set(n)
+    for r in rows:
+        s = r["source"]
+        assert r["n_docs"] == n[s]
+        assert r["n_effective"] == eff.get(s, 0), s
+        assert r["source_budget"] == budget
+        if r["n_effective"] > budget:
+            assert np.isclose(
+                r["sample_rate"], budget / r["n_effective"], rtol=0, atol=1e-12
+            )
+            assert r["sample_rate"] < 1.0
+        else:
+            assert r["sample_rate"] == 1.0
+        assert np.isclose(
+            r["dup_rate"], (r["n_docs"] - r["n_effective"]) / r["n_docs"],
+            rtol=0, atol=1e-12,
+        )
+    # the planner must bite on this corpus: at least one source over
+    # budget (down-sampled) — otherwise the query is vacuous here
+    assert any(r["sample_rate"] < 1.0 for r in rows)

@@ -388,6 +388,10 @@ BUDGETS = {
     # the dl and first-occurrence aggs and their checkpoint rollups;
     # post-agg frames are 16-row / vocabulary-bounded
     "text_heaps_law_fit": (11, True),
+    # r6: components sit behind the edge-frame lineage cuts; what
+    # remains is the doc-comp join, the source agg, and the 1-row
+    # totals broadcast back
+    "pipeline_dedup_weighted_mixture": (3, True),
     # r6: the (status, priority) count agg + the value-cardinality
     # window's partition-by; the window never sees corpus rows
     "agg_mode_exact": (2, False),

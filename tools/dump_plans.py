@@ -249,6 +249,8 @@ ANNOTATED = {
     "text_heaps_law_fit": "two map-side aggs (doc lengths, per-term "
     "first occurrence) + 16-way broadcast-threshold rollup; no global "
     "token ordering anywhere",
+    "pipeline_dedup_weighted_mixture": "components behind the edge-frame "
+    "lineage cuts; one source-keyed agg + 1-row totals broadcast",
 }
 
 
