@@ -1175,3 +1175,82 @@ def pipeline_dedup_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise(F.lit(1.0))
         .alias("sample_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style clusters over the mutual k-NN graph
+
+
+def _knn_components_oracle() -> str:
+    from ..queries import QUERIES as _Q
+
+    knn = _Q["similarity_mutual_knn"].oracle
+    return f"""
+    WITH RECURSIVE knn AS MATERIALIZED ({knn}),
+    sym AS MATERIALIZED (
+      SELECT vec_a AS a, vec_b AS b FROM knn
+      UNION
+      SELECT vec_b, vec_a FROM knn
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT v.vec_id,
+             CAST(LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS BIGINT)
+               AS component
+      FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+      GROUP BY v.vec_id
+    ),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS csize FROM comp GROUP BY 1
+    )
+    SELECT csize AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(csize * COUNT(*) AS BIGINT) AS n_vectors
+    FROM sizes GROUP BY csize
+    """
+
+
+@query(
+    "graph_knn_components",
+    oracle=_knn_components_oracle(),
+    tags=("similarity", "graph", "clustering", "curation", "iterative"),
+)
+def graph_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC CLUSTER STRUCTURE of the embedding corpus — connected
+    components over the MUTUAL k-NN graph, reported as a cluster-size
+    histogram (size → how many clusters → how many vectors).  This is
+    the SemDeDup-style grouping: where ``dedup_semantic`` clusters by a
+    global cosine THRESHOLD (degree unbounded — one dense region can
+    chain everything), the kNN graph has degree ≤ k BY CONSTRUCTION, so
+    cluster growth is bounded by actual neighborhood structure and the
+    histogram is the corpus-redundancy fingerprint a curation run reads
+    before deciding how hard to prune (mass in big clusters ⇒ heavy
+    semantic duplication).
+
+    Scale shape: the edge set is ≤ n·k rows (mutual-kNN output), every
+    vertex has ≤ k neighbors, so each label-propagation round is one
+    bounded-fanout join — no hub blowup possible, unlike threshold
+    graphs.  The histogram is cluster-size-bounded.  All corpus-scale
+    cost lives in the spliced mutual-kNN operator (blocked kernel,
+    per-block top-k).
+
+    Determinism: component = min reachable vec_id (exact integers); the
+    histogram is exact counting.  The oracle splices the mutual-kNN SQL
+    behind MATERIALIZED hints (referenced twice in sym — the DuckDB
+    CTE-inlining discipline) into the recursive-reach components CTE."""
+    from ..queries import QUERIES as _Q
+
+    e = t(spark, sf_dir, "embeddings")
+    edges = _Q["similarity_mutual_knn"].fn(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    comp = connected_components(e.select(F.col("vec_id").alias("id")), edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy(F.col("csize").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_vectors"),
+    )

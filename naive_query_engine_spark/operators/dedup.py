@@ -1437,7 +1437,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: in the larger one.  0.9 is the Broder containment regime for "A is
 #: essentially inside B" — high enough that prefix/truncation pairs pass
 #: while topically-similar documents don't.
-CONTAINMENT_THRESHOLD = 0.9
+SUBSET_CONTAINMENT_THRESHOLD = 0.9
 
 
 @query(
@@ -1463,7 +1463,7 @@ CONTAINMENT_THRESHOLD = 0.9
            CAST(shared AS DOUBLE) / LEAST(na, nb) AS containment,
            CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
     FROM scored
-    WHERE CAST(shared AS DOUBLE) / LEAST(na, nb) >= {CONTAINMENT_THRESHOLD}
+    WHERE CAST(shared AS DOUBLE) / LEAST(na, nb) >= {SUBSET_CONTAINMENT_THRESHOLD}
     """,
     tags=("dedup", "pipeline", "containment"),
 )
@@ -1524,5 +1524,5 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             containment.alias("containment"),
             (sh_c.cast("double") / (na + nb - sh_c)).alias("jaccard"),
         )
-        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .filter(F.col("containment") >= SUBSET_CONTAINMENT_THRESHOLD)
     )

@@ -254,6 +254,7 @@ ROTATION: tuple[str, ...] = (
     "agg_mode_exact",
     "text_heaps_law_fit",
     "pipeline_dedup_weighted_mixture",
+    "graph_knn_components",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -376,3 +376,50 @@ def test_dedup_weighted_mixture_matches_unionfind(spark):
     # the planner must bite on this corpus: at least one source over
     # budget (down-sampled) — otherwise the query is vacuous here
     assert any(r["sample_rate"] < 1.0 for r in rows)
+
+
+def test_knn_components_histogram_matches_unionfind(spark):
+    """Cluster-size histogram vs union-find over an independently
+    recomputed mutual-kNN edge set (dense numpy kNN + mutuality)."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.floor(
+        np.stack(emb["embedding"].to_numpy()[order]).astype(np.float64) * 1_000_000
+    )
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+    k = 5
+    topk = {}
+    for i in range(len(ids)):
+        cand = [(-cos[i, j], ids[j]) for j in range(len(ids)) if j != i]
+        cand.sort()
+        topk[ids[i]] = {d for _, d in cand[:k]}
+    parent = {v: v for v in ids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if b in topk[a] and a in topk[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict[int, int] = {}
+    for v in ids:
+        r = find(v)
+        sizes[r] = sizes.get(r, 0) + 1
+    hist: dict[int, int] = {}
+    for s in sizes.values():
+        hist[s] = hist.get(s, 0) + 1
+    rows = QUERIES["graph_knn_components"].fn(spark, SF_SMOKE).collect()
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_vectors"]) for r in rows}
+    assert got == {s: (c, s * c) for s, c in hist.items()}
+    # conservation: histogram must account for every vector exactly once
+    assert sum(r["n_vectors"] for r in rows) == len(ids)

@@ -392,6 +392,9 @@ BUDGETS = {
     # remains is the doc-comp join, the source agg, and the 1-row
     # totals broadcast back
     "pipeline_dedup_weighted_mixture": (3, True),
+    # r6: labels behind the per-iteration lineage cuts; the size agg and
+    # the histogram rollup remain (both cluster-bounded)
+    "graph_knn_components": (2, False),
     # r6: the (status, priority) count agg + the value-cardinality
     # window's partition-by; the window never sees corpus rows
     "agg_mode_exact": (2, False),

@@ -251,6 +251,8 @@ ANNOTATED = {
     "token ordering anywhere",
     "pipeline_dedup_weighted_mixture": "components behind the edge-frame "
     "lineage cuts; one source-keyed agg + 1-row totals broadcast",
+    "graph_knn_components": "mutual-kNN edges (<= n*k rows, degree <= k) "
+    "feed bounded-fanout label propagation; size + histogram aggs only",
 }
 
 
