@@ -1526,3 +1526,119 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= SUBSET_CONTAINMENT_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (CCNet / C4 shape): hash fixed segments, count
+# cross-document frequency, attribute the duplicated-text mass per source.
+
+#: words per segment — the stand-in for "one line" on this corpus (the
+#: synthetic documents carry no newlines; on a real web corpus the
+#: segmenter is split(text, '\n') and everything downstream is identical)
+SEGMENT_WORDS = 8
+
+
+@query(
+    "dedup_segment_exact",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_slice(w, i*{SEGMENT_WORDS}+1, i*{SEGMENT_WORDS}+{SEGMENT_WORDS}),
+               ' ') AS seg
+      FROM words, UNNEST(range(0, len(w) // {SEGMENT_WORDS})) AS u(i)
+    ),
+    seg_df AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ),
+    per_doc AS (
+      SELECT s.doc_id, s.source,
+             COUNT(*) AS n_segs,
+             SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS dup_segs
+      FROM segs s JOIN seg_df d ON s.seg = d.seg
+      GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)       AS n_docs,
+           CAST(SUM(n_segs) AS BIGINT)    AS total_segments,
+           CAST(SUM(dup_segs) AS BIGINT)  AS dup_segments,
+           CAST(CASE WHEN SUM(n_segs) = 0 THEN NULL
+                     ELSE (1000000 * SUM(dup_segs)) // SUM(n_segs) END AS BIGINT)
+             AS dup_ppm
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "line-level", "ccnet", "corpus-report"),
+)
+def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-LEVEL exact dedup report (the CCNet/C4 preprocessing shape:
+    hash every line, drop lines whose cross-document frequency exceeds 1).
+    The reference engine has no analog; this is a training-data op.
+
+    Semantics on this corpus: a "line" is a non-overlapping
+    ``SEGMENT_WORDS``-word segment (the synthetic documents carry no
+    newlines; swap the segmenter for ``split(text, '\\n')`` on a real web
+    corpus — nothing downstream changes).  Unlike the overlapping-shingle
+    Jaccard detectors above, segments TILE the document, so total segment
+    volume is ~|corpus| / W, not ~|corpus| — this is why CCNet can afford
+    an EXACT pass at web scale.  Output is the per-source duplicated-text
+    mass (dup segments / total segments, integer ppm), the report a
+    curation pipeline uses to pick which sources need the heavier
+    near-dup cascade.
+
+    Scale shape: one explode (map-side, tiling so ~n_words/W rows), one
+    groupBy on the segment hash for document frequency (the only
+    corpus-sized shuffle — keyed by md5, uniformly distributed, AQE-safe),
+    one hash-join back (same key → same partitioning, AQE reuses the
+    exchange), then a 20-group rollup.  No pairwise compare anywhere; at
+    100 TB both heavy stages are linear in corpus size and the join
+    carries only (hash, df) on the build side.
+
+    Exactness: the dup fraction is an integer-division ppm
+    (``(1e6 * dup) DIV total``) — no float division, bit-equal across
+    engines; the guard keeps a zero-segment source NULL in both.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    # tile into exactly-W-word segments JVM-side; sequence(0, size DIV W)
+    # deliberately overshoots by one and the filter drops the partial tail
+    # (sequence(0, -1) would generate a DESCENDING range — never go there)
+    seg_expr = F.expr(
+        f"filter(transform(sequence(0, CAST(size(w) DIV {SEGMENT_WORDS} AS INT)),"
+        f" i -> concat_ws(' ', slice(w, i*{SEGMENT_WORDS}+1, {SEGMENT_WORDS}))),"
+        f" s -> size(split(s, ' ')) = {SEGMENT_WORDS})"
+    )
+    # carry only the md5 of each segment past the explode: the shuffle key
+    # and join payload are fixed 32-byte hashes, not 8-word strings (the
+    # oracle groups raw segments — the OUTPUT never exposes the key, so the
+    # engines only need dedup-equivalent keys, not identical ones)
+    segs = spread(d).select(
+        "doc_id", "source", F.explode(seg_expr).alias("seg")
+    ).select("doc_id", "source", F.md5("seg").alias("seg_h"))
+    seg_df = segs.groupBy("seg_h").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        segs.join(seg_df, "seg_h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup_segs"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_segs").cast("long").alias("total_segments"),
+            F.sum("dup_segs").cast("long").alias("dup_segments"),
+            F.when(
+                F.sum("n_segs") > 0,
+                F.expr("CAST((1000000 * sum(dup_segs)) DIV sum(n_segs) AS BIGINT)"),
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )

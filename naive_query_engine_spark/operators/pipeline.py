@@ -497,3 +497,128 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage string, n_in long, n_kept long, n_removed long"
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-wins MERGE accounting — the lakehouse upsert primitive
+
+#: trailing window treated as the incoming CDC batch (everything earlier
+#: is the target snapshot)
+CDC_BATCH_DAYS = 7
+
+
+@query(
+    "pipeline_cdc_merge",
+    oracle=f"""
+    WITH cut AS (
+      SELECT max(ts) - INTERVAL {CDC_BATCH_DAYS} DAY AS cutoff FROM events
+    ),
+    snap AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events, cut WHERE ts < cutoff
+      ) WHERE rn = 1
+    ),
+    batch AS (
+      SELECT user_id, event_type, value, n_rows FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_rows
+        FROM events, cut WHERE ts >= cutoff
+      ) WHERE rn = 1
+    )
+    SELECT CASE WHEN s.user_id IS NULL THEN 'insert'
+                WHEN b.user_id IS NULL THEN 'untouched'
+                WHEN b.value = s.value THEN 'update_identical'
+                ELSE 'update_changed' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(DISTINCT COALESCE(b.user_id, s.user_id)) AS BIGINT)
+             AS n_users,
+           CAST(SUM(COALESCE(b.n_rows, 0)) AS BIGINT) AS batch_rows
+    FROM snap s FULL OUTER JOIN batch b
+      ON s.user_id = b.user_id AND s.event_type = b.event_type
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+    tags=("pipeline", "cdc", "merge", "lakehouse"),
+)
+def pipeline_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins MERGE accounting — the lakehouse ``MERGE INTO``
+    primitive, expressed as window-dedup + full-outer join.  The last
+    ``CDC_BATCH_DAYS`` of events play the incoming change batch; the
+    target dimension is keyed (user_id, event_type) with the latest value
+    winning (ts DESC, event_id DESC tie-break — deterministic even with
+    same-timestamp changes).  Each target key is classified the way a
+    MERGE plans its actions: ``insert`` (key only in the batch),
+    ``update_changed`` / ``update_identical`` (matched, value did / did
+    not change — identical updates are the rows a change-aware writer
+    SKIPS to avoid file-rewrite churn), ``untouched`` (target key absent
+    from the batch).  A delete tombstone would fold into the same
+    latest-wins window as one more change class.
+
+    Scale shape: both sides dedup with a window PARTITIONed by the merge
+    key — the same hash partitioning the join then needs, so AQE reuses
+    one exchange per side rather than re-shuffling; the batch side is
+    date-pruned at the scan (at 100 TB the batch is a partition-pruned
+    sliver, the snapshot a bucketed table, and this plan is exactly
+    Delta/Iceberg's MERGE dataflow).  Output is 4 bounded rows.
+
+    Exactness: counts only (BIGINT both sides); the value-change test
+    compares doubles read from the same parquet — bit-identical in both
+    engines, never arithmetic on them."""
+    ev = t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.expr(f"max(ts) - INTERVAL {CDC_BATCH_DAYS} DAY").alias("cutoff")
+    )
+    ev = ev.crossJoin(F.broadcast(cutoff))
+    key_w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snap = (
+        ev.filter(F.col("ts") < F.col("cutoff"))
+        .select("user_id", "event_type", "value", F.row_number().over(key_w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("value").alias("s_value"))
+    )
+    cnt_w = Window.partitionBy("user_id", "event_type")
+    batch = (
+        ev.filter(F.col("ts") >= F.col("cutoff"))
+        .select(
+            "user_id", "event_type", "value",
+            F.row_number().over(key_w).alias("rn"),
+            F.count(F.lit(1)).over(cnt_w).alias("n_rows"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("b_user"), F.col("event_type").alias("b_type"),
+            F.col("value").alias("b_value"), "n_rows",
+        )
+    )
+    merged = snap.join(
+        batch,
+        (snap.user_id == batch.b_user) & (snap.event_type == batch.b_type),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("user_id").isNull(), F.lit("insert"))
+        .when(F.col("b_user").isNull(), F.lit("untouched"))
+        .when(F.col("b_value") == F.col("s_value"), F.lit("update_identical"))
+        .otherwise(F.lit("update_changed"))
+    )
+    return (
+        merged.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("b_user"), F.col("user_id")).alias("u"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).alias("batch_rows"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.countDistinct("u").cast("long").alias("n_users"),
+            F.sum("batch_rows").cast("long").alias("batch_rows"),
+        )
+        .orderBy("change_type")
+    )

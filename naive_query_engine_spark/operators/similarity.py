@@ -1659,3 +1659,90 @@ def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.cosine").alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) reconstruction-error report
+
+
+@query(
+    "embedding_int8_quantization_error",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    stats AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY i),
+    enc AS (
+      SELECT e.label, e.v, s.mn, s.mx,
+             CASE WHEN s.mx > s.mn
+                  THEN ((e.v - s.mn) * 255) // (s.mx - s.mn)
+                  ELSE 0 END AS c
+      FROM e JOIN stats s ON e.i = s.i
+    ),
+    err AS (
+      SELECT label,
+             ABS(v - (mn + CASE WHEN mx > mn THEN (c * (mx - mn)) // 255
+                                ELSE 0 END)) AS ae
+      FROM enc
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT)  AS n_components,
+           CAST(SUM(ae) AS BIGINT)   AS sum_abs_err,
+           CAST(MAX(ae) AS BIGINT)   AS max_abs_err,
+           CAST(SUM(ae) AS DOUBLE) / COUNT(*) AS mean_abs_err
+    FROM err GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "embedding", "quantization", "compression"),
+)
+def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 (per-dimension affine int8) quantization error report — the QA
+    gate before shipping a scalar-quantized vector index.  At 100 TB,
+    embeddings dominate storage (64 float32 dims = 256 B/vector); SQ8
+    cuts that 4× and is the default FAISS/Lucene codec, but it is only
+    safe if reconstruction error is small relative to the inter-vector
+    distances — exactly what this report measures, per label so a
+    skewed cluster (one label occupying a narrow slice of a wide global
+    range) shows up as an outlier row.
+
+    Encoder: per-dimension corpus min/max (the trained SQ8 parameters),
+    code ``c = ((v - mn) * 255) DIV (mx - mn)``, reconstruction
+    ``mn + (c * (mx - mn)) DIV 255`` — all on the repo's 1e6 fixed-point
+    integer domain, so encode, decode, and the absolute-error aggregate
+    are EXACT integer arithmetic in both engines (operands are
+    non-negative, so Spark's truncating DIV and DuckDB's flooring //
+    agree).  Dead dimensions (mx == mn) encode to 0 with zero error.
+
+    Scale shape: one posexplode, one D-bounded min/max aggregation (the
+    "training" pass — 64 rows out), a broadcast join back (the params
+    frame is KB-sized at any corpus scale), one label-bounded aggregate.
+    Two linear passes, no corpus-sized shuffle beyond the dim agg's
+    map-side-combined exchange."""
+    qt = _qtable(spark, sf_dir)
+    e = qt.select("label", F.posexplode("q").alias("i", "v"))
+    stats = e.groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    enc = e.join(F.broadcast(stats), "i").withColumn(
+        "c",
+        F.expr(
+            "CASE WHEN mx > mn THEN ((v - mn) * 255) DIV (mx - mn) ELSE 0 END"
+        ),
+    )
+    err = enc.select(
+        "label",
+        F.expr(
+            "ABS(v - (mn + CASE WHEN mx > mn THEN (c * (mx - mn)) DIV 255"
+            " ELSE 0 END))"
+        ).alias("ae"),
+    )
+    return (
+        err.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.sum("ae").cast("long").alias("sum_abs_err"),
+            F.max("ae").cast("long").alias("max_abs_err"),
+            (F.sum("ae").cast("double") / F.count(F.lit(1))).alias("mean_abs_err"),
+        )
+        .orderBy("label")
+    )

@@ -255,6 +255,9 @@ ROTATION: tuple[str, ...] = (
     "text_heaps_law_fit",
     "pipeline_dedup_weighted_mixture",
     "graph_knn_components",
+    "dedup_segment_exact",
+    "pipeline_cdc_merge",
+    "embedding_int8_quantization_error",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",
