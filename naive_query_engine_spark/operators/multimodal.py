@@ -719,3 +719,162 @@ def multimodal_mp4_box_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_boxes long, major_brand string, mdat_bytes long,"
         " is_valid_mp4 boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF/EXIF: offset-directory walk — the POINTER-CHASING parse shape
+# (PNG = fixed offset, JPEG = sequential variable segments, MP4 = size-
+# prefixed tiling; TIFF adds absolute-offset indirection AND per-file
+# byte-order switching, the two ingredients every EXIF reader deals with)
+
+
+def make_tiff_payload(doc_id_expr, width_expr, height_expr):
+    """Column expr: minimal TIFF bytes — byte-order mark ('II' little /
+    'MM' big, switched on doc parity so BOTH endianness branches are
+    exercised corpus-wide), magic 42, a 4-byte absolute offset to IFD0
+    placed past a doc-dependent padding run (so the offset genuinely
+    varies and a fixed-offset cheat can't pass), then IFD0: entry count,
+    two 12-byte SHORT entries (ImageWidth tag 256 / ImageLength tag 257,
+    value left-justified in the 4-byte field per spec), zero next-IFD.
+    The whole payload is assembled as ONE hex string JVM-side (conv/
+    lpad/concat — per-field byte reversal for the little-endian branch)
+    and unhex'd once; no Python in the build path."""
+    from pyspark.sql import functions as F
+
+    def hex16(c):
+        return F.lpad(F.conv(c.cast("string"), 10, 16), 4, "0")
+
+    def hex32(c):
+        return F.lpad(F.conv(c.cast("string"), 10, 16), 8, "0")
+
+    def swap16(h):
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    def swap32(h):
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    little = doc_id_expr % 2 == 0
+
+    def n16(c):
+        h = hex16(c)
+        return F.when(little, swap16(h)).otherwise(h)
+
+    def n32(c):
+        h = hex32(c)
+        return F.when(little, swap32(h)).otherwise(h)
+
+    pad = (doc_id_expr % 8).cast("int")
+    ifd_off = (F.lit(8) + pad).cast("long")
+
+    def entry(tag, value_expr):
+        # tag(2) type(2: 3=SHORT) count(4: 1) value(2, left-justified)+pad(2)
+        return F.concat(
+            n16(F.lit(tag)), n16(F.lit(3)), n32(F.lit(1)), n16(value_expr),
+            F.lit("0000"),
+        )
+
+    payload_hex = F.concat(
+        F.when(little, F.lit("4949")).otherwise(F.lit("4D4D")),  # 'II' / 'MM'
+        n16(F.lit(42)),                                          # magic
+        n32(ifd_off),                                            # IFD0 offset
+        F.repeat(F.lit("00"), pad),                              # padding
+        n16(F.lit(2)),                                           # entry count
+        entry(256, width_expr),
+        entry(257, height_expr),
+        F.lit("00000000"),                                       # next IFD = 0
+    )
+    return F.unhex(payload_hex)
+
+
+def tiff_meta_kernel():
+    """mapInPandas kernel walking a REAL TIFF header: read the byte-order
+    mark, verify magic 42 in that byte order, CHASE the absolute IFD0
+    offset, walk the directory entries with struct.unpack in the declared
+    endianness, and pull SHORT tags 256/257 (width/height).  Rejects:
+    unknown byte-order mark, wrong magic, IFD offset out of bounds,
+    directory overrunning the payload, nonzero next-IFD offset pointing
+    outside, missing width/height tags.  Closure → pickles by value."""
+    import struct
+
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "byte_order": [], "width": [], "height": [],
+                "n_entries": [], "is_valid_tiff": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                bo, w, h, n, ok = "", 0, 0, 0, False
+                if len(b) >= 8 and b[:2] in (b"II", b"MM"):
+                    e = "<" if b[:2] == b"II" else ">"
+                    bo = b[:2].decode("ascii")
+                    magic, off = struct.unpack(e + "HI", b[2:8])
+                    if magic == 42 and 8 <= off and off + 2 <= len(b):
+                        (n,) = struct.unpack(e + "H", b[off : off + 2])
+                        end = off + 2 + 12 * n + 4
+                        if end <= len(b):
+                            tags = {}
+                            for i in range(n):
+                                o = off + 2 + 12 * i
+                                tag, typ, cnt = struct.unpack(
+                                    e + "HHI", b[o : o + 8]
+                                )
+                                if typ == 3 and cnt == 1:  # SHORT, value in field
+                                    (tags[tag],) = struct.unpack(
+                                        e + "H", b[o + 8 : o + 10]
+                                    )
+                            (nxt,) = struct.unpack(e + "I", b[end - 4 : end])
+                            if nxt == 0 and 256 in tags and 257 in tags:
+                                w, h, ok = tags[256], tags[257], True
+                rows["doc_id"].append(doc_id)
+                rows["byte_order"].append(bo if ok else "")
+                rows["width"].append(w if ok else 0)
+                rows["height"].append(h if ok else 0)
+                rows["n_entries"].append(n if ok else 0)
+                rows["is_valid_tiff"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return parse
+
+
+@query(
+    "multimodal_tiff_header_parse",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(16 + doc_id % 4096 AS BIGINT)        AS width,
+           CAST(16 + (doc_id * 11) % 4096 AS BIGINT) AS height,
+           CAST(2 AS BIGINT)                         AS n_entries,
+           TRUE AS is_valid_tiff
+    FROM documents
+    """,
+    tags=("multimodal", "pipeline", "binary", "pandas-udf", "exif"),
+)
+def multimodal_tiff_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through TIFF — the OFFSET-DIRECTORY binary format, and
+    the fourth (last) fundamental parse shape in this family: absolute-
+    offset pointer chasing plus per-file byte-order switching (every
+    EXIF/DNG/GeoTIFF reader starts exactly here).  Payloads alternate
+    little- and big-endian by doc parity and place IFD0 past a
+    doc-dependent padding run, so the kernel must honor both the declared
+    endianness and the declared offset — a hardcoded layout fails the
+    oracle on every second row.  The oracle recomputes the planted
+    dims arithmetically; agreement proves the encode→chase→decode path
+    bit-correct end-to-end.  Scale shape: map-only Arrow kernel, no
+    shuffle; adversarial rejects pinned in ``tests/test_new_ops_r6b.py``."""
+    d = t(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 4096).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 11) % 4096).cast("int")
+    payloads = d.select(
+        "doc_id", make_tiff_payload(F.col("doc_id"), w, h).alias("payload")
+    )
+    return payloads.mapInPandas(
+        tiff_meta_kernel(),
+        "doc_id long, byte_order string, width long, height long,"
+        " n_entries long, is_valid_tiff boolean",
+    )

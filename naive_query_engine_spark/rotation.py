@@ -258,6 +258,7 @@ ROTATION: tuple[str, ...] = (
     "dedup_segment_exact",
     "pipeline_cdc_merge",
     "embedding_int8_quantization_error",
+    "multimodal_tiff_header_parse",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

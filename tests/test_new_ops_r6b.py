@@ -1,0 +1,213 @@
+"""Behavioral invariants for the second round-6 operator batch
+(independent local recomputes, per the landing discipline)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from naive_query_engine_spark.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# dedup_segment_exact: pandas recompute of the CCNet segment-dedup report
+
+
+def test_segment_dedup_matches_pandas(spark):
+    from naive_query_engine_spark.operators.dedup import SEGMENT_WORDS
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    seg_docs: dict[str, set[int]] = {}
+    per_doc: list[tuple[int, str, list[str]]] = []
+    for doc_id, source, text in docs.itertuples(index=False):
+        w = text.split(" ")
+        segs = [
+            " ".join(w[i * SEGMENT_WORDS : (i + 1) * SEGMENT_WORDS])
+            for i in range(len(w) // SEGMENT_WORDS)
+        ]
+        per_doc.append((doc_id, source, segs))
+        for s in set(segs):
+            seg_docs.setdefault(s, set()).add(doc_id)
+    rows: dict[str, list[int]] = {}
+    for doc_id, source, segs in per_doc:
+        if not segs:
+            continue
+        dup = sum(1 for s in segs if len(seg_docs[s]) >= 2)
+        r = rows.setdefault(source, [0, 0, 0])
+        r[0] += 1
+        r[1] += len(segs)
+        r[2] += dup
+    got = {
+        r["source"]: r
+        for r in (
+            QUERIES["dedup_segment_exact"]
+            .fn(spark, SF_SMOKE)
+            .collect()
+        )
+    }
+    assert set(got) == set(rows)
+    for src, (n_docs, tot, dup) in rows.items():
+        g = got[src]
+        assert (g["n_docs"], g["total_segments"], g["dup_segments"]) == (
+            n_docs,
+            tot,
+            dup,
+        ), src
+        assert g["dup_ppm"] == (1_000_000 * dup) // tot, src
+
+
+# ---------------------------------------------------------------------------
+# pipeline_cdc_merge: pandas recompute of the latest-wins classification
+
+
+def test_cdc_merge_matches_pandas(spark):
+    from naive_query_engine_spark.operators.pipeline import CDC_BATCH_DAYS
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    cutoff = ev["ts"].max() - pd.Timedelta(days=CDC_BATCH_DAYS)
+    order = ev.sort_values(["ts", "event_id"], ascending=False)
+    snap = (
+        order[order["ts"] < cutoff]
+        .groupby(["user_id", "event_type"], as_index=False)
+        .first()
+    )
+    batch_all = order[order["ts"] >= cutoff]
+    batch = batch_all.groupby(["user_id", "event_type"], as_index=False).first()
+    counts = (
+        batch_all.groupby(["user_id", "event_type"]).size().rename("n_rows")
+    )
+    batch = batch.merge(counts, on=["user_id", "event_type"])
+    m = snap.merge(
+        batch,
+        on=["user_id", "event_type"],
+        how="outer",
+        suffixes=("_s", "_b"),
+        indicator=True,
+    )
+
+    def classify(r):
+        if r["_merge"] == "right_only":
+            return "insert"
+        if r["_merge"] == "left_only":
+            return "untouched"
+        return (
+            "update_identical"
+            if r["value_b"] == r["value_s"]
+            else "update_changed"
+        )
+
+    m["change_type"] = m.apply(classify, axis=1)
+    exp = (
+        m.groupby("change_type")
+        .agg(
+            n_keys=("change_type", "size"),
+            n_users=("user_id", "nunique"),
+            batch_rows=("n_rows", lambda s: int(s.fillna(0).sum())),
+        )
+        .reset_index()
+    )
+    got = (
+        QUERIES["pipeline_cdc_merge"].fn(spark, SF_SMOKE).toPandas()
+    )
+    exp = exp.sort_values("change_type").reset_index(drop=True)
+    got = got.sort_values("change_type").reset_index(drop=True)
+    assert list(got["change_type"]) == list(exp["change_type"])
+    assert list(got["n_keys"]) == list(exp["n_keys"])
+    assert list(got["n_users"]) == list(exp["n_users"])
+    assert list(got["batch_rows"]) == list(exp["batch_rows"])
+
+
+# ---------------------------------------------------------------------------
+# embedding_int8_quantization_error: numpy recompute of the SQ8 round-trip
+
+
+def test_sq8_error_matches_numpy(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    v = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1_000_000
+    ).astype(np.int64)
+    mn, mx = v.min(axis=0), v.max(axis=0)
+    r = mx - mn
+    safe = np.where(r > 0, r, 1)
+    c = np.where(r > 0, ((v - mn) * 255) // safe, 0)
+    rec = mn + np.where(r > 0, (c * r) // 255, 0)
+    ae = np.abs(v - rec)
+    labels = emb["label"].to_numpy()
+    got = (
+        QUERIES["embedding_int8_quantization_error"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("label")
+    )
+    for lab in np.unique(labels):
+        sel = ae[labels == lab]
+        g = got.loc[lab]
+        assert g["n_components"] == sel.size
+        assert g["sum_abs_err"] == int(sel.sum())
+        assert g["max_abs_err"] == int(sel.max())
+        assert abs(g["mean_abs_err"] - sel.sum() / sel.size) < 1e-12
+    # the report must be non-vacuous: SQ8 on a 1e6 fixed-point domain
+    # always loses precision somewhere
+    assert int(ae.sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal_tiff_header_parse: kernel round-trip + adversarial rejects
+
+
+def _tiff(le: bool, magic=42, w=640, h=480, pad=4, nxt=0, tags=(256, 257)):
+    e = "<" if le else ">"
+    bom = b"II" if le else b"MM"
+    off = 8 + pad
+    entries = b""
+    vals = {256: w, 257: h}
+    for tag in tags:
+        entries += struct.pack(e + "HHI", tag, 3, 1) + struct.pack(
+            e + "H", vals.get(tag, 1)
+        ) + b"\x00\x00"
+    ifd = struct.pack(e + "H", len(tags)) + entries + struct.pack(e + "I", nxt)
+    return bom + struct.pack(e + "HI", magic, off) + b"\x00" * pad + ifd
+
+
+def test_tiff_kernel_round_trip_and_rejects():
+    from naive_query_engine_spark.operators.multimodal import tiff_meta_kernel
+
+    cases = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6],
+            "payload": [
+                _tiff(le=True, w=123, h=456),
+                _tiff(le=False, w=77, h=88, pad=0),
+                _tiff(le=True, magic=43),            # wrong magic
+                _tiff(le=True)[:-6],                 # truncated directory
+                b"XX" + _tiff(le=True)[2:],          # unknown byte order
+                _tiff(le=True, tags=(256,)),         # missing height tag
+                _tiff(le=False, nxt=10_000),         # dangling next-IFD
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for _, r in next(tiff_meta_kernel()([cases])).iterrows()
+    }
+    assert (
+        out[0]["byte_order"],
+        out[0]["width"],
+        out[0]["height"],
+        out[0]["is_valid_tiff"],
+    ) == ("II", 123, 456, True)
+    assert (
+        out[1]["byte_order"],
+        out[1]["width"],
+        out[1]["height"],
+        out[1]["is_valid_tiff"],
+    ) == ("MM", 77, 88, True)
+    for bad in (2, 3, 4, 5, 6):
+        assert not out[bad]["is_valid_tiff"], bad
