@@ -1254,3 +1254,115 @@ def graph_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction over the mutual-kNN graph (resource-allocation index)
+
+#: fixed-point scale for the resource-allocation score (1e6 DIV degree —
+#: integer division, exact in both engines; degrees are small ints)
+RA_FP = 1_000_000
+LINK_PRED_TOP = 25
+
+
+def _link_prediction_oracle() -> str:
+    from ..queries import QUERIES as _Q
+
+    knn = _Q["similarity_mutual_knn"].oracle
+    return f"""
+    WITH knn AS MATERIALIZED ({knn}),
+    sym AS MATERIALIZED (
+      SELECT vec_a AS a, vec_b AS b FROM knn
+      UNION ALL
+      SELECT vec_b, vec_a FROM knn
+    ),
+    deg AS (SELECT a AS z, COUNT(*) AS d FROM sym GROUP BY a),
+    wedge AS (
+      SELECT s1.a AS a, s2.b AS b, s1.b AS z
+      FROM sym s1 JOIN sym s2 ON s1.b = s2.a AND s1.a < s2.b
+    ),
+    cand AS (
+      SELECT w.a, w.b,
+             COUNT(*) AS cn,
+             SUM({RA_FP} // d.d) AS ra
+      FROM wedge w JOIN deg d ON d.z = w.z
+      LEFT JOIN knn e ON e.vec_a = w.a AND e.vec_b = w.b
+      WHERE e.vec_a IS NULL
+      GROUP BY w.a, w.b
+    )
+    SELECT CAST(a AS BIGINT) AS vec_a, CAST(b AS BIGINT) AS vec_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(ra AS BIGINT) AS ra_score_fp
+    FROM cand
+    ORDER BY ra DESC, cn DESC, a, b
+    LIMIT {LINK_PRED_TOP}
+    """
+
+
+@query(
+    "graph_link_prediction",
+    oracle=_link_prediction_oracle(),
+    tags=("similarity", "graph", "link-prediction", "curation"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the mutual-kNN graph: score non-adjacent
+    vector pairs by the resource-allocation index (Zhou et al. 2009,
+    RA = Σ_z 1/deg(z) over common neighbors z) — the "which documents
+    are probably near-duplicates that the kNN cutoff missed" probe, and
+    the standard relevance-feedback primitive for growing a semantic
+    cluster.  RA beats raw common-neighbor counting because a promiscuous
+    hub neighbor (high degree) contributes almost nothing.
+
+    Chosen over Adamic-Adar deliberately: AA's 1/ln(deg) would put a
+    cross-engine libm call inside a SUM; RA's 1/deg becomes EXACT integer
+    arithmetic (``RA_FP DIV degree`` — non-negative operands, so Spark's
+    truncating DIV and DuckDB's flooring // agree) and the ranking is
+    hash-stable with no float-sum order hazard.
+
+    Scale shape: wedge enumeration on a DEGREE-BOUNDED graph (mutual-kNN
+    degree ≤ k by construction) is ≤ n·k² rows — the hub blowup that
+    makes wedge counting explode on threshold graphs cannot happen here.
+    One shuffle keys the wedge join on z, one keys the (a,b) aggregate,
+    the anti-join reuses the knn frame, and the top-N is
+    TakeOrdered-style with a total tie-break order (ra, cn, a, b).  The
+    corpus-scale cost lives in the spliced mutual-kNN build (blocked
+    Arrow matmul)."""
+    from ..queries import QUERIES as _Q
+
+    knn = _Q["similarity_mutual_knn"].fn(spark, sf_dir).select(
+        F.col("vec_a").alias("ka"), F.col("vec_b").alias("kb")
+    )
+    knn = cut_lineage(knn)  # edge set reused 4× below — build the matmul once
+    sym = knn.select(F.col("ka").alias("a"), F.col("kb").alias("b")).unionAll(
+        knn.select(F.col("kb").alias("a"), F.col("ka").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("z")).agg(F.count(F.lit(1)).alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = s1.join(
+        s2, (F.col("s1.b") == F.col("s2.a")) & (F.col("s1.a") < F.col("s2.b"))
+    ).select(F.col("s1.a").alias("a"), F.col("s2.b").alias("b"), F.col("s1.b").alias("z"))
+    cand = (
+        wedge.join(deg, "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.expr(f"{RA_FP} DIV d")).alias("ra"),
+        )
+        .join(
+            knn,
+            (F.col("a") == F.col("ka")) & (F.col("b") == F.col("kb")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.orderBy(
+            F.col("ra").desc(), F.col("cn").desc(), F.col("a"), F.col("b")
+        )
+        .limit(LINK_PRED_TOP)
+        .select(
+            F.col("a").cast("long").alias("vec_a"),
+            F.col("b").cast("long").alias("vec_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("ra").cast("long").alias("ra_score_fp"),
+        )
+    )

@@ -976,3 +976,108 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("n_values"),
         dev.alias("benford_dev_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# right-to-erasure propagation audit (the GDPR/CCPA deletion manifest)
+
+_SUBJECT_BUCKET_SQL = (
+    "strpos('0123456789abcdef',"
+    " SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1 = 0"
+)
+
+
+@query(
+    "dataset_erase_propagation",
+    oracle=f"""
+    WITH subjects AS (
+      SELECT c_custkey AS id FROM customer WHERE {_SUBJECT_BUCKET_SQL}
+    ),
+    eo AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT id FROM subjects)
+    ),
+    stats AS (
+      SELECT 'customer' AS table_name,
+             (SELECT COUNT(*) FROM customer) AS n_rows,
+             (SELECT COUNT(*) FROM subjects) AS n_erased
+      UNION ALL
+      SELECT 'orders', (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM eo)
+      UNION ALL
+      SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM eo))
+      UNION ALL
+      SELECT 'events', (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(*) FROM events
+              WHERE user_id IN (SELECT id FROM subjects))
+    )
+    SELECT table_name,
+           CAST(n_rows AS BIGINT)   AS n_rows,
+           CAST(n_erased AS BIGINT) AS n_rows_erased,
+           CAST((1000000 * n_erased) // n_rows AS BIGINT) AS erased_ppm
+    FROM stats ORDER BY table_name
+    """,
+    tags=("quality", "compliance", "erasure", "audit"),
+)
+def dataset_erase_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE propagation audit — the deletion manifest a
+    GDPR/CCPA compliance job produces before (and logs after) executing a
+    subject-deletion batch.  The subject cohort is a deterministic
+    content-hash bucket of customers (~6%, the same seeded-md5 bucketing
+    as the train/test split — reproducible across engines and re-runs,
+    never ``sample()``); the audit then propagates through the reference
+    graph: direct hits in ``orders`` and ``events`` (FK on the subject
+    key) and TRANSITIVE hits in ``lineitem`` (no subject column — reached
+    only through the erased orders' keys, the cascade every real deletion
+    job has to walk).
+
+    Scale shape: each table is counted with one semi-join against the
+    subject/erased-key frame — at 100 TB those are the joins a runtime
+    bloom filter or DPP prunes (the subject set is a sliver of the key
+    domain), and the actual delete is the same plan with the semi-join
+    flipped to anti (rewrite surviving rows; see ``sources.merge_upsert``
+    for the MERGE-shaped variant).  Output is 4 bounded rows; the ppm is
+    integer division — no float anywhere."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+    subjects = cust.filter(hash_bucket(F.col("c_custkey")) == 0).select(
+        F.col("c_custkey").alias("id")
+    )
+    erased_orders = orders.join(
+        subjects, orders.o_custkey == subjects.id, "left_semi"
+    ).select("o_orderkey")
+
+    def row(name: str, total_df: DataFrame, erased_df: DataFrame) -> DataFrame:
+        return (
+            total_df.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(erased_df.agg(F.count(F.lit(1)).alias("n_erased")))
+            .select(F.lit(name).alias("table_name"), "n_rows", "n_erased")
+        )
+
+    stats = (
+        row("customer", cust, subjects)
+        .unionAll(row("orders", orders, erased_orders))
+        .unionAll(
+            row(
+                "lineitem",
+                li,
+                li.join(erased_orders, li.l_orderkey == erased_orders.o_orderkey,
+                        "left_semi"),
+            )
+        )
+        .unionAll(
+            row("events", ev,
+                ev.join(subjects, ev.user_id == subjects.id, "left_semi"))
+        )
+    )
+    return stats.select(
+        "table_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_erased").cast("long").alias("n_rows_erased"),
+        F.expr("CAST((1000000 * n_erased) DIV n_rows AS BIGINT)").alias(
+            "erased_ppm"
+        ),
+    ).orderBy("table_name")

@@ -259,6 +259,8 @@ ROTATION: tuple[str, ...] = (
     "pipeline_cdc_merge",
     "embedding_int8_quantization_error",
     "multimodal_tiff_header_parse",
+    "graph_link_prediction",
+    "dataset_erase_propagation",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",
