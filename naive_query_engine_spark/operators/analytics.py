@@ -2268,3 +2268,127 @@ def events_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols.crossJoin(F.broadcast(med)).select(
         "n_days", "n_pairs", "theil_sen_slope", "ols_slope"
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build (the dimensional-modeling / CDC history shape)
+
+
+@query(
+    "orders_scd2_priority_history",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS prio, o_orderdate AS d, o_orderkey,
+             LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    flagged AS (
+      SELECT o_custkey, prio, d, o_orderkey,
+             CASE WHEN prev IS NULL OR prev <> prio THEN 1 ELSE 0 END AS chg
+      FROM seq
+    ),
+    ver AS (
+      SELECT o_custkey, prio, d, o_orderkey,
+             SUM(chg) OVER (PARTITION BY o_custkey
+                            ORDER BY d, o_orderkey) AS vid
+      FROM flagged
+    ),
+    vspan AS (
+      SELECT o_custkey, prio, vid, MIN(d) AS v_start
+      FROM ver GROUP BY o_custkey, prio, vid
+    ),
+    vint AS (
+      SELECT prio, v_start,
+             LEAD(v_start) OVER (PARTITION BY o_custkey ORDER BY vid) AS v_end
+      FROM vspan
+    )
+    SELECT prio AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(SUM(CASE WHEN v_end IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current,
+           CAST(SUM(CASE WHEN v_end IS NOT NULL
+                         THEN date_diff('day', CAST(v_start AS DATE),
+                                        CAST(v_end AS DATE))
+                         ELSE 0 END) AS BIGINT) AS closed_days,
+           CASE WHEN COUNT(*) > SUM(CASE WHEN v_end IS NULL THEN 1 ELSE 0 END)
+                THEN CAST(SUM(CASE WHEN v_end IS NOT NULL
+                               THEN date_diff('day', CAST(v_start AS DATE),
+                                              CAST(v_end AS DATE))
+                               ELSE 0 END) AS DOUBLE)
+                     / (COUNT(*) - SUM(CASE WHEN v_end IS NULL THEN 1 ELSE 0 END))
+                ELSE NULL END AS avg_closed_days
+    FROM vint GROUP BY prio ORDER BY prio
+    """,
+    tags=("analytics", "scd2", "dimension", "cdc", "lakehouse"),
+)
+def orders_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension build — the slowly-changing-dimension history
+    every warehouse maintains: treat each customer's order stream as a
+    change feed for their "current priority" attribute, open a new
+    VERSION whenever the attribute changes (change flag → running sum =
+    version id — the gaps-and-islands idiom), stamp each version with
+    [effective_from, effective_to) validity via LEAD, and leave the last
+    version open (the ``is_current`` row).  Reported as the per-priority
+    version census: how many versions ever existed, how many are current,
+    and the exact closed-version dwell time in days — the shape audit
+    for dimension-table bloat before a backfill.
+
+    Scale shape: every window PARTITIONs BY the dimension's natural key
+    (o_custkey) — one hash exchange that Spark reuses across the lag,
+    the running sum, and the lead (same partitioning all the way down);
+    per-key sequences are short.  The final rollup is
+    attribute-bounded (5 rows).  No global window anywhere.
+
+    Determinism: version boundaries use the total per-key order
+    (o_orderdate, o_orderkey) so same-day orders sequence identically in
+    both engines; dwell time is integer days on DATE casts (NTZ
+    wall-clock, no timezone); the single double division is guarded and
+    identically associated on both sides."""
+    o = t(spark, sf_dir, "orders")
+    kw = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("d"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(kw).alias("prev"),
+    )
+    flagged = seq.withColumn(
+        "chg",
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") != F.col("prio")), 1
+        ).otherwise(0),
+    )
+    vw = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ver = flagged.withColumn("vid", F.sum("chg").over(vw))
+    vspan = ver.groupBy("o_custkey", "prio", "vid").agg(F.min("d").alias("v_start"))
+    lw = Window.partitionBy("o_custkey").orderBy("vid")
+    vint = vspan.select(
+        "prio", "v_start", F.lead("v_start").over(lw).alias("v_end")
+    )
+    closed_days = F.sum(
+        F.when(
+            F.col("v_end").isNotNull(),
+            F.datediff(F.col("v_end").cast("date"), F.col("v_start").cast("date")),
+        ).otherwise(0)
+    )
+    n_current = F.sum(F.when(F.col("v_end").isNull(), 1).otherwise(0))
+    n_versions = F.count(F.lit(1))
+    return (
+        vint.groupBy(F.col("prio").alias("priority"))
+        .agg(
+            n_versions.cast("long").alias("n_versions"),
+            n_current.cast("long").alias("n_current"),
+            closed_days.cast("long").alias("closed_days"),
+            F.when(
+                n_versions > n_current,
+                closed_days.cast("double") / (n_versions - n_current),
+            ).alias("avg_closed_days"),
+        )
+        .orderBy("priority")
+    )

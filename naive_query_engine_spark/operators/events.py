@@ -655,3 +655,120 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cv_sq < F.lit(0.5)).alias("regular_flag"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# late-arrival / watermark-sizing audit (Structured Streaming's key knob)
+
+#: deterministic simulated transport jitter: content-hash bucket (0..4095)
+#: × this step ≈ 0..120 s of arrival delay.  The corpus arrives PERFECTLY
+#: ingest-ordered (event_id order == ts order — measured zero natural
+#: disorder), so a watermark audit on raw arrival order is vacuous; the
+#: seeded-md5 delay stands in for the network/partition jitter a real
+#: stream has.  On a real deployment, drop the synthetic delay and use the
+#: actual arrival order (file commit / Kafka offset order) — everything
+#: downstream is identical.
+JITTER_STEP_US = 29_297
+
+
+@query(
+    "events_late_arrival_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_id,
+             epoch_us(ts) AS t_us,
+             epoch_us(ts)
+               + ((strpos('0123456789abcdef', SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', SUBSTR(MD5(CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', SUBSTR(MD5(CAST(event_id AS VARCHAR)), 3, 1)) - 1))
+                 * {JITTER_STEP_US} AS a_us
+      FROM events
+    ),
+    wm AS (
+      SELECT t_us,
+             MAX(t_us) OVER (ORDER BY a_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wm_us
+      FROM arr
+    ),
+    lat AS (
+      SELECT CASE WHEN wm_us IS NULL OR wm_us <= t_us THEN 0
+                  ELSE wm_us - t_us END AS late_us
+      FROM wm
+    )
+    SELECT CASE WHEN late_us = 0 THEN 'a_on_time'
+                WHEN late_us <= 10000000 THEN 'b_late_10s'
+                WHEN late_us <= 30000000 THEN 'c_late_30s'
+                WHEN late_us <= 60000000 THEN 'd_late_60s'
+                WHEN late_us <= 120000000 THEN 'e_late_120s'
+                ELSE 'f_late_over_120s' END AS lateness_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_us) AS BIGINT) AS max_lateness_us
+    FROM lat
+    GROUP BY lateness_bucket
+    ORDER BY lateness_bucket
+    """,
+    tags=("events", "streaming", "watermark", "audit"),
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-ARRIVAL audit — the measurement that sizes a Structured
+    Streaming ``withWatermark`` delay: for every event, how far behind
+    the stream's high-water mark (max event-time among all EARLIER
+    ARRIVALS) did it arrive?  The bucketed histogram is read directly as
+    a watermark recommendation: the smallest bucket boundary covering
+    ~all events is the delay that bounds state size without dropping
+    data (here the jitter construction caps true lateness at ~120 s).
+
+    The watermark is a GLOBAL running max over arrival order — the
+    classic single-partition-window trap.  This uses
+    :func:`layout.distributed_prefix_max` instead: range-partition on
+    arrival key, per-partition exclusive cummax, partition offsets
+    composed driver-side (max is associative) — no all-data-through-one-
+    task stage anywhere, the same idiom the skyline operator rides.
+
+    Determinism: lateness is a DIFFERENCE of epoch-microsecond values, so
+    any cross-engine timezone rendering shift cancels; buckets and counts
+    are pure integer comparisons.  The simulated jitter is seeded md5
+    (see ``JITTER_STEP_US``) — reproducible everywhere, never a RNG."""
+    from .layout import distributed_prefix_max
+    from .quality import hash_bucket3
+
+    # TZ-free epoch micros: the corpus ts is TIMESTAMP_NTZ, and
+    # unix_micros() rejects NTZ (and a cast to TIMESTAMP would smuggle the
+    # session timezone in).  NTZ-minus-NTZ-literal is pure wall-clock
+    # arithmetic and equals DuckDB's epoch_us() on the same naive value.
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("t_us"),
+    )
+    arr = ev.withColumn(
+        "a_us",
+        F.col("t_us")
+        + hash_bucket3(F.col("event_id")).cast("long") * F.lit(JITTER_STEP_US),
+    )
+    wm = distributed_prefix_max(arr, ["a_us", "event_id"], "t_us", "wm_us")
+    late = wm.select(
+        F.when(
+            F.col("wm_us").isNull() | (F.col("wm_us") <= F.col("t_us")), F.lit(0)
+        )
+        .otherwise(F.col("wm_us") - F.col("t_us"))
+        .alias("late_us")
+    )
+    bucket = (
+        F.when(F.col("late_us") == 0, "a_on_time")
+        .when(F.col("late_us") <= 10_000_000, "b_late_10s")
+        .when(F.col("late_us") <= 30_000_000, "c_late_30s")
+        .when(F.col("late_us") <= 60_000_000, "d_late_60s")
+        .when(F.col("late_us") <= 120_000_000, "e_late_120s")
+        .otherwise("f_late_over_120s")
+    )
+    return (
+        late.groupBy(bucket.alias("lateness_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("late_us").cast("long").alias("max_lateness_us"),
+        )
+        .orderBy("lateness_bucket")
+    )

@@ -878,3 +878,120 @@ def multimodal_tiff_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, byte_order string, width long, height long,"
         " n_entries long, is_valid_tiff boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# PCM frame energy — FEATURE EXTRACTION over audio payload bytes (the step
+# after header parsing: actually computing on the decoded samples)
+
+PCM_FRAME = 256  # samples per analysis frame
+
+
+def make_pcm_payload(doc_id_expr, n_expr):
+    """Column expr: ``n`` little-endian int16 PCM samples with the
+    deterministic waveform ``s[i] = ((doc_id*7 + i*13) % 65536) - 32768``.
+    Encoded JVM-side: per-sample unsigned value → 4 hex digits →
+    byte-swapped for LE → one array_join + unhex for the whole buffer."""
+    from pyspark.sql import functions as F
+
+    def sample_hex(i):
+        # signed sample s = (raw % 65536) - 32768; its two's-complement
+        # unsigned encoding is s mod 65536 = (raw + 32768) % 65536
+        u = (doc_id_expr * 7 + i * 13 + 32768) % 65536
+        h = F.lpad(F.conv(u.cast("string"), 10, 16), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    return F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (n_expr - 1).cast("int")), sample_hex
+            ),
+            "",
+        )
+    )
+
+
+def pcm_energy_kernel():
+    """mapInPandas kernel: decode int16 LE PCM with numpy, split into
+    PCM_FRAME-sample frames (last frame may be partial), emit per-frame
+    sample count and EXACT integer energy (sum of squared samples in
+    int64 — max frame energy 256·32768² ≈ 2.7e11, far under 2^63 and
+    2^53).  This is the real feature-extraction shape: one Arrow batch
+    in, a frames-per-payload fan-out of small typed rows out.  Closure →
+    pickles by value."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            ids, fidx, ns, en = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                # a truncated upload can end mid-sample; drop the dangling
+                # byte rather than let frombuffer throw on the whole batch
+                s = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").astype(
+                    np.int64
+                )
+                for f in range(0, len(s), 256):
+                    fr = s[f : f + 256]
+                    ids.append(doc_id)
+                    fidx.append(f // 256)
+                    ns.append(len(fr))
+                    en.append(int((fr * fr).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fidx, "n_samples": ns, "energy": en}
+            )
+
+    return extract
+
+
+@query(
+    "multimodal_pcm_frame_energy",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, 512 + doc_id % 512 AS n FROM documents
+    ),
+    samples AS (
+      SELECT doc_id,
+             ((doc_id * 7 + i * 13) % 65536) - 32768 AS s,
+             i // {PCM_FRAME} AS frame_idx
+      FROM docs, UNNEST(range(0, n)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT)  AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM samples
+    GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "pipeline", "audio", "feature-extraction", "pandas-udf"),
+)
+def multimodal_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION over raw PCM bytes — the step the header
+    parsers above stop short of: decode int16 samples and compute a
+    per-frame feature (exact integer energy, the building block of VAD /
+    silence trimming / loudness normalization in a speech-data pipeline).
+    Payloads are synthesized JVM-side with a deterministic int16 waveform
+    (512..1023 samples per doc — partial final frames included, since
+    real audio never aligns to frame boundaries); the Arrow kernel
+    decodes with ``np.frombuffer`` and reduces 256-sample frames to
+    (count, Σs²) rows.  The oracle recomputes the waveform arithmetic
+    directly — agreement proves the int16 two's-complement encode →
+    numpy decode → framed reduction is bit-correct end-to-end.
+
+    Scale shape: map-only (build + kernel fuse into one pass, no
+    shuffle); output fans out ~3 rows/doc.  At 100 TB the same kernel
+    signature takes real bytes from a parquet binary column, and the
+    frame fan-out is why the downstream agg, not the decode, sets the
+    partition budget."""
+    d = t(spark, sf_dir, "documents")
+    n = (F.lit(512) + F.col("doc_id") % 512).cast("long")
+    payloads = d.select(
+        "doc_id", make_pcm_payload(F.col("doc_id"), n).alias("payload")
+    )
+    out = payloads.mapInPandas(
+        pcm_energy_kernel(),
+        "doc_id long, frame_idx long, n_samples long, energy long",
+    )
+    return out.orderBy("doc_id", "frame_idx")

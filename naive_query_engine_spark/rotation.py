@@ -261,6 +261,9 @@ ROTATION: tuple[str, ...] = (
     "multimodal_tiff_header_parse",
     "graph_link_prediction",
     "dataset_erase_propagation",
+    "events_late_arrival_audit",
+    "orders_scd2_priority_history",
+    "multimodal_pcm_frame_energy",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

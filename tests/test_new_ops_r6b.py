@@ -211,3 +211,124 @@ def test_tiff_kernel_round_trip_and_rejects():
     ) == ("MM", 77, 88, True)
     for bad in (2, 3, 4, 5, 6):
         assert not out[bad]["is_valid_tiff"], bad
+
+
+# ---------------------------------------------------------------------------
+# events_late_arrival_audit: pandas recompute of jitter + watermark buckets
+
+
+def test_late_arrival_matches_pandas(spark):
+    import hashlib
+
+    from naive_query_engine_spark.operators.events import JITTER_STEP_US
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["event_id", "ts"]]
+    ev["t_us"] = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[us]").astype("int64")
+    )  # epoch micros, naive wall clock (parquet unit may be us or ns)
+    ev["bucket3"] = ev["event_id"].map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:3], 16)
+    )
+    ev["a_us"] = ev["t_us"] + ev["bucket3"] * JITTER_STEP_US
+    ev = ev.sort_values(["a_us", "event_id"]).reset_index(drop=True)
+    # stay in int64: pandas shift() would coerce epoch-micros (~1.7e18)
+    # to float64, which only resolves ~256 us at that magnitude
+    cm = ev["t_us"].cummax().to_numpy()
+    t = ev["t_us"].to_numpy()
+    late_arr = np.maximum(cm[:-1] - t[1:], 0)  # exclusive prefix max diff
+    late = pd.Series(np.concatenate(([np.int64(0)], late_arr)).astype("int64"))
+
+    def bucket(us):
+        if us == 0:
+            return "a_on_time"
+        if us <= 10_000_000:
+            return "b_late_10s"
+        if us <= 30_000_000:
+            return "c_late_30s"
+        if us <= 60_000_000:
+            return "d_late_60s"
+        if us <= 120_000_000:
+            return "e_late_120s"
+        return "f_late_over_120s"
+
+    exp = (
+        pd.DataFrame({"b": late.map(bucket), "late": late})
+        .groupby("b")
+        .agg(n=("late", "size"), mx=("late", "max"))
+    )
+    got = (
+        QUERIES["events_late_arrival_audit"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("lateness_bucket")
+    )
+    assert set(got.index) == set(exp.index)
+    for b in exp.index:
+        assert got.loc[b, "n_events"] == exp.loc[b, "n"], b
+        assert got.loc[b, "max_lateness_us"] == exp.loc[b, "mx"], b
+    # the jitter must actually create disorder (non-vacuity)
+    assert set(exp.index) != {"a_on_time"}
+
+
+# ---------------------------------------------------------------------------
+# orders_scd2_priority_history: pandas recompute of version intervals
+
+
+def test_scd2_matches_pandas(spark):
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"]
+    ].sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    versions = []  # (prio, start, end-or-None)
+    for _, grp in o.groupby("o_custkey"):
+        cur_prio, cur_start = None, None
+        for _, r in grp.iterrows():
+            if r["o_orderpriority"] != cur_prio:
+                if cur_prio is not None:
+                    versions.append((cur_prio, cur_start, r["o_orderdate"]))
+                cur_prio, cur_start = r["o_orderpriority"], r["o_orderdate"]
+        versions.append((cur_prio, cur_start, None))
+    vdf = pd.DataFrame(versions, columns=["prio", "start", "end"])
+    vdf["days"] = (
+        pd.to_datetime(vdf["end"]).dt.normalize()
+        - pd.to_datetime(vdf["start"]).dt.normalize()
+    ).dt.days
+    got = (
+        QUERIES["orders_scd2_priority_history"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("priority")
+    )
+    for prio, grp in vdf.groupby("prio"):
+        closed = grp[grp["end"].notna()]
+        g = got.loc[prio]
+        assert g["n_versions"] == len(grp), prio
+        assert g["n_current"] == int(grp["end"].isna().sum()), prio
+        assert g["closed_days"] == int(closed["days"].sum()), prio
+    # versions must actually churn (non-vacuity): more versions than customers
+    assert int(got["n_versions"].sum()) > int(got["n_current"].sum())
+
+
+# ---------------------------------------------------------------------------
+# multimodal_pcm_frame_energy: kernel unit + truncation robustness
+
+
+def test_pcm_kernel_energy_and_truncation():
+    from naive_query_engine_spark.operators.multimodal import pcm_energy_kernel
+
+    s = np.array([3, -4, 5, 32767, -32768], dtype="<i2")
+    payload = s.tobytes()
+    cases = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "payload": [payload, payload + b"\xff", b""],  # exact, dangling, empty
+        }
+    )
+    out = next(pcm_energy_kernel()([cases]))
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    expect = int((s.astype(np.int64) ** 2).sum())
+    for d in (0, 1):  # the dangling byte must be dropped, not fatal
+        g = by_doc[d]
+        assert len(g) == 1
+        assert int(g["n_samples"].iloc[0]) == 5
+        assert int(g["energy"].iloc[0]) == expect
+    assert 2 not in by_doc  # empty payload -> no frames
