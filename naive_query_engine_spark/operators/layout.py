@@ -607,3 +607,108 @@ def layout_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reports[0].unionAll(reports[1])
+
+
+# ---------------------------------------------------------------------------
+# partition-skew diagnosis report (the pre-salting planning tool)
+
+#: reducer count the skew report simulates — matches the session's
+#: spark.sql.shuffle.partitions default so the simulated histogram is the
+#: one the real exchange would produce
+SKEW_SIM_PARTS = 32
+
+
+@query(
+    "layout_partition_skew_report",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ),
+    hot AS (
+      SELECT k, c FROM per_key ORDER BY c DESC, k LIMIT 1
+    ),
+    parts AS (
+      SELECT ((strpos('0123456789abcdef', SUBSTR(MD5(CAST(k AS VARCHAR)), 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', SUBSTR(MD5(CAST(k AS VARCHAR)), 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', SUBSTR(MD5(CAST(k AS VARCHAR)), 3, 1)) - 1))
+              % {SKEW_SIM_PARTS} AS pid,
+             SUM(c) AS rows_in_part
+      FROM per_key GROUP BY pid
+    )
+    SELECT CAST((SELECT SUM(c) FROM per_key) AS BIGINT)   AS n_rows,
+           CAST((SELECT COUNT(*) FROM per_key) AS BIGINT) AS n_keys,
+           CAST((SELECT c FROM hot) AS BIGINT)            AS max_key_rows,
+           CAST((SELECT k FROM hot) AS BIGINT)            AS hottest_key,
+           CAST((SELECT c FROM hot) * (SELECT COUNT(*) FROM per_key) * 1000000
+                // (SELECT SUM(c) FROM per_key) AS BIGINT) AS key_skew_ppm,
+           CAST((SELECT COUNT(*) FROM parts) AS BIGINT)   AS n_nonempty_parts,
+           CAST((SELECT MAX(rows_in_part) FROM parts) AS BIGINT) AS part_max_rows,
+           CAST((SELECT MIN(rows_in_part) FROM parts) AS BIGINT) AS part_min_rows,
+           CAST((SELECT MAX(rows_in_part) FROM parts) * {SKEW_SIM_PARTS} * 1000000
+                // (SELECT SUM(c) FROM per_key) AS BIGINT) AS part_imbalance_ppm
+    """,
+    tags=("layout", "skew", "diagnosis", "shuffle"),
+)
+def layout_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SKEW diagnosis for a join/agg key — the measurement that
+    decides between doing nothing, enabling AQE skew-join, and reaching
+    for :mod:`operators.skew`'s explicit salting.  Two levels are
+    reported because they fail differently: KEY skew (``key_skew_ppm`` =
+    hottest key's rows ÷ mean-per-key, in ppm — a hot KEY can only be
+    fixed by salting/replication, no partitioning helps) and simulated
+    REDUCER skew (rows per hash partition at the session's shuffle
+    parallelism — many medium keys colliding into one reducer, which
+    repartitioning or AQE coalescing DOES fix).  ``part_imbalance_ppm``
+    is max-reducer ÷ ideal-share; 1,000,000 = perfectly balanced.
+
+    The simulated partitioner is the portable seeded-md5 bucket (NOT
+    Spark's Murmur3 ``hash()`` — the oracle must reproduce it; the
+    diagnosis cares about the collision STRUCTURE of a generic hash, not
+    Spark's exact bucket assignment).  Scale shape: one map-side-combined
+    groupBy on the key — the same exchange the real join would pay —
+    then everything downstream is key-cardinality-bounded; the final
+    assembly is scalar aggregates broadcast-joined into one row."""
+    o = t(spark, sf_dir, "orders")
+    from .quality import hash_bucket3
+
+    per_key = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_key = cut_lineage(per_key)  # reused 3×: totals, hot key, histogram
+    totals = per_key.agg(
+        F.sum("c").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    hot = per_key.orderBy(F.col("c").desc(), F.col("k")).limit(1).select(
+        F.col("c").alias("max_key_rows"), F.col("k").alias("hottest_key")
+    )
+    parts = (
+        per_key.groupBy(
+            (hash_bucket3(F.col("k")) % SKEW_SIM_PARTS).alias("pid")
+        )
+        .agg(F.sum("c").alias("rows_in_part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nonempty_parts"),
+            F.max("rows_in_part").alias("part_max_rows"),
+            F.min("rows_in_part").alias("part_min_rows"),
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(hot))
+        .crossJoin(F.broadcast(parts))
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_key_rows").cast("long").alias("max_key_rows"),
+            F.col("hottest_key").cast("long").alias("hottest_key"),
+            F.expr(
+                "CAST(max_key_rows * n_keys * 1000000 DIV n_rows AS BIGINT)"
+            ).alias("key_skew_ppm"),
+            F.col("n_nonempty_parts").cast("long").alias("n_nonempty_parts"),
+            F.col("part_max_rows").cast("long").alias("part_max_rows"),
+            F.col("part_min_rows").cast("long").alias("part_min_rows"),
+            F.expr(
+                f"CAST(part_max_rows * {SKEW_SIM_PARTS} * 1000000 DIV n_rows"
+                " AS BIGINT)"
+            ).alias("part_imbalance_ppm"),
+        )
+    )

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import query, t
+from ..queries import query, spread, t
 
 DECODE_SCHEMA = "doc_id long, n_bytes long, width long, height long, n_frames long"
 
@@ -985,7 +985,10 @@ def multimodal_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature takes real bytes from a parquet binary column, and the
     frame fan-out is why the downstream agg, not the decode, sets the
     partition budget."""
-    d = t(spark, sf_dir, "documents")
+    # the per-sample hex build is the expensive stage (~768 string exprs
+    # per row): spread the single-split test scan first so it
+    # parallelizes; a well-split production table skips the exchange
+    d = spread(t(spark, sf_dir, "documents"))
     n = (F.lit(512) + F.col("doc_id") % 512).cast("long")
     payloads = d.select(
         "doc_id", make_pcm_payload(F.col("doc_id"), n).alias("payload")

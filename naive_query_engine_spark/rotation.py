@@ -264,6 +264,7 @@ ROTATION: tuple[str, ...] = (
     "events_late_arrival_audit",
     "orders_scd2_priority_history",
     "multimodal_pcm_frame_energy",
+    "layout_partition_skew_report",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",
