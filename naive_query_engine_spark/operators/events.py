@@ -772,3 +772,102 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lateness_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP ABSENCE pattern: "A not followed by B within T" (timeout detection)
+
+ABSENCE_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@query(
+    "events_absence_timeout",
+    oracle=f"""
+    WITH nxt AS (
+      SELECT event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM events
+    ),
+    views AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN next_purchase_ts IS NOT NULL
+                       AND epoch_us(next_purchase_ts) - epoch_us(ts)
+                           <= {ABSENCE_WINDOW_US}
+                  THEN 1 ELSE 0 END AS converted
+      FROM nxt WHERE event_type = 'view'
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(COUNT(*) - SUM(converted) AS BIGINT) AS n_timeouts,
+           CAST((1000000 * (COUNT(*) - SUM(converted))) // COUNT(*) AS BIGINT)
+             AS timeout_ppm
+    FROM views GROUP BY day ORDER BY day
+    """,
+    tags=("events", "cep", "absence", "streaming-analog"),
+)
+def events_absence_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP ABSENCE pattern — "A *not* followed by B within T": every
+    ``view`` that no same-user ``purchase`` follows within 30 minutes is
+    a timeout (cart abandonment / missed-heartbeat / SLA-breach shape).
+    The positive-sequence patterns (`events_sequence_patterns`) can't
+    express this: absence needs a TIMER, which is exactly what makes it
+    the canonical stateful-streaming example (per-key timeout state +
+    event-time timer in ``transformWithState``).  The batch formulation
+    here is the replay/backfill equivalent.
+
+    NO JOIN: the "next B after each A" lookup is one window per user —
+    ``MIN(purchase ts) OVER (user, ts ROWS 1 FOLLOWING..UNBOUNDED)`` —
+    the carry-backward idiom, so the only corpus-scale movement is one
+    hash exchange on user_id (short per-user sequences, AQE-safe).
+    Compare the range-join formulation (views × purchases per user):
+    same answer, strictly more shuffles and a fan-out to collapse.
+
+    Determinism: next-purchase tie order is (ts, event_id); the timeout
+    test is an integer epoch-micros difference (timezone-shift cancels);
+    day buckets are NTZ date casts rendered as strings; ppm is integer
+    division."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w).alias("next_purchase_ts"),
+    )
+    views = nxt.filter(F.col("event_type") == "view").select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.when(
+            F.col("next_purchase_ts").isNotNull()
+            & (
+                F.expr("timestampdiff(MICROSECOND, ts, next_purchase_ts)")
+                <= ABSENCE_WINDOW_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    n_views = F.count(F.lit(1))
+    n_conv = F.sum("converted")
+    return (
+        views.groupBy("day")
+        .agg(
+            n_views.cast("long").alias("n_views"),
+            n_conv.cast("long").alias("n_converted"),
+            (n_views - n_conv).cast("long").alias("n_timeouts"),
+            F.expr(
+                "CAST((1000000 * (count(1) - sum(converted))) DIV count(1)"
+                " AS BIGINT)"
+            ).alias("timeout_ppm"),
+        )
+        .orderBy("day")
+    )

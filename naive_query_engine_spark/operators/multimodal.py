@@ -998,3 +998,141 @@ def multimodal_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_idx long, n_samples long, energy long",
     )
     return out.orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (aHash) image near-dup clustering — where the multimodal
+# family meets the dedup family
+
+PHASH_PIXELS = 64  # 8×8 grayscale thumbnail
+#: docs per synthetic "image group": doc_id DIV 4 selects the base image,
+#: per-doc sparse pixel noise perturbs it — so true near-dup structure
+#: exists for the hash to find (and the oracle to verify)
+PHASH_GROUP = 4
+
+
+def make_pixel_payload(doc_id_expr):
+    """Column expr: 64 uint8 grayscale pixels.  Base image from the doc's
+    GROUP (``doc_id DIV PHASH_GROUP``) so group members are near-dups.
+    Pixels are BIMODAL (32 / 224 from the group's bit pattern): a first
+    uniform-pixel draft was measured NON-invariant — +8 noise near the
+    mean flipped bits and shifted the mean itself, giving every doc a
+    unique hash — while real thumbnails are high-contrast enough that
+    aHash works; bimodal bases model that.  Per-doc noise bumps pixels
+    where ``(i + doc_id) % 16 == 0`` by +8 (40/232 — never crosses any
+    reachable mean), the "re-encoded thumbnail" perturbation aHash must
+    shrug off."""
+    from pyspark.sql import functions as F
+
+    def pixel_hex(i):
+        g = ((doc_id_expr - doc_id_expr % PHASH_GROUP) / PHASH_GROUP).cast("long")
+        bit = ((g * 131 + i * 17) % 256) >= 128
+        p = F.when(bit, F.lit(224)).otherwise(F.lit(32))
+        noisy = p + F.when((i + doc_id_expr) % 16 == 0, F.lit(8)).otherwise(F.lit(0))
+        return F.lpad(F.conv(noisy.cast("string"), 10, 16), 2, "0")
+
+    return F.unhex(
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(PHASH_PIXELS - 1)), pixel_hex),
+            "",
+        )
+    )
+
+
+def ahash_kernel():
+    """mapInPandas kernel: decode 64 uint8 pixels with numpy, compute the
+    AVERAGE HASH — bit i set iff pixel i > integer mean (sum DIV 64) —
+    packed into one BIGINT (bit 0 = pixel 0).  Integer mean keeps the
+    threshold exact and engine-portable.  Closure → pickles by value."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                if len(p) != 64:
+                    continue  # malformed thumbnail: not hashable
+                mean = int(p.sum()) // 64
+                bits = (p > mean).astype(np.int64)
+                h = int((bits << np.arange(64, dtype=np.int64)).sum())
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return extract
+
+
+@query(
+    "multimodal_image_phash_dedup",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             CASE WHEN ((doc_id // {PHASH_GROUP}) * 131 + i * 17) % 256 >= 128
+                  THEN 224 ELSE 32 END
+               + CASE WHEN (i + doc_id) % 16 = 0 THEN 8 ELSE 0 END AS p,
+             i
+      FROM documents, UNNEST(range(0, {PHASH_PIXELS})) AS u(i)
+    ),
+    means AS (
+      SELECT doc_id, SUM(p) // {PHASH_PIXELS} AS mean_p FROM px GROUP BY doc_id
+    ),
+    -- the oracle's cluster key is the raw 64-char bit string (injective,
+    -- no integer packing needed); Spark packs the same bits into the
+    -- BIGINT phash artifact — both keys are injective on bit patterns,
+    -- so the cluster HISTOGRAMS agree even though the keys differ
+    hashes AS (
+      SELECT px.doc_id,
+             STRING_AGG(CASE WHEN p > mean_p THEN '1' ELSE '0' END, ''
+                        ORDER BY i) AS bits
+      FROM px JOIN means ON px.doc_id = means.doc_id
+      GROUP BY px.doc_id
+    ),
+    clusters AS (
+      SELECT bits, COUNT(*) AS csize FROM hashes GROUP BY bits
+    )
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(csize * COUNT(*) AS BIGINT) AS n_images
+    FROM clusters GROUP BY csize ORDER BY csize
+    """,
+    tags=("multimodal", "dedup", "phash", "pandas-udf", "pipeline"),
+)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE NEAR-DUP detection by perceptual hash — where the multimodal
+    family meets dedup: decode pixel payloads, compute the classic
+    AVERAGE HASH (aHash: 8×8 grayscale, bit = pixel > mean), and cluster
+    by exact hash equality, reported as a cluster-size histogram.  The
+    synthetic corpus plants real near-dup structure (groups of
+    ``PHASH_GROUP`` docs share a base image with sparse per-doc pixel
+    noise), so the histogram must show multi-image clusters — aHash's
+    whole point is that sub-threshold perturbations leave the hash
+    UNCHANGED, and the oracle recomputing the pixel arithmetic verifies
+    exactly that invariance end-to-end.
+
+    Scale shape: map-only Arrow kernel (pixels → 64-bit hash), then one
+    hash-keyed groupBy — image dedup at 100 TB is the same
+    hash-groupBy as ``dedup_exact``, with the hash computed from pixels
+    instead of text (the banded-Hamming variant for near-equal hashes is
+    ``dedup_simhash``'s machinery, reusable verbatim over this column).
+    Integer mean (sum DIV 64) keeps the bit threshold exact in both
+    engines; the packed hash wraps to signed 64-bit to match BIGINT."""
+    d = spread(t(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", make_pixel_payload(F.col("doc_id")).alias("payload")
+    )
+    hashes = payloads.mapInPandas(ahash_kernel(), "doc_id long, phash long")
+    clusters = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        clusters.groupBy(F.col("csize").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_images"),
+        )
+        .orderBy("cluster_size")
+    )

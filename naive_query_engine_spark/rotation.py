@@ -265,6 +265,8 @@ ROTATION: tuple[str, ...] = (
     "orders_scd2_priority_history",
     "multimodal_pcm_frame_energy",
     "layout_partition_skew_report",
+    "multimodal_image_phash_dedup",
+    "events_absence_timeout",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -332,3 +332,32 @@ def test_pcm_kernel_energy_and_truncation():
         assert int(g["n_samples"].iloc[0]) == 5
         assert int(g["energy"].iloc[0]) == expect
     assert 2 not in by_doc  # empty payload -> no frames
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_phash_dedup: aHash invariance under sub-threshold noise
+
+
+def test_ahash_invariant_under_noise_and_sensitive_to_pattern():
+    from naive_query_engine_spark.operators.multimodal import ahash_kernel
+
+    rng_bits = [(131 * g + 17 * i) % 256 >= 128 for g in (0, 1) for i in range(64)]
+    base0 = np.where(np.array(rng_bits[:64]), 224, 32).astype(np.uint8)
+    base1 = np.where(np.array(rng_bits[64:]), 224, 32).astype(np.uint8)
+    noisy0 = base0.copy()
+    noisy0[::16] += 8  # sparse +8 noise, never crosses the mean
+    cases = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "payload": [
+                base0.tobytes(),
+                noisy0.tobytes(),
+                base1.tobytes(),
+                base0.tobytes()[:-1],  # truncated: not hashable
+            ],
+        }
+    )
+    out = next(ahash_kernel()([cases])).set_index("doc_id")
+    assert out.loc[0, "phash"] == out.loc[1, "phash"]  # noise-invariant
+    assert out.loc[0, "phash"] != out.loc[2, "phash"]  # pattern-sensitive
+    assert 3 not in out.index  # malformed rejected
