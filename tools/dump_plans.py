@@ -253,6 +253,36 @@ ANNOTATED = {
     "lineage cuts; one source-keyed agg + 1-row totals broadcast",
     "graph_knn_components": "mutual-kNN edges (<= n*k rows, degree <= k) "
     "feed bounded-fanout label propagation; size + histogram aggs only",
+    # --- r6 second wave ---
+    "dedup_segment_exact": "tiling segments (corpus/W rows, not corpus x W "
+    "like overlapping shingles); md5-keyed df shuffle + same-key join-back "
+    "(AQE reuses the exchange); 20-group rollup",
+    "pipeline_cdc_merge": "window-dedup both sides PARTITIONed BY the merge "
+    "key, the same partitioning the full-outer join needs — one exchange "
+    "per side; batch side date-pruned at the scan; 4-row output",
+    "embedding_int8_quantization_error": "posexplode + D-bounded min/max agg "
+    "(the trained SQ8 params, 64 rows) broadcast back; two linear passes",
+    "graph_link_prediction": "wedge join on z then (a,b) agg — degree "
+    "bounded <= n*k^2 by the mutual-kNN substrate; anti-join on the cached "
+    "edge frame; TakeOrdered top-N with total tie-break",
+    "dataset_erase_propagation": "four semi-joins against the subject "
+    "sliver (bloom/DPP-prunable at scale); transitive lineitem cascade "
+    "through erased order keys; scalar-agg assembly",
+    "events_late_arrival_audit": "distributed_prefix_max: range exchange on "
+    "arrival key, per-partition exclusive cummax + driver-composed offsets "
+    "— no single-partition window; bucket agg is 6 rows",
+    "orders_scd2_priority_history": "lag, running-sum version id, and LEAD "
+    "validity all PARTITIONed BY o_custkey — one exchange reused "
+    "end-to-end; 5-row rollup",
+    "layout_partition_skew_report": "one map-side-combined key count (the "
+    "same exchange the real join would pay); hot-key top-1 and simulated "
+    "reducer histogram are key-bounded; 1-row assembly via broadcasts",
+    "multimodal_image_phash_dedup": "spread scan -> JVM pixel build -> "
+    "Arrow aHash kernel (map-only), then ONE hash-keyed groupBy — image "
+    "dedup is dedup_exact's plan with pixels for text",
+    "events_absence_timeout": "NO JOIN: next-B-after-A is a carry-backward "
+    "window per user (1 FOLLOWING..UNBOUNDED MIN) — single user_id "
+    "exchange; day rollup bounded",
 }
 
 
