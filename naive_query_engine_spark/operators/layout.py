@@ -692,9 +692,11 @@ def layout_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rows_in_part").alias("part_min_rows"),
         )
     )
+    # no broadcast hints on the 1-row frames: their lineage covers the
+    # scaling orders table; AQE broadcasts by measured size (guard rule)
     return (
-        totals.crossJoin(F.broadcast(hot))
-        .crossJoin(F.broadcast(parts))
+        totals.crossJoin(hot)
+        .crossJoin(parts)
         .select(
             F.col("n_rows").cast("long").alias("n_rows"),
             F.col("n_keys").cast("long").alias("n_keys"),

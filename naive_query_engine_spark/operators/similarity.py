@@ -1723,7 +1723,11 @@ def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataF
     qt = _qtable(spark, sf_dir)
     e = qt.select("label", F.posexplode("q").alias("i", "v"))
     stats = e.groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-    enc = e.join(F.broadcast(stats), "i").withColumn(
+    # no broadcast HINT: stats is D-bounded (64 rows) but its lineage is
+    # the scaling embeddings table, and the broadcast-guard discipline is
+    # hints only on intrinsically bounded relations — AQE broadcasts this
+    # frame by MEASURED size (the join_bloom_prefilter lesson, r6)
+    enc = e.join(stats, "i").withColumn(
         "c",
         F.expr(
             "CASE WHEN mx > mn THEN ((v - mn) * 255) DIV (mx - mn) ELSE 0 END"

@@ -411,3 +411,120 @@ def cep_pattern_alerts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def absence_timeouts(
+    events: DataFrame,
+    window_us: int = 30 * 60 * 1_000_000,
+    watermark: str = "40 minutes",
+) -> DataFrame:
+    """Streaming CEP ABSENCE pattern with EVENT-TIME TIMERS — the
+    streaming twin of the batch ``events_absence_timeout`` query and the
+    one streaming shape the rest of this module didn't yet exercise:
+    ``GroupStateTimeout.EventTimeTimeout``.  Each ``view`` opens a
+    pending obligation; a same-user ``purchase`` within ``window_us``
+    resolves it as ``converted`` (emitted immediately); otherwise the
+    per-user event-time timer fires once the WATERMARK passes the view's
+    deadline and the view is emitted as ``timeout`` — no poll, no fake
+    heartbeat events, exactly how a cart-abandonment / missed-heartbeat
+    detector runs in production.
+
+    Soundness contract (same family as ``cep_pattern_alerts``'s): a
+    timeout decision is only safe once no earlier-timestamped purchase
+    can still arrive, which is precisely what the watermark guarantees —
+    the delay must cover the source's cross-batch event-time skew plus
+    the absence window boundary (the default 40 min covers the 30-min
+    window with slack for in-order file delivery; a disordered source
+    needs its jitter bound added, see ``events_late_arrival_audit`` for
+    how to MEASURE that bound).  Purchases later than the watermark are
+    dropped by definition — the same trade every watermarked stream
+    makes.
+
+    State per user: the pending-view (ts, event_id) lists; the armed
+    timer is always the EARLIEST pending deadline, so state size is
+    bounded by views-per-user-per-window and each view is emitted
+    EXACTLY once (append mode)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ts_l, eid_l = state.get
+            pending = sorted(zip(list(ts_l), list(eid_l)))
+        else:
+            pending = []
+        out_eid, out_ts, out_kind = [], [], []
+
+        if not state.hasTimedOut:
+            rows = []
+            for pdf in pdfs:
+                for ts, eid, etype in zip(
+                    pdf["ts"], pdf["event_id"], pdf["event_type"]
+                ):
+                    if etype in ("view", "purchase"):
+                        rows.append(
+                            (int(pd.Timestamp(ts).value) // 1000, int(eid), etype)
+                        )
+            # event-time order inside the batch: a purchase must resolve
+            # views that precede it in EVENT time even if the micro-batch
+            # delivered them after it
+            for ts_us, eid, etype in sorted(rows):
+                if etype == "view":
+                    pending.append((ts_us, eid))
+                else:  # purchase: resolve every pending view it covers
+                    still = []
+                    for v_ts, v_eid in pending:
+                        if v_ts < ts_us <= v_ts + window_us:
+                            out_eid.append(v_eid)
+                            out_ts.append(v_ts)
+                            out_kind.append("converted")
+                        else:
+                            still.append((v_ts, v_eid))
+                    pending = still
+
+        # expire everything the watermark has passed (on timer fire AND on
+        # data batches — a batch can advance the watermark past deadlines
+        # without the timer being the trigger)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        still = []
+        for v_ts, v_eid in pending:
+            if v_ts + window_us < wm_us:
+                out_eid.append(v_eid)
+                out_ts.append(v_ts)
+                out_kind.append("timeout")
+            else:
+                still.append((v_ts, v_eid))
+        pending = still
+
+        if pending:
+            state.update(([t for t, _ in pending], [e for _, e in pending]))
+            # arm the timer at the earliest remaining deadline (must be
+            # strictly beyond the current watermark, which it is — older
+            # deadlines were just expired)
+            state.setTimeoutTimestamp(min(t for t, _ in pending) // 1000 + window_us // 1000)
+        elif state.exists:
+            state.remove()
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_eid),
+                "view_event_id": out_eid,
+                "view_ts_us": out_ts,
+                "outcome": out_kind,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, view_event_id long, view_ts_us long, outcome string"
+            ),
+            stateStructType="ts_us array<long>, eid array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -426,3 +426,62 @@ def test_streaming_cep_alerts_equal_batch_pattern_match(spark, event_files):
             if _re.search(pat, s):
                 want.add((uid, name))
     assert set(alerts) == want
+
+
+def test_streaming_absence_timeouts_equal_batch(spark, tmp_path):
+    """Event-time-timer absence detection == the batch per-view outcomes.
+
+    Files are written in EVENT-TIME order (range-partitioned, one file
+    per trigger, ascending mtime) so the 40-minute watermark's soundness
+    precondition — cross-batch skew below the delay — holds; within a
+    batch, arrival order is arbitrary and the operator re-sorts.  Views
+    near the stream tail stay pending (the watermark never passes their
+    deadline) — the assertion compares every EMITTED decision against
+    the batch recompute and requires both outcome kinds to be present
+    and the resolved set to cover every view whose deadline the final
+    watermark passed."""
+    import pandas as pd
+
+    src = str(tmp_path / "ordered_events")
+    ev = t(spark, SF_SMOKE, "events")
+    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = st.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = st.run_to_memory_sink(
+        st.absence_timeouts(stream), "absence_sink", "append"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            int(r.view_event_id): r.outcome
+            for r in spark.table("absence_sink").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch recompute: per-view outcome by next same-user purchase
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf["t_us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+    pdf = pdf.sort_values(["user_id", "t_us", "event_id"])
+    window_us = 30 * 60 * 1_000_000
+    expected = {}
+    for _, grp in pdf.groupby("user_id"):
+        rows = grp[["t_us", "event_id", "event_type"]].to_numpy().tolist()
+        purchases = [r[0] for r in rows if r[2] == "purchase"]
+        for t_us, eid, etype in rows:
+            if etype != "view":
+                continue
+            conv = any(t_us < p <= t_us + window_us for p in purchases)
+            expected[int(eid)] = "converted" if conv else "timeout"
+
+    assert got, "stream emitted nothing"
+    for eid, outcome in got.items():
+        assert expected[eid] == outcome, (eid, outcome, expected[eid])
+    kinds = set(got.values())
+    assert kinds == {"converted", "timeout"}, kinds
+    # every converted view must have been emitted (conversions don't
+    # depend on the watermark); only tail-pending TIMEOUTS may be absent
+    conv_expected = {e for e, o in expected.items() if o == "converted"}
+    assert conv_expected <= set(got)
