@@ -443,10 +443,29 @@ def test_streaming_absence_timeouts_equal_batch(spark, tmp_path):
     import pandas as pd
 
     src = str(tmp_path / "ordered_events")
-    ev = t(spark, SF_SMOKE, "events")
-    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
-        "overwrite"
-    ).parquet(src)
+    # write the four range files SEQUENTIALLY with explicit ascending
+    # mtimes: the file source orders pre-existing files by modification
+    # time, and a parallel repartitionByRange write finishes its part
+    # files in arbitrary order — a later-range file landing first would
+    # advance the watermark past deadlines whose purchases are still
+    # undelivered (observed flaky under suite load), violating the
+    # operator's in-order-delivery precondition rather than testing it
+    import os as _os
+    import time as _time
+
+    import numpy as np
+    import pandas as _pd
+
+    _os.makedirs(src)
+    pdf_all = _pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    chunks = np.array_split(pdf_all, 4)
+    now = _time.time()
+    for i, chunk in enumerate(chunks):
+        f = f"{src}/chunk-{i}.parquet"
+        chunk.to_parquet(f, index=False)
+        _os.utime(f, (now + i, now + i))
 
     stream = st.read_event_stream(spark, src, max_files_per_trigger=1)
     q = st.run_to_memory_sink(
