@@ -71,6 +71,14 @@ BENCH_QUERIES = [
     "events_trend_theil_sen",
     "sketch_ams_f2",
     "similarity_mutual_knn",
+    # r6b rotation (second wave, same rationale): the CCNet line-level
+    # pass, the lakehouse MERGE accounting, the perceptual-hash image
+    # dedup, and the CEP absence pattern join the artifact so each round
+    # measures them
+    "dedup_segment_exact",
+    "pipeline_cdc_merge",
+    "multimodal_image_phash_dedup",
+    "events_absence_timeout",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays
@@ -122,6 +130,14 @@ BASELINES = {
     "events_trend_theil_sen": 0.410,
     "sketch_ams_f2": 1.451,
     "similarity_mutual_knn": 1.358,
+    # r6b rotation: from a quiet-machine run (load 0.2) whose
+    # established-24-query subtotal read 0.906x baseline and whose
+    # 8-query fresh subtotal read 1.005x — measured min-of-3 divided by
+    # the same-run 0.906x ratio (BASELINE.md round-6 second wave)
+    "dedup_segment_exact": 1.589,
+    "pipeline_cdc_merge": 1.019,
+    "multimodal_image_phash_dedup": 0.863,
+    "events_absence_timeout": 0.618,
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
@@ -147,6 +163,10 @@ FRESH_ROTATION: list[str] = [
     "events_trend_theil_sen",
     "sketch_ams_f2",
     "similarity_mutual_knn",
+    "dedup_segment_exact",
+    "pipeline_cdc_merge",
+    "multimodal_image_phash_dedup",
+    "events_absence_timeout",
 ]
 ESTABLISHED = [q for q in BASELINES if q not in FRESH_ROTATION]
 
