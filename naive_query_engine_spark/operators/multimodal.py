@@ -932,6 +932,9 @@ def pcm_energy_kernel():
                 s = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").astype(
                     np.int64
                 )
+                # 256 literal = PCM_FRAME: the closure carries no module
+                # refs (pickles by value); oracle + docstring bind the
+                # same constant — change them together
                 for f in range(0, len(s), 256):
                     fr = s[f : f + 256]
                     ids.append(doc_id)
@@ -1051,6 +1054,8 @@ def ahash_kernel():
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # 64 literal = PHASH_PIXELS (closure pickles by value;
+                # keep in sync with the constant + oracle)
                 p = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
                 if len(p) != 64:
                     continue  # malformed thumbnail: not hashable
