@@ -267,6 +267,7 @@ ROTATION: tuple[str, ...] = (
     "layout_partition_skew_report",
     "multimodal_image_phash_dedup",
     "events_absence_timeout",
+    "embedding_matryoshka_prefix_recall",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -361,3 +361,55 @@ def test_ahash_invariant_under_noise_and_sensitive_to_pattern():
     assert out.loc[0, "phash"] == out.loc[1, "phash"]  # noise-invariant
     assert out.loc[0, "phash"] != out.loc[2, "phash"]  # pattern-sensitive
     assert 3 not in out.index  # malformed rejected
+
+
+# ---------------------------------------------------------------------------
+# embedding_matryoshka_prefix_recall: numpy recompute of the truncation curve
+
+
+def test_matryoshka_prefix_recall_matches_numpy(spark):
+    from naive_query_engine_spark.operators.similarity import (
+        MRL_PREFIXES,
+        N_QUERY_VECS,
+        QUANT,
+        TOP_K,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    vec_ids = emb["vec_id"].to_numpy()
+    mat = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * QUANT
+    ).astype(np.int64)
+
+    def topk(d: int) -> set[tuple[int, int]]:
+        pref = mat[:, :d]
+        out: set[tuple[int, int]] = set()
+        for qpos in np.where(vec_ids < N_QUERY_VECS)[0]:
+            qid = int(vec_ids[qpos])
+            dots = pref @ pref[qpos]  # exact int64, same as dot_q
+            cos = dots.astype(np.float64) / (
+                np.sqrt(float(pref[qpos] @ pref[qpos]))
+                * np.sqrt((pref * pref).sum(axis=1).astype(np.float64))
+            )
+            mask = vec_ids != qid
+            order = np.lexsort((vec_ids[mask], -cos[mask]))
+            for npos in order[:TOP_K]:
+                out.add((qid, int(vec_ids[mask][npos])))
+        return out
+
+    full = topk(64)
+    got = {
+        r["prefix_dims"]: r
+        for r in QUERIES["embedding_matryoshka_prefix_recall"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(MRL_PREFIXES)
+    for d in MRL_PREFIXES:
+        want = topk(d)
+        matched = len(want & full)
+        g = got[d]
+        assert (g["matched"], g["total"]) == (matched, len(full))
+        assert g["recall"] == matched / len(full)
+    # identity control: the 64-dim ranking against itself is exact
+    assert got[64]["recall"] == 1.0
