@@ -820,11 +820,23 @@ def events_absence_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the replay/backfill equivalent.
 
     NO JOIN: the "next B after each A" lookup is one window per user —
-    ``MIN(purchase ts) OVER (user, ts ROWS 1 FOLLOWING..UNBOUNDED)`` —
-    the carry-backward idiom, so the only corpus-scale movement is one
-    hash exchange on user_id (short per-user sequences, AQE-safe).
-    Compare the range-join formulation (views × purchases per user):
-    same answer, strictly more shuffles and a fan-out to collapse.
+    logically ``MIN(purchase ts) OVER (user, ts ROWS 1 FOLLOWING..
+    UNBOUNDED)`` — so the only corpus-scale movement is one hash
+    exchange on user_id.  Compare the range-join formulation (views ×
+    purchases per user): same answer, strictly more shuffles and a
+    fan-out to collapse.
+
+    CRITICAL frame direction: Spark evaluates ``UNBOUNDED FOLLOWING``
+    aggregate frames by RESCANNING the frame for every row
+    (UnboundedFollowingWindowFunctionFrame) — O(rows²) per partition,
+    measured 8.2 s at 30× → 99.1 s at 100× when per-user history grows.
+    ``UNBOUNDED PRECEDING`` frames are incremental (O(rows)), so the
+    future-min is computed as a running min over the REVERSED sort:
+    ``ORDER BY ts DESC, event_id DESC ROWS UNBOUNDED PRECEDING..1
+    PRECEDING`` — the identical strictly-after row set, same exchange,
+    linear evaluation (99.1 → ~3 s at 100×).  The oracle keeps the
+    forward spelling; DuckDB's window engine does not have this
+    asymmetry.
 
     Determinism: next-purchase tie order is (ts, event_id); the timeout
     test is an integer epoch-micros difference (timezone-shift cancels);
@@ -833,8 +845,8 @@ def events_absence_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     nxt = ev.select(
         "ts",
