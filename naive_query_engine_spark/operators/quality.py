@@ -1081,3 +1081,203 @@ def dataset_erase_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "erased_ppm"
         ),
     ).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram LM ratio)
+
+DSIR_BUCKETS = 256  #: hashed feature space == one md5 hex-digit pair
+DSIR_FP = 1_000_000  #: fixed-point scale for the per-bucket log10 ratio
+DSIR_TARGET_LANG = "en"  #: the "target distribution" proxy on this corpus
+DSIR_TOP_DOCS = 100  #: selection depth reported per language
+
+
+def _dsir_oracle() -> str:
+    b = DSIR_BUCKETS
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+') AS tk
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, unnest(tk) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS f
+      FROM (SELECT doc_id, lang, tk,
+                   unnest(generate_series(1, LENGTH(tk) - 1)) AS i
+            FROM toks)
+    ),
+    hashed AS (
+      SELECT doc_id, lang,
+             CAST((strpos('0123456789abcdef', SUBSTR(MD5(f), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', SUBSTR(MD5(f), 2, 1)) - 1)
+               AS BIGINT) AS bucket
+      FROM feats
+    ),
+    rcnt AS (SELECT bucket, COUNT(*) AS rc FROM hashed GROUP BY bucket),
+    tcnt AS (SELECT bucket, COUNT(*) AS tc FROM hashed
+             WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+    tot AS (SELECT COUNT(*) AS r_total,
+                   SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                     AS t_total
+            FROM hashed),
+    wts AS (
+      SELECT r.bucket,
+             CAST(ROUND(LOG10(
+                 (CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE) * (tot.r_total + {b}))
+               / (CAST(r.rc + 1 AS DOUBLE) * (tot.t_total + {b}))
+             ) * {DSIR_FP}, 0) AS BIGINT) AS wfp
+      FROM rcnt r LEFT JOIN tcnt t ON t.bucket = r.bucket CROSS JOIN tot
+    ),
+    docw AS (
+      SELECT h.doc_id, h.lang, SUM(w.wfp) AS weight_fp
+      FROM hashed h JOIN wts w ON w.bucket = h.bucket
+      GROUP BY h.doc_id, h.lang
+    ),
+    top AS (
+      SELECT lang, COUNT(*) AS n_top FROM (
+        SELECT lang FROM docw
+        ORDER BY weight_fp DESC, doc_id LIMIT {DSIR_TOP_DOCS}
+      ) GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.weight_fp) AS BIGINT) AS sum_weight_fp,
+           CAST(SUM(d.weight_fp) AS DOUBLE) / COUNT(*) AS avg_weight_fp,
+           CAST(COALESCE(MAX(t.n_top), 0) AS BIGINT) AS n_top{DSIR_TOP_DOCS}
+    FROM docw d LEFT JOIN top t ON t.lang = d.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@query(
+    "dataset_dsir_importance_weights",
+    oracle=None,  # patched below (assembled from the DSIR_* constants)
+    tags=("dataset", "pipeline", "selection", "text"),
+)
+def dataset_dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    score every document by the log-likelihood ratio of two hashed-n-gram
+    bag models, target vs raw, then select the highest-ratio docs.  This
+    is the published scalable recipe for "find me more data that looks
+    like my target distribution" — the selection step between raw
+    crawl and pretraining mix.  Target here = the corpus's
+    ``lang = {DSIR_TARGET_LANG}`` slice (the proxy this synthetic corpus
+    offers); raw = everything.  Features are word unigrams + adjacent
+    bigrams hashed into {DSIR_BUCKETS} md5 buckets (the repo's portable
+    hash family; same hashing-trick space as
+    ``text_hashing_trick_features``), add-one smoothed.  Output: per-lang
+    doc counts, summed/average importance weight, and how many of the
+    global top-{DSIR_TOP_DOCS} selected docs each language contributes —
+    the report that shows the sampler pulling toward the target.
+
+    Scale shape: ONE tokenize+hash pass (persisted) feeds the raw and
+    target bucket counts (both {DSIR_BUCKETS}-bounded, map-side
+    combined), a 1-row total, and the per-doc scoring join — the bucket
+    weight table is {DSIR_BUCKETS} rows, broadcast; per-doc weights are
+    one doc_id-keyed aggregation; selection is TakeOrdered
+    (top-{DSIR_TOP_DOCS}), never a global sort.  At 100 TB the LM "model"
+    stays {DSIR_BUCKETS} integers — the whole point of DSIR's hashed
+    parameterization.
+
+    Determinism: bucket counts and per-doc weight sums are exact
+    integers; the single libm step (log10 of one rational double) is
+    immediately quantized to DSIR_FP fixed point (the zipf/heaps ROUND
+    discipline); top-doc ties break on doc_id; the final avg is one
+    double division of exact integers."""
+    from ..queries import spread
+    from .text import tokens
+
+    d = (
+        spread(t(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
+    )
+    uni = d.select("doc_id", "lang", F.explode("tk").alias("f"))
+    # single-token docs contribute unigrams but no bigrams — filter BEFORE
+    # the sequence (Spark's sequence(1, 0) descends; DuckDB's is empty)
+    big = d.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("tk"), i),
+                    F.element_at(F.col("tk"), i + 1),
+                ),
+            )
+        ).alias("f"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("f")), 1, 2), 16, 10).cast("long")
+    hashed = (
+        uni.unionAll(big).select("doc_id", "lang", bucket.alias("bucket"))
+    ).persist()
+    is_t = F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+    rcnt = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tcnt = (
+        hashed.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot = hashed.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.sum(is_t).alias("t_total"),
+    )
+    b = F.lit(DSIR_BUCKETS)
+    wfp = F.round(
+        F.log10(
+            ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+             * (F.col("r_total") + b))
+            / ((F.col("rc") + 1).cast("double") * (F.col("t_total") + b))
+        )
+        * DSIR_FP,
+        0,
+    ).cast("long")
+    wts = (
+        rcnt.join(tcnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("bucket", wfp.alias("wfp"))
+    )
+    docw = (
+        hashed.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("wfp").alias("weight_fp"))
+    )
+    # lang-bounded rollup of the global top-selection (TakeOrdered, k fixed)
+    top = (
+        docw.orderBy(F.col("weight_fp").desc(), "doc_id")
+        .limit(DSIR_TOP_DOCS)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_top"))
+    )
+    return (
+        docw.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("weight_fp").cast("long").alias("sum_weight_fp"),
+            (
+                F.sum("weight_fp").cast("double") / F.count(F.lit(1))
+            ).alias("avg_weight_fp"),
+        )
+        .join(F.broadcast(top), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "sum_weight_fp",
+            "avg_weight_fp",
+            F.coalesce(F.col("n_top"), F.lit(0))
+            .cast("long")
+            .alias(f"n_top{DSIR_TOP_DOCS}"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QR["dataset_dsir_importance_weights"] = _dc.replace(
+    _QR["dataset_dsir_importance_weights"], oracle=_dsir_oracle()
+)

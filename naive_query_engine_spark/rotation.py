@@ -268,6 +268,7 @@ ROTATION: tuple[str, ...] = (
     "multimodal_image_phash_dedup",
     "events_absence_timeout",
     "embedding_matryoshka_prefix_recall",
+    "dataset_dsir_importance_weights",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

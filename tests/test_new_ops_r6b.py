@@ -413,3 +413,85 @@ def test_matryoshka_prefix_recall_matches_numpy(spark):
         assert g["recall"] == matched / len(full)
     # identity control: the 64-dim ranking against itself is exact
     assert got[64]["recall"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# dataset_dsir_importance_weights: pure-Python recompute of the DSIR report
+
+
+def test_dsir_importance_weights_matches_python(spark):
+    import hashlib
+    import math
+    import re
+
+    from naive_query_engine_spark.operators.quality import (
+        DSIR_BUCKETS,
+        DSIR_FP,
+        DSIR_TARGET_LANG,
+        DSIR_TOP_DOCS,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "lang", "text"]
+    ]
+    rcnt: dict[int, int] = {}
+    tcnt: dict[int, int] = {}
+    doc_feats: list[tuple[int, str, list[int]]] = []
+    r_total = t_total = 0
+    for doc_id, lang, text in docs.itertuples(index=False):
+        tk = re.split(r"[ \t\n\r\f]+", text.strip().lower())
+        feats = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        bks = [
+            int(hashlib.md5(f.encode()).hexdigest()[:2], 16) for f in feats
+        ]
+        doc_feats.append((doc_id, lang, bks))
+        for bk in bks:
+            rcnt[bk] = rcnt.get(bk, 0) + 1
+            r_total += 1
+            if lang == DSIR_TARGET_LANG:
+                tcnt[bk] = tcnt.get(bk, 0) + 1
+                t_total += 1
+    B = DSIR_BUCKETS
+
+    def half_up(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    wfp = {
+        bk: half_up(
+            math.log10(
+                (float(tcnt.get(bk, 0) + 1) * (r_total + B))
+                / (float(rc + 1) * (t_total + B))
+            )
+            * DSIR_FP
+        )
+        for bk, rc in rcnt.items()
+    }
+    docw = [
+        (doc_id, lang, sum(wfp[bk] for bk in bks))
+        for doc_id, lang, bks in doc_feats
+    ]
+    top = sorted(docw, key=lambda r: (-r[2], r[0]))[:DSIR_TOP_DOCS]
+    want: dict[str, list[int]] = {}
+    for _, lang, w in docw:
+        r = want.setdefault(lang, [0, 0, 0])
+        r[0] += 1
+        r[1] += w
+    for _, lang, _ in top:
+        want[lang][2] += 1
+    got = {
+        r["lang"]: r
+        for r in QUERIES["dataset_dsir_importance_weights"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for lang, (n, s, ntop) in want.items():
+        g = got[lang]
+        assert (g["n_docs"], g["sum_weight_fp"], g[f"n_top{DSIR_TOP_DOCS}"]) == (
+            n, s, ntop,
+        )
+        assert g["avg_weight_fp"] == s / n
+    # the sampler must pull toward the target slice
+    assert got[DSIR_TARGET_LANG]["avg_weight_fp"] == max(
+        g["avg_weight_fp"] for g in got.values()
+    )

@@ -280,9 +280,18 @@ ANNOTATED = {
     "multimodal_image_phash_dedup": "spread scan -> JVM pixel build -> "
     "Arrow aHash kernel (map-only), then ONE hash-keyed groupBy — image "
     "dedup is dedup_exact's plan with pixels for text",
-    "events_absence_timeout": "NO JOIN: next-B-after-A is a carry-backward "
-    "window per user (1 FOLLOWING..UNBOUNDED MIN) — single user_id "
-    "exchange; day rollup bounded",
+    "events_absence_timeout": "NO JOIN: next-B-after-A is a running MIN "
+    "over the REVERSED per-user sort (UNBOUNDED PRECEDING..1 PRECEDING — "
+    "Spark evaluates FOLLOWING-unbounded frames quadratically, see "
+    "BASELINE.md) — single user_id exchange; day rollup bounded",
+    "embedding_matryoshka_prefix_recall": "four prefix passes, each a "
+    "broadcast of the 5 query vectors against the corpus with a k-bounded "
+    "rank window; recall joins are (queries x k)-sized — corpus-linear",
+    "dataset_dsir_importance_weights": "ONE tokenize+hash pass persisted; "
+    "bucket LMs are 256-row aggregates (map-side combined) joined "
+    "broadcast back onto the features; per-doc weight one doc_id agg; "
+    "selection is TakeOrderedAndProject — the LM 'model' never leaves "
+    "256 integers",
 }
 
 
