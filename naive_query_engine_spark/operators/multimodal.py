@@ -1141,3 +1141,196 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# VAD segmentation — the step AFTER frame energy: classify frames as
+# speech/silence and roll consecutive speech frames into segments (what a
+# speech-data pipeline runs to cut recordings before ASR/alignment)
+
+VAD_FRAME = 256  #: samples per VAD frame (== PCM_FRAME)
+VAD_SEG = 768  #: samples per synthetic loud/quiet envelope stretch
+#: frame is "speech" iff Σs² ≥ this.  Quiet stretches (amplitude ±128)
+#: top out at 256·128² ≈ 4.2e6; a full loud frame (step-13 walk over the
+#: int16 range) bottoms out ≈ 2.3e8 even when its window straddles zero —
+#: 1e8 separates them with >20× margin on both sides.  Partial tail
+#: frames may fall under it regardless of envelope: that is ordinary VAD
+#: behavior on a short tail, deterministic in both engines.
+VAD_THRESHOLD = 100_000_000
+
+
+def make_vad_payload(doc_id_expr, n_expr):
+    """Column expr: ``n`` LE int16 samples with an amplitude-MODULATED
+    deterministic waveform — stretch ``i DIV VAD_SEG`` is loud (full
+    int16 range) when ``(stretch + doc_id)`` is odd, else quiet
+    (±128) — so every payload has real speech/silence structure for the
+    detector to find.  Same hex-build shape as ``make_pcm_payload``."""
+    from pyspark.sql import functions as F
+
+    def sample_hex(i):
+        stretch = F.floor(i / F.lit(VAD_SEG))
+        loud = (stretch + doc_id_expr) % 2 == F.lit(1)
+        # unsigned two's-complement encoding u = s mod 65536, computed
+        # per-branch with non-negative arithmetic: loud s = k-32768 with
+        # k = raw%65536 gives (k+32768)%65536; quiet s = x-128 with
+        # x = raw%256 gives (x+65408)%65536
+        u_loud = (doc_id_expr * 7 + i * 13 + 32768) % 65536
+        u_quiet = ((doc_id_expr * 7 + i * 13) % 256 + 65408) % 65536
+        u = F.when(loud, u_loud).otherwise(u_quiet)
+        h = F.lpad(F.conv(u.cast("string"), 10, 16), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    return F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (n_expr - 1).cast("int")), sample_hex
+            ),
+            "",
+        )
+    )
+
+
+def vad_segments_kernel():
+    """mapInPandas kernel: decode int16 LE PCM, reduce 256-sample frames
+    to exact integer energies, threshold into speech/silence, and roll
+    consecutive speech frames into segments — all per-recording-local
+    numpy, which is exactly why VAD is a map-only stage at any corpus
+    size.  256 / 100_000_000 literals = VAD_FRAME / VAD_THRESHOLD (the
+    closure carries no module refs — pickles by value; change them
+    together with the constants and the oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                s = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").astype(
+                    np.int64
+                )
+                n_frames = (len(s) + 255) // 256
+                if n_frames == 0:  # empty/1-byte upload: nothing to segment
+                    continue
+                speech = np.array(
+                    [
+                        int((s[f : f + 256] ** 2).sum()) >= 100_000_000
+                        for f in range(0, len(s), 256)
+                    ],
+                    dtype=bool,
+                )
+                n_speech = int(speech.sum())
+                # runs of True: segment starts where speech and not prev
+                starts = speech & ~np.concatenate(([False], speech[:-1]))
+                n_segments = int(starts.sum())
+                longest = 0
+                run = 0
+                for sp in speech:
+                    run = run + 1 if sp else 0
+                    longest = max(longest, run)
+                rows.append(
+                    (
+                        doc_id,
+                        n_frames,
+                        n_speech,
+                        n_segments,
+                        longest,
+                        (1_000_000 * n_speech) // n_frames,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_speech_frames",
+                    "n_segments",
+                    "longest_segment",
+                    "speech_ppm",
+                ],
+            )
+
+    return extract
+
+
+@query(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, 1024 + doc_id % 1024 AS n FROM documents
+    ),
+    samples AS (
+      SELECT doc_id,
+             CASE WHEN ((i // {VAD_SEG}) + doc_id) % 2 = 1
+                  THEN ((doc_id * 7 + i * 13) % 65536) - 32768
+                  ELSE ((doc_id * 7 + i * 13) % 256) - 128 END AS s,
+             i // {VAD_FRAME} AS frame_idx
+      FROM docs, UNNEST(range(0, n)) AS u(i)
+    ),
+    frames AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN SUM(s * s) >= {VAD_THRESHOLD} THEN 1 ELSE 0 END
+               AS speech
+      FROM samples GROUP BY doc_id, frame_idx
+    ),
+    isl AS (
+      SELECT doc_id, frame_idx, speech,
+             frame_idx - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, speech ORDER BY frame_idx) AS grp
+      FROM frames
+    ),
+    segs AS (
+      SELECT doc_id, COUNT(*) AS seg_len
+      FROM isl WHERE speech = 1 GROUP BY doc_id, grp
+    ),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_frames, SUM(speech) AS n_speech_frames
+      FROM frames GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_frames AS BIGINT) AS n_frames,
+           CAST(p.n_speech_frames AS BIGINT) AS n_speech_frames,
+           CAST(COALESCE(sg.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(sg.longest, 0) AS BIGINT) AS longest_segment,
+           CAST((1000000 * p.n_speech_frames) // p.n_frames AS BIGINT)
+             AS speech_ppm
+    FROM perdoc p
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_segments, MAX(seg_len) AS longest
+               FROM segs GROUP BY doc_id) sg ON sg.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+    tags=("multimodal", "pipeline", "audio", "segmentation", "pandas-udf"),
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation — the step AFTER per-frame energy
+    (`multimodal_pcm_frame_energy`): threshold frames into
+    speech/silence and roll consecutive speech frames into segments,
+    per recording.  This is the cut a speech-data pipeline makes before
+    ASR/alignment; the per-doc report (frame counts, segment count,
+    longest segment, speech ppm) is its manifest.  Payloads are
+    amplitude-MODULATED synthetic PCM (VAD_SEG-sample loud/quiet
+    stretches keyed on ``(stretch + doc_id) % 2``, 1024..2047 samples →
+    4..8 frames/doc) so genuine speech/silence structure exists; the
+    oracle recomputes the waveform and segments it with SQL
+    gaps-and-islands — agreement proves encode → numpy decode →
+    threshold → run-length roll-up end-to-end.
+
+    Scale shape: map-only.  Segmentation is per-recording-local (state
+    never crosses a payload), so the whole operator is one fused
+    build+kernel pass — no shuffle, no window over corpus-scale rows;
+    output is one row per recording.  At 100 TB the build stage is a
+    parquet binary read and the kernel cost is linear in total samples.
+
+    Determinism: energies are exact int64 sums; the threshold and ppm
+    are integer comparisons/divisions; run lengths are integers."""
+    d = spread(t(spark, sf_dir, "documents"))
+    n = (F.lit(1024) + F.col("doc_id") % 1024).cast("long")
+    payloads = d.select(
+        "doc_id", make_vad_payload(F.col("doc_id"), n).alias("payload")
+    )
+    out = payloads.mapInPandas(
+        vad_segments_kernel(),
+        "doc_id long, n_frames long, n_speech_frames long, "
+        "n_segments long, longest_segment long, speech_ppm long",
+    )
+    return out.orderBy("doc_id")

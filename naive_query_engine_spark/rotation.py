@@ -269,6 +269,7 @@ ROTATION: tuple[str, ...] = (
     "events_absence_timeout",
     "embedding_matryoshka_prefix_recall",
     "dataset_dsir_importance_weights",
+    "multimodal_audio_vad_segments",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

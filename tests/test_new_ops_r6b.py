@@ -495,3 +495,40 @@ def test_dsir_importance_weights_matches_python(spark):
     assert got[DSIR_TARGET_LANG]["avg_weight_fp"] == max(
         g["avg_weight_fp"] for g in got.values()
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_vad_segments: kernel segmentation on hand-built payloads
+
+
+def test_vad_kernel_segments_known_patterns():
+    from naive_query_engine_spark.operators.multimodal import (
+        vad_segments_kernel,
+    )
+
+    loud = (np.arange(256, dtype=np.int64) * 13 % 65536 - 32768).astype("<i2")
+    quiet = (np.arange(256) % 256 - 128).astype("<i2")
+
+    def pcm(*frames):
+        return np.concatenate(frames).astype("<i2").tobytes()
+
+    cases = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "payload": [
+                pcm(loud, quiet, loud, loud),   # speech-gap-speech: 2 segs
+                pcm(quiet, quiet, quiet),        # all silence
+                pcm(loud, loud),                 # all speech, one segment
+                pcm(quiet, loud[:100]),          # partial loud tail frame
+                b"\x01",                         # 1 byte: no full sample
+            ],
+        }
+    )
+    out = next(vad_segments_kernel()([cases])).set_index("doc_id")
+    assert tuple(out.loc[0]) == (4, 3, 2, 2, 750000)
+    assert tuple(out.loc[1]) == (3, 0, 0, 0, 0)
+    assert tuple(out.loc[2]) == (2, 2, 1, 2, 1000000)
+    # the 100-sample loud tail: energy = sum over the first 100 step-13
+    # samples — large enough to pass the 1e8 threshold
+    assert tuple(out.loc[3]) == (2, 1, 1, 1, 500000)
+    assert 4 not in out.index  # empty decode rejected, not divide-by-zero

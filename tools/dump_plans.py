@@ -292,6 +292,9 @@ ANNOTATED = {
     "broadcast back onto the features; per-doc weight one doc_id agg; "
     "selection is TakeOrderedAndProject — the LM 'model' never leaves "
     "256 integers",
+    "multimodal_audio_vad_segments": "map-only: payload build + Arrow VAD "
+    "kernel fuse into one pass, zero exchanges — segmentation state never "
+    "crosses a recording",
 }
 
 
