@@ -1366,3 +1366,155 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ra").cast("long").alias("ra_score_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-split near-dup leakage AUDIT — the measurement counterpart of
+# dataset_split_leakage_safe's construction guarantee
+
+
+def _split_neardup_leakage_oracle() -> str:
+    from .quality import TRAIN_BUCKETS
+
+    return f"""
+    WITH {_SHINGLES_SQL},
+    {_EDGES_SQL},
+    tagged AS (
+      SELECT doc_id,
+             CASE WHEN strpos('0123456789abcdef',
+                              SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                       < {TRAIN_BUCKETS}
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    tag_edges AS (
+      SELECT e.doc_a, e.doc_b, ta.split AS split_a, tb.split AS split_b
+      FROM edges e
+      JOIN tagged ta ON ta.doc_id = e.doc_a
+      JOIN tagged tb ON tb.doc_id = e.doc_b
+    ),
+    contaminated AS (
+      SELECT DISTINCT CASE WHEN split_a = 'test' THEN doc_a ELSE doc_b END
+               AS doc_id
+      FROM tag_edges WHERE split_a <> split_b
+    ),
+    e AS (
+      SELECT COUNT(*) AS n_edges,
+             SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+               AS n_cross_edges
+      FROM tag_edges
+    ),
+    tt AS (
+      SELECT COUNT(*) AS n_test_docs FROM tagged WHERE split = 'test'
+    ),
+    c AS (SELECT COUNT(*) AS n_contaminated FROM contaminated)
+    SELECT CAST(e.n_edges AS BIGINT) AS n_edges,
+           CAST(e.n_cross_edges AS BIGINT) AS n_cross_edges,
+           CAST(CASE WHEN e.n_edges = 0 THEN NULL
+                     ELSE (1000000 * e.n_cross_edges) // e.n_edges END
+             AS BIGINT) AS cross_edge_ppm,
+           CAST(tt.n_test_docs AS BIGINT) AS n_test_docs,
+           CAST(c.n_contaminated AS BIGINT) AS n_contaminated_test_docs,
+           CAST(CASE WHEN tt.n_test_docs = 0 THEN NULL
+                     ELSE (1000000 * c.n_contaminated) // tt.n_test_docs END
+             AS BIGINT) AS contamination_ppm
+    FROM e CROSS JOIN tt CROSS JOIN c
+    """
+
+
+@query(
+    "dataset_split_neardup_leakage",
+    oracle=_split_neardup_leakage_oracle(),
+    tags=("pipeline", "split", "dedup", "evaluation", "composition"),
+)
+def dataset_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate LEAKAGE AUDIT — measures what the plain
+    per-document split (`dataset_train_test_split`) leaks: near-dup
+    pairs whose endpoints landed on opposite sides, and the test
+    documents with a training-side near-twin (each one a benchmark row
+    whose answer the model may have memorized).  This is the audit a
+    team runs on an EXISTING split before trusting its eval numbers;
+    `dataset_split_leakage_safe` is the fix (component-keyed split,
+    leakage zero by construction) — together they are the
+    measure-then-fix pair.
+
+    Scale shape: the edge frame is the session-cached near-dup edge set
+    (built once, shared by 7 consumers — see ``near_dup_edges``); the
+    audit itself is two doc_id-keyed broadcast-eligible joins of the
+    edge list against the split tags plus counting — edge-list-linear,
+    nothing quadratic.  At 100 TB the edge frame is the maintained
+    table (``write_edge_table``) and this audit is a scan over it.
+
+    Determinism: split tags are the content-hash bucketing shared with
+    `dataset_train_test_split`; counts are exact integers; ppm rates
+    are integer division, NULL-guarded on zero denominators (the
+    ADVICE-r5 NULLIF discipline)."""
+    from .quality import TRAIN_BUCKETS, hash_bucket
+
+    d = t(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id")) < TRAIN_BUCKETS, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    e = near_dup_edges(spark, sf_dir)
+    tag_edges = (
+        e.join(
+            tagged.select(
+                F.col("doc_id").alias("a"), F.col("split").alias("split_a")
+            ),
+            "a",
+        ).join(
+            tagged.select(
+                F.col("doc_id").alias("b"), F.col("split").alias("split_b")
+            ),
+            "b",
+        )
+    )
+    cross = F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+    edge_stats = tag_edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(cross).alias("n_cross_edges"),
+    )
+    contaminated = (
+        tag_edges.filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "test", F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_test = tagged.filter(F.col("split") == "test").agg(
+        F.count(F.lit(1)).alias("n_test_docs")
+    )
+    return (
+        edge_stats.crossJoin(F.broadcast(n_test))
+        .crossJoin(F.broadcast(contaminated))
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_cross_edges").cast("long").alias("n_cross_edges"),
+            F.when(
+                F.col("n_edges") == 0, F.lit(None).cast("long")
+            )
+            .otherwise(
+                F.expr("CAST((1000000 * n_cross_edges) DIV n_edges AS BIGINT)")
+            )
+            .alias("cross_edge_ppm"),
+            F.col("n_test_docs").cast("long").alias("n_test_docs"),
+            F.col("n_contaminated").cast("long").alias(
+                "n_contaminated_test_docs"
+            ),
+            F.when(
+                F.col("n_test_docs") == 0, F.lit(None).cast("long")
+            )
+            .otherwise(
+                F.expr(
+                    "CAST((1000000 * n_contaminated) DIV n_test_docs AS BIGINT)"
+                )
+            )
+            .alias("contamination_ppm"),
+        )
+    )

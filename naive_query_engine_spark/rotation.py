@@ -270,6 +270,7 @@ ROTATION: tuple[str, ...] = (
     "embedding_matryoshka_prefix_recall",
     "dataset_dsir_importance_weights",
     "multimodal_audio_vad_segments",
+    "dataset_split_neardup_leakage",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -532,3 +532,38 @@ def test_vad_kernel_segments_known_patterns():
     # samples — large enough to pass the 1e8 threshold
     assert tuple(out.loc[3]) == (2, 1, 1, 1, 500000)
     assert 4 not in out.index  # empty decode rejected, not divide-by-zero
+
+
+# ---------------------------------------------------------------------------
+# dataset_split_neardup_leakage: audit recomputed from the edge frame
+
+
+def test_split_neardup_leakage_matches_recompute(spark):
+    import hashlib
+
+    from naive_query_engine_spark.operators.clustering import near_dup_edges
+    from naive_query_engine_spark.operators.quality import TRAIN_BUCKETS
+
+    def split(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16)
+        return "train" if b < TRAIN_BUCKETS else "test"
+
+    edges = [(r["a"], r["b"]) for r in near_dup_edges(spark, SF_SMOKE).collect()]
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")["doc_id"]
+    n_cross = sum(1 for a, b in edges if split(a) != split(b))
+    contaminated = {
+        (a if split(a) == "test" else b)
+        for a, b in edges
+        if split(a) != split(b)
+    }
+    n_test = sum(1 for d in docs if split(int(d)) == "test")
+    row = (
+        QUERIES["dataset_split_neardup_leakage"].fn(spark, SF_SMOKE).collect()[0]
+    )
+    assert row["n_edges"] == len(edges)
+    assert row["n_cross_edges"] == n_cross
+    assert row["cross_edge_ppm"] == (1_000_000 * n_cross) // len(edges)
+    assert row["n_test_docs"] == n_test
+    assert row["n_contaminated_test_docs"] == len(contaminated)
+    assert row["contamination_ppm"] == (1_000_000 * len(contaminated)) // n_test
+    assert n_cross > 0  # the audit must be non-vacuous on this corpus

@@ -295,6 +295,9 @@ ANNOTATED = {
     "multimodal_audio_vad_segments": "map-only: payload build + Arrow VAD "
     "kernel fuse into one pass, zero exchanges — segmentation state never "
     "crosses a recording",
+    "dataset_split_neardup_leakage": "session-cached edge frame (7th "
+    "consumer) tagged by two broadcast joins against the split hash; "
+    "1-row output from three bounded aggregates",
 }
 
 
