@@ -452,3 +452,79 @@ def similarity_kmeans_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame
         "total",
         (F.col("matched").cast("double") / F.col("total")).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling — equal-k-per-LEARNED-cluster subset selection
+
+BALANCED_PER_CLUSTER = 10  #: vectors kept per k-means cluster
+
+
+def _balanced_sample_oracle(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    return f"""
+    WITH {','.join(_kmeans_sql_parts(k, iters))}
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(pick_rank AS BIGINT) AS pick_rank,
+           CAST(vec_id AS BIGINT) AS vec_id
+    FROM (
+      SELECT cluster, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+      FROM a{iters}
+    ) WHERE pick_rank <= {BALANCED_PER_CLUSTER}
+    ORDER BY cluster, pick_rank
+    """
+
+
+@query(
+    "embedding_cluster_balanced_sample",
+    oracle=_balanced_sample_oracle(),
+    tags=("similarity", "pipeline", "selection", "clustering"),
+)
+def embedding_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-BALANCED subset selection: run the learned Lloyd k-means,
+    then keep exactly BALANCED_PER_CLUSTER vectors per cluster by
+    content-hash rank — the semantic-coverage sampler.  A uniform sample
+    mirrors the corpus's redundancy (dense template regions dominate);
+    sampling k per LEARNED cluster keeps every semantic region
+    represented no matter how lopsided the cluster masses are — the
+    cheap version of the coverage step in SemDeDup-style curation, and
+    the standard way to build an eval/annotation slice that "sees" the
+    whole embedding space.  Output is the selection manifest
+    (cluster, pick_rank, vec_id) — K×{BALANCED_PER_CLUSTER} rows.
+
+    Scale shape: assignment is the broadcast-centroid Arrow matmul
+    (map-only); the per-cluster pick is a K-bounded-output window over
+    the assignment — one cluster-keyed exchange; nothing depends on
+    cluster-size skew because the window emits at most
+    BALANCED_PER_CLUSTER rows per partition key.  (A giant cluster
+    still flows through one reducer here; the salted two-phase top-k in
+    `dataset_reservoir_per_lang` is the documented skew fallback.)
+
+    Determinism: the same hash-rank reservoir idiom as
+    `dataset_reservoir_per_lang` (md5 of vec_id, ties on vec_id) over
+    the integer-exact k-means assignment."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    qf = e.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    assigned = lloyd_kmeans(qf)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.select("cluster", "vec_id")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= BALANCED_PER_CLUSTER)
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+        )
+        .orderBy("cluster", "pick_rank")
+    )

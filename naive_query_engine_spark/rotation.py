@@ -271,6 +271,7 @@ ROTATION: tuple[str, ...] = (
     "dataset_dsir_importance_weights",
     "multimodal_audio_vad_segments",
     "dataset_split_neardup_leakage",
+    "embedding_cluster_balanced_sample",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -567,3 +567,42 @@ def test_split_neardup_leakage_matches_recompute(spark):
     assert row["n_contaminated_test_docs"] == len(contaminated)
     assert row["contamination_ppm"] == (1_000_000 * len(contaminated)) // n_test
     assert n_cross > 0  # the audit must be non-vacuous on this corpus
+
+
+# ---------------------------------------------------------------------------
+# embedding_cluster_balanced_sample: hash-rank pick recomputed per cluster
+
+
+def test_cluster_balanced_sample_matches_recompute(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from naive_query_engine_spark.operators.kmeans import (
+        BALANCED_PER_CLUSTER,
+        lloyd_kmeans,
+    )
+    from naive_query_engine_spark.operators.similarity import quantized
+    from naive_query_engine_spark.queries import t
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    qf = e.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    members: dict[int, list[int]] = {}
+    for r in lloyd_kmeans(qf).select("cluster", "vec_id").collect():
+        members.setdefault(r["cluster"], []).append(r["vec_id"])
+    want = {}
+    for c, vids in members.items():
+        picked = sorted(
+            vids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+        )[:BALANCED_PER_CLUSTER]
+        want[c] = picked
+    got: dict[int, list[int]] = {}
+    for r in (
+        QUERIES["embedding_cluster_balanced_sample"].fn(spark, SF_SMOKE).collect()
+    ):
+        got.setdefault(r["cluster"], []).append((r["pick_rank"], r["vec_id"]))
+    assert set(got) == set(want)
+    for c, picked in want.items():
+        ranked = [v for _, v in sorted(got[c])]
+        assert ranked == picked
+        assert len(ranked) == min(len(members[c]), BALANCED_PER_CLUSTER)

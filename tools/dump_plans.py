@@ -298,6 +298,9 @@ ANNOTATED = {
     "dataset_split_neardup_leakage": "session-cached edge frame (7th "
     "consumer) tagged by two broadcast joins against the split hash; "
     "1-row output from three bounded aggregates",
+    "embedding_cluster_balanced_sample": "Lloyd assignment (broadcast "
+    "centroids, Arrow matmul, map-only) then ONE cluster-keyed window "
+    "emitting at most 10 rows per cluster — output K-bounded",
 }
 
 
