@@ -1243,8 +1243,12 @@ def dataset_dsir_importance_weights(
         .crossJoin(F.broadcast(tot))
         .select("bucket", wfp.alias("wfp"))
     )
+    # no broadcast hint on wts: its 256-row bound comes from the md5
+    # bucket width, which the broadcast-guard's structural audit can't
+    # prove — AQE broadcasts it by measured size anyway (the
+    # join_bloom_prefilter discipline)
     docw = (
-        hashed.join(F.broadcast(wts), "bucket")
+        hashed.join(wts, "bucket")
         .groupBy("doc_id", "lang")
         .agg(F.sum("wfp").alias("weight_fp"))
     )

@@ -67,6 +67,11 @@ HINT_EXCEPTIONS = {
     # composes similarity_topk_bruteforce, inheriting its bounded 5-row
     # query-set hint
     "similarity_recall_at_k": "inherits bruteforce's vec_id < N_QUERY_VECS hint",
+    # operators/similarity.py: four per-prefix hints, each covering the
+    # same embeddings frame filtered to `vec_id < N_QUERY_VECS` (5) — a
+    # literal predicate bounds every hinted subtree to 5 rows regardless
+    # of corpus size (the bruteforce justification, once per prefix)
+    "embedding_matryoshka_prefix_recall": "query set per prefix: vec_id < N_QUERY_VECS literal filter",
     # operators/similarity.py: hints cover (a) the PQ codebook — a
     # grouped aggregate keyed by (label, subspace), bounded by
     # |labels| x PQ_M, not corpus size — and (b) the ADC lookup tables,
