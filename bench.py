@@ -79,6 +79,14 @@ BENCH_QUERIES = [
     "pipeline_cdc_merge",
     "multimodal_image_phash_dedup",
     "events_absence_timeout",
+    # r6c rotation (third wave, same rationale): the DSIR selection
+    # pass, the VAD segmentation kernel, the MRL truncation gate, and
+    # the cross-split leakage audit join the artifact so each round
+    # measures them
+    "dataset_dsir_importance_weights",
+    "multimodal_audio_vad_segments",
+    "embedding_matryoshka_prefix_recall",
+    "dataset_split_neardup_leakage",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays
@@ -138,6 +146,16 @@ BASELINES = {
     "pipeline_cdc_merge": 1.019,
     "multimodal_image_phash_dedup": 0.863,
     "events_absence_timeout": 0.618,
+    # r6c rotation: per-query MIN over three same-day 40-query runs
+    # divided by those runs' min-based established ratio (0.949) — two
+    # of the three single runs carried opposite-phase load transients
+    # (est 1.053/fresh 1.69, then est 1.471/fresh 1.16), so the
+    # per-query-min calibration is the honest read (BASELINE.md round-6
+    # third wave)
+    "dataset_dsir_importance_weights": 2.531,
+    "multimodal_audio_vad_segments": 2.783,
+    "embedding_matryoshka_prefix_recall": 1.480,
+    "dataset_split_neardup_leakage": 0.535,
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
@@ -167,6 +185,10 @@ FRESH_ROTATION: list[str] = [
     "pipeline_cdc_merge",
     "multimodal_image_phash_dedup",
     "events_absence_timeout",
+    "dataset_dsir_importance_weights",
+    "multimodal_audio_vad_segments",
+    "embedding_matryoshka_prefix_recall",
+    "dataset_split_neardup_leakage",
 ]
 ESTABLISHED = [q for q in BASELINES if q not in FRESH_ROTATION]
 
