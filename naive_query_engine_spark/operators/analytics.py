@@ -2392,3 +2392,125 @@ def orders_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRM — sample-ratio mismatch, the experiment-health gate that runs BEFORE
+# any readout is trusted
+
+SRM_FP = 1_000_000  #: fixed-point scale for the chi-square statistic
+#: chi-square critical value at alpha=0.001, df=1 (the standard SRM
+#: alert threshold — SRM checks run at strict alpha because a true
+#: mismatch invalidates the whole experiment), in SRM_FP fixed point
+SRM_CRIT_FP = 10_828_000
+#: the planted triggering bug: arm-B exposures for even user_ids are
+#: "lost" (a one-sided logging failure — the classic SRM root cause).
+#: The loss is HALF the arm: at the strict SRM alpha the chi-square
+#: needs a large effect to clear 10.828 on corpora of hundreds of
+#: users (at sf0.01 a 20%% loss reads chi2 ≈ 5 — undetectable), and a
+#: positive control that doesn't fire is no control at all
+SRM_BUG_MOD = 2
+
+
+@query(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN (strpos('0123456789abcdef',
+                               SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events GROUP BY user_id
+    ),
+    scen AS (
+      SELECT 'a_clean' AS scenario,
+             SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b
+      FROM assign
+      UNION ALL
+      SELECT 'b_exposure_bug',
+             SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END),
+             SUM(CASE WHEN arm = 'B' AND user_id % {SRM_BUG_MOD} <> 0
+                      THEN 1 ELSE 0 END)
+      FROM assign
+    )
+    SELECT scenario,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(ROUND(
+             (CAST(n_a - n_b AS DOUBLE) * (n_a - n_b)) / (n_a + n_b)
+             * {SRM_FP}, 0) AS BIGINT) AS chi2_fp,
+           CAST(CASE WHEN ROUND(
+             (CAST(n_a - n_b AS DOUBLE) * (n_a - n_b)) / (n_a + n_b)
+             * {SRM_FP}, 0) > {SRM_CRIT_FP} THEN 1 ELSE 0 END
+             AS BIGINT) AS srm_flag
+    FROM scen ORDER BY scenario
+    """,
+    tags=("events", "analytics", "experimentation", "quality"),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch (SRM) — the health check every experiment
+    platform runs before showing a readout: under the 50/50 design, do
+    the OBSERVED arm sizes fit?  A mismatch (chi-square above the
+    alpha=0.001 critical value 10.828) means exposure logging or
+    triggering is broken and the experiment readout is invalid no
+    matter how significant it looks.  Two scenarios in one frame: the
+    real md5 assignment (must NOT flag — it is deterministic and
+    near-exactly 50/50), and a PLANTED one-sided exposure bug (arm-B
+    logs lost for user_id % {SRM_BUG_MOD} == 0 — must flag).  The
+    planted row is the positive control proving the detector detects;
+    the clean row passing is the detector exonerating the real split.
+
+    For equal expected counts E = (n_a+n_b)/2 the two-cell chi-square
+    collapses to (n_a−n_b)²/(n_a+n_b) — one rational double over exact
+    integer counts, quantized to SRM_FP fixed point before the
+    threshold comparison (the zipf/heaps ROUND discipline).
+
+    Scale shape: one per-user aggregation (map-side combinable) then a
+    2-row reduce; nothing corpus-sized past the first shuffle — same
+    plan family as `events_ab_test_analysis`."""
+    ev = t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    assign = ev.groupBy("user_id").agg(F.lit(1).alias("one")).select(
+        "user_id", arm.alias("arm")
+    )
+    is_a = F.when(F.col("arm") == "A", 1).otherwise(0)
+    is_b = F.when(F.col("arm") == "B", 1).otherwise(0)
+    is_b_logged = F.when(
+        (F.col("arm") == "B") & (F.col("user_id") % SRM_BUG_MOD != 0), 1
+    ).otherwise(0)
+    clean = assign.agg(
+        F.lit("a_clean").alias("scenario"),
+        F.sum(is_a).alias("n_a"),
+        F.sum(is_b).alias("n_b"),
+    )
+    bugged = assign.agg(
+        F.lit("b_exposure_bug").alias("scenario"),
+        F.sum(is_a).alias("n_a"),
+        F.sum(is_b_logged).alias("n_b"),
+    )
+    chi2_fp = F.round(
+        ((F.col("n_a") - F.col("n_b")).cast("double")
+         * (F.col("n_a") - F.col("n_b")))
+        / (F.col("n_a") + F.col("n_b"))
+        * SRM_FP,
+        0,
+    ).cast("long")
+    return (
+        clean.unionAll(bugged)
+        .select(
+            "scenario",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            chi2_fp.alias("chi2_fp"),
+            F.when(chi2_fp > SRM_CRIT_FP, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("srm_flag"),
+        )
+        .orderBy("scenario")
+    )

@@ -272,6 +272,7 @@ ROTATION: tuple[str, ...] = (
     "multimodal_audio_vad_segments",
     "dataset_split_neardup_leakage",
     "embedding_cluster_balanced_sample",
+    "events_ab_srm_check",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -606,3 +606,48 @@ def test_cluster_balanced_sample_matches_recompute(spark):
         ranked = [v for _, v in sorted(got[c])]
         assert ranked == picked
         assert len(ranked) == min(len(members[c]), BALANCED_PER_CLUSTER)
+
+
+# ---------------------------------------------------------------------------
+# events_ab_srm_check: chi-square recompute + control-row semantics
+
+
+def test_srm_check_matches_recompute(spark):
+    import hashlib
+    import math
+
+    from naive_query_engine_spark.operators.analytics import (
+        SRM_BUG_MOD,
+        SRM_CRIT_FP,
+        SRM_FP,
+    )
+
+    users = (
+        pd.read_parquet(f"{SF_SMOKE}/events.parquet")["user_id"]
+        .drop_duplicates()
+        .astype(int)
+    )
+    def arm(u: int) -> str:
+        return "A" if int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2 == 0 else "B"
+
+    n_a = sum(1 for u in users if arm(u) == "A")
+    n_b = sum(1 for u in users if arm(u) == "B")
+    n_b_bug = sum(1 for u in users if arm(u) == "B" and u % SRM_BUG_MOD != 0)
+
+    def chi2_fp(a: int, b: int) -> int:
+        x = float(a - b) * (a - b) / (a + b) * SRM_FP
+        return int(math.floor(x + 0.5))
+
+    got = {
+        r["scenario"]: r
+        for r in QUERIES["events_ab_srm_check"].fn(spark, SF_SMOKE).collect()
+    }
+    clean, bug = got["a_clean"], got["b_exposure_bug"]
+    assert (clean["n_a"], clean["n_b"]) == (n_a, n_b)
+    assert (bug["n_a"], bug["n_b"]) == (n_a, n_b_bug)
+    assert clean["chi2_fp"] == chi2_fp(n_a, n_b)
+    assert bug["chi2_fp"] == chi2_fp(n_a, n_b_bug)
+    assert clean["srm_flag"] == int(chi2_fp(n_a, n_b) > SRM_CRIT_FP)
+    assert bug["srm_flag"] == int(chi2_fp(n_a, n_b_bug) > SRM_CRIT_FP)
+    # the detector must detect: planted bug flags, clean split doesn't
+    assert bug["srm_flag"] == 1 and clean["srm_flag"] == 0
