@@ -152,7 +152,10 @@ BASELINES = {
     # (est 1.053/fresh 1.69, then est 1.471/fresh 1.16), so the
     # per-query-min calibration is the honest read (BASELINE.md round-6
     # third wave)
-    "dataset_dsir_importance_weights": 2.531,
+    # re-calibrated after the cache-free two-pass redesign (BASELINE.md
+    # round-6 third wave): measured 4.754 min-of-3 in a warm session
+    # whose 3-anchor subtotal read 1.048x -> 4.536
+    "dataset_dsir_importance_weights": 4.536,
     "multimodal_audio_vad_segments": 2.783,
     "embedding_matryoshka_prefix_recall": 1.480,
     "dataset_split_neardup_leakage": 0.535,

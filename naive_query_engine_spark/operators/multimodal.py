@@ -1334,3 +1334,147 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_segments long, longest_segment long, speech_ppm long",
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HTTP response parse — the TEXT-PROTOCOL parse shape (the 5th fundamental
+# parse family beside fixed-header/marker-walk/box-tiling/offset-directory):
+# what a CommonCrawl/WARC ingest pipeline runs on every fetched record
+
+
+def make_http_payload(doc_id_expr):
+    """Column expr: a synthetic HTTP/1.1 response string, deterministic
+    per doc_id.  Status cycles 200/200/404/301 (doc_id % 4), content-type
+    cycles html/json/plain (doc_id % 3), body is ``doc_id % 200 + 10``
+    'x' bytes.  Two planted malformations: doc_id % 17 == 0 truncates the
+    body to half its declared Content-Length (a cut-off fetch);
+    doc_id % 23 == 0 garbles the status line (a non-HTTP response on
+    port 80).  doc_id 0 hits both rules; the garble wins (parse fails
+    before the body is reached)."""
+    from pyspark.sql import functions as F
+
+    status = F.element_at(
+        F.array(F.lit("200"), F.lit("200"), F.lit("404"), F.lit("301")),
+        (doc_id_expr % 4 + 1).cast("int"),
+    )
+    ctype = F.element_at(
+        F.array(
+            F.lit("text/html"), F.lit("application/json"), F.lit("text/plain")
+        ),
+        (doc_id_expr % 3 + 1).cast("int"),
+    )
+    blen = (doc_id_expr % 200 + 10).cast("int")
+    body_sent = F.when(
+        doc_id_expr % 17 == 0, F.repeat(F.lit("x"), (blen / 2).cast("int"))
+    ).otherwise(F.repeat(F.lit("x"), blen))
+    first_line = F.when(
+        doc_id_expr % 23 == 0, F.lit("SSH-2.0-OpenSSH_9.6")
+    ).otherwise(F.concat(F.lit("HTTP/1.1 "), status, F.lit(" X")))
+    return F.concat(
+        first_line,
+        F.lit("\r\nContent-Type: "),
+        ctype,
+        F.lit("\r\nContent-Length: "),
+        blen.cast("string"),
+        F.lit("\r\nServer: synthetic/1.0\r\n\r\n"),
+        body_sent,
+    )
+
+
+@query(
+    "multimodal_http_response_parse",
+    oracle=r"""
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 0 THEN 'SSH-2.0-OpenSSH_9.6'
+                  ELSE 'HTTP/1.1 ' ||
+                       (['200','200','404','301'])[(doc_id % 4) + 1] || ' X'
+             END
+             || chr(13) || chr(10) || 'Content-Type: '
+             || (['text/html','application/json','text/plain'])[(doc_id % 3) + 1]
+             || chr(13) || chr(10) || 'Content-Length: '
+             || CAST(doc_id % 200 + 10 AS VARCHAR)
+             || chr(13) || chr(10) || 'Server: synthetic/1.0'
+             || chr(13) || chr(10) || chr(13) || chr(10)
+             || REPEAT('x', CASE WHEN doc_id % 17 = 0
+                                 THEN CAST((doc_id % 200 + 10) // 2 AS INT)
+                                 ELSE CAST(doc_id % 200 + 10 AS INT) END)
+               AS raw
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+             regexp_extract(raw, '^HTTP/1\.1 ([0-9]{3}) ', 1) AS status,
+             regexp_extract(raw,
+               'Content-Type: ([^' || chr(13) || ']*)', 1) AS ctype,
+             TRY_CAST(regexp_extract(raw,
+               'Content-Length: ([0-9]+)', 1) AS BIGINT) AS declared_len,
+             LENGTH(raw) - strpos(raw,
+               chr(13) || chr(10) || chr(13) || chr(10)) - 3 AS actual_len
+      FROM payloads
+    )
+    SELECT CASE WHEN status = '' THEN 'not_http'
+                WHEN actual_len <> declared_len THEN 'truncated_body'
+                ELSE 'ok_' || status END AS verdict,
+           COALESCE(NULLIF(ctype, ''), 'n/a') AS content_type,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(actual_len) AS BIGINT) AS total_body_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM parsed
+    GROUP BY 1, 2
+    ORDER BY verdict, content_type
+    """,
+    tags=("multimodal", "pipeline", "web-ingest", "parsing"),
+)
+def multimodal_http_response_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP response parsing — the TEXT-PROTOCOL parse shape (5th parse
+    family: line-oriented headers after fixed-header PNG, marker-walk
+    JPEG, box-tiling MP4, offset-directory TIFF).  This is the per-record
+    work of a CommonCrawl/WARC ingest pipeline: split head from body at
+    the blank line, validate the status line, extract Content-Type,
+    check the body against Content-Length.  Planted malformations — a
+    non-HTTP banner (% 23) and a truncated fetch (% 17) — land in
+    'not_http' / 'truncated_body' verdict rows instead of corrupting the
+    ok rollups, which is the property that matters: one bad record must
+    never poison the batch.
+
+    All parsing is JVM-side string expressions (regexp_extract / strpos /
+    length) inside WholeStageCodegen — a text protocol needs no Python
+    kernel.  Map-only until one bounded agg (verdict × content-type ≤
+    a dozen groups, map-side combined).
+
+    Determinism: verdict logic is exact string/integer comparisons; byte
+    counts are exact integers."""
+    d = spread(t(spark, sf_dir, "documents"))
+    raw = make_http_payload(F.col("doc_id"))
+    crlf2 = "\r\n\r\n"
+    parsed = d.select(
+        "doc_id",
+        F.regexp_extract(raw, r"^HTTP/1\.1 ([0-9]{3}) ", 1).alias("status"),
+        F.regexp_extract(raw, r"Content-Type: ([^\r]*)", 1).alias("ctype"),
+        F.regexp_extract(raw, r"Content-Length: ([0-9]+)", 1)
+        .try_cast("long")
+        .alias("declared_len"),
+        (
+            F.length(raw) - F.instr(raw, crlf2) - 3
+        ).cast("long").alias("actual_len"),
+    )
+    verdict = (
+        F.when(F.col("status") == "", "not_http")
+        .when(F.col("actual_len") != F.col("declared_len"), "truncated_body")
+        .otherwise(F.concat(F.lit("ok_"), F.col("status")))
+    )
+    ctype_out = F.coalesce(
+        F.when(F.col("ctype") != "", F.col("ctype")), F.lit("n/a")
+    )
+    return (
+        parsed.groupBy(
+            verdict.alias("verdict"), ctype_out.alias("content_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("actual_len").cast("long").alias("total_body_bytes"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("verdict", "content_type")
+    )

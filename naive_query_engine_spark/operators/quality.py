@@ -1175,13 +1175,19 @@ def dataset_dsir_importance_weights(
     global top-{DSIR_TOP_DOCS} selected docs each language contributes —
     the report that shows the sampler pulling toward the target.
 
-    Scale shape: ONE tokenize+hash pass (persisted) feeds the raw and
-    target bucket counts (both {DSIR_BUCKETS}-bounded, map-side
-    combined), a 1-row total, and the per-doc scoring join — the bucket
-    weight table is {DSIR_BUCKETS} rows, broadcast; per-doc weights are
-    one doc_id-keyed aggregation; selection is TakeOrdered
-    (top-{DSIR_TOP_DOCS}), never a global sort.  At 100 TB the LM "model"
-    stays {DSIR_BUCKETS} integers — the whole point of DSIR's hashed
+    Scale shape: exactly TWO lean corpus passes and no cache.  Pass 1 is
+    one aggregation producing BOTH bucket LMs (rc, tc per bucket —
+    {DSIR_BUCKETS}-bounded, map-side combined); the corpus totals come
+    from that 256-row frame, never a second scan.  Pass 2 re-derives the
+    feature stream from lineage and joins the broadcast 256-row weight
+    table for the per-doc score (one doc_id-keyed aggregation);
+    selection is TakeOrdered (top-{DSIR_TOP_DOCS}), never a global sort.
+    A persist of the raw feature stream was MEASURED both ways: faster
+    at ≤10× (cache fits), super-linear at 30× (15M cached rows spill the
+    8g local heap — 3.9→19.8 s) — and caching a corpus-scale feature
+    stream is a non-starter at 100 TB anyway; the two-pass shape probes
+    LINEAR (7.9→25.3 s for 10×→30×).  The LM "model" stays
+    {DSIR_BUCKETS} integers — the whole point of DSIR's hashed
     parameterization.
 
     Determinism: bucket counts and per-doc weight sums are exact
@@ -1214,35 +1220,33 @@ def dataset_dsir_importance_weights(
         ).alias("f"),
     )
     bucket = F.conv(F.substring(F.md5(F.col("f")), 1, 2), 16, 10).cast("long")
-    hashed = (
-        uni.unionAll(big).select("doc_id", "lang", bucket.alias("bucket"))
-    ).persist()
-    is_t = F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-    rcnt = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    tcnt = (
-        hashed.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    hashed = uni.unionAll(big).select(
+        "doc_id", "lang", bucket.alias("bucket")
     )
-    tot = hashed.agg(
-        F.count(F.lit(1)).alias("r_total"),
-        F.sum(is_t).alias("t_total"),
+    is_t = F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+    # ONE aggregation pass yields both bucket LMs; the corpus totals then
+    # come from the 256-row frame, not a second corpus scan.  (A persist
+    # of the raw feature stream was measured SLOWER at 30x — 15M cached
+    # rows spill — and caching the stream is a non-starter at 100 TB;
+    # two lean scans beat one fat cache.)
+    bstats = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(is_t).alias("tc"),
+    )
+    tot = bstats.agg(
+        F.sum("rc").alias("r_total"),
+        F.sum("tc").alias("t_total"),
     )
     b = F.lit(DSIR_BUCKETS)
     wfp = F.round(
         F.log10(
-            ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
-             * (F.col("r_total") + b))
+            ((F.col("tc") + 1).cast("double") * (F.col("r_total") + b))
             / ((F.col("rc") + 1).cast("double") * (F.col("t_total") + b))
         )
         * DSIR_FP,
         0,
     ).cast("long")
-    wts = (
-        rcnt.join(tcnt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select("bucket", wfp.alias("wfp"))
-    )
+    wts = bstats.crossJoin(F.broadcast(tot)).select("bucket", wfp.alias("wfp"))
     # no broadcast hint on wts: its 256-row bound comes from the md5
     # bucket width, which the broadcast-guard's structural audit can't
     # prove — AQE broadcasts it by measured size anyway (the

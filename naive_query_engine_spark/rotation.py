@@ -273,6 +273,7 @@ ROTATION: tuple[str, ...] = (
     "dataset_split_neardup_leakage",
     "embedding_cluster_balanced_sample",
     "events_ab_srm_check",
+    "multimodal_http_response_parse",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -651,3 +651,42 @@ def test_srm_check_matches_recompute(spark):
     assert bug["srm_flag"] == int(chi2_fp(n_a, n_b_bug) > SRM_CRIT_FP)
     # the detector must detect: planted bug flags, clean split doesn't
     assert bug["srm_flag"] == 1 and clean["srm_flag"] == 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal_http_response_parse: protocol semantics recomputed in Python
+
+
+def test_http_parse_matches_recompute(spark):
+    doc_ids = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")["doc_id"].astype(int)
+    want: dict[tuple[str, str], list[int]] = {}
+    for d in doc_ids:
+        status = ["200", "200", "404", "301"][d % 4]
+        ctype = ["text/html", "application/json", "text/plain"][d % 3]
+        declared = d % 200 + 10
+        actual = declared // 2 if d % 17 == 0 else declared
+        if d % 23 == 0:
+            verdict = "not_http"
+        elif actual != declared:
+            verdict = "truncated_body"
+        else:
+            verdict = f"ok_{status}"
+        r = want.setdefault((verdict, ctype), [0, 0, 10**18])
+        r[0] += 1
+        r[1] += actual
+        r[2] = min(r[2], d)
+    got = {
+        (r["verdict"], r["content_type"]): r
+        for r in QUERIES["multimodal_http_response_parse"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, total, mn) in want.items():
+        g = got[k]
+        assert (g["n_records"], g["total_body_bytes"], g["min_doc_id"]) == (
+            n, total, mn,
+        )
+    # malformed records must be quarantined, not dropped or poisoning ok rows
+    assert any(v == "not_http" for v, _ in got)
+    assert any(v == "truncated_body" for v, _ in got)

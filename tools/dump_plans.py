@@ -287,11 +287,11 @@ ANNOTATED = {
     "embedding_matryoshka_prefix_recall": "four prefix passes, each a "
     "broadcast of the 5 query vectors against the corpus with a k-bounded "
     "rank window; recall joins are (queries x k)-sized — corpus-linear",
-    "dataset_dsir_importance_weights": "ONE tokenize+hash pass persisted; "
-    "bucket LMs are 256-row aggregates (map-side combined) joined "
-    "broadcast back onto the features; per-doc weight one doc_id agg; "
-    "selection is TakeOrderedAndProject — the LM 'model' never leaves "
-    "256 integers",
+    "dataset_dsir_importance_weights": "two lean corpus passes, no cache: "
+    "one aggregation yields both bucket LMs AND (via its 256-row output) "
+    "the totals; pass 2 joins the broadcast weight table for per-doc "
+    "scores; selection is TakeOrderedAndProject — the LM 'model' never "
+    "leaves 256 integers",
     "multimodal_audio_vad_segments": "map-only: payload build + Arrow VAD "
     "kernel fuse into one pass, zero exchanges — segmentation state never "
     "crosses a recording",
@@ -301,6 +301,12 @@ ANNOTATED = {
     "embedding_cluster_balanced_sample": "Lloyd assignment (broadcast "
     "centroids, Arrow matmul, map-only) then ONE cluster-keyed window "
     "emitting at most 10 rows per cluster — output K-bounded",
+    "events_ab_srm_check": "one map-side-combined per-user aggregation "
+    "feeding two 1-row reduces (clean + planted-bug scenarios) — nothing "
+    "corpus-sized past the first shuffle",
+    "multimodal_http_response_parse": "payload build + regexp parse all "
+    "inside WholeStageCodegen, one bounded (verdict x ctype) agg — "
+    "map-only, no Python",
 }
 
 
