@@ -528,3 +528,74 @@ def absence_timeouts(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min heavy hitters — the mergeable-sketch pattern over
+# micro-batches: each batch contributes a bounded counter partial, the
+# accumulated sketch is their counter-wise SUM, and (unlike the raw
+# stream) the state at rest is d×w integers forever
+
+
+def cm_counter_partials(events: DataFrame) -> DataFrame:
+    """This input's count-min counter partial (seed, pos, cnt) over
+    user_id — the same d×w geometry and seeded-md5 bucket family as the
+    batch `sketch_countmin_freq`, so stream-merged and batch-built
+    sketches are comparable counter-for-counter."""
+    from ..operators.sketches import CM_HEX_DIGITS, CM_SEEDS, _seed_rows
+
+    return (
+        events.select(
+            _seed_rows(F.col("user_id"), CM_SEEDS, CM_HEX_DIGITS).alias("sp")
+        )
+        .select("sp.seed", "sp.pos")
+        .groupBy("seed", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge_sink(out_dir: str):
+    """foreachBatch sink: reduce the micro-batch to its counter partial
+    (≤ d×w rows no matter the batch size) and append it to the sketch
+    store.  This is the whole trick: per-batch state movement is
+    BOUNDED, and merge = counter-wise SUM at read time — the property
+    that lets a 100 TB/day stream keep a frequency model in kilobytes."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cm_counter_partials(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return sink
+
+
+def cm_merged_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The accumulated sketch: counter-wise SUM over all batch partials."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("seed", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cm_heavy_hitters(sketch: DataFrame, keys: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k heavy hitters by count-min estimate: probe each candidate
+    key's d counters against the (bounded, broadcast) sketch, estimate =
+    min, rank by (estimate desc, user_id).  CM guarantees estimate ≥
+    truth, so no true heavy hitter can be pushed out of the top-k by an
+    under-count — only impostors can sneak in via collisions."""
+    from ..operators.sketches import CM_HEX_DIGITS, CM_SEEDS, _seed_rows
+
+    probe = keys.select(
+        "user_id", _seed_rows(F.col("user_id"), CM_SEEDS, CM_HEX_DIGITS).alias("sp")
+    ).select("user_id", "sp.seed", "sp.pos")
+    return (
+        probe.join(F.broadcast(sketch), ["seed", "pos"])  # d×w rows — bounded
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("long").alias("cm_est"))
+        .orderBy(F.col("cm_est").desc(), "user_id")
+        .limit(k)
+    )

@@ -504,3 +504,48 @@ def test_streaming_absence_timeouts_equal_batch(spark, tmp_path):
     # depend on the watermark); only tail-pending TIMEOUTS may be absent
     conv_expected = {e for e, o in expected.items() if o == "converted"}
     assert conv_expected <= set(got)
+
+
+def test_streaming_cm_sketch_merge_equals_batch(spark, event_files, tmp_path):
+    """Mergeable-sketch property end-to-end: counter partials appended per
+    micro-batch, SUM-merged at read, must equal the single-pass batch
+    sketch COUNTER-FOR-COUNTER (sum over disjoint batches == global
+    count) — and the heavy-hitter top-k probed from the merged sketch
+    must equal the batch top-k."""
+    sketch_dir = str(tmp_path / "cm-sketch")
+    stream = st.read_event_stream(spark, event_files, max_files_per_trigger=1)
+    q = st.run_foreach_batch(
+        stream, st.cm_merge_sink(sketch_dir), str(tmp_path / "ckpt-cm")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_ev = spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files)
+    merged = {
+        (r.seed, r.pos): r.cnt
+        for r in st.cm_merged_sketch(spark, sketch_dir).collect()
+    }
+    want = {
+        (r.seed, r.pos): r.cnt for r in st.cm_counter_partials(batch_ev).collect()
+    }
+    assert merged == want  # exact counter-wise equality
+    # the stream really did contribute multiple bounded partials
+    n_batches = (
+        spark.read.parquet(sketch_dir).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2
+
+    keys = batch_ev.select("user_id").distinct()
+    got_hh = [
+        (r.user_id, r.cm_est)
+        for r in st.cm_heavy_hitters(
+            st.cm_merged_sketch(spark, sketch_dir), keys
+        ).collect()
+    ]
+    want_hh = [
+        (r.user_id, r.cm_est)
+        for r in st.cm_heavy_hitters(st.cm_counter_partials(batch_ev), keys).collect()
+    ]
+    assert got_hh == want_hh and len(got_hh) == 10
