@@ -2514,3 +2514,83 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scenario")
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot AS OF — the READ-side lakehouse primitive completing the trio:
+# pipeline_cdc_merge (write), orders_scd2_priority_history (history),
+# orders_snapshot_as_of (point-in-time read)
+
+SNAPSHOT_AS_OF = "1995-06-30"  #: the reconstruction timestamp (mid-corpus)
+
+
+@query(
+    "orders_snapshot_as_of",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn
+      FROM orders WHERE o_orderdate <= DATE '{SNAPSHOT_AS_OF}'
+    )
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS latest_effective_date
+    FROM ranked WHERE rn = 1
+    GROUP BY status, priority
+    ORDER BY status, priority
+    """,
+    tags=("analytics", "lakehouse", "time-travel", "cdc"),
+)
+def orders_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT AS OF — point-in-time reconstruction from a change log:
+    each customer's state at {SNAPSHOT_AS_OF} is their LATEST order at
+    or before it (latest-wins over the change feed, ties broken by
+    orderkey like every CDC consumer here).  This is the read-side
+    lakehouse primitive — `pipeline_cdc_merge` applies changes,
+    `orders_scd2_priority_history` materializes full validity history,
+    and this answers "what did the table look like at T" WITHOUT a
+    maintained history table: filter to ≤ T, latest-wins per key.
+    Output is the state census at T (status × priority cohorts), the
+    frame a backfill audit diffs against the SCD2 reconstruction.
+
+    Scale shape: the date filter pushes to the scan (only pre-T files
+    are read under date partitioning at 100 TB); latest-wins is one
+    ROW_NUMBER window on the natural key — a single o_custkey exchange,
+    short per-key sequences; the census rollup is (status × priority)
+    bounded.
+
+    Determinism: tie order (o_orderdate, o_orderkey) descending; dates
+    rendered as strings; counts exact."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") <= F.lit(SNAPSHOT_AS_OF).cast("date")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        o.select(
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderdate",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        latest.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("o_custkey").cast("long").alias("min_custkey"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                "latest_effective_date"
+            ),
+        )
+        .orderBy("status", "priority")
+    )

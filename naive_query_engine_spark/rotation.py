@@ -274,6 +274,7 @@ ROTATION: tuple[str, ...] = (
     "embedding_cluster_balanced_sample",
     "events_ab_srm_check",
     "multimodal_http_response_parse",
+    "orders_snapshot_as_of",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

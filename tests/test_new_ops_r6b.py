@@ -690,3 +690,38 @@ def test_http_parse_matches_recompute(spark):
     # malformed records must be quarantined, not dropped or poisoning ok rows
     assert any(v == "not_http" for v, _ in got)
     assert any(v == "truncated_body" for v, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# orders_snapshot_as_of: point-in-time state recomputed in pandas
+
+
+def test_snapshot_as_of_matches_pandas(spark):
+    from naive_query_engine_spark.operators.analytics import SNAPSHOT_AS_OF
+
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus",
+         "o_orderpriority"]
+    ]
+    o = o[o["o_orderdate"] <= pd.Timestamp(SNAPSHOT_AS_OF)]
+    latest = (
+        o.sort_values(["o_orderdate", "o_orderkey"], ascending=False)
+        .groupby("o_custkey", as_index=False)
+        .first()
+    )
+    want = {}
+    for _, r in latest.iterrows():
+        k = (r["o_orderstatus"], r["o_orderpriority"])
+        v = want.setdefault(k, [0, 10**18, pd.Timestamp.min])
+        v[0] += 1
+        v[1] = min(v[1], r["o_custkey"])
+        v[2] = max(v[2], r["o_orderdate"])
+    got = {
+        (r["status"], r["priority"]): r
+        for r in QUERIES["orders_snapshot_as_of"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, mn, mx) in want.items():
+        g = got[k]
+        assert (g["n_customers"], g["min_custkey"]) == (n, mn)
+        assert g["latest_effective_date"] == mx.strftime("%Y-%m-%d")

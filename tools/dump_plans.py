@@ -307,6 +307,9 @@ ANNOTATED = {
     "multimodal_http_response_parse": "payload build + regexp parse all "
     "inside WholeStageCodegen, one bounded (verdict x ctype) agg — "
     "map-only, no Python",
+    "orders_snapshot_as_of": "date predicate in PushedFilters (partition "
+    "pruning at scale); latest-wins is one o_custkey ROW_NUMBER exchange; "
+    "census rollup bounded by status x priority",
 }
 
 
