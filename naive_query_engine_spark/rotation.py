@@ -275,6 +275,7 @@ ROTATION: tuple[str, ...] = (
     "events_ab_srm_check",
     "multimodal_http_response_parse",
     "orders_snapshot_as_of",
+    "text_tokenizer_fertility",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

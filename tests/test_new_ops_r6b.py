@@ -725,3 +725,35 @@ def test_snapshot_as_of_matches_pandas(spark):
         g = got[k]
         assert (g["n_customers"], g["min_custkey"]) == (n, mn)
         assert g["latest_effective_date"] == mx.strftime("%Y-%m-%d")
+
+
+# ---------------------------------------------------------------------------
+# text_tokenizer_fertility: per-lang ratios recomputed in Python
+
+
+def test_tokenizer_fertility_matches_recompute(spark):
+    import re
+
+    from naive_query_engine_spark.operators.text import TOKFERT_FP
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["lang", "text"]]
+    want: dict[str, list[int]] = {}
+    bpe = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]")
+    for lang, text in docs.itertuples(index=False):
+        r = want.setdefault(lang, [0, 0, 0, 0])
+        r[0] += 1
+        r[1] += len(re.split(r"[ \t\n\r\f]+", text.strip().lower()))
+        r[2] += len(bpe.findall(text))
+        r[3] += len(text.encode("utf-8"))
+    got = {
+        r["lang"]: r
+        for r in QUERIES["text_tokenizer_fertility"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for lang, (n, words, toks, byts) in want.items():
+        g = got[lang]
+        assert (g["n_docs"], g["total_words"], g["total_tokens"], g["total_bytes"]) == (
+            n, words, toks, byts,
+        )
+        assert g["fertility_fp"] == (toks * TOKFERT_FP) // words
+        assert g["bytes_per_token_fp"] == (byts * TOKFERT_FP) // toks
