@@ -310,6 +310,9 @@ ANNOTATED = {
     "orders_snapshot_as_of": "date predicate in PushedFilters (partition "
     "pruning at scale); latest-wins is one o_custkey ROW_NUMBER exchange; "
     "census rollup bounded by status x priority",
+    "text_tokenizer_fertility": "one scan, per-row JVM regex counts in "
+    "WholeStageCodegen, lang-bounded agg map-side combined — no Python, "
+    "no window",
 }
 
 
