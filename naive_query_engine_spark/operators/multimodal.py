@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import query, spread, t
+from ..queries import floordiv_col, query, spread, t
 
 DECODE_SCHEMA = "doc_id long, n_bytes long, width long, height long, n_frames long"
 
@@ -1477,4 +1477,188 @@ def multimodal_http_response_parse(spark: SparkSession, sf_dir: str) -> DataFram
             F.min("doc_id").cast("long").alias("min_doc_id"),
         )
         .orderBy("verdict", "content_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# banded-Hamming perceptual-hash near-dup — multi-index hashing (Norouzi
+# et al.): the exact-cluster aHash above misses hashes that differ in a
+# FEW bits; pigeonhole banding finds them without an all-pairs pass
+
+HAM_BANDS = 4  #: 64-bit hash split into 4 × 16-bit bands
+#: accept pairs within this Hamming distance.  Pigeonhole: two hashes
+#: within distance d < HAM_BANDS must agree EXACTLY on ≥1 band, so the
+#: band join has guaranteed recall at d ≤ 3 — and we accept only ≤ 2,
+#: strictly inside the guarantee
+HAM_MAX = 2
+
+
+def make_flipped_pixel_payload(doc_id_expr):
+    """Column expr: 64 bimodal pixels — the doc's GROUP base image with
+    the first ``doc_id % 5`` pixels flipped ACROSS the threshold
+    (224 ↔ 32).  Unlike `make_pixel_payload`'s sub-threshold noise
+    (invisible to aHash by design), these flips change exactly that many
+    hash BITS: within a group, flip sets are prefixes, so the Hamming
+    distance between members is |k_a − k_b| ∈ 0..4 — analytic, and
+    straddling the HAM_MAX acceptance boundary from both sides.  The
+    bimodal 32/224 design keeps the mean far from both modes (≤ 4 flips
+    move it by ≤ 12), so no OTHER bit can flip — the lesson from the
+    first aHash draft, preserved."""
+    from pyspark.sql import functions as F
+
+    def pixel_hex(i):
+        base = F.when(
+            ((floordiv_col(doc_id_expr, PHASH_GROUP)) * 131 + i * 17) % 256
+            >= 128,
+            224,
+        ).otherwise(32)
+        flipped = F.when(i < doc_id_expr % 5, F.lit(256) - base).otherwise(base)
+        return F.lpad(F.conv(flipped.cast("string"), 10, 16), 2, "0")
+
+    return F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PHASH_PIXELS - 1)), pixel_hex
+            ),
+            "",
+        )
+    )
+
+
+@query(
+    "multimodal_phash_hamming_neardup",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             CASE WHEN i < doc_id % 5 THEN 256 - base ELSE base END AS p, i
+      FROM (
+        SELECT doc_id, i,
+               CASE WHEN ((doc_id // {PHASH_GROUP}) * 131 + i * 17) % 256 >= 128
+                    THEN 224 ELSE 32 END AS base
+        FROM documents, UNNEST(range(0, {PHASH_PIXELS})) AS u(i)
+      )
+    ),
+    means AS (
+      SELECT doc_id, SUM(p) // {PHASH_PIXELS} AS mean_p FROM px GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT px.doc_id,
+             STRING_AGG(CASE WHEN p > mean_p THEN '1' ELSE '0' END, ''
+                        ORDER BY i) AS bits
+      FROM px JOIN means ON px.doc_id = means.doc_id
+      GROUP BY px.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, bits, b AS band_idx,
+             SUBSTR(bits, 1 + b * 16, 16) AS band_val
+      FROM hashes, UNNEST(range(0, {HAM_BANDS})) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.bits AS bits_a,
+                      x.doc_id AS doc_b, x.bits AS bits_b
+      FROM bands a JOIN bands x
+        ON a.band_idx = x.band_idx AND a.band_val = x.band_val
+       AND a.doc_id < x.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, hamming(bits_a, bits_b) AS d
+      FROM cand WHERE hamming(bits_a, bits_b) <= {HAM_MAX}
+    )
+    SELECT CAST(d AS BIGINT) AS hamming_dist,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN doc_a // {PHASH_GROUP} = doc_b // {PHASH_GROUP}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_same_group,
+           CAST(MIN(doc_a) AS BIGINT) AS min_doc_a
+    FROM pairs GROUP BY d ORDER BY hamming_dist
+    """,
+    tags=("multimodal", "dedup", "phash", "hamming", "pandas-udf", "pipeline"),
+)
+def multimodal_phash_hamming_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-dup image detection at Hamming distance ≤ {HAM_MAX} over
+    perceptual hashes — multi-index hashing (the banded-candidate idiom
+    `dedup_simhash` uses for text, applied to the aHash column, exactly
+    as `multimodal_image_phash_dedup`'s docstring promises): split each
+    64-bit hash into {HAM_BANDS} × 16-bit bands; by pigeonhole, any two
+    hashes within distance < {HAM_BANDS} share ≥ 1 exact band, so the
+    band equi-join has GUARANTEED recall at the acceptance threshold —
+    never an all-pairs scan.  Payloads carry threshold-CROSSING prefix
+    flips (k = doc_id % 5 bits), so within-group distances are the
+    analytic |k_a − k_b| ∈ 0..4 and the ≤ {HAM_MAX} gate accepts and
+    rejects real pairs on both sides of the boundary.  Output: per-
+    distance pair census with the same-group share.  The measured
+    census is instructive on BOTH axes: same-group pairs appear only at
+    distances 1-2 (four consecutive doc_ids give four DISTINCT k mod 5
+    — no same-group distance-0 pair exists), while the distance-0 rows
+    are entirely CROSS-group aHash collisions (different base offsets
+    whose >=128 thresholding lands on the same bit pattern) — the
+    impostor phenomenon every perceptual-hash deployment must budget
+    for, surfaced by the census instead of hidden.
+
+    Scale shape: map-only Arrow hash kernel, then a {HAM_BANDS}-way
+    band explode (4 rows/image) and a band-keyed equi-join — candidate
+    volume is bounded by band-bucket sizes exactly like minhash-LSH;
+    verification is one XOR+bit_count per candidate.
+
+    Determinism: integer pixel arithmetic end-to-end; Spark verifies
+    with bit_count(phash_a ^ phash_b) over the packed BIGINT while the
+    oracle uses hamming() over the injective bit string — identical
+    distances on identical bit patterns."""
+    d = spread(t(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", make_flipped_pixel_payload(F.col("doc_id")).alias("payload")
+    )
+    hashes = payloads.mapInPandas(ahash_kernel(), "doc_id long, phash long")
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(HAM_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", "bv.band_idx", "bv.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    same_group = F.when(
+        floordiv_col(F.col("doc_a"), PHASH_GROUP)
+        == floordiv_col(F.col("doc_b"), PHASH_GROUP),
+        1,
+    ).otherwise(0)
+    return (
+        cand.select("doc_a", "doc_b", dist.alias("d"))
+        .filter(F.col("d") <= HAM_MAX)
+        .groupBy(F.col("d").cast("long").alias("hamming_dist"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(same_group).cast("long").alias("n_same_group"),
+            F.min("doc_a").cast("long").alias("min_doc_a"),
+        )
+        .orderBy("hamming_dist")
     )

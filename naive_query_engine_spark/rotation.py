@@ -276,6 +276,7 @@ ROTATION: tuple[str, ...] = (
     "multimodal_http_response_parse",
     "orders_snapshot_as_of",
     "text_tokenizer_fertility",
+    "multimodal_phash_hamming_neardup",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -757,3 +757,57 @@ def test_tokenizer_fertility_matches_recompute(spark):
         )
         assert g["fertility_fp"] == (toks * TOKFERT_FP) // words
         assert g["bytes_per_token_fp"] == (byts * TOKFERT_FP) // toks
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_hamming_neardup: full numpy recompute of the census
+
+
+def test_phash_hamming_census_matches_numpy(spark):
+    from naive_query_engine_spark.operators.multimodal import (
+        HAM_MAX,
+        PHASH_GROUP,
+        PHASH_PIXELS,
+    )
+
+    doc_ids = sorted(
+        pd.read_parquet(f"{SF_SMOKE}/documents.parquet")["doc_id"].astype(int)
+    )
+    hashes = {}
+    for d in doc_ids:
+        g = d // PHASH_GROUP
+        px = np.array(
+            [
+                224 if (g * 131 + i * 17) % 256 >= 128 else 32
+                for i in range(PHASH_PIXELS)
+            ],
+            dtype=np.int64,
+        )
+        k = d % 5
+        px[:k] = 256 - px[:k]
+        mean = px.sum() // PHASH_PIXELS
+        hashes[d] = (px > mean).astype(np.int64)
+    want: dict[int, list[int]] = {}
+    ids = list(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dist = int((hashes[a] != hashes[b]).sum())
+            if dist <= HAM_MAX:
+                r = want.setdefault(dist, [0, 0, 10**18])
+                r[0] += 1
+                r[1] += int(a // PHASH_GROUP == b // PHASH_GROUP)
+                r[2] = min(r[2], a)
+    got = {
+        r["hamming_dist"]: r
+        for r in QUERIES["multimodal_phash_hamming_neardup"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for dist, (n, sg, mn) in want.items():
+        g = got[dist]
+        assert (g["n_pairs"], g["n_same_group"], g["min_doc_a"]) == (n, sg, mn)
+    # analytic structure: 4 consecutive ids -> 4 distinct k mod 5, so no
+    # same-group pair at distance 0; same-group pairs exist at 1 and 2
+    assert got[0]["n_same_group"] == 0 if 0 in got else True
+    assert got[1]["n_same_group"] > 0 and got[2]["n_same_group"] > 0

@@ -313,6 +313,9 @@ ANNOTATED = {
     "text_tokenizer_fertility": "one scan, per-row JVM regex counts in "
     "WholeStageCodegen, lang-bounded agg map-side combined — no Python, "
     "no window",
+    "multimodal_phash_hamming_neardup": "Arrow aHash kernel -> 4-band "
+    "struct explode -> band equi-join (AQE picks by size) -> XOR "
+    "bit_count verify — the banded-candidate shape, never all-pairs",
 }
 
 
