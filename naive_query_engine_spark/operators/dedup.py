@@ -1642,3 +1642,97 @@ def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-SOURCE overlap matrix — mirror/scraper detection at the source
+# level (the aggregate view above the per-document detectors)
+
+OVERLAP_FP = 1_000_000  #: fixed-point scale for the source-pair Jaccard
+
+
+def _cross_source_overlap_oracle() -> str:
+    return f"""
+    WITH {_SHINGLES_SQL},
+    {_CAPPED_SQL},
+    sg AS (
+      SELECT DISTINCT d.source, c.g
+      FROM capped c JOIN documents d USING (doc_id)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_g FROM sg GROUP BY source),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared
+      FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(shared AS BIGINT) AS shared_shingles,
+           CAST(na.n_g + nb.n_g - shared AS BIGINT) AS union_shingles,
+           CAST((shared * {OVERLAP_FP}) // (na.n_g + nb.n_g - shared)
+             AS BIGINT) AS jaccard_fp
+    FROM pair
+    JOIN sizes na ON na.source = source_a
+    JOIN sizes nb ON nb.source = source_b
+    ORDER BY jaccard_fp DESC, source_a, source_b
+    """
+
+
+@query(
+    "dedup_cross_source_overlap",
+    oracle=_cross_source_overlap_oracle(),
+    tags=("dedup", "pipeline", "profiling", "curation"),
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE content-overlap matrix — mirror/scraper detection one
+    level above the per-document detectors: for every source pair, the
+    Jaccard of their (capped) shingle VOCABULARIES.  A crawl that
+    ingested the same site under two source labels, or a scraper source
+    that republishes another, shows up as one source-pair's Jaccard
+    spiking above the background — the curation team's cue to dedup
+    ACROSS those sources before mixing weights are computed (a mirror
+    pair double-counts its content in any per-source budget).
+
+    Scale shape: reuses the session-cached capped shingle index (11th
+    consumer — the maintained-table probe like every other consumer);
+    the (source, shingle) projection is one distinct, the pair join
+    fans each shingle into at most C(|sources|, 2) rows (source
+    cardinality is bounded — this is the whole reason the SOURCE-level
+    matrix is cheap while the doc-level one needs banding), and the
+    output is |sources|²-bounded.
+
+    Determinism: exact integer shingle counts; Jaccard as fixed-point
+    integer division; total order (jaccard desc, source pair)."""
+    d = t(spark, sf_dir, "documents")
+    sh = cached_capped_index(spark, sf_dir)
+    sg = (
+        sh.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "g")
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_g"))
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), "g")
+    pair = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n_g").alias("na"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n_g").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("shared")
+    return (
+        pair.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").cast("long").alias("shared_shingles"),
+            union.cast("long").alias("union_shingles"),
+            F.expr(
+                f"CAST((shared * {OVERLAP_FP}) DIV (na + nb - shared) AS BIGINT)"
+            ).alias("jaccard_fp"),
+        )
+        .orderBy(F.col("jaccard_fp").desc(), "source_a", "source_b")
+    )

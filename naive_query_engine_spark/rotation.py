@@ -277,6 +277,7 @@ ROTATION: tuple[str, ...] = (
     "orders_snapshot_as_of",
     "text_tokenizer_fertility",
     "multimodal_phash_hamming_neardup",
+    "dedup_cross_source_overlap",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -811,3 +811,48 @@ def test_phash_hamming_census_matches_numpy(spark):
     # same-group pair at distance 0; same-group pairs exist at 1 and 2
     assert got[0]["n_same_group"] == 0 if 0 in got else True
     assert got[1]["n_same_group"] > 0 and got[2]["n_same_group"] > 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_cross_source_overlap: source-pair Jaccard recomputed in Python
+
+
+def test_cross_source_overlap_matches_recompute(spark):
+    import re
+
+    from naive_query_engine_spark.operators.dedup import OVERLAP_FP
+    from naive_query_engine_spark.operators.shingles_sql import MAX_SHINGLE_DF
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    doc_sh: list[tuple[str, set[str]]] = []
+    df_count: dict[str, int] = {}
+    for _, source, text in docs.itertuples(index=False):
+        w = re.split(r"[ \t\n\r\f]+", text.strip().lower())
+        sh = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+        doc_sh.append((source, sh))
+        for g in sh:
+            df_count[g] = df_count.get(g, 0) + 1
+    src_sh: dict[str, set[str]] = {}
+    for source, sh in doc_sh:
+        keep = {g for g in sh if df_count[g] <= MAX_SHINGLE_DF}
+        src_sh.setdefault(source, set()).update(keep)
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in QUERIES["dedup_cross_source_overlap"].fn(spark, SF_SMOKE).collect()
+    }
+    srcs = sorted(src_sh)
+    want_pairs = 0
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            shared = len(src_sh[sa] & src_sh[sb])
+            if shared == 0:
+                assert (sa, sb) not in got
+                continue
+            want_pairs += 1
+            union = len(src_sh[sa] | src_sh[sb])
+            g = got[(sa, sb)]
+            assert (g["shared_shingles"], g["union_shingles"]) == (shared, union)
+            assert g["jaccard_fp"] == (shared * OVERLAP_FP) // union
+    assert want_pairs == len(got)

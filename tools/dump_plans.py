@@ -316,6 +316,9 @@ ANNOTATED = {
     "multimodal_phash_hamming_neardup": "Arrow aHash kernel -> 4-band "
     "struct explode -> band equi-join (AQE picks by size) -> XOR "
     "bit_count verify — the banded-candidate shape, never all-pairs",
+    "dedup_cross_source_overlap": "cached shingle index -> (source, g) "
+    "distinct -> shingle-keyed pair join with C(|sources|,2)-bounded "
+    "fan-out -> sources^2-bounded matrix",
 }
 
 
