@@ -1518,3 +1518,135 @@ def dataset_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("contamination_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# label-partition modularity over the mutual-kNN graph — the graph-level
+# "do labels align with semantic structure" score
+
+MODULARITY_FP = 1_000_000  #: fixed-point scale for the modularity terms
+
+
+def _label_modularity_oracle() -> str:
+    from ..queries import QUERIES as _Q
+
+    knn = _Q["similarity_mutual_knn"].oracle
+    fp = MODULARITY_FP
+    return f"""
+    WITH knn AS MATERIALIZED ({knn}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    tagged AS (
+      SELECT e.vec_a, e.vec_b, la.label AS label_a, lb.label AS label_b
+      FROM knn e
+      JOIN lab la ON la.vec_id = e.vec_a
+      JOIN lab lb ON lb.vec_id = e.vec_b
+    ),
+    m AS (
+      SELECT COUNT(*) AS m,
+             SUM(CASE WHEN label_a = label_b THEN 1 ELSE 0 END) AS intra
+      FROM tagged
+    ),
+    deg AS (
+      SELECT label, SUM(cnt) AS d FROM (
+        SELECT label_a AS label, COUNT(*) AS cnt FROM tagged GROUP BY 1
+        UNION ALL
+        SELECT label_b, COUNT(*) FROM tagged GROUP BY 1
+      ) u GROUP BY label
+    ),
+    ex AS (
+      SELECT SUM((d.d * d.d * {fp}) // (4 * m.m * m.m)) AS expected_fp
+      FROM deg d CROSS JOIN m
+    )
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           CAST(m.intra AS BIGINT) AS n_intra_label,
+           CAST((m.intra * {fp}) // m.m AS BIGINT) AS intra_share_fp,
+           CAST(ex.expected_fp AS BIGINT) AS expected_share_fp,
+           CAST((m.intra * {fp}) // m.m - ex.expected_fp AS BIGINT)
+             AS modularity_fp
+    FROM m CROSS JOIN ex
+    """
+
+
+@query(
+    "graph_label_modularity",
+    oracle=None,  # patched below (splices the mutual-kNN oracle)
+    tags=("graph", "evaluation", "similarity", "clustering"),
+)
+def graph_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the LABEL partition over the mutual-kNN
+    graph — one number answering "do the labels align with the corpus's
+    semantic neighborhood structure?": observed intra-label edge share
+    minus the share expected under the degree-preserving null model,
+    Q = Σ_c [e_c/m − (deg_c/2m)²].  Q ≈ 0 means labels are no better
+    than chance at predicting edges (this corpus's random embeddings
+    read exactly that); a label set worth using for supervised pruning
+    or stratified sampling reads Q ≫ 0.  The graph-level summary above
+    `embedding_label_knn_disagreement`'s per-vector view.
+
+    Scale shape: edges are the spliced mutual-kNN frame (≤ n·k rows);
+    two vec_id-keyed label joins; the degree rollup and the null-model
+    sum are |labels|-bounded.  All corpus-scale cost lives in the
+    mutual-kNN substrate.
+
+    Determinism: every term is an exact-integer fixed-point division
+    ((intra·FP) DIV m and per-label (deg²·FP) DIV (4m²)) summed over
+    the bounded label domain — no float accumulation anywhere, so
+    engine summation order cannot matter."""
+    from ..queries import QUERIES as _Q
+
+    fp = MODULARITY_FP
+    e = t(spark, sf_dir, "embeddings")
+    lab = e.select("vec_id", "label")
+    edges = _Q["similarity_mutual_knn"].fn(spark, sf_dir).select("vec_a", "vec_b")
+    tagged = (
+        edges.join(
+            lab.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a")),
+            "vec_a",
+        ).join(
+            lab.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b")),
+            "vec_b",
+        )
+    )
+    m = tagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(
+            F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0)
+        ).alias("intra"),
+    )
+    deg = (
+        tagged.select(F.col("label_a").alias("label"))
+        .unionAll(tagged.select(F.col("label_b").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ex = deg.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            F.expr(f"(d * d * {fp}) DIV (4 * m * m)")
+        ).alias("expected_fp")
+    )
+    return (
+        m.crossJoin(F.broadcast(ex))
+        .select(
+            F.col("m").cast("long").alias("n_edges"),
+            F.col("intra").cast("long").alias("n_intra_label"),
+            F.expr(f"CAST((intra * {fp}) DIV m AS BIGINT)").alias(
+                "intra_share_fp"
+            ),
+            F.col("expected_fp").cast("long").alias("expected_share_fp"),
+            (
+                F.expr(f"(intra * {fp}) DIV m") - F.col("expected_fp")
+            ).cast("long").alias("modularity_fp"),
+        )
+    )
+
+
+def _patch_label_modularity_oracle() -> None:
+    from ..queries import QUERIES as _Q
+    import dataclasses as _dcm
+
+    _Q["graph_label_modularity"] = _dcm.replace(
+        _Q["graph_label_modularity"], oracle=_label_modularity_oracle()
+    )
+
+
+_patch_label_modularity_oracle()

@@ -278,6 +278,7 @@ ROTATION: tuple[str, ...] = (
     "text_tokenizer_fertility",
     "multimodal_phash_hamming_neardup",
     "dedup_cross_source_overlap",
+    "graph_label_modularity",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

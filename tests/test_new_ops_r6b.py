@@ -856,3 +856,35 @@ def test_cross_source_overlap_matches_recompute(spark):
             assert (g["shared_shingles"], g["union_shingles"]) == (shared, union)
             assert g["jaccard_fp"] == (shared * OVERLAP_FP) // union
     assert want_pairs == len(got)
+
+
+# ---------------------------------------------------------------------------
+# graph_label_modularity: Newman Q recomputed from the edge frame
+
+
+def test_label_modularity_matches_recompute(spark):
+    from naive_query_engine_spark.operators.clustering import MODULARITY_FP
+
+    edges = [
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["similarity_mutual_knn"].fn(spark, SF_SMOKE).collect()
+    ]
+    lab = (
+        pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .set_index("vec_id")["label"]
+        .to_dict()
+    )
+    m = len(edges)
+    intra = sum(1 for a, b in edges if lab[a] == lab[b])
+    deg: dict[str, int] = {}
+    for a, b in edges:
+        deg[lab[a]] = deg.get(lab[a], 0) + 1
+        deg[lab[b]] = deg.get(lab[b], 0) + 1
+    expected = sum((d * d * MODULARITY_FP) // (4 * m * m) for d in deg.values())
+    row = QUERIES["graph_label_modularity"].fn(spark, SF_SMOKE).collect()[0]
+    assert (row["n_edges"], row["n_intra_label"]) == (m, intra)
+    assert row["intra_share_fp"] == (intra * MODULARITY_FP) // m
+    assert row["expected_share_fp"] == expected
+    assert row["modularity_fp"] == (intra * MODULARITY_FP) // m - expected
+    # random embeddings: labels no better than chance (|Q| < 0.05)
+    assert abs(row["modularity_fp"]) < MODULARITY_FP // 20

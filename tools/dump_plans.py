@@ -319,6 +319,9 @@ ANNOTATED = {
     "dedup_cross_source_overlap": "cached shingle index -> (source, g) "
     "distinct -> shingle-keyed pair join with C(|sources|,2)-bounded "
     "fan-out -> sources^2-bounded matrix",
+    "graph_label_modularity": "spliced mutual-kNN edges + two vec_id "
+    "label joins; degree rollup and null-model sum are |labels|-bounded "
+    "integer fixed-point — no float accumulation",
 }
 
 
