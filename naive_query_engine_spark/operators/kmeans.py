@@ -528,3 +528,139 @@ def embedding_cluster_balanced_sample(
         )
         .orderBy("cluster", "pick_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# nprobe sweep — the recall-vs-cost tuning curve of the learned IVF index
+
+IVF_SWEEP_NPROBES = (1, 2, 4)  #: probe depths measured by the sweep
+
+
+def _nprobe_sweep_oracle() -> str:
+    from ..queries import QUERIES as _Q
+
+    bf = _Q["similarity_topk_bruteforce"].oracle
+    ivf_ctes = ",\n".join(
+        f"ivf{p} AS MATERIALIZED ({_ivf_kmeans_oracle(nprobe=p)})"
+        for p in IVF_SWEEP_NPROBES
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""
+    SELECT CAST({p} AS BIGINT) AS nprobe,
+           CAST((SELECT COUNT(*) FROM ivf{p} t
+                 JOIN bf ON bf.query_id = t.query_id
+                        AND bf.neighbor_id = t.neighbor_id) AS BIGINT)
+             AS matched,
+           CAST((SELECT COUNT(*) FROM bf) AS BIGINT) AS total,
+           CAST((SELECT COUNT(*) FROM ivf{p} t
+                 JOIN bf ON bf.query_id = t.query_id
+                        AND bf.neighbor_id = t.neighbor_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM bf) AS recall
+    """
+        for p in IVF_SWEEP_NPROBES
+    )
+    return f"""
+    WITH bf AS MATERIALIZED ({bf}),
+    {ivf_ctes}
+    {selects}
+    ORDER BY nprobe
+    """
+
+
+@query(
+    "similarity_ivf_nprobe_sweep",
+    oracle=None,  # patched below (splices three IVF oracles + brute force)
+    tags=("similarity", "ivf", "evaluation", "tuning", "clustering"),
+)
+def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE — recall@k vs nprobe ({IVF_SWEEP_NPROBES})
+    against the exact brute-force ranking, in one frame.  This is the
+    plot every vector-search deployment draws before picking its
+    latency/recall operating point: probing p of K cells costs ~p/K of
+    a full scan, and recall climbs monotonically toward 1.0 as p → K.
+    `similarity_kmeans_recall_at_k` pins one point of this curve; the
+    sweep shows the SHAPE, which is what actually drives the choice
+    (a flat segment means extra probes buy nothing — stop there).
+
+    Scale shape: the ranked-cells frame (N × K rows, one partitioned
+    window) is computed ONCE and sliced per probe depth; each depth's
+    candidate join touches only probed-cell pairs; the recall joins are
+    (queries × k)-bounded.  The quantizer training is the same bounded
+    driver-state Lloyd loop as the parent operator.
+
+    Determinism: integer dots, (cosine desc, neighbor_id) total order
+    everywhere — identical tie behavior at every probe depth."""
+    from pyspark.sql import Window
+
+    from ..queries import QUERIES as _Q
+    from .similarity import N_QUERY_VECS, TOP_K, _qtable, cosine_q, dot_q
+
+    bf = _Q["similarity_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    qt = cut_lineage(spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2")))
+    centroids = train_centroids(qt, KMEANS_K, KMEANS_ITERS)
+    cent = spark.createDataFrame(
+        [(j, centroids[j]) for j in sorted(centroids)],
+        "c_label long, centroid array<long>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    ranked_cells = (
+        qt.crossJoin(F.broadcast(cent))
+        .select("vec_id", "q", "nrm2", "c_label", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = ranked_cells.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qn"),
+        F.col("nrm2").alias("nn2"),
+        F.col("c_label").alias("cell"),
+    )
+    cos = cosine_q(dot_q(F.col("qq"), F.col("qn")), F.col("nq2"), F.col("nn2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+    out = None
+    for p in IVF_SWEEP_NPROBES:
+        queries = ranked_cells.filter(
+            (F.col("rn") <= p) & (F.col("vec_id") < N_QUERY_VECS)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("nrm2").alias("nq2"),
+            F.col("c_label").alias("cell"),
+        )
+        topk = (
+            assign.join(F.broadcast(queries), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        matched = topk.join(bf, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("matched")
+        )
+        row = matched.crossJoin(F.broadcast(total)).select(
+            F.lit(p).cast("long").alias("nprobe"),
+            F.col("matched").cast("long").alias("matched"),
+            F.col("total").cast("long").alias("total"),
+            (F.col("matched").cast("double") / F.col("total")).alias("recall"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")
+
+
+import dataclasses as _dck  # noqa: E402
+
+from ..queries import QUERIES as _QK  # noqa: E402
+
+_QK["similarity_ivf_nprobe_sweep"] = _dck.replace(
+    _QK["similarity_ivf_nprobe_sweep"], oracle=_nprobe_sweep_oracle()
+)

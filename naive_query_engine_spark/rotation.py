@@ -279,6 +279,7 @@ ROTATION: tuple[str, ...] = (
     "multimodal_phash_hamming_neardup",
     "dedup_cross_source_overlap",
     "graph_label_modularity",
+    "similarity_ivf_nprobe_sweep",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

@@ -888,3 +888,30 @@ def test_label_modularity_matches_recompute(spark):
     assert row["modularity_fp"] == (intra * MODULARITY_FP) // m - expected
     # random embeddings: labels no better than chance (|Q| < 0.05)
     assert abs(row["modularity_fp"]) < MODULARITY_FP // 20
+
+
+# ---------------------------------------------------------------------------
+# similarity_ivf_nprobe_sweep: curve shape + point consistency
+
+
+def test_nprobe_sweep_monotone_and_consistent(spark):
+    from naive_query_engine_spark.operators.kmeans import (
+        IVF_KM_NPROBE,
+        IVF_SWEEP_NPROBES,
+    )
+
+    rows = {
+        r["nprobe"]: r
+        for r in QUERIES["similarity_ivf_nprobe_sweep"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == set(IVF_SWEEP_NPROBES)
+    recalls = [rows[p]["recall"] for p in sorted(rows)]
+    # more probes can never lose a true neighbor: monotone non-decreasing
+    assert recalls == sorted(recalls)
+    for p, r in rows.items():
+        assert r["matched"] <= r["total"] and r["recall"] == r["matched"] / r["total"]
+    # the sweep's point at the parent operator's nprobe must equal the
+    # standalone recall gate (same machinery, same ranking)
+    gate = QUERIES["similarity_kmeans_recall_at_k"].fn(spark, SF_SMOKE).collect()[0]
+    assert rows[IVF_KM_NPROBE]["matched"] == gate["matched"]
+    assert rows[IVF_KM_NPROBE]["recall"] == gate["recall_at_k"]

@@ -322,6 +322,10 @@ ANNOTATED = {
     "graph_label_modularity": "spliced mutual-kNN edges + two vec_id "
     "label joins; degree rollup and null-model sum are |labels|-bounded "
     "integer fixed-point — no float accumulation",
+    "similarity_ivf_nprobe_sweep": "ranked-cells frame computed ONCE "
+    "(one N x K window) and sliced at three probe depths; per-depth "
+    "candidate joins touch probed cells only; recall joins "
+    "(queries x k)-bounded",
 }
 
 
