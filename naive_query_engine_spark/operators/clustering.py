@@ -1650,3 +1650,102 @@ def _patch_label_modularity_oracle() -> None:
 
 
 _patch_label_modularity_oracle()
+
+
+# ---------------------------------------------------------------------------
+# token-mass dedup savings — the budget-level "what did dedup buy" report
+
+
+def _tokens_saved_oracle() -> str:
+    return rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_EDGES_SQL},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+               AS component
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    toks AS (
+      SELECT doc_id, source,
+             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)),
+                                               '[ \t\n\r\f]+')) AS BIGINT)
+               AS tk
+      FROM documents
+    ),
+    tagged AS (
+      SELECT t.doc_id, t.source, t.tk, c.component,
+             CASE WHEN t.doc_id = c.component THEN 1 ELSE 0 END AS kept
+      FROM toks t JOIN comp c ON c.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(tk) AS BIGINT) AS tokens_total,
+           CAST(SUM(kept * tk) AS BIGINT) AS tokens_kept,
+           CAST((1000000 * (SUM(tk) - SUM(kept * tk))) // SUM(tk) AS BIGINT)
+             AS tokens_saved_ppm
+    FROM tagged GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "dedup_tokens_saved_by_source",
+    oracle=_tokens_saved_oracle(),
+    tags=("dedup", "pipeline", "profiling", "budget", "composition"),
+)
+def dedup_tokens_saved_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-MASS dedup savings per source — the budget-level number a
+    curation run reports upward: after near-dup clustering, how many
+    training TOKENS does keeping one representative per cluster save?
+    `profile_dedup_rate_by_source` counts duplicated DOCUMENTS; this
+    weighs them by token mass, which is what actually prices compute —
+    one duplicated 10k-token document costs what fifty 200-token ones
+    do.  Canonical representative = the cluster's component id (lowest
+    doc_id — the same deterministic choice the components oracle pins);
+    the keep-BEST variant (`dedup_keep_best`) swaps the rule without
+    changing this report's shape.
+
+    Scale shape: components over the session-cached edge frame (8th
+    consumer); one token-count scan; one doc_id join + source rollup —
+    everything past the cached edges is linear with bounded output.
+
+    Determinism: exact integer token sums; ppm is integer division;
+    kept flag is an integer id comparison."""
+    from .text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    edges = near_dup_edges(spark, sf_dir)
+    comp = connected_components(
+        d.select(F.col("doc_id").alias("id")), edges
+    ).select(F.col("id").alias("doc_id"), "component")
+    toks = d.select("doc_id", "source", token_count(F.col("text")).alias("tk"))
+    kept = F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0)
+    tagged = toks.join(comp, "doc_id").select(
+        "source", "tk", kept.alias("kept")
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum("tk").cast("long").alias("tokens_total"),
+            F.sum(F.col("kept") * F.col("tk")).cast("long").alias("tokens_kept"),
+            F.expr(
+                "CAST((1000000 * (sum(tk) - sum(kept * tk))) DIV sum(tk)"
+                " AS BIGINT)"
+            ).alias("tokens_saved_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -280,6 +280,7 @@ ROTATION: tuple[str, ...] = (
     "dedup_cross_source_overlap",
     "graph_label_modularity",
     "similarity_ivf_nprobe_sweep",
+    "dedup_tokens_saved_by_source",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

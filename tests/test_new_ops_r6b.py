@@ -915,3 +915,53 @@ def test_nprobe_sweep_monotone_and_consistent(spark):
     gate = QUERIES["similarity_kmeans_recall_at_k"].fn(spark, SF_SMOKE).collect()[0]
     assert rows[IVF_KM_NPROBE]["matched"] == gate["matched"]
     assert rows[IVF_KM_NPROBE]["recall"] == gate["recall_at_k"]
+
+
+# ---------------------------------------------------------------------------
+# dedup_tokens_saved_by_source: savings recomputed from components
+
+
+def test_tokens_saved_matches_recompute(spark):
+    import re
+
+    from naive_query_engine_spark.operators.clustering import (
+        connected_components,
+        near_dup_edges,
+    )
+    from naive_query_engine_spark.queries import t as _t
+    from pyspark.sql import functions as F
+
+    d = _t(spark, SF_SMOKE, "documents")
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            d.select(F.col("doc_id").alias("id")),
+            near_dup_edges(spark, SF_SMOKE),
+        ).collect()
+    }
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    want: dict[str, list[int]] = {}
+    for doc_id, source, text in docs.itertuples(index=False):
+        tk = len(re.split(r"[ \t\n\r\f]+", text.strip().lower()))
+        kept = int(comp[doc_id] == doc_id)
+        r = want.setdefault(source, [0, 0, 0, 0])
+        r[0] += 1
+        r[1] += kept
+        r[2] += tk
+        r[3] += kept * tk
+    got = {
+        r["source"]: r
+        for r in QUERIES["dedup_tokens_saved_by_source"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    saved_any = False
+    for source, (n, k, tt, tkept) in want.items():
+        g = got[source]
+        assert (g["n_docs"], g["n_kept"], g["tokens_total"], g["tokens_kept"]) == (
+            n, k, tt, tkept,
+        )
+        assert g["tokens_saved_ppm"] == (1_000_000 * (tt - tkept)) // tt
+        saved_any |= tt > tkept
+    assert saved_any  # the corpus has real near-dup clusters to collapse

@@ -326,6 +326,9 @@ ANNOTATED = {
     "(one N x K window) and sliced at three probe depths; per-depth "
     "candidate joins touch probed cells only; recall joins "
     "(queries x k)-bounded",
+    "dedup_tokens_saved_by_source": "components over the session-cached "
+    "edge frame, one token-count scan, one doc_id join + source rollup — "
+    "linear past the cached edges",
 }
 
 
