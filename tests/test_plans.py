@@ -156,3 +156,30 @@ def test_plan_node_tree_and_summary(spark):
     # shuffle count must agree with num_shuffles and never go negative
     # (BroadcastExchange is NOT matched by \bExchange\b — no double-subtract)
     assert s["shuffles"] == plans.num_shuffles(df) >= 0, s
+
+
+def test_no_following_unbounded_aggregate_frames():
+    """Spark evaluates UNBOUNDED FOLLOWING aggregate frames by rescanning
+    the remaining frame per row (UnboundedFollowingWindowFunctionFrame,
+    O(rows²) per partition — measured 99 s at 100× on
+    events_absence_timeout before the reversed-sort rewrite, see
+    BASELINE.md).  Any future-looking running aggregate must be spelled
+    as its reversed-sort PRECEDING twin.  Full-partition frames
+    (unboundedPreceding, unboundedFollowing) are exempt: Spark computes
+    those once per partition."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "naive_query_engine_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        for m in re.finditer(r"rowsBetween\(([^)]*)\)", src):
+            args = m.group(1)
+            if "unboundedFollowing" in args and "unboundedPreceding" not in args:
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{py.name}:{line} rowsBetween({args})")
+    assert not offenders, (
+        "FOLLOWING-unbounded aggregate frame(s) found — rewrite as the "
+        f"reversed-sort PRECEDING twin: {offenders}"
+    )
