@@ -556,17 +556,23 @@ def cm_counter_partials(events: DataFrame) -> DataFrame:
 
 def cm_merge_sink(out_dir: str):
     """foreachBatch sink: reduce the micro-batch to its counter partial
-    (≤ d×w rows no matter the batch size) and append it to the sketch
+    (≤ d×w rows no matter the batch size) and write it to the sketch
     store.  This is the whole trick: per-batch state movement is
     BOUNDED, and merge = counter-wise SUM at read time — the property
-    that lets a 100 TB/day stream keep a frequency model in kilobytes."""
+    that lets a 100 TB/day stream keep a frequency model in kilobytes.
+
+    EXACTLY-ONCE: foreachBatch re-delivers the in-flight batch after a
+    checkpoint restart, so an append-mode write would double-count that
+    batch's partial.  The standard recipe: write each partial to its
+    own ``batch_id=N`` directory with OVERWRITE — a replay rewrites the
+    identical (deterministic) partial in place instead of adding a
+    second copy (``test_cm_sink_replay_idempotent`` pins this)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             cm_counter_partials(batch_df)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
         )
 
     return sink
@@ -575,7 +581,8 @@ def cm_merge_sink(out_dir: str):
 def cm_merged_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
     """The accumulated sketch: counter-wise SUM over all batch partials."""
     return (
-        spark.read.parquet(out_dir)
+        spark.read.option("basePath", out_dir)
+        .parquet(f"{out_dir}/batch_id=*")
         .groupBy("seed", "pos")
         .agg(F.sum("cnt").alias("cnt"))
     )

@@ -533,7 +533,11 @@ def test_streaming_cm_sketch_merge_equals_batch(spark, event_files, tmp_path):
     assert merged == want  # exact counter-wise equality
     # the stream really did contribute multiple bounded partials
     n_batches = (
-        spark.read.parquet(sketch_dir).select("batch_id").distinct().count()
+        spark.read.option("basePath", sketch_dir)
+        .parquet(f"{sketch_dir}/batch_id=*")
+        .select("batch_id")
+        .distinct()
+        .count()
     )
     assert n_batches >= 2
 
@@ -549,3 +553,31 @@ def test_streaming_cm_sketch_merge_equals_batch(spark, event_files, tmp_path):
         for r in st.cm_heavy_hitters(st.cm_counter_partials(batch_ev), keys).collect()
     ]
     assert got_hh == want_hh and len(got_hh) == 10
+
+
+def test_cm_sink_replay_idempotent(spark, event_files, tmp_path):
+    """After a checkpoint restart, foreachBatch re-delivers the in-flight
+    batch — the sink must absorb the replay without double-counting
+    (overwrite-per-batch_id, the exactly-once recipe)."""
+    sketch_dir = str(tmp_path / "cm-replay")
+    batch = (
+        spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files).limit(500)
+    )
+    sink = st.cm_merge_sink(sketch_dir)
+    sink(batch, 0)
+    once = {
+        (r.seed, r.pos): r.cnt
+        for r in st.cm_merged_sketch(spark, sketch_dir).collect()
+    }
+    sink(batch, 0)  # replay of the SAME batch id
+    twice = {
+        (r.seed, r.pos): r.cnt
+        for r in st.cm_merged_sketch(spark, sketch_dir).collect()
+    }
+    assert once == twice  # idempotent, not doubled
+    sink(batch, 1)  # a genuinely new batch DOES add
+    merged = {
+        (r.seed, r.pos): r.cnt
+        for r in st.cm_merged_sketch(spark, sketch_dir).collect()
+    }
+    assert merged == {k: 2 * v for k, v in once.items()}
