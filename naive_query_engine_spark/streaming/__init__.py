@@ -178,7 +178,13 @@ def enriched_with_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
 def run_foreach_batch(df: DataFrame, sink_fn, checkpoint: str) -> StreamingQuery:
     """foreachBatch sink: hand each micro-batch to arbitrary batch code
     (upserts, multi-sink fanout, dedup-merge).  The batch_df supports every
-    batch operation — the escape hatch when no built-in sink fits."""
+    batch operation — the escape hatch when no built-in sink fits.
+
+    CONTRACT: ``sink_fn(batch_df, batch_id)`` must be IDEMPOTENT in
+    batch_id — after a checkpoint restart the in-flight batch is
+    re-delivered with the same id, so a blind append double-writes.
+    Key the write on batch_id (overwrite a ``batch_id=N`` path, upsert
+    on (batch_id, key), …) — see ``cm_merge_sink`` and its replay test."""
     return (
         df.writeStream.foreachBatch(sink_fn)
         .option("checkpointLocation", checkpoint)
