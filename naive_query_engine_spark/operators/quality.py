@@ -1289,3 +1289,67 @@ def dataset_dsir_importance_weights(
 _QR["dataset_dsir_importance_weights"] = _dc.replace(
     _QR["dataset_dsir_importance_weights"], oracle=_dsir_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity — k-anonymity's companion audit (homogeneity-attack risk)
+
+L_DIV = 3  #: minimum distinct sensitive values per QI cell
+SENS_BAND = 2000.0  #: account-balance band width (the sensitive attribute)
+
+
+@query(
+    "audit_l_diversity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey,
+             COUNT(*) AS cell_n,
+             COUNT(DISTINCT FLOOR(CAST(c_acctbal AS DOUBLE) / {SENS_BAND}))
+               AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < {L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity_cells,
+           CAST(SUM(CASE WHEN l < {L_DIV} THEN cell_n ELSE 0 END) AS BIGINT)
+             AS n_exposed_rows,
+           CAST(SUM(CASE WHEN l < {L_DIV} THEN cell_n ELSE 0 END) AS DOUBLE)
+             / SUM(cell_n) AS exposed_share
+    FROM cells
+    """,
+    tags=("quality", "audit", "privacy", "l-diversity"),
+)
+def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit — k-anonymity's necessary companion: a cell can
+    hold k=500 people and still leak everything if they all share one
+    sensitive value (the homogeneity attack k-anonymity cannot see).
+    Over the same QI cells as `audit_k_anonymity` (market segment ×
+    nation), count DISTINCT sensitive values (account-balance bands of
+    width {SENS_BAND:.0f}) per cell; cells with l < {L_DIV} distinct
+    values are flagged and their row mass reported.  Release gates run
+    BOTH audits: k bounds re-identification, l bounds attribute
+    disclosure.
+
+    Scale shape: one grouped count-distinct (QI-domain-bounded output,
+    map-side partial) + a bounded rollup — same plan family as the k
+    audit.
+
+    Determinism: the band is FLOOR of one double division (identical
+    IEEE op both engines); counts exact; share one double division."""
+    c = t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal").cast("double") / F.lit(SENS_BAND))
+    cells = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cell_n"),
+        F.count_distinct(band).alias("l"),
+    )
+    exposed = F.when(F.col("l") < L_DIV, F.col("cell_n")).otherwise(0)
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum((F.col("l") < L_DIV).cast("int")).cast("long").alias(
+            "n_low_diversity_cells"
+        ),
+        F.sum(exposed).cast("long").alias("n_exposed_rows"),
+        (F.sum(exposed).cast("double") / F.sum("cell_n")).alias("exposed_share"),
+    )

@@ -281,6 +281,7 @@ ROTATION: tuple[str, ...] = (
     "graph_label_modularity",
     "similarity_ivf_nprobe_sweep",
     "dedup_tokens_saved_by_source",
+    "audit_l_diversity",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

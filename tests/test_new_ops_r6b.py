@@ -965,3 +965,30 @@ def test_tokens_saved_matches_recompute(spark):
         assert g["tokens_saved_ppm"] == (1_000_000 * (tt - tkept)) // tt
         saved_any |= tt > tkept
     assert saved_any  # the corpus has real near-dup clusters to collapse
+
+
+# ---------------------------------------------------------------------------
+# audit_l_diversity: cells recomputed in pandas
+
+
+def test_l_diversity_matches_pandas(spark):
+    import math
+
+    from naive_query_engine_spark.operators.quality import L_DIV, SENS_BAND
+
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[
+        ["c_mktsegment", "c_nationkey", "c_acctbal"]
+    ]
+    cells: dict[tuple, tuple[int, int]] = {}
+    for (seg, nat), grp in c.groupby(["c_mktsegment", "c_nationkey"]):
+        bands = {math.floor(float(b) / SENS_BAND) for b in grp["c_acctbal"]}
+        cells[(seg, nat)] = (len(grp), len(bands))
+    n_low = sum(1 for _, l in cells.values() if l < L_DIV)
+    exposed = sum(n for n, l in cells.values() if l < L_DIV)
+    total = sum(n for n, _ in cells.values())
+    row = QUERIES["audit_l_diversity"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["n_cells"] == len(cells)
+    assert row["min_l"] == min(l for _, l in cells.values())
+    assert row["n_low_diversity_cells"] == n_low
+    assert row["n_exposed_rows"] == exposed
+    assert row["exposed_share"] == exposed / total
