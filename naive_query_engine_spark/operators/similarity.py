@@ -1900,3 +1900,169 @@ def embedding_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> Data
 _Q["embedding_matryoshka_prefix_recall"] = _dc.replace(
     _Q["embedding_matryoshka_prefix_recall"], oracle=_mrl_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# TwoNN intrinsic-dimension estimate (Facco et al. 2017) — the manifold
+# probe the mutual-kNN docstring promises
+
+TWONN_FP = 1_000_000  #: fixed-point scale for the per-vector ln(mu) terms
+
+
+def _twonn_oracle() -> str:
+    return f"""
+    WITH {_Q_SQL},
+    dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT d.va, d.vb, na.nrm2 + nb.nrm2 - 2 * d.dot AS d2
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.va
+      JOIN norms nb ON nb.vec_id = d.vb
+    ),
+    ranked AS (
+      SELECT va, d2,
+             ROW_NUMBER() OVER (PARTITION BY va ORDER BY d2, vb) AS rn
+      FROM dist
+    ),
+    nn AS (
+      SELECT a.va, a.d2 AS d1q, b.d2 AS d2q
+      FROM ranked a JOIN ranked b ON a.va = b.va AND a.rn = 1 AND b.rn = 2
+    ),
+    terms AS (
+      SELECT va,
+             CASE WHEN d1q > 0 THEN
+               CAST(ROUND(0.5 * LN(CAST(d2q AS DOUBLE) / CAST(d1q AS DOUBLE))
+                          * {TWONN_FP}, 0) AS BIGINT)
+             END AS ln_fp
+      FROM nn
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(ln_fp) AS BIGINT) AS n_used,
+           CAST(SUM(ln_fp) AS BIGINT) AS sum_ln_fp,
+           CAST(CASE WHEN SUM(ln_fp) > 0
+                     THEN (COUNT(ln_fp) * {TWONN_FP} * {TWONN_FP})
+                          // SUM(ln_fp)
+                END AS BIGINT) AS intrinsic_dim_fp
+    FROM terms
+    """
+
+
+@query(
+    "embedding_intrinsic_dimension_twonn",
+    oracle=_twonn_oracle(),
+    tags=("similarity", "embedding", "evaluation", "manifold", "pandas-udf"),
+)
+def embedding_intrinsic_dimension_twonn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TwoNN INTRINSIC-DIMENSION estimate (Facco et al. 2017) — the
+    manifold probe the mutual-kNN family exists to feed: for each
+    vector, the ratio mu = d2/d1 of its 2nd- to 1st-nearest-neighbor
+    Euclidean distance follows a Pareto(ID) law on a manifold of
+    dimension ID, so the MLE is ID = n / Σ ln mu.  Embeddings that LOOK
+    64-dimensional usually live on a ~10-20-dim manifold — that gap is
+    what licenses truncation/quantization (the Matryoshka and SQ8 gates
+    above); this corpus's RANDOM vectors read ID ≈ the ambient
+    dimension, the probe correctly reporting that no low-dim manifold
+    exists and compression must be validated, not assumed.
+
+    Distributed shape: the same upper-triangle block-pair frame as the
+    cosine/kNN family, but the Arrow kernel emits per-row TOP-2 by
+    exact integer L2² (d² = n2a + n2b − 2·dot — integer arithmetic, so
+    neighbor selection is TIE-FREE without any float comparison); the
+    global top-2 window runs over ≤ 2·B candidates per vector; the MLE
+    reduce is one bounded aggregation.  Vectors whose nearest neighbor
+    is an exact duplicate (d1 = 0) are excluded and counted — ln mu is
+    undefined there, and the count is the dedup signal.
+
+    Determinism: integer d² selection; ONE libm ln per vector,
+    immediately quantized to TWONN_FP (the zipf/heaps discipline);
+    integer sums; the final ID is integer fixed-point division,
+    NULL-guarded on a non-positive denominator."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = block_pair_frame(_qtable(spark, sf_dir))
+
+    def block_top2(batches):
+        got_any = False
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                mat_a = np.asarray(list(row.vecs_a), dtype=np.float64)
+                mat_b = np.asarray(list(row.vecs_b), dtype=np.float64)
+                n2a = np.asarray(row.n2s_a, dtype=np.float64)
+                n2b = np.asarray(row.n2s_b, dtype=np.float64)
+                # exact in float64: every term < 2^53
+                d2 = n2a[:, None] + n2b[None, :] - 2.0 * (mat_a @ mat_b.T)
+                diagonal = bool(ids_a[0] == ids_b[0]) and len(ids_a) == len(ids_b)
+                outs = []
+                sides = [(ids_a, ids_b, d2)]
+                if not diagonal:
+                    sides.append((ids_b, ids_a, d2.T))
+                for srcs, dsts, mat in sides:
+                    for i in range(len(srcs)):
+                        r = mat[i]
+                        mask = dsts != srcs[i]
+                        cand_dst, cand_d2 = dsts[mask], r[mask]
+                        if not len(cand_dst):
+                            continue
+                        order = np.lexsort((cand_dst, cand_d2))[:2]
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "src": np.full(len(order), srcs[i]),
+                                    "dst": cand_dst[order],
+                                    "d2": cand_d2[order].astype(np.int64),
+                                }
+                            )
+                        )
+                if outs:
+                    got_any = True
+                    yield pd.concat(outs, ignore_index=True)
+        if not got_any:
+            yield pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "d2": pd.Series(dtype="int64"),
+                }
+            )
+
+    cands = pairs.mapInPandas(block_top2, "src long, dst long, d2 long")
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    nn = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("src")
+        .pivot("rn", [1, 2])
+        .agg(F.first("d2"))
+        .select(F.col("src"), F.col("1").alias("d1q"), F.col("2").alias("d2q"))
+    )
+    ln_fp = F.when(
+        F.col("d1q") > 0,
+        F.round(
+            F.lit(0.5)
+            * F.log(F.col("d2q").cast("double") / F.col("d1q").cast("double"))
+            * TWONN_FP,
+            0,
+        ).cast("long"),
+    )
+    terms = nn.select(ln_fp.alias("ln_fp"))
+    fp = TWONN_FP
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.count("ln_fp").cast("long").alias("n_used"),
+        F.sum("ln_fp").cast("long").alias("sum_ln_fp"),
+        F.when(
+            F.sum("ln_fp") > 0,
+            F.expr(f"CAST((count(ln_fp) * {fp} * {fp}) DIV sum(ln_fp) AS BIGINT)"),
+        )
+        .cast("long")
+        .alias("intrinsic_dim_fp"),
+    )

@@ -282,6 +282,7 @@ ROTATION: tuple[str, ...] = (
     "similarity_ivf_nprobe_sweep",
     "dedup_tokens_saved_by_source",
     "audit_l_diversity",
+    "embedding_intrinsic_dimension_twonn",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

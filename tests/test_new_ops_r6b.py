@@ -992,3 +992,42 @@ def test_l_diversity_matches_pandas(spark):
     assert row["n_low_diversity_cells"] == n_low
     assert row["n_exposed_rows"] == exposed
     assert row["exposed_share"] == exposed / total
+
+
+# ---------------------------------------------------------------------------
+# embedding_intrinsic_dimension_twonn: all-pairs numpy recompute
+
+
+def test_twonn_matches_numpy(spark):
+    import math
+
+    from naive_query_engine_spark.operators.similarity import QUANT, TWONN_FP
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    mat = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * QUANT
+    ).astype(np.int64)
+    n2 = (mat * mat).sum(axis=1)
+    terms = []
+    n_excl = 0
+    for i in range(len(ids)):
+        d2 = n2[i] + n2 - 2 * (mat @ mat[i])
+        mask = ids != ids[i]
+        cand_ids, cand_d2 = ids[mask], d2[mask]
+        order = np.lexsort((cand_ids, cand_d2))
+        d1q, d2q = int(cand_d2[order[0]]), int(cand_d2[order[1]])
+        if d1q <= 0:
+            n_excl += 1
+            continue
+        x = 0.5 * math.log(d2q / d1q) * TWONN_FP
+        terms.append(int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5)))
+    row = (
+        QUERIES["embedding_intrinsic_dimension_twonn"].fn(spark, SF_SMOKE).collect()[0]
+    )
+    assert row["n_vectors"] == len(ids)
+    assert row["n_used"] == len(terms) == len(ids) - n_excl
+    assert row["sum_ln_fp"] == sum(terms)
+    assert row["intrinsic_dim_fp"] == (len(terms) * TWONN_FP * TWONN_FP) // sum(terms)
+    # random 64-dim vectors: the probe must NOT report a low-dim manifold
+    assert row["intrinsic_dim_fp"] > 8 * TWONN_FP

@@ -329,6 +329,10 @@ ANNOTATED = {
     "dedup_tokens_saved_by_source": "components over the session-cached "
     "edge frame, one token-count scan, one doc_id join + source rollup — "
     "linear past the cached edges",
+    "embedding_intrinsic_dimension_twonn": "block-pair frame -> Arrow "
+    "kernel emitting per-row top-2 by exact integer L2^2 (n x B x 2 "
+    "candidates, never n^2 out of the kernel) -> global top-2 window -> "
+    "one bounded MLE reduce",
 }
 
 
