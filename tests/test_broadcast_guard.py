@@ -82,6 +82,12 @@ HINT_EXCEPTIONS = {
     # nprobe x 5 rows by literal predicates (the trained centroid frame is
     # a K-row createDataFrame literal, not a corpus relation)
     "similarity_ivf_kmeans_topk": "query probes (nprobe x 5 rows) + literal centroids",
+    # operators/kmeans.py: the sweep's per-depth hints cover the same
+    # ranked-cells frame filtered to `rn <= p AND vec_id < N_QUERY_VECS`
+    # (p x 5 rows by literal predicates), the K-row createDataFrame
+    # centroid literal, and the 1-row brute-force total — the
+    # similarity_ivf_kmeans_topk justification, once per probe depth
+    "similarity_ivf_nprobe_sweep": "query probes (p x 5 rows, three depths) + literal centroids + 1-row total",
     # composes similarity_ivf_kmeans_topk, inheriting its bounded hints
     "similarity_kmeans_recall_at_k": "inherits ivf_kmeans' bounded probe hint",
     # operators/similarity.py: the hinted audit-label frame is embeddings
