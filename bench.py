@@ -87,6 +87,14 @@ BENCH_QUERIES = [
     "multimodal_audio_vad_segments",
     "embedding_matryoshka_prefix_recall",
     "dataset_split_neardup_leakage",
+    # r6d rotation (fourth wave, same rationale): the semantic-coverage
+    # sampler, the text-protocol parse, the lakehouse point-in-time
+    # read, and the mirror-detection matrix join the artifact so each
+    # round measures them
+    "embedding_cluster_balanced_sample",
+    "multimodal_http_response_parse",
+    "orders_snapshot_as_of",
+    "dedup_cross_source_overlap",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays
@@ -159,6 +167,13 @@ BASELINES = {
     "multimodal_audio_vad_segments": 2.783,
     "embedding_matryoshka_prefix_recall": 1.480,
     "dataset_split_neardup_leakage": 0.535,
+    # r6d rotation: per-query MIN over three same-day 44-query runs
+    # (est ratios 0.973 / 0.823 / 0.833; min-based 0.807) divided by the
+    # min-based established ratio — BASELINE.md r6 fourth wave
+    "embedding_cluster_balanced_sample": 2.124,
+    "multimodal_http_response_parse": 0.509,
+    "orders_snapshot_as_of": 0.292,
+    "dedup_cross_source_overlap": 0.950,
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
@@ -192,6 +207,10 @@ FRESH_ROTATION: list[str] = [
     "multimodal_audio_vad_segments",
     "embedding_matryoshka_prefix_recall",
     "dataset_split_neardup_leakage",
+    "embedding_cluster_balanced_sample",
+    "multimodal_http_response_parse",
+    "orders_snapshot_as_of",
+    "dedup_cross_source_overlap",
 ]
 ESTABLISHED = [q for q in BASELINES if q not in FRESH_ROTATION]
 
