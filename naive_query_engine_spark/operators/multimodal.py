@@ -1662,3 +1662,92 @@ def multimodal_phash_hamming_neardup(
         )
         .orderBy("hamming_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# image RESIZE — the remaining multimodal kernel shape (decode /
+# feature-extract / frame-sample / RESIZE): 8×8 → 4×4 box-filter
+# downsampling, the thumbnail/preprocess step before any vision encoder
+
+RESIZE_FROM = 8  #: source edge (PHASH_PIXELS = 64 = 8×8)
+RESIZE_TO = 4  #: target edge (2×2 box filter)
+
+
+def resize_kernel():
+    """mapInPandas kernel: decode the 64-pixel grayscale payload, box-
+    filter 2×2 blocks to a 4×4 thumbnail (integer mean, floor — the
+    exact arithmetic the oracle mirrors), emit one row per resized
+    pixel.  Malformed payloads (≠ 64 bytes) are rejected, not guessed
+    at.  8/4 literals = RESIZE_FROM/RESIZE_TO (closure pickles by
+    value — change together with the constants and the oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    def resize(batches):
+        for pdf in batches:
+            ids, rpos, px = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if len(b) != 64:
+                    continue
+                img = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                img = img.reshape(8, 8)
+                small = (
+                    img.reshape(4, 2, 4, 2).sum(axis=(1, 3)) // 4
+                )
+                for r in range(4):
+                    for c in range(4):
+                        ids.append(doc_id)
+                        rpos.append(r * 4 + c)
+                        px.append(int(small[r, c]))
+            yield pd.DataFrame({"doc_id": ids, "rpos": rpos, "px": px})
+
+    return resize
+
+
+@query(
+    "multimodal_image_resize",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             CASE WHEN ((doc_id // {PHASH_GROUP}) * 131 + i * 17) % 256 >= 128
+                  THEN 224 ELSE 32 END
+               + CASE WHEN (i + doc_id) % 16 = 0 THEN 8 ELSE 0 END AS p,
+             i // {RESIZE_FROM} AS r, i % {RESIZE_FROM} AS c
+      FROM documents, UNNEST(range(0, {PHASH_PIXELS})) AS u(i)
+    )
+    SELECT doc_id,
+           CAST((r // 2) * {RESIZE_TO} + (c // 2) AS BIGINT) AS rpos,
+           CAST(SUM(p) // 4 AS BIGINT) AS px
+    FROM px
+    GROUP BY doc_id, r // 2, c // 2
+    ORDER BY doc_id, rpos
+    """,
+    tags=("multimodal", "pipeline", "image", "resize", "pandas-udf"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE — the last of the four multimodal kernel shapes
+    (decode → feature-extract → frame-sample → resize): 2×2 box-filter
+    downsampling of the 8×8 grayscale payloads to 4×4 thumbnails, one
+    typed row per resized pixel.  This is the preprocessing step every
+    vision-encoder pipeline runs before batching (fixed input
+    resolution); the box filter's integer mean (floor of the 4-pixel
+    sum) keeps the arithmetic exact so the oracle can recompute the
+    resample bit-for-bit — agreement proves decode → reshape → blocked
+    reduction end-to-end, the same contract as the PCM/VAD kernels.
+
+    Scale shape: map-only (payload build + kernel fuse, zero
+    exchanges); output fans out 16 rows per image.  On real data the
+    build is a parquet binary read; the kernel cost is linear in
+    pixels, and a real interpolating resize swaps the numpy reduction
+    without touching the plan.
+
+    Determinism: exact integer pixel arithmetic end-to-end."""
+    d = spread(t(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", make_pixel_payload(F.col("doc_id")).alias("payload")
+    )
+    return (
+        payloads.mapInPandas(resize_kernel(), "doc_id long, rpos long, px long")
+        .orderBy("doc_id", "rpos")
+    )

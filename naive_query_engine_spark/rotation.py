@@ -283,6 +283,7 @@ ROTATION: tuple[str, ...] = (
     "dedup_tokens_saved_by_source",
     "audit_l_diversity",
     "embedding_intrinsic_dimension_twonn",
+    "multimodal_image_resize",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

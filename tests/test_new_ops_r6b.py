@@ -1031,3 +1031,27 @@ def test_twonn_matches_numpy(spark):
     assert row["intrinsic_dim_fp"] == (len(terms) * TWONN_FP * TWONN_FP) // sum(terms)
     # random 64-dim vectors: the probe must NOT report a low-dim manifold
     assert row["intrinsic_dim_fp"] > 8 * TWONN_FP
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_resize: kernel box filter on hand-built payloads
+
+
+def test_resize_kernel_box_filter():
+    from naive_query_engine_spark.operators.multimodal import resize_kernel
+
+    img = np.arange(64, dtype=np.uint8)  # 0..63 row-major
+    cases = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "payload": [img.tobytes(), img.tobytes()[:-1]],  # 1 malformed
+        }
+    )
+    out = next(resize_kernel()([cases]))
+    assert set(out["doc_id"]) == {0}  # malformed rejected
+    got = out.set_index("rpos")["px"].to_dict()
+    big = img.astype(int).reshape(8, 8)
+    for r in range(4):
+        for c in range(4):
+            blk = big[2 * r : 2 * r + 2, 2 * c : 2 * c + 2]
+            assert got[r * 4 + c] == blk.sum() // 4
