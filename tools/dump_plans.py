@@ -333,6 +333,8 @@ ANNOTATED = {
     "kernel emitting per-row top-2 by exact integer L2^2 (n x B x 2 "
     "candidates, never n^2 out of the kernel) -> global top-2 window -> "
     "one bounded MLE reduce",
+    "multimodal_image_resize": "map-only: payload build + box-filter "
+    "kernel fuse, zero exchanges; 16 typed rows per image out",
 }
 
 
