@@ -2594,3 +2594,132 @@ def orders_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U — the RANK-based A/B readout (no normality assumption)
+
+
+@query(
+    "events_ab_mann_whitney",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN (strpos('0123456789abcdef',
+                               SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS m
+      FROM events GROUP BY user_id
+    ),
+    vals AS (
+      SELECT m, COUNT(*) AS cnt,
+             SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cnt_b
+      FROM per_user GROUP BY m
+    ),
+    pre AS (
+      SELECT m, cnt, cnt_b,
+             COALESCE(SUM(cnt) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM vals
+    ),
+    agg AS (
+      SELECT SUM(cnt) AS n,
+             SUM(cnt_b) AS n_b,
+             SUM(cnt) - SUM(cnt_b) AS n_a,
+             SUM(cnt_b * (2 * before + cnt + 1)) AS r2_b,
+             SUM(cnt * cnt * cnt - cnt) AS tie_t
+      FROM pre
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2_b - n_b * (n_b + 1) AS BIGINT) AS u2_b,
+           CAST(tie_t AS BIGINT) AS tie_correction,
+           CASE WHEN n_a = 0 OR n_b = 0
+                     OR (n + 1) - CAST(tie_t AS DOUBLE) / (n * (n - 1.0)) <= 0
+                THEN NULL
+                ELSE (CAST(r2_b - n_b * (n_b + 1) AS DOUBLE) / 2
+                      - CAST(n_a AS DOUBLE) * n_b / 2)
+                     / SQRT((CAST(n_a AS DOUBLE) * n_b / 12.0)
+                            * ((n + 1) - CAST(tie_t AS DOUBLE) / (n * (n - 1.0))))
+           END AS z_score
+    FROM agg
+    """,
+    tags=("events", "analytics", "experimentation", "ab-test", "nonparametric"),
+)
+def events_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U — the NONPARAMETRIC two-arm readout: rank every
+    user's metric (total event value, exact cents) in the pooled sample,
+    sum arm-B ranks, U = R_B − n_B(n_B+1)/2, tie-corrected normal
+    approximation.  This is the test the parametric readouts
+    (`events_ab_test_analysis`'s two-proportion z,
+    `events_ab_cuped`) can't replace when the metric is heavy-tailed —
+    revenue per user almost always is, and a few whales can swing a
+    means-based test while the rank test stays calibrated.
+
+    Distributed shape: ranking WITHOUT a global sort — group users by
+    exact metric value (distinct-value frame), then
+    ``distributed_prefix_sum`` over the value order (range exchange +
+    bounded per-partition offsets, the `global_rank` idiom), so the
+    average rank of a tie group is derived per value:
+    2·rank̄ = 2·(count below) + t + 1, kept as INTEGER double-ranks.
+    One per-user aggregation + one value-grouped frame + one bounded
+    reduce.
+
+    Determinism: metric is exact integer cents (decimal sum × 100);
+    double-ranks, U×2 and the tie term Σ(t³−t) are exact integers; z is
+    one fixed double expression over those integers, NULL-guarded on
+    degenerate arms or zero variance."""
+    from .layout import distributed_prefix_sum
+
+    ev = t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    per_user = ev.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("m")
+    ).select(arm.alias("arm"), "m")
+    vals = per_user.groupBy("m").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("cnt_b"),
+    )
+    pre = distributed_prefix_sum(vals, ["m"], "cnt", "run").withColumn(
+        "before", F.col("run") - F.col("cnt")
+    )
+    agg = pre.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("cnt_b").alias("n_b"),
+        (F.sum("cnt") - F.sum("cnt_b")).alias("n_a"),
+        F.sum(
+            F.col("cnt_b") * (2 * F.col("before") + F.col("cnt") + 1)
+        ).alias("r2_b"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_t"),
+    )
+    nd = F.col("n").cast("double")
+    var_core = (nd + 1) - F.col("tie_t").cast("double") / (
+        F.col("n") * (nd - 1.0)
+    )
+    u2 = F.col("r2_b") - F.col("n_b") * (F.col("n_b") + 1)
+    z = (
+        u2.cast("double") / 2
+        - F.col("n_a").cast("double") * F.col("n_b") / 2
+    ) / F.sqrt(
+        (F.col("n_a").cast("double") * F.col("n_b") / 12.0) * var_core
+    )
+    degenerate = (
+        (F.col("n_a") == 0) | (F.col("n_b") == 0) | (var_core <= 0)
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u2.cast("long").alias("u2_b"),
+        F.col("tie_t").cast("long").alias("tie_correction"),
+        F.when(degenerate, F.lit(None).cast("double")).otherwise(z).alias(
+            "z_score"
+        ),
+    )

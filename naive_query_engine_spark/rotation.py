@@ -284,6 +284,7 @@ ROTATION: tuple[str, ...] = (
     "audit_l_diversity",
     "embedding_intrinsic_dimension_twonn",
     "multimodal_image_resize",
+    "events_ab_mann_whitney",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

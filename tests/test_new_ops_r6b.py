@@ -1055,3 +1055,51 @@ def test_resize_kernel_box_filter():
         for c in range(4):
             blk = big[2 * r : 2 * r + 2, 2 * c : 2 * c + 2]
             assert got[r * 4 + c] == blk.sum() // 4
+
+
+# ---------------------------------------------------------------------------
+# events_ab_mann_whitney: rank-sum recomputed in pure Python
+
+
+def test_mann_whitney_matches_recompute(spark):
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["user_id", "value"]]
+    per_user: dict[int, Decimal] = {}
+    for u, v in ev.itertuples(index=False):
+        per_user[int(u)] = per_user.get(int(u), Decimal(0)) + Decimal(
+            str(v)
+        ).quantize(Decimal("0.01"))
+    def arm(u: int) -> str:
+        return "A" if int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2 == 0 else "B"
+    rows = sorted(
+        (int(m * 100), arm(u)) for u, m in per_user.items()
+    )
+    n = len(rows)
+    n_b = sum(1 for _, a in rows if a == "B")
+    n_a = n - n_b
+    # double-ranks with average-rank ties
+    r2_b = 0
+    tie_t = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and rows[j][0] == rows[i][0]:
+            j += 1
+        t = j - i
+        dr2 = 2 * i + t + 1  # 2 * average rank (1-based)
+        r2_b += dr2 * sum(1 for k in range(i, j) if rows[k][1] == "B")
+        tie_t += t * t * t - t
+        i = j
+    u2_b = r2_b - n_b * (n_b + 1)
+    row = QUERIES["events_ab_mann_whitney"].fn(spark, SF_SMOKE).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert row["u2_b"] == u2_b
+    assert row["tie_correction"] == tie_t
+    var_core = (n + 1) - tie_t / (n * (n - 1.0))
+    z = (u2_b / 2 - n_a * n_b / 2) / math.sqrt(n_a * n_b / 12.0 * var_core)
+    assert abs(row["z_score"] - z) < 1e-9
+    # random md5 arms: must NOT read significant at alpha=0.01
+    assert abs(row["z_score"]) < 2.58
