@@ -664,3 +664,195 @@ from ..queries import QUERIES as _QK  # noqa: E402
 _QK["similarity_ivf_nprobe_sweep"] = _dck.replace(
     _QK["similarity_ivf_nprobe_sweep"], oracle=_nprobe_sweep_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# per-cell mutual kNN — the PRODUCTION scale path for the exact mutual-kNN
+# graph (the caveat the exact variant's probes document, now shipped)
+
+
+def _mutual_knn_ivf_oracle(k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    from ..queries import QUERIES as _Q
+    from .similarity import TOP_K
+
+    exact = _Q["similarity_mutual_knn"].oracle
+    parts = _kmeans_sql_parts(k_cells, iters)
+    parts.append(
+        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH exact_edges AS MATERIALIZED ({exact}),
+    {ctes},
+    cdots AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster,
+             SUM(ea.qv * eb.qv) AS dot
+      FROM a{iters} x
+      JOIN a{iters} y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN q ea ON ea.vec_id = x.vec_id
+      JOIN q eb ON eb.vec_id = y.vec_id AND eb.dim = ea.dim
+      GROUP BY 1, 2, 3
+    ),
+    ccos AS (
+      SELECT vec_a, vec_b,
+             CAST(dot AS DOUBLE)
+               / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
+               AS cosine
+      FROM cdots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+    ),
+    directed AS (
+      SELECT vec_a AS src, vec_b AS dst, cosine FROM ccos
+      UNION ALL
+      SELECT vec_b, vec_a, cosine FROM ccos
+    ),
+    ranked AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+      FROM directed
+    ),
+    ivf_edges AS (
+      SELECT x.src AS vec_a, x.dst AS vec_b
+      FROM ranked x
+      JOIN ranked y ON y.src = x.dst AND y.dst = x.src AND y.rk <= {TOP_K}
+      WHERE x.rk <= {TOP_K} AND x.src < x.dst
+    ),
+    m AS (
+      SELECT COUNT(*) AS matched FROM ivf_edges i
+      JOIN exact_edges e ON e.vec_a = i.vec_a AND e.vec_b = i.vec_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact_edges) AS BIGINT) AS n_exact_edges,
+           CAST((SELECT COUNT(*) FROM ivf_edges) AS BIGINT) AS n_ivf_edges,
+           CAST(m.matched AS BIGINT) AS n_matched,
+           CAST(m.matched AS DOUBLE)
+             / (SELECT COUNT(*) FROM exact_edges) AS edge_recall,
+           CAST(m.matched AS DOUBLE)
+             / (SELECT COUNT(*) FROM ivf_edges) AS edge_precision
+    FROM m
+    """
+
+
+@query(
+    "similarity_mutual_knn_ivf",
+    oracle=None,  # patched below (splices the exact-graph oracle)
+    tags=("similarity", "knn", "graph", "ivf", "evaluation", "clustering"),
+)
+def similarity_mutual_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cell mutual kNN — the PRODUCTION approximation of the
+    exact mutual-kNN graph, shipped with its own quality report.  The
+    exact graph's probes document intrinsic n² pair work; every verdict
+    note says "the scale path is per-IVF-cell kNN edges" — this is that
+    path: assign vectors to learned Lloyd cells, build the mutual top-k
+    graph WITHIN each cell (candidate pairs bounded by cell sizes, never
+    n²), and report edge recall AND precision against the exact graph in
+    one frame.  Recall < 1 is the cross-cell edges the restriction
+    loses; precision < 1 is within-cell pairs promoted into top-k once
+    out-of-cell competitors vanish — both numbers are the operating
+    curve a deployment tunes with cell count / nprobe-style spill.  On
+    THIS corpus (random vectors — Lloyd cells barely predict
+    neighborhoods) the report reads recall/precision ≈ 0.29-0.35: the
+    gate honestly saying single-cell restriction is too lossy HERE and
+    the knob must move; on real clustered embeddings the same report
+    reads high and licenses the cheap path.
+
+    Scale shape: this REPORT is a calibration artifact — it embeds the
+    EXACT graph as its reference, so its cost is the exact graph's
+    (intrinsic n²; run it on a sample, like
+    `dedup_minhash_recall_vs_exact`).  The per-cell EDGE BUILD inside
+    it is the production path: one cell-keyed self-join fanning
+    Σ cell_size².  The probe (K fixed at {KMEANS_K}, n growing) reads
+    that as n²/K; production holds CELL SIZE constant and grows K with
+    n, which makes the build linear in n — the knob the report's
+    recall/precision prices.
+
+    Determinism: integer dots, (cosine DESC, dst) total order — the
+    exact graph's tie discipline, inherited verbatim."""
+    from pyspark.sql import Window
+
+    from ..queries import QUERIES as _Q
+    from .similarity import TOP_K, _qtable, cosine_q, dot_q
+
+    qt = cut_lineage(spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2")))
+    centroids = train_centroids(qt, KMEANS_K, KMEANS_ITERS)
+    cent = spark.createDataFrame(
+        [(j, centroids[j]) for j in sorted(centroids)],
+        "c_label long, centroid array<long>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    assign = (
+        qt.crossJoin(F.broadcast(cent))
+        .select("vec_id", "q", "nrm2", "c_label", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "nrm2", F.col("c_label").alias("cell"))
+    )
+    a = assign.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nrm2").alias("na2"),
+        "cell",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nrm2").alias("nb2"),
+        "cell",
+    )
+    cos = cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+    )
+    directed = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    ranked = directed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
+    )
+    x, y = ranked.alias("x"), ranked.alias("y")
+    ivf_edges = (
+        x.join(
+            y,
+            (F.col("y.src") == F.col("x.dst")) & (F.col("y.dst") == F.col("x.src")),
+        )
+        .filter(F.col("x.src") < F.col("x.dst"))
+        .select(F.col("x.src").alias("vec_a"), F.col("x.dst").alias("vec_b"))
+    )
+    exact = _Q["similarity_mutual_knn"].fn(spark, sf_dir).select("vec_a", "vec_b")
+    matched = ivf_edges.join(exact, ["vec_a", "vec_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("matched")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_ivf = ivf_edges.agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        matched.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_ivf))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact_edges"),
+            F.col("n_ivf").cast("long").alias("n_ivf_edges"),
+            F.col("matched").cast("long").alias("n_matched"),
+            (F.col("matched").cast("double") / F.col("n_exact")).alias(
+                "edge_recall"
+            ),
+            (F.col("matched").cast("double") / F.col("n_ivf")).alias(
+                "edge_precision"
+            ),
+        )
+    )
+
+
+_QK["similarity_mutual_knn_ivf"] = _dck.replace(
+    _QK["similarity_mutual_knn_ivf"], oracle=_mutual_knn_ivf_oracle()
+)

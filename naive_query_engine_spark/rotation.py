@@ -285,6 +285,7 @@ ROTATION: tuple[str, ...] = (
     "embedding_intrinsic_dimension_twonn",
     "multimodal_image_resize",
     "events_ab_mann_whitney",
+    "similarity_mutual_knn_ivf",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",
