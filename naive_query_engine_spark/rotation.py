@@ -36,7 +36,7 @@ from .queries import QUERIES
 
 #: bump when the previous round's window is folded into DRIVER_SAMPLED —
 #: drives the deterministic resample-slot rotation below
-ROUND = 6
+ROUND = 7
 
 # Names with at least one driver-green CORRECTNESS row (union of the key
 # sets of CORRECTNESS_r01.json .. CORRECTNESS_r04.json).  55 names: the
@@ -84,6 +84,29 @@ DRIVER_SAMPLED: frozenset[str] = frozenset(
         "graph_triangle_count", "graph_bfs_reach", "retrieval_rrf_fusion",
         "fuzzy_entity_resolution", "events_zorder_locality",
         "asof_join_events_orders", "range_join_event_pairs",
+        # --- r6 window (CORRECTNESS_r06.json: 50/50 green, 42 first-ever
+        # rows; dedup_substring / dedup_substring_strided / dedup_tfidf_cosine
+        # were that round's resample slots) ---
+        "dedup_tfidf_cosine_prefix", "embedding_top_pc_power_iteration",
+        "sketch_join_size_estimate", "multimodal_jpeg_header_parse",
+        "events_value_jackknife_ci", "text_zipf_slope",
+        "window_distribution_functions", "retrieval_eval_mrr_ndcg",
+        "layout_compaction_plan", "join_bloom_prefilter",
+        "text_gopher_quality_rules", "layout_zone_map_stats",
+        "dedup_semantic", "dedup_keep_best", "similarity_ivf_multiprobe",
+        "similarity_quantized_rerank", "similarity_kmeans_recall_at_k",
+        "embedding_hard_negatives", "embedding_label_centroids",
+        "embedding_label_knn_disagreement", "embedding_centroid_outliers",
+        "embedding_gram_matrix", "embedding_norm_histogram",
+        "embedding_dim_stats", "text_top_ngrams", "text_tfidf_top_terms",
+        "text_edit_distance_neighbors", "text_repetition_signals",
+        "text_vocab_coverage", "text_char_bigram_likelihood",
+        "text_bpe_merge_candidates", "text_bpe_train_2iters",
+        "text_adjacent_pmi_top", "text_hashing_trick_features",
+        "text_langid_confusion", "text_source_drift_chisquare",
+        "pipeline_model_scoring", "mv_incremental_refresh",
+        "multimodal_frame_sample", "multimodal_payload_chunks",
+        "sketch_approx_quantiles", "sketch_hll_intersection",
     }
 )
 
@@ -227,24 +250,12 @@ ROTATION: tuple[str, ...] = (
     "multimodal_payload_chunks",
     "sketch_approx_quantiles",
     "sketch_hll_intersection",
-    "events_wau_sliding",
-    "graph_clustering_coefficient",
-    "graph_degree_distribution",
-    "fuzzy_match_part_names",
-    "fuzzy_match_multipass",
-    "join_salted_skew",
-    "asof_join_tolerance",
-    "events_sessionize",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_peak_concurrency",
-    "events_value_drift_ks",
-    "events_value_drift_l1",
-    "events_changepoint_cusum",
-    "events_sequence_patterns",
-    # --- round 7 window (45) ---
+    # --- round 7 window ---
     # r6-created operators first: never-sampled new work outranks the
-    # older backlog (same rule as every round)
+    # older backlog (same rule as every round).  The 15 r6-block leftovers
+    # (events/fuzzy/layout shapes) are re-slotted AFTER this block per
+    # VERDICT r6 #4: the never-externally-sampled r6b/r6c multimodal,
+    # lakehouse, and experimentation families take the r7 fresh slots.
     "dedup_containment",
     "events_trend_theil_sen",
     "sketch_ams_f2",
@@ -286,6 +297,22 @@ ROTATION: tuple[str, ...] = (
     "multimodal_image_resize",
     "events_ab_mann_whitney",
     "similarity_mutual_knn_ivf",
+    # r6-block leftovers (re-slotted from above; land r8)
+    "events_wau_sliding",
+    "graph_clustering_coefficient",
+    "graph_degree_distribution",
+    "fuzzy_match_part_names",
+    "fuzzy_match_multipass",
+    "join_salted_skew",
+    "asof_join_tolerance",
+    "events_sessionize",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_peak_concurrency",
+    "events_value_drift_ks",
+    "events_value_drift_l1",
+    "events_changepoint_cusum",
+    "events_sequence_patterns",
     "events_bot_regularity",
     "events_activity_islands",
     "events_state_durations",

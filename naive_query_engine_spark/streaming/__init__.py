@@ -475,13 +475,18 @@ def absence_timeouts(
             # event-time order inside the batch: a purchase must resolve
             # views that precede it in EVENT time even if the micro-batch
             # delivered them after it
+            # Tie rule (ADVICE r6 #3): "follows" means strictly later in
+            # (ts, event_id) order with lateness 0 allowed — the SAME rule
+            # as the batch twin's ROWS ..1 PRECEDING frame over
+            # (ts DESC, event_id DESC), so a same-timestamp
+            # later-event_id purchase converts the view in BOTH engines.
             for ts_us, eid, etype in sorted(rows):
                 if etype == "view":
                     pending.append((ts_us, eid))
                 else:  # purchase: resolve every pending view it covers
                     still = []
                     for v_ts, v_eid in pending:
-                        if v_ts < ts_us <= v_ts + window_us:
+                        if (v_ts, v_eid) < (ts_us, eid) and ts_us <= v_ts + window_us:
                             out_eid.append(v_eid)
                             out_ts.append(v_ts)
                             out_kind.append("converted")
@@ -507,8 +512,14 @@ def absence_timeouts(
             state.update(([t for t, _ in pending], [e for _, e in pending]))
             # arm the timer at the earliest remaining deadline (must be
             # strictly beyond the current watermark, which it is — older
-            # deadlines were just expired)
-            state.setTimeoutTimestamp(min(t for t, _ in pending) // 1000 + window_us // 1000)
+            # deadlines were just expired).  CEILING division on the
+            # composed micros deadline (ADVICE r6 #2): flooring the parts
+            # can arm ~1 ms before the true deadline for a window_us not
+            # divisible by 1000; that early fire expires nothing and the
+            # re-arm would then sit at-or-below the advanced watermark,
+            # which setTimeoutTimestamp rejects.
+            min_deadline_us = min(t for t, _ in pending) + window_us
+            state.setTimeoutTimestamp((min_deadline_us + 999) // 1000)
         elif state.exists:
             state.remove()
 
@@ -605,10 +616,15 @@ def cm_heavy_hitters(sketch: DataFrame, keys: DataFrame, k: int = 10) -> DataFra
     probe = keys.select(
         "user_id", _seed_rows(F.col("user_id"), CM_SEEDS, CM_HEX_DIGITS).alias("sp")
     ).select("user_id", "sp.seed", "sp.pos")
+    # LEFT join + coalesce-to-0 (ADVICE r6 #1): a counter cell no stream
+    # key ever hashed into has NO sketch row, so an inner join would drop
+    # that (seed,pos) probe and take min() over fewer than d counters —
+    # overestimating (or losing) keys that never appeared; the true
+    # count-min estimate for such a key is 0, i.e. an empty counter.
     return (
-        probe.join(F.broadcast(sketch), ["seed", "pos"])  # d×w rows — bounded
+        probe.join(F.broadcast(sketch), ["seed", "pos"], "left")  # d×w rows — bounded
         .groupBy("user_id")
-        .agg(F.min("cnt").cast("long").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cm_est"))
         .orderBy(F.col("cm_est").desc(), "user_id")
         .limit(k)
     )

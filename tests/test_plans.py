@@ -174,11 +174,14 @@ def test_no_following_unbounded_aggregate_frames():
     offenders = []
     for py in pkg.rglob("*.py"):
         src = py.read_text()
-        for m in re.finditer(r"rowsBetween\(([^)]*)\)", src):
-            args = m.group(1)
+        # rangeBetween(currentRow, unboundedFollowing) hits the same
+        # quadratic UnboundedFollowingWindowFunctionFrame path (ADVICE r6
+        # #4) — scan both frame spellings.
+        for m in re.finditer(r"(rowsBetween|rangeBetween)\(([^)]*)\)", src):
+            kind, args = m.group(1), m.group(2)
             if "unboundedFollowing" in args and "unboundedPreceding" not in args:
                 line = src[: m.start()].count("\n") + 1
-                offenders.append(f"{py.name}:{line} rowsBetween({args})")
+                offenders.append(f"{py.name}:{line} {kind}({args})")
     assert not offenders, (
         "FOLLOWING-unbounded aggregate frame(s) found — rewrite as the "
         f"reversed-sort PRECEDING twin: {offenders}"

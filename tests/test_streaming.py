@@ -488,11 +488,16 @@ def test_streaming_absence_timeouts_equal_batch(spark, tmp_path):
     expected = {}
     for _, grp in pdf.groupby("user_id"):
         rows = grp[["t_us", "event_id", "event_type"]].to_numpy().tolist()
-        purchases = [r[0] for r in rows if r[2] == "purchase"]
+        # "follows" = strictly later in (ts, event_id) order, lateness 0
+        # allowed — the batch twin's frame rule (ADVICE r6 #3 alignment)
+        purchases = [(r[0], r[1]) for r in rows if r[2] == "purchase"]
         for t_us, eid, etype in rows:
             if etype != "view":
                 continue
-            conv = any(t_us < p <= t_us + window_us for p in purchases)
+            conv = any(
+                (t_us, eid) < (p_t, p_eid) and p_t <= t_us + window_us
+                for p_t, p_eid in purchases
+            )
             expected[int(eid)] = "converted" if conv else "timeout"
 
     assert got, "stream emitted nothing"
@@ -553,6 +558,49 @@ def test_streaming_cm_sketch_merge_equals_batch(spark, event_files, tmp_path):
         for r in st.cm_heavy_hitters(st.cm_counter_partials(batch_ev), keys).collect()
     ]
     assert got_hh == want_hh and len(got_hh) == 10
+
+
+def test_cm_heavy_hitters_unseen_key_counts_empty_cells(spark, event_files):
+    """ADVICE r6 #1: a candidate key absent from the stream may hash into
+    counter cells NO stream key touched — those cells have no sketch row,
+    and the estimate must treat them as 0 (min over all d counters), not
+    drop them (inner-join overestimate) or lose the key entirely."""
+    from naive_query_engine_spark.operators.sketches import (
+        CM_HEX_DIGITS,
+        CM_SEEDS,
+        _seed_rows,
+    )
+
+    batch_ev = (
+        spark.read.schema(st.EVENTS_SCHEMA).parquet(event_files).limit(200)
+    )
+    sketch = st.cm_counter_partials(batch_ev)
+    counters = {(r.seed, r.pos): r.cnt for r in sketch.collect()}
+
+    unseen = [-1_000_001, -1_000_002, -1_000_003]
+    keys = spark.createDataFrame([(k,) for k in unseen], "user_id long")
+    probe = {
+        (r.user_id, r.seed, r.pos)
+        for r in keys.select(
+            "user_id",
+            _seed_rows(F.col("user_id"), CM_SEEDS, CM_HEX_DIGITS).alias("sp"),
+        )
+        .select("user_id", "sp.seed", "sp.pos")
+        .collect()
+    }
+    expected = {
+        k: min(
+            counters.get((s, p), 0) for (u, s, p) in probe if u == k
+        )
+        for k in unseen
+    }
+    got = {
+        r.user_id: r.cm_est
+        for r in st.cm_heavy_hitters(sketch, keys, k=len(unseen)).collect()
+    }
+    assert got == expected, (got, expected)
+    # every probed key survives the join (no silent drop)
+    assert set(got) == set(unseen)
 
 
 def test_cm_sink_replay_idempotent(spark, event_files, tmp_path):
