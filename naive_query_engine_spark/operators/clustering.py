@@ -1259,44 +1259,26 @@ def graph_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # link prediction over the mutual-kNN graph (resource-allocation index)
 
-#: fixed-point scale for the resource-allocation score (1e6 DIV degree —
-#: integer division, exact in both engines; degrees are small ints)
-RA_FP = 1_000_000
-LINK_PRED_TOP = 25
+# The overlay + oracle builder live in graph_overlays (a leaf module)
+# so kmeans.py can register the per-IVF-cell variant without importing
+# this module; re-exported here under the original names for existing
+# importers (tests).
+from .graph_overlays import (  # noqa: E402
+    LINK_PRED_TOP,
+    MODULARITY_FP,
+    RA_FP,
+    label_modularity_oracle_with as _label_modularity_oracle_with,
+    link_prediction_oracle_with as _link_prediction_oracle_with,
+    modularity_overlay as _modularity_overlay,
+    ra_overlay as _ra_overlay,
+)
 
 
 def _link_prediction_oracle() -> str:
     from ..queries import QUERIES as _Q
 
     knn = _Q["similarity_mutual_knn"].oracle
-    return f"""
-    WITH knn AS MATERIALIZED ({knn}),
-    sym AS MATERIALIZED (
-      SELECT vec_a AS a, vec_b AS b FROM knn
-      UNION ALL
-      SELECT vec_b, vec_a FROM knn
-    ),
-    deg AS (SELECT a AS z, COUNT(*) AS d FROM sym GROUP BY a),
-    wedge AS (
-      SELECT s1.a AS a, s2.b AS b, s1.b AS z
-      FROM sym s1 JOIN sym s2 ON s1.b = s2.a AND s1.a < s2.b
-    ),
-    cand AS (
-      SELECT w.a, w.b,
-             COUNT(*) AS cn,
-             SUM({RA_FP} // d.d) AS ra
-      FROM wedge w JOIN deg d ON d.z = w.z
-      LEFT JOIN knn e ON e.vec_a = w.a AND e.vec_b = w.b
-      WHERE e.vec_a IS NULL
-      GROUP BY w.a, w.b
-    )
-    SELECT CAST(a AS BIGINT) AS vec_a, CAST(b AS BIGINT) AS vec_b,
-           CAST(cn AS BIGINT) AS common_neighbors,
-           CAST(ra AS BIGINT) AS ra_score_fp
-    FROM cand
-    ORDER BY ra DESC, cn DESC, a, b
-    LIMIT {LINK_PRED_TOP}
-    """
+    return _link_prediction_oracle_with(f"knn AS MATERIALIZED ({knn})")
 
 
 @query(
@@ -1326,46 +1308,25 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anti-join reuses the knn frame, and the top-N is
     TakeOrdered-style with a total tie-break order (ra, cn, a, b).  The
     corpus-scale cost lives in the spliced mutual-kNN build (blocked
-    Arrow matmul)."""
+    Arrow matmul) — intrinsically n²: THIS variant is the small-SF
+    calibration; production runs the SHIPPED composition
+    ``graph_link_prediction_ivf`` (same overlay, per-IVF-cell
+    substrate, linear once cell count grows with n)."""
     from ..queries import QUERIES as _Q
 
     knn = _Q["similarity_mutual_knn"].fn(spark, sf_dir).select(
         F.col("vec_a").alias("ka"), F.col("vec_b").alias("kb")
     )
     knn = cut_lineage(knn)  # edge set reused 4× below — build the matmul once
-    sym = knn.select(F.col("ka").alias("a"), F.col("kb").alias("b")).unionAll(
-        knn.select(F.col("kb").alias("a"), F.col("ka").alias("b"))
-    )
-    deg = sym.groupBy(F.col("a").alias("z")).agg(F.count(F.lit(1)).alias("d"))
-    s1, s2 = sym.alias("s1"), sym.alias("s2")
-    wedge = s1.join(
-        s2, (F.col("s1.b") == F.col("s2.a")) & (F.col("s1.a") < F.col("s2.b"))
-    ).select(F.col("s1.a").alias("a"), F.col("s2.b").alias("b"), F.col("s1.b").alias("z"))
-    cand = (
-        wedge.join(deg, "z")
-        .groupBy("a", "b")
-        .agg(
-            F.count(F.lit(1)).alias("cn"),
-            F.sum(F.expr(f"{RA_FP} DIV d")).alias("ra"),
-        )
-        .join(
-            knn,
-            (F.col("a") == F.col("ka")) & (F.col("b") == F.col("kb")),
-            "left_anti",
-        )
-    )
-    return (
-        cand.orderBy(
-            F.col("ra").desc(), F.col("cn").desc(), F.col("a"), F.col("b")
-        )
-        .limit(LINK_PRED_TOP)
-        .select(
-            F.col("a").cast("long").alias("vec_a"),
-            F.col("b").cast("long").alias("vec_b"),
-            F.col("cn").cast("long").alias("common_neighbors"),
-            F.col("ra").cast("long").alias("ra_score_fp"),
-        )
-    )
+    return _ra_overlay(knn)
+
+
+# NOTE: ``graph_link_prediction_ivf`` — the same overlay on the
+# per-IVF-cell production substrate — is registered in kmeans.py (next
+# to the substrate), because registering it HERE would import kmeans at
+# clustering's module scope and deadlock any direct ``import kmeans``
+# entry (queries → register_all → clustering → kmeans mid-init).
+# kmeans imports the shared overlay from graph_overlays (leaf) instead.
 
 
 # ---------------------------------------------------------------------------
@@ -1524,47 +1485,15 @@ def dataset_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame
 # label-partition modularity over the mutual-kNN graph — the graph-level
 # "do labels align with semantic structure" score
 
-MODULARITY_FP = 1_000_000  #: fixed-point scale for the modularity terms
+# MODULARITY_FP and the shared oracle builder/overlay are imported from
+# graph_overlays at the link-prediction section above.
 
 
 def _label_modularity_oracle() -> str:
     from ..queries import QUERIES as _Q
 
     knn = _Q["similarity_mutual_knn"].oracle
-    fp = MODULARITY_FP
-    return f"""
-    WITH knn AS MATERIALIZED ({knn}),
-    lab AS (SELECT vec_id, label FROM embeddings),
-    tagged AS (
-      SELECT e.vec_a, e.vec_b, la.label AS label_a, lb.label AS label_b
-      FROM knn e
-      JOIN lab la ON la.vec_id = e.vec_a
-      JOIN lab lb ON lb.vec_id = e.vec_b
-    ),
-    m AS (
-      SELECT COUNT(*) AS m,
-             SUM(CASE WHEN label_a = label_b THEN 1 ELSE 0 END) AS intra
-      FROM tagged
-    ),
-    deg AS (
-      SELECT label, SUM(cnt) AS d FROM (
-        SELECT label_a AS label, COUNT(*) AS cnt FROM tagged GROUP BY 1
-        UNION ALL
-        SELECT label_b, COUNT(*) FROM tagged GROUP BY 1
-      ) u GROUP BY label
-    ),
-    ex AS (
-      SELECT SUM((d.d * d.d * {fp}) // (4 * m.m * m.m)) AS expected_fp
-      FROM deg d CROSS JOIN m
-    )
-    SELECT CAST(m.m AS BIGINT) AS n_edges,
-           CAST(m.intra AS BIGINT) AS n_intra_label,
-           CAST((m.intra * {fp}) // m.m AS BIGINT) AS intra_share_fp,
-           CAST(ex.expected_fp AS BIGINT) AS expected_share_fp,
-           CAST((m.intra * {fp}) // m.m - ex.expected_fp AS BIGINT)
-             AS modularity_fp
-    FROM m CROSS JOIN ex
-    """
+    return _label_modularity_oracle_with(f"knn AS MATERIALIZED ({knn})")
 
 
 @query(
@@ -1586,7 +1515,10 @@ def graph_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: edges are the spliced mutual-kNN frame (≤ n·k rows);
     two vec_id-keyed label joins; the degree rollup and the null-model
     sum are |labels|-bounded.  All corpus-scale cost lives in the
-    mutual-kNN substrate.
+    mutual-kNN substrate — exact and n² here, so THIS variant is the
+    small-SF calibration; production reads the SHIPPED composition
+    ``graph_label_modularity_ivf`` (same overlay, per-IVF-cell
+    substrate, linear once cell count grows with n).
 
     Determinism: every term is an exact-integer fixed-point division
     ((intra·FP) DIV m and per-label (deg²·FP) DIV (4m²)) summed over
@@ -1594,50 +1526,15 @@ def graph_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine summation order cannot matter."""
     from ..queries import QUERIES as _Q
 
-    fp = MODULARITY_FP
     e = t(spark, sf_dir, "embeddings")
     lab = e.select("vec_id", "label")
     edges = _Q["similarity_mutual_knn"].fn(spark, sf_dir).select("vec_a", "vec_b")
-    tagged = (
-        edges.join(
-            lab.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a")),
-            "vec_a",
-        ).join(
-            lab.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b")),
-            "vec_b",
-        )
-    )
-    m = tagged.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(
-            F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0)
-        ).alias("intra"),
-    )
-    deg = (
-        tagged.select(F.col("label_a").alias("label"))
-        .unionAll(tagged.select(F.col("label_b").alias("label")))
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    ex = deg.crossJoin(F.broadcast(m)).agg(
-        F.sum(
-            F.expr(f"(d * d * {fp}) DIV (4 * m * m)")
-        ).alias("expected_fp")
-    )
-    return (
-        m.crossJoin(F.broadcast(ex))
-        .select(
-            F.col("m").cast("long").alias("n_edges"),
-            F.col("intra").cast("long").alias("n_intra_label"),
-            F.expr(f"CAST((intra * {fp}) DIV m AS BIGINT)").alias(
-                "intra_share_fp"
-            ),
-            F.col("expected_fp").cast("long").alias("expected_share_fp"),
-            (
-                F.expr(f"(intra * {fp}) DIV m") - F.col("expected_fp")
-            ).cast("long").alias("modularity_fp"),
-        )
-    )
+    return _modularity_overlay(lab, edges)
+
+
+# NOTE: ``graph_label_modularity_ivf`` is registered in kmeans.py next
+# to the substrate (same circular-import reason as link prediction —
+# see the note above ``graph_link_prediction``'s section).
 
 
 def _patch_label_modularity_oracle() -> None:

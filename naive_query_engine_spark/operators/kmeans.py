@@ -671,19 +671,22 @@ _QK["similarity_ivf_nprobe_sweep"] = _dck.replace(
 # graph (the caveat the exact variant's probes document, now shipped)
 
 
-def _mutual_knn_ivf_oracle(k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    from ..queries import QUERIES as _Q
+def ivf_edges_sql_parts(
+    k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """WITH-clause body (no leading ``WITH``) whose final CTE is
+    ``ivf_edges(vec_a, vec_b)`` — the per-IVF-cell mutual-kNN edge set.
+    Shared by the quality-report oracle and every overlay oracle that
+    runs on the production substrate (link prediction, modularity),
+    so all of them price the SAME learned-cell restriction."""
     from .similarity import TOP_K
 
-    exact = _Q["similarity_mutual_knn"].oracle
     parts = _kmeans_sql_parts(k_cells, iters)
     parts.append(
         "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
     )
     ctes = ",\n    ".join(parts)
-    return f"""
-    WITH exact_edges AS MATERIALIZED ({exact}),
-    {ctes},
+    return f"""{ctes},
     cdots AS (
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster,
              SUM(ea.qv * eb.qv) AS dot
@@ -717,7 +720,18 @@ def _mutual_knn_ivf_oracle(k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS) -
       FROM ranked x
       JOIN ranked y ON y.src = x.dst AND y.dst = x.src AND y.rk <= {TOP_K}
       WHERE x.rk <= {TOP_K} AND x.src < x.dst
-    ),
+    )"""
+
+
+def _mutual_knn_ivf_oracle(
+    k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    from ..queries import QUERIES as _Q
+
+    exact = _Q["similarity_mutual_knn"].oracle
+    return f"""
+    WITH exact_edges AS MATERIALIZED ({exact}),
+    {ivf_edges_sql_parts(k_cells, iters)},
     m AS (
       SELECT COUNT(*) AS matched FROM ivf_edges i
       JOIN exact_edges e ON e.vec_a = i.vec_a AND e.vec_b = i.vec_b
@@ -768,13 +782,52 @@ def similarity_mutual_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: integer dots, (cosine DESC, dst) total order — the
     exact graph's tie discipline, inherited verbatim."""
+    from ..queries import QUERIES as _Q
+
+    ivf_edges = ivf_mutual_knn_edges(spark, sf_dir)
+    exact = _Q["similarity_mutual_knn"].fn(spark, sf_dir).select("vec_a", "vec_b")
+    matched = ivf_edges.join(exact, ["vec_a", "vec_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("matched")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_ivf = ivf_edges.agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        matched.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_ivf))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact_edges"),
+            F.col("n_ivf").cast("long").alias("n_ivf_edges"),
+            F.col("matched").cast("long").alias("n_matched"),
+            (F.col("matched").cast("double") / F.col("n_exact")).alias(
+                "edge_recall"
+            ),
+            (F.col("matched").cast("double") / F.col("n_ivf")).alias(
+                "edge_precision"
+            ),
+        )
+    )
+
+
+def ivf_mutual_knn_edges(
+    spark: SparkSession, sf_dir: str, k_cells: int = KMEANS_K
+) -> DataFrame:
+    """The per-IVF-cell mutual-kNN EDGE FRAME (vec_a < vec_b) — the
+    production substrate every kNN-graph overlay should run on at scale
+    (VERDICT r6 #3): assign vectors to learned Lloyd cells, cosine-rank
+    within the cell, keep mutual top-k.  Candidate pairs are
+    Σ cell_size², never n²; production holds cell size constant and
+    grows the cell count with n, making the build linear — ``k_cells``
+    is that knob (registered queries keep the KMEANS_K default so the
+    oracle stays aligned; tools/scale_probe-style runs pass k_cells ∝ n
+    to measure the linear path, BASELINE.md r7).  The quality price of
+    the restriction is exactly what ``similarity_mutual_knn_ivf``'s
+    recall/precision report measures."""
     from pyspark.sql import Window
 
-    from ..queries import QUERIES as _Q
     from .similarity import TOP_K, _qtable, cosine_q, dot_q
 
     qt = cut_lineage(spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2")))
-    centroids = train_centroids(qt, KMEANS_K, KMEANS_ITERS)
+    centroids = train_centroids(qt, k_cells, KMEANS_ITERS)
     cent = spark.createDataFrame(
         [(j, centroids[j]) for j in sorted(centroids)],
         "c_label long, centroid array<long>",
@@ -830,29 +883,93 @@ def similarity_mutual_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x.src") < F.col("x.dst"))
         .select(F.col("x.src").alias("vec_a"), F.col("x.dst").alias("vec_b"))
     )
-    exact = _Q["similarity_mutual_knn"].fn(spark, sf_dir).select("vec_a", "vec_b")
-    matched = ivf_edges.join(exact, ["vec_a", "vec_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("matched")
-    )
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_ivf = ivf_edges.agg(F.count(F.lit(1)).alias("n_ivf"))
-    return (
-        matched.crossJoin(F.broadcast(n_exact))
-        .crossJoin(F.broadcast(n_ivf))
-        .select(
-            F.col("n_exact").cast("long").alias("n_exact_edges"),
-            F.col("n_ivf").cast("long").alias("n_ivf_edges"),
-            F.col("matched").cast("long").alias("n_matched"),
-            (F.col("matched").cast("double") / F.col("n_exact")).alias(
-                "edge_recall"
-            ),
-            (F.col("matched").cast("double") / F.col("n_ivf")).alias(
-                "edge_precision"
-            ),
-        )
-    )
+    # built once per overlay — the edge frame is reused multiply there
+    return cut_lineage(ivf_edges)
 
 
 _QK["similarity_mutual_knn_ivf"] = _dck.replace(
     _QK["similarity_mutual_knn_ivf"], oracle=_mutual_knn_ivf_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph overlays ON the per-IVF-cell substrate (VERDICT r6 #3) —
+# registered HERE, next to the substrate, because registering them in
+# clustering.py would need a module-scope import of this module and
+# deadlock a direct ``import kmeans`` entry (queries → register_all →
+# clustering → kmeans mid-init).  The overlays themselves live in
+# graph_overlays (a leaf module) and are byte-identical to what the
+# exact-substrate calibration twins in clustering.py run.
+
+from .graph_overlays import (  # noqa: E402
+    label_modularity_oracle_with,
+    link_prediction_oracle_with,
+    modularity_overlay,
+    ra_overlay,
+)
+
+
+def _ivf_knn_with() -> str:
+    """The substrate splice every IVF-overlay oracle shares: the
+    per-cell edge CTE chain, closed with ``knn`` as the overlay's
+    expected input relation."""
+    return (
+        f"{ivf_edges_sql_parts()},\n"
+        "    knn AS MATERIALIZED (SELECT vec_a, vec_b FROM ivf_edges)"
+    )
+
+
+@query(
+    "graph_link_prediction_ivf",
+    oracle=None,  # patched below (splices the per-cell substrate CTEs)
+    tags=("similarity", "graph", "link-prediction", "ivf", "curation"),
+)
+def graph_link_prediction_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``graph_link_prediction`` on the PRODUCTION substrate (VERDICT r6
+    #3): the identical resource-allocation overlay, but the edge frame
+    is the per-IVF-cell mutual-kNN graph (`ivf_mutual_knn_edges`)
+    instead of the exact n² graph.  The overlay itself was always
+    edge-linear (degree ≤ k wedges); this composition makes the WHOLE
+    query linear-in-n once cell count grows with the corpus — the shape
+    that runs at 100 TB, with ``similarity_mutual_knn_ivf``'s
+    recall/precision report pricing what the restriction loses.  The
+    exact-substrate twin stays registered as the small-SF calibration.
+
+    Determinism: inherited — integer RA scores, (ra, cn, a, b) total
+    order, and the substrate's (cosine DESC, dst) tie rule."""
+    knn = ivf_mutual_knn_edges(spark, sf_dir).select(
+        F.col("vec_a").alias("ka"), F.col("vec_b").alias("kb")
+    )
+    return ra_overlay(knn)
+
+
+@query(
+    "graph_label_modularity_ivf",
+    oracle=None,  # patched below (splices the per-cell substrate CTEs)
+    tags=("graph", "evaluation", "similarity", "ivf", "clustering"),
+)
+def graph_label_modularity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``graph_label_modularity`` on the PRODUCTION substrate (VERDICT
+    r6 #3): the identical Newman-modularity overlay over the
+    per-IVF-cell mutual-kNN edges (`ivf_mutual_knn_edges`) instead of
+    the exact n² graph.  The overlay was always edge-linear; this
+    composition makes the whole readout linear-in-n once cell count
+    grows with the corpus.  In production the label-vs-structure answer
+    is read HERE; the exact twin stays registered as the small-SF
+    calibration, and ``similarity_mutual_knn_ivf``'s report prices the
+    substrate's edge recall/precision.
+
+    Determinism: inherited — exact-integer fixed-point terms over the
+    bounded label domain; the substrate's (cosine DESC, dst) tie rule."""
+    lab = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return modularity_overlay(lab, ivf_mutual_knn_edges(spark, sf_dir))
+
+
+_QK["graph_link_prediction_ivf"] = _dck.replace(
+    _QK["graph_link_prediction_ivf"],
+    oracle=link_prediction_oracle_with(_ivf_knn_with()),
+)
+_QK["graph_label_modularity_ivf"] = _dck.replace(
+    _QK["graph_label_modularity_ivf"],
+    oracle=label_modularity_oracle_with(_ivf_knn_with()),
 )

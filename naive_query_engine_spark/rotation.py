@@ -297,6 +297,10 @@ ROTATION: tuple[str, ...] = (
     "multimodal_image_resize",
     "events_ab_mann_whitney",
     "similarity_mutual_knn_ivf",
+    # r7-created: the kNN-graph overlays composed onto the per-IVF-cell
+    # substrate (VERDICT r6 #3)
+    "graph_link_prediction_ivf",
+    "graph_label_modularity_ivf",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

@@ -1,0 +1,98 @@
+"""Behavioral invariants for round-7 operators (independent local
+recomputes, per the landing discipline).
+
+The r7 wave composes the kNN-graph overlays onto the per-IVF-cell
+substrate (VERDICT r6 #3).  The substrate itself is oracle-pinned by
+``similarity_mutual_knn_ivf``'s DuckDB oracle; these tests pin the
+OVERLAYS by recomputing them in plain Python over the collected edge
+frame, so a Spark-side overlay regression cannot hide behind an oracle
+that shares its formulation.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+
+from naive_query_engine_spark.operators.clustering import (
+    LINK_PRED_TOP,
+    MODULARITY_FP,
+    RA_FP,
+)
+from naive_query_engine_spark.operators.kmeans import ivf_mutual_knn_edges
+from naive_query_engine_spark.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def _ivf_edges(spark) -> list[tuple[int, int]]:
+    rows = ivf_mutual_knn_edges(spark, SF_SMOKE).collect()
+    edges = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert edges and all(a < b for a, b in edges)  # canonical orientation
+    assert len(edges) == len(set(edges))  # no duplicate pairs
+    return edges
+
+
+def test_link_prediction_ivf_matches_python_overlay(spark):
+    """Top-N RA candidates vs a dict-based recompute of the overlay
+    (sym/deg/wedge/anti-join/rank) over the collected IVF edge set."""
+    edges = _ivf_edges(spark)
+    edge_set = set(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {z: len(ns) for z, ns in adj.items()}
+    scores: dict[tuple[int, int], list[int]] = defaultdict(lambda: [0, 0])
+    for z, ns in adj.items():
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1 :]:
+                if (a, b) in edge_set:
+                    continue  # already adjacent — not a prediction
+                scores[(a, b)][0] += 1  # common neighbor count
+                scores[(a, b)][1] += RA_FP // deg[z]
+    want = sorted(
+        ((ra, cn, a, b) for (a, b), (cn, ra) in scores.items()),
+        key=lambda t: (-t[0], -t[1], t[2], t[3]),
+    )[:LINK_PRED_TOP]
+    got = [
+        (r["ra_score_fp"], r["common_neighbors"], r["vec_a"], r["vec_b"])
+        for r in QUERIES["graph_link_prediction_ivf"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+
+
+def test_label_modularity_ivf_matches_python_overlay(spark):
+    """Every fixed-point modularity term vs an integer recompute over
+    the collected IVF edge set and the parquet labels."""
+    edges = _ivf_edges(spark)
+    labels = (
+        pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")[["vec_id", "label"]]
+        .set_index("vec_id")["label"]
+        .to_dict()
+    )
+    m = len(edges)
+    intra = sum(1 for a, b in edges if labels[a] == labels[b])
+    deg: dict[str, int] = defaultdict(int)
+    for a, b in edges:
+        deg[labels[a]] += 1
+        deg[labels[b]] += 1
+    expected_fp = sum(
+        (d * d * MODULARITY_FP) // (4 * m * m) for d in deg.values()
+    )
+    [r] = QUERIES["graph_label_modularity_ivf"].fn(spark, SF_SMOKE).collect()
+    assert r["n_edges"] == m
+    assert r["n_intra_label"] == intra
+    assert r["intra_share_fp"] == (intra * MODULARITY_FP) // m
+    assert r["expected_share_fp"] == expected_fp
+    assert r["modularity_fp"] == (intra * MODULARITY_FP) // m - expected_fp
+
+
+def test_ivf_overlays_share_substrate_with_report(spark):
+    """The overlays and the recall/precision report price the SAME edge
+    frame: the report's n_ivf_edges equals the substrate edge count."""
+    n_edges = len(_ivf_edges(spark))
+    [r] = QUERIES["similarity_mutual_knn_ivf"].fn(spark, SF_SMOKE).collect()
+    assert r["n_ivf_edges"] == n_edges
