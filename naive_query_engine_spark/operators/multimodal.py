@@ -1751,3 +1751,196 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         payloads.mapInPandas(resize_kernel(), "doc_id long, rpos long, px long")
         .orderBy("doc_id", "rpos")
     )
+
+
+# ---------------------------------------------------------------------------
+# ZIP end-of-central-directory walk — the TRAILER-DIRECTORY parse shape
+# (the fifth fundamental shape in this family, and the only one parsed
+# from the END of the payload)
+
+ZIP_CD_ENTRY = 48  #: planted central-directory entry size (46 + 2-char name)
+
+
+def make_zip_payload(doc_id_expr):
+    """Column expr: minimal but SPEC-SHAPED ZIP bytes — a doc-dependent
+    local zone (zeros, standing in for local file records), a central
+    directory of ``1 + doc_id % 4`` 48-byte entries (each a real
+    PK\\x01\\x02 record with little-endian sizes and a 2-char name), and
+    an EOCD record whose doc-dependent comment (``doc_id % 64`` bytes)
+    forces the EOCD to a VARIABLE distance from the end — the property
+    that makes real ZIP readers reverse-scan.  Built JVM-side as one hex
+    string → one unhex; no Python in the build path."""
+    from pyspark.sql import functions as F
+
+    def le16(v):
+        h = F.lpad(F.conv(v.cast("string"), 10, 16), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    def le32(v):
+        h = F.lpad(F.conv(v.cast("string"), 10, 16), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    n_entries = (F.lit(1) + doc_id_expr % 4).cast("int")
+    p_local = (doc_id_expr % 128).cast("int")
+    c_len = (doc_id_expr % 64).cast("int")
+
+    def entry_hex(j):
+        # uncompressed = compressed = (doc_id*31 + j*17) % 8192 (stored)
+        size = ((doc_id_expr * 31 + j * 17) % 8192).cast("int")
+        name_hex = F.concat(F.lit("663"), j.cast("string"))  # "f" + digit j
+        return F.concat(
+            F.lit("504b0102"),        # central-file-header signature
+            F.lit("1400" "1400"),     # version made by / needed = 20, LE
+            F.lit("0000" "0000"),     # flags, method (stored)
+            F.lit("0000" "0000"),     # mod time, mod date
+            F.lit("00000000"),        # crc32 (not validated by the walk)
+            le32(size), le32(size),   # compressed, uncompressed
+            F.lit("0200"),            # name length = 2
+            F.lit("0000" "0000"),     # extra len, comment len
+            F.lit("0000" "0000"),     # disk start, internal attrs
+            F.lit("00000000"),        # external attrs
+            F.lit("00000000"),        # local-header offset (local zone is fake)
+            name_hex,
+        )
+
+    cd_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_entries - 1), entry_hex), ""
+    )
+    eocd_hex = F.concat(
+        F.lit("504b0506"),                       # EOCD signature
+        F.lit("0000" "0000"),                    # disk num, CD start disk
+        le16(n_entries), le16(n_entries),        # entries this disk / total
+        le32(n_entries * ZIP_CD_ENTRY),          # CD size
+        le32(p_local),                           # CD offset
+        le16(c_len),                             # comment length
+        F.repeat(F.lit("61"), c_len),            # comment: 'a' × c_len
+    )
+    return F.unhex(F.concat(F.repeat(F.lit("00"), p_local), cd_hex, eocd_hex))
+
+
+def zip_eocd_kernel():
+    """mapInPandas kernel doing what every real ZIP reader does first:
+    REVERSE-SCAN from the payload end for the EOCD signature (bounded by
+    the spec's 65535-byte max comment), validated by the comment-length
+    consistency rule (a signature is the true EOCD only if its declared
+    comment runs exactly to EOF — the disambiguator against signature
+    bytes inside file data), then jump BACKWARD to the declared central
+    directory and walk it forward, requiring the walk to tile exactly
+    [cd_offset, eocd_pos).  Truncated payloads, corrupted signatures,
+    inconsistent counts, and over/under-running directories all reject
+    (`tests/test_new_ops_r7.py` feeds each).  Closure → pickles by
+    value."""
+    import struct
+
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_entries": [], "cd_size": [],
+                "cd_offset": [], "total_uncompressed": [],
+                "comment_len": [], "is_valid_zip": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                pos = -1
+                i = len(b) - 22
+                stop = max(0, len(b) - 22 - 65535)
+                while i >= stop:
+                    if b[i : i + 4] == b"PK\x05\x06":
+                        (clen,) = struct.unpack("<H", b[i + 20 : i + 22])
+                        if i + 22 + clen == len(b):
+                            pos = i
+                            break
+                    i -= 1
+                ok = pos >= 0
+                n_entries = cd_size = cd_offset = comment_len = total_u = 0
+                if ok:
+                    disk, cddisk, n_disk, n_total, cd_size, cd_offset, comment_len = (
+                        struct.unpack("<HHHHIIH", b[pos + 4 : pos + 22])
+                    )
+                    n_entries = n_total
+                    ok = (
+                        disk == 0
+                        and cddisk == 0
+                        and n_disk == n_total
+                        and cd_offset + cd_size == pos
+                    )
+                if ok:
+                    off, walked = cd_offset, 0
+                    while walked < n_entries:
+                        if off + 46 > pos or b[off : off + 4] != b"PK\x01\x02":
+                            ok = False
+                            break
+                        (usize,) = struct.unpack("<I", b[off + 24 : off + 28])
+                        nlen, elen, clen2 = struct.unpack(
+                            "<HHH", b[off + 28 : off + 34]
+                        )
+                        total_u += usize
+                        off += 46 + nlen + elen + clen2
+                        walked += 1
+                    ok = ok and off == pos  # directory tiles exactly to EOCD
+                rows["doc_id"].append(doc_id)
+                rows["n_entries"].append(n_entries if ok else 0)
+                rows["cd_size"].append(cd_size if ok else 0)
+                rows["cd_offset"].append(cd_offset if ok else 0)
+                rows["total_uncompressed"].append(total_u if ok else 0)
+                rows["comment_len"].append(comment_len if ok else 0)
+                rows["is_valid_zip"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return parse
+
+
+@query(
+    "multimodal_zip_eocd_parse",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, 1 + doc_id % 4 AS ne FROM documents
+    ),
+    tot AS (
+      SELECT e.doc_id,
+             SUM((e.doc_id * 31 + g.j * 17) % 8192) AS total_u
+      FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(j)
+      WHERE g.j < e.ne
+      GROUP BY e.doc_id
+    )
+    SELECT e.doc_id,
+           CAST(e.ne AS BIGINT) AS n_entries,
+           CAST(e.ne * {ZIP_CD_ENTRY} AS BIGINT) AS cd_size,
+           CAST(e.doc_id % 128 AS BIGINT) AS cd_offset,
+           CAST(tot.total_u AS BIGINT) AS total_uncompressed,
+           CAST(e.doc_id % 64 AS BIGINT) AS comment_len,
+           TRUE AS is_valid_zip
+    FROM e JOIN tot ON tot.doc_id = e.doc_id
+    """,
+    tags=("multimodal", "pipeline", "binary", "pandas-udf", "container"),
+)
+def multimodal_zip_eocd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through ZIP — the TRAILER-DIRECTORY format, and the
+    fifth fundamental parse shape in this family (after fixed-header
+    PNG, marker-walk JPEG, length-prefixed-box MP4, and offset-directory
+    TIFF): the index lives at the END of the payload at a VARIABLE
+    position (the EOCD comment moves it), so the reader must reverse-
+    scan for the signature, disambiguate with the comment-length
+    consistency rule, then jump backward to the central directory —
+    exactly how ZIP/JAR/DOCX/APK/ODF ingest starts, and the shape every
+    archive-aware pipeline needs before it can even list members.  The
+    oracle recomputes the planted directory arithmetically (entry count,
+    directory size/offset, summed uncompressed sizes, comment length);
+    agreement proves the reverse-scan → EOCD decode → directory walk
+    bit-correct end-to-end.  Scale shape: map-only Arrow kernel, no
+    shuffle; the reverse scan is bounded by the spec's 64 KiB max
+    comment, not by payload size."""
+    d = t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", make_zip_payload(F.col("doc_id")).alias("payload")
+    )
+    return payloads.mapInPandas(
+        zip_eocd_kernel(),
+        "doc_id long, n_entries long, cd_size long, cd_offset long,"
+        " total_uncompressed long, comment_len long, is_valid_zip boolean",
+    )

@@ -1353,3 +1353,118 @@ def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(exposed).cast("long").alias("n_exposed_rows"),
         (F.sum(exposed).cast("double") / F.sum("cell_n")).alias("exposed_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness — the third leg of the release-gate trio (k-anonymity bounds
+# re-identification, l-diversity bounds homogeneity, t-closeness bounds
+# DISTRIBUTION skew: a cell can be k-large and l-diverse and still leak if
+# its sensitive distribution differs sharply from the global one)
+
+T_CLOSE_FP = 1_000_000  #: fixed-point scale for the variation distance
+T_CLOSE = 300_000  #: release threshold: cells with TVD > 0.30 are flagged
+
+
+@query(
+    "audit_t_closeness",
+    oracle=f"""
+    WITH rows_b AS (
+      SELECT c_mktsegment, c_nationkey,
+             FLOOR(CAST(c_acctbal AS DOUBLE) / {SENS_BAND}) AS band
+      FROM customer
+    ),
+    cell_band AS (
+      SELECT c_mktsegment, c_nationkey, band, COUNT(*) AS cnt
+      FROM rows_b GROUP BY 1, 2, 3
+    ),
+    cells AS (
+      SELECT c_mktsegment, c_nationkey, SUM(cnt) AS cell_n
+      FROM cell_band GROUP BY 1, 2
+    ),
+    gdist AS (SELECT band, SUM(cnt) AS g FROM cell_band GROUP BY band),
+    tot AS (SELECT SUM(g) AS n FROM gdist),
+    dom AS (
+      SELECT c.c_mktsegment, c.c_nationkey, c.cell_n, b.band, b.g,
+             COALESCE(cb.cnt, 0) AS cnt
+      FROM cells c CROSS JOIN gdist b
+      LEFT JOIN cell_band cb
+        ON cb.c_mktsegment = c.c_mktsegment
+       AND cb.c_nationkey = c.c_nationkey
+       AND cb.band = b.band
+    ),
+    tvd AS (
+      SELECT c_mktsegment, c_nationkey,
+             ({T_CLOSE_FP} * SUM(ABS(cnt * t.n - g * cell_n)))
+               // (2 * ANY_VALUE(cell_n) * ANY_VALUE(t.n)) AS tvd_fp
+      FROM dom CROSS JOIN tot t
+      GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(tvd_fp) AS BIGINT) AS max_tvd_fp,
+           CAST(SUM(tvd_fp) // COUNT(*) AS BIGINT) AS avg_tvd_fp,
+           CAST(SUM(CASE WHEN tvd_fp > {T_CLOSE} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_skewed_cells
+    FROM tvd
+    """,
+    tags=("quality", "audit", "privacy", "t-closeness"),
+)
+def audit_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit — the third release gate after `audit_k_anonymity`
+    and `audit_l_diversity` (Li et al., ICDE 2007): per QI cell (market
+    segment × nation), the total-variation distance between the cell's
+    sensitive-value distribution (account-balance bands, same SENS_BAND
+    as the l audit) and the GLOBAL distribution.  A cell passing k and l
+    can still reveal that its members are overwhelmingly in the top
+    band; TVD is the categorical instance of the paper's EMD and the
+    one release checklists actually compute.
+
+    Exact integer arithmetic throughout: TVD = ½·Σ_v |p_cell − p_global|
+    is evaluated by cross-multiplication, (FP · Σ|cnt·N − g·n_c|) DIV
+    (2·n_c·N) — no float division inside the sum, so engine summation
+    order cannot matter.  Absent bands contribute |0·N − g·n_c| via the
+    domain completion (cells × bands cross join, count coalesced to 0).
+
+    Scale shape: one grouped count at (QI, band) granularity — still
+    QI×band-domain-bounded, map-side partial — then a domain-bounded
+    cross join (|cells|·|bands| rows, both small by construction) and a
+    bounded rollup.  Nothing here is corpus-sized after the first
+    aggregate; at 100 TB the only full-data pass is the initial scan."""
+    c = t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal").cast("double") / F.lit(SENS_BAND))
+    cell_band = c.select(
+        "c_mktsegment", "c_nationkey", band.alias("band")
+    ).groupBy("c_mktsegment", "c_nationkey", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cells = cell_band.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("cnt").alias("cell_n")
+    )
+    glob = cell_band.groupBy("band").agg(F.sum("cnt").alias("g"))
+    tot = glob.agg(F.sum("g").alias("n"))
+    dom = (
+        cells.crossJoin(F.broadcast(glob.select("band", "g")))
+        .join(cell_band, ["c_mktsegment", "c_nationkey", "band"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "cell_n",
+            "g",
+            "n",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    tvd = dom.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.expr(
+            f"({T_CLOSE_FP} * SUM(ABS(cnt * n - g * cell_n)))"
+            " DIV (2 * ANY_VALUE(cell_n) * ANY_VALUE(n))"
+        ).alias("tvd_fp")
+    )
+    return tvd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("tvd_fp").cast("long").alias("max_tvd_fp"),
+        F.expr("SUM(tvd_fp) DIV COUNT(*)").cast("long").alias("avg_tvd_fp"),
+        F.sum((F.col("tvd_fp") > T_CLOSE).cast("int")).cast("long").alias(
+            "n_skewed_cells"
+        ),
+    )

@@ -301,6 +301,10 @@ ROTATION: tuple[str, ...] = (
     # substrate (VERDICT r6 #3)
     "graph_link_prediction_ivf",
     "graph_label_modularity_ivf",
+    # r7-created wave 2: the t-closeness release gate and the
+    # trailer-directory (ZIP EOCD) parse shape
+    "audit_t_closeness",
+    "multimodal_zip_eocd_parse",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

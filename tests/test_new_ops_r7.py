@@ -96,3 +96,99 @@ def test_ivf_overlays_share_substrate_with_report(spark):
     n_edges = len(_ivf_edges(spark))
     [r] = QUERIES["similarity_mutual_knn_ivf"].fn(spark, SF_SMOKE).collect()
     assert r["n_ivf_edges"] == n_edges
+
+
+def test_zip_eocd_kernel_reverse_scan_and_rejects():
+    """The trailer-directory walk must (a) locate the EOCD through a
+    comment that CONTAINS a decoy EOCD signature (the comment-length
+    consistency rule is the only correct disambiguator), and (b) reject
+    truncation, signature corruption, count mismatches, and directories
+    that don't tile exactly to the EOCD."""
+    import struct
+
+    from naive_query_engine_spark.operators.multimodal import zip_eocd_kernel
+
+    def cd_entry(name: bytes, usize: int) -> bytes:
+        return (
+            b"PK\x01\x02"
+            + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)
+            + struct.pack("<III", 0, usize, usize)
+            + struct.pack("<HHHHH", len(name), 0, 0, 0, 0)
+            + struct.pack("<I", 0)
+            + struct.pack("<I", 0)
+            + name
+        )
+
+    def eocd(n: int, cd_size: int, cd_off: int, comment: bytes) -> bytes:
+        return (
+            b"PK\x05\x06"
+            + struct.pack("<HHHH", 0, 0, n, n)
+            + struct.pack("<II", cd_size, cd_off)
+            + struct.pack("<H", len(comment))
+            + comment
+        )
+
+    local = b"\x00" * 10
+    cd = cd_entry(b"fa", 100) + cd_entry(b"fb", 23)
+    decoy_comment = b"xx" + b"PK\x05\x06" + b"\x00" * 18 + b"yy"
+    good = local + cd + eocd(2, len(cd), len(local), decoy_comment)
+    cases = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "payload": [
+                good,
+                good[:-1],                              # truncated comment
+                good.replace(b"PK\x01\x02", b"PK\x01\x03", 1),  # bad CD sig
+                local + cd + eocd(3, len(cd), len(local), b""),  # count lies
+                local + cd + eocd(2, len(cd) - 1, len(local), b""),  # size lies
+                local + cd + eocd(2, len(cd), len(local) - 1, b""),  # offset lies
+                b"",                                     # empty payload
+            ],
+        }
+    )
+    out = {r["doc_id"]: r for _, r in next(zip_eocd_kernel()([cases])).iterrows()}
+    assert (
+        out[1]["n_entries"],
+        out[1]["cd_size"],
+        out[1]["cd_offset"],
+        out[1]["total_uncompressed"],
+        out[1]["comment_len"],
+        out[1]["is_valid_zip"],
+    ) == (2, len(cd), len(local), 123, len(decoy_comment), True)
+    for bad in (2, 3, 4, 5, 6, 7):
+        assert not out[bad]["is_valid_zip"], bad
+        assert out[bad]["total_uncompressed"] == 0, bad
+
+
+def test_t_closeness_matches_python_recompute(spark):
+    """Every fixed-point TVD term vs an integer recompute over the raw
+    parquet rows (pandas), including the absent-band completion."""
+    import math
+    from collections import Counter, defaultdict
+
+    from naive_query_engine_spark.operators.quality import (
+        SENS_BAND,
+        T_CLOSE,
+        T_CLOSE_FP,
+    )
+    from naive_query_engine_spark.queries import QUERIES
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[
+        ["c_mktsegment", "c_nationkey", "c_acctbal"]
+    ]
+    pdf["band"] = pdf["c_acctbal"].map(lambda v: math.floor(float(v) / SENS_BAND))
+    g = Counter(pdf["band"])
+    n = len(pdf)
+    cell_counts: dict[tuple, Counter] = defaultdict(Counter)
+    for seg, nat, band in zip(pdf["c_mktsegment"], pdf["c_nationkey"], pdf["band"]):
+        cell_counts[(seg, nat)][band] += 1
+    tvds = []
+    for counts in cell_counts.values():
+        n_c = sum(counts.values())
+        num = sum(abs(counts.get(b, 0) * n - g[b] * n_c) for b in g)
+        tvds.append((T_CLOSE_FP * num) // (2 * n_c * n))
+    [r] = QUERIES["audit_t_closeness"].fn(spark, SF_SMOKE).collect()
+    assert r["n_cells"] == len(tvds)
+    assert r["max_tvd_fp"] == max(tvds)
+    assert r["avg_tvd_fp"] == sum(tvds) // len(tvds)
+    assert r["n_skewed_cells"] == sum(1 for v in tvds if v > T_CLOSE)
