@@ -671,16 +671,14 @@ _QK["similarity_ivf_nprobe_sweep"] = _dck.replace(
 # graph (the caveat the exact variant's probes document, now shipped)
 
 
-def ivf_edges_sql_parts(
+def ivf_ccos_sql_parts(
     k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> str:
     """WITH-clause body (no leading ``WITH``) whose final CTE is
-    ``ivf_edges(vec_a, vec_b)`` — the per-IVF-cell mutual-kNN edge set.
-    Shared by the quality-report oracle and every overlay oracle that
-    runs on the production substrate (link prediction, modularity),
-    so all of them price the SAME learned-cell restriction."""
-    from .similarity import TOP_K
-
+    ``ccos(vec_a, vec_b, cosine)`` — every within-cell pair under the
+    learned IVF assignment with its exact-int-derived cosine.  The
+    shared candidate frame under both the mutual-kNN substrate and the
+    τ-range search."""
     parts = _kmeans_sql_parts(k_cells, iters)
     parts.append(
         "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
@@ -704,7 +702,20 @@ def ivf_edges_sql_parts(
       FROM cdots
       JOIN norms na ON na.vec_id = vec_a
       JOIN norms nb ON nb.vec_id = vec_b
-    ),
+    )"""
+
+
+def ivf_edges_sql_parts(
+    k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """WITH-clause body (no leading ``WITH``) whose final CTE is
+    ``ivf_edges(vec_a, vec_b)`` — the per-IVF-cell mutual-kNN edge set.
+    Shared by the quality-report oracle and every overlay oracle that
+    runs on the production substrate (link prediction, modularity),
+    so all of them price the SAME learned-cell restriction."""
+    from .similarity import TOP_K
+
+    return f"""{ivf_ccos_sql_parts(k_cells, iters)},
     directed AS (
       SELECT vec_a AS src, vec_b AS dst, cosine FROM ccos
       UNION ALL
@@ -808,23 +819,18 @@ def similarity_mutual_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_mutual_knn_edges(
+def ivf_cell_cosine_pairs(
     spark: SparkSession, sf_dir: str, k_cells: int = KMEANS_K
 ) -> DataFrame:
-    """The per-IVF-cell mutual-kNN EDGE FRAME (vec_a < vec_b) — the
-    production substrate every kNN-graph overlay should run on at scale
-    (VERDICT r6 #3): assign vectors to learned Lloyd cells, cosine-rank
-    within the cell, keep mutual top-k.  Candidate pairs are
+    """Every within-cell pair (vec_a < vec_b, cosine) under the learned
+    Lloyd-cell assignment — the shared candidate frame beneath the
+    mutual-kNN substrate and the τ-range search.  Candidate pairs are
     Σ cell_size², never n²; production holds cell size constant and
-    grows the cell count with n, making the build linear — ``k_cells``
-    is that knob (registered queries keep the KMEANS_K default so the
-    oracle stays aligned; tools/scale_probe-style runs pass k_cells ∝ n
-    to measure the linear path, BASELINE.md r7).  The quality price of
-    the restriction is exactly what ``similarity_mutual_knn_ivf``'s
-    recall/precision report measures."""
+    grows the cell count with n (``k_cells``), making the build linear
+    (K∝n probe rows in BASELINE.md r7)."""
     from pyspark.sql import Window
 
-    from .similarity import TOP_K, _qtable, cosine_q, dot_q
+    from .similarity import _qtable, cosine_q, dot_q
 
     qt = cut_lineage(spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2")))
     centroids = train_centroids(qt, k_cells, KMEANS_ITERS)
@@ -858,11 +864,30 @@ def ivf_mutual_knn_edges(
         "cell",
     )
     cos = cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
-    pairs = (
+    return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
     )
+
+
+def ivf_mutual_knn_edges(
+    spark: SparkSession, sf_dir: str, k_cells: int = KMEANS_K
+) -> DataFrame:
+    """The per-IVF-cell mutual-kNN EDGE FRAME (vec_a < vec_b) — the
+    production substrate every kNN-graph overlay should run on at scale
+    (VERDICT r6 #3): assign vectors to learned Lloyd cells, cosine-rank
+    within the cell, keep mutual top-k.  Candidate generation is
+    `ivf_cell_cosine_pairs` (registered queries keep the KMEANS_K
+    default so the oracle stays aligned; tools/ivf_kprop_probe.py
+    passes k_cells ∝ n to measure the linear path, BASELINE.md r7).
+    The quality price of the restriction is exactly what
+    ``similarity_mutual_knn_ivf``'s recall/precision report measures."""
+    from pyspark.sql import Window
+
+    from .similarity import TOP_K
+
+    pairs = ivf_cell_cosine_pairs(spark, sf_dir, k_cells)
     directed = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
     ).unionAll(
@@ -972,4 +997,54 @@ _QK["graph_link_prediction_ivf"] = _dck.replace(
 _QK["graph_label_modularity_ivf"] = _dck.replace(
     _QK["graph_label_modularity_ivf"],
     oracle=label_modularity_oracle_with(_ivf_knn_with()),
+)
+
+
+# ---------------------------------------------------------------------------
+# τ-threshold RANGE SEARCH on the IVF cells — the production twin of
+# similarity_cosine_pairs (which scans ALL n² pairs by blocked matmul)
+
+
+def _range_search_ivf_oracle() -> str:
+    from .similarity import COSINE_THRESHOLD
+
+    return f"""
+    WITH {ivf_ccos_sql_parts()}
+    SELECT vec_a, vec_b, cosine
+    FROM ccos
+    WHERE cosine >= {COSINE_THRESHOLD}
+    """
+
+
+@query(
+    "similarity_range_search_ivf",
+    oracle=None,  # patched below (splices the per-cell cosine CTEs)
+    tags=("similarity", "ivf", "range-search", "dedup"),
+)
+def similarity_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE SEARCH (all pairs with cosine ≥ τ) restricted to the
+    learned IVF cells — the production shape of
+    ``similarity_cosine_pairs``: the exact query scans every n² pair
+    with the blocked matmul (calibration/forensics); this one only
+    scores pairs co-located in a Lloyd cell, Σ cell_size² candidates,
+    linear once cell count grows with n (same substrate economics as
+    `ivf_mutual_knn_edges`, K∝n probe in BASELINE.md r7).  Range search
+    is THE embedding-dedup primitive (near-dup pairs above a similarity
+    floor feed the union-find), and unlike top-k it has no per-vertex
+    cutoff to tune — τ carries the semantics.  Recall loss vs the exact
+    twin is cross-cell pairs only, the same restriction
+    ``similarity_mutual_knn_ivf``'s report prices.
+
+    Determinism: τ uses the shared COSINE_THRESHOLD; cosine is one
+    double division of exact integer dot/norms (no float accumulation),
+    so the comparison is bit-identical in both engines."""
+    from .similarity import COSINE_THRESHOLD
+
+    return ivf_cell_cosine_pairs(spark, sf_dir).filter(
+        F.col("cosine") >= COSINE_THRESHOLD
+    )
+
+
+_QK["similarity_range_search_ivf"] = _dck.replace(
+    _QK["similarity_range_search_ivf"], oracle=_range_search_ivf_oracle()
 )

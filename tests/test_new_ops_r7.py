@@ -192,3 +192,26 @@ def test_t_closeness_matches_python_recompute(spark):
     assert r["max_tvd_fp"] == max(tvds)
     assert r["avg_tvd_fp"] == sum(tvds) // len(tvds)
     assert r["n_skewed_cells"] == sum(1 for v in tvds if v > T_CLOSE)
+
+
+def test_range_search_ivf_is_cell_restricted_cosine_pairs(spark):
+    """The τ-range search must return EXACTLY the exact-twin pairs
+    (similarity_cosine_pairs) restricted to co-located IVF cells —
+    same keys, bit-identical cosines — and be nonempty at smoke SF."""
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in QUERIES["similarity_range_search_ivf"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in QUERIES["similarity_cosine_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    from naive_query_engine_spark.operators.kmeans import ivf_cell_cosine_pairs
+
+    cells = {
+        (r["vec_a"], r["vec_b"])
+        for r in ivf_cell_cosine_pairs(spark, SF_SMOKE).collect()
+    }
+    want = {k: v for k, v in exact.items() if k in cells}
+    assert got, "τ-range search empty at smoke SF — threshold too high to test"
+    assert got == want
