@@ -1048,3 +1048,120 @@ def similarity_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QK["similarity_range_search_ivf"] = _dck.replace(
     _QK["similarity_range_search_ivf"], oracle=_range_search_ivf_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# neighborhood function N(h) over the kNN graph — the HyperANF primitive
+# (Boldi/Rosa/Vigna 2011): how fast does reach grow with hop count?
+
+REACH_FP = 1_000_000  #: fixed-point scale for the mean-reach column
+REACH_RSD = 0.02  #: HLL relative standard deviation for the sketch column
+REACH_TOL = 0.05  #: acceptance band for the sketch-vs-exact gate
+
+
+def _neighborhood_function_ivf_oracle() -> str:
+    fp = REACH_FP
+    return f"""
+    WITH {ivf_edges_sql_parts()},
+    sym AS MATERIALIZED (
+      SELECT vec_a AS a, vec_b AS b FROM ivf_edges
+      UNION ALL
+      SELECT vec_b, vec_a FROM ivf_edges
+    ),
+    verts AS (SELECT COUNT(DISTINCT a) AS nv FROM sym),
+    h1 AS (SELECT DISTINCT a, b FROM sym),
+    h2 AS (
+      SELECT a, b FROM h1
+      UNION
+      SELECT s1.a, s2.b FROM sym s1 JOIN sym s2
+        ON s1.b = s2.a AND s1.a <> s2.b
+    ),
+    counts AS (
+      SELECT 1 AS hop, COUNT(*) AS n_pairs FROM h1
+      UNION ALL
+      SELECT 2, COUNT(*) FROM h2
+    )
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(n_pairs AS BIGINT) AS n_pairs_exact,
+           CAST(v.nv AS BIGINT) AS n_vertices,
+           CAST((n_pairs * {fp}) // v.nv AS BIGINT) AS mean_reach_fp,
+           TRUE AS hll_within_tolerance
+    FROM counts CROSS JOIN verts v
+    ORDER BY hop
+    """
+
+
+@query(
+    "graph_neighborhood_function_ivf",
+    oracle=None,  # patched below (splices the per-cell substrate CTEs)
+    tags=("graph", "sketch", "similarity", "ivf", "hyperanf"),
+)
+def graph_neighborhood_function_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEIGHBORHOOD FUNCTION N(h) over the per-IVF-cell mutual-kNN graph
+    — the HyperANF primitive (Boldi/Rosa/Vigna, WWW 2011): for each hop
+    h, how many ordered pairs (u,v) are within distance h.  N(h)'s
+    growth curve is how production measures a similarity graph's
+    connectivity (effective diameter, cluster granularity) without ever
+    materializing components; HyperANF's insight is that the per-vertex
+    reachable-set sizes can be tracked by MERGEABLE HLL registers under
+    frontier expansion — so each hop is one degree-bounded join plus a
+    sketch merge, never a transitive closure.
+
+    This query computes hops 1–2 BOTH ways on the production substrate:
+    exact (distinct pairs via the wedge join — ≤ n·k² rows on the
+    degree-≤-k graph, the same shape as `graph_link_prediction_ivf`)
+    and sketched (per-vertex `approx_count_distinct`, Spark's native
+    HLL++ — the merge-shaped path that replaces the exact distinct at
+    100 TB), exporting the sketch as its accuracy contract
+    (|est − exact| ≤ {REACH_TOL:.0%} of exact, summed over vertices)
+    exactly like the `sketch_*` family.  The oracle recomputes the
+    exact side and pins the gate TRUE.
+
+    Determinism: exact counts are integers; mean reach is integer
+    fixed-point DIV; the gate collapses the engine-specific HLL
+    estimate to a boolean both engines agree on."""
+    edges = ivf_mutual_knn_edges(spark, sf_dir)
+    sym = edges.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")).unionAll(
+        edges.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"))
+    )
+    sym = cut_lineage(sym)  # reused 4x: verts, h1, the wedge join, sketches
+    n_verts = sym.select("a").distinct().count()
+    h1 = sym.distinct()
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = s1.join(s2, F.col("s1.b") == F.col("s2.a")).filter(
+        F.col("s1.a") != F.col("s2.b")
+    ).select(F.col("s1.a").alias("a"), F.col("s2.b").alias("b"))
+    h2 = h1.unionAll(wedge).distinct()
+
+    def level(df: DataFrame, hop: int) -> DataFrame:
+        exact = df.groupBy("a").agg(F.count(F.lit(1)).alias("exact"))
+        est = df.groupBy("a").agg(
+            F.approx_count_distinct("b", rsd=REACH_RSD).alias("est")
+        )
+        return (
+            exact.join(est, "a")
+            .agg(
+                F.sum("exact").alias("n_pairs"),
+                F.sum("est").alias("n_est"),
+            )
+            .select(
+                F.lit(hop).cast("long").alias("hop"),
+                F.col("n_pairs").cast("long").alias("n_pairs_exact"),
+                F.lit(n_verts).cast("long").alias("n_vertices"),
+                F.expr(f"(n_pairs * {REACH_FP}) DIV {n_verts}")
+                .cast("long")
+                .alias("mean_reach_fp"),
+                (
+                    F.abs(F.col("n_est") - F.col("n_pairs"))
+                    <= F.lit(REACH_TOL) * F.col("n_pairs")
+                ).alias("hll_within_tolerance"),
+            )
+        )
+
+    return level(h1, 1).unionAll(level(h2, 2)).orderBy("hop")
+
+
+_QK["graph_neighborhood_function_ivf"] = _dck.replace(
+    _QK["graph_neighborhood_function_ivf"],
+    oracle=_neighborhood_function_ivf_oracle(),
+)

@@ -306,6 +306,7 @@ ROTATION: tuple[str, ...] = (
     "audit_t_closeness",
     "multimodal_zip_eocd_parse",
     "similarity_range_search_ivf",
+    "graph_neighborhood_function_ivf",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

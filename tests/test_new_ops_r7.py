@@ -215,3 +215,32 @@ def test_range_search_ivf_is_cell_restricted_cosine_pairs(spark):
     want = {k: v for k, v in exact.items() if k in cells}
     assert got, "τ-range search empty at smoke SF — threshold too high to test"
     assert got == want
+
+
+def test_neighborhood_function_ivf_matches_python_bfs(spark):
+    """N(1)/N(2) pair counts and fixed-point mean reach vs a set-based
+    recompute over the collected IVF edge frame."""
+    from naive_query_engine_spark.operators.kmeans import REACH_FP
+
+    edges = _ivf_edges(spark)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nv = len(adj)
+    n1 = sum(len(ns) for ns in adj.values())
+    n2 = 0
+    for u, ns in adj.items():
+        reach = set(ns)
+        for m in ns:
+            reach |= adj[m]
+        reach.discard(u)
+        n2 += len(reach)
+    rows = QUERIES["graph_neighborhood_function_ivf"].fn(spark, SF_SMOKE).collect()
+    got = {r["hop"]: r for r in rows}
+    assert got[1]["n_pairs_exact"] == n1
+    assert got[2]["n_pairs_exact"] == n2
+    assert got[1]["n_vertices"] == got[2]["n_vertices"] == nv
+    assert got[1]["mean_reach_fp"] == (n1 * REACH_FP) // nv
+    assert got[2]["mean_reach_fp"] == (n2 * REACH_FP) // nv
+    assert got[1]["hll_within_tolerance"] and got[2]["hll_within_tolerance"]
