@@ -714,3 +714,89 @@ def layout_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("part_imbalance_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read deletion-vector accounting — the OTHER half of table
+# maintenance: compaction handles small files, this handles delete debt
+
+DV_FILE_SPAN = 2000  #: orderkeys per modeled data file
+DV_FP = 1_000_000  #: fixed-point scale for shares / amplification
+DV_REWRITE_FP = 300_000  #: rewrite when >30% of a file's rows are deleted
+DV_HEADER_BYTES = 16  #: modeled roaring-bitmap container overhead
+DV_BYTES_PER_ROW = 2  #: modeled bytes per deleted row position
+
+
+@query(
+    "lakehouse_deletion_vector_stats",
+    oracle=f"""
+    WITH files AS (
+      SELECT l_orderkey // {DV_FILE_SPAN} AS file_id,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_deleted
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_deleted AS BIGINT) AS n_deleted,
+           CAST((n_deleted * {DV_FP}) // n_rows AS BIGINT) AS deleted_share_fp,
+           CAST(CASE WHEN n_deleted > 0
+                     THEN {DV_HEADER_BYTES} + {DV_BYTES_PER_ROW} * n_deleted
+                     ELSE 0 END AS BIGINT) AS dv_bytes,
+           CAST(CASE WHEN n_deleted < n_rows
+                     THEN (n_rows * {DV_FP}) // (n_rows - n_deleted)
+                     ELSE 0 END AS BIGINT) AS scan_amplification_fp,
+           (n_deleted * {DV_FP}) // n_rows > {DV_REWRITE_FP}
+             AS rewrite_recommended
+    FROM files
+    ORDER BY file_id
+    """,
+    tags=("layout", "lakehouse", "deletion-vectors", "maintenance"),
+)
+def lakehouse_deletion_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletion-vector accounting — the maintenance report
+    behind Delta deletion vectors / Iceberg positional deletes: writes
+    mark rows dead in a per-file bitmap instead of rewriting the file,
+    and every reader then pays ``n_rows / live_rows`` scan amplification
+    until a rewrite claims the debt back.  Per modeled data file
+    (orderkey DIV {DV_FILE_SPAN}; deleted = returned lineitems,
+    l_returnflag='R'): row/delete counts, the deleted share, the modeled
+    bitmap size ({DV_HEADER_BYTES} + {DV_BYTES_PER_ROW}·n_deleted bytes,
+    the roaring-container cost model), read amplification, and the
+    rewrite flag (share > 30% — the threshold real OPTIMIZE policies
+    ship with).  `layout_compaction_plan` is the small-file half of
+    maintenance; this is the delete-debt half.
+
+    Scale shape: ONE grouped count at file granularity (map-side
+    partial; output is file-domain-bounded, never row-bounded) + pure
+    per-row arithmetic on the rollup.  All shares/amplifications are
+    integer fixed-point DIV — no float anywhere."""
+    li = t(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        floordiv_col(F.col("l_orderkey"), F.lit(DV_FILE_SPAN)).alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_returnflag") == "R").cast("int")).alias("n_deleted"),
+    )
+    share = F.expr(f"(n_deleted * {DV_FP}) DIV n_rows")
+    return files.select(
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_deleted").cast("long").alias("n_deleted"),
+        share.cast("long").alias("deleted_share_fp"),
+        F.when(
+            F.col("n_deleted") > 0,
+            F.lit(DV_HEADER_BYTES) + F.lit(DV_BYTES_PER_ROW) * F.col("n_deleted"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("dv_bytes"),
+        F.when(
+            F.col("n_deleted") < F.col("n_rows"),
+            F.expr(f"(n_rows * {DV_FP}) DIV (n_rows - n_deleted)"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("scan_amplification_fp"),
+        (share > DV_REWRITE_FP).alias("rewrite_recommended"),
+    ).orderBy("file_id")

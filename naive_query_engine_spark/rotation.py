@@ -307,6 +307,7 @@ ROTATION: tuple[str, ...] = (
     "multimodal_zip_eocd_parse",
     "similarity_range_search_ivf",
     "graph_neighborhood_function_ivf",
+    "lakehouse_deletion_vector_stats",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

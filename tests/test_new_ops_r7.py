@@ -244,3 +244,34 @@ def test_neighborhood_function_ivf_matches_python_bfs(spark):
     assert got[1]["mean_reach_fp"] == (n1 * REACH_FP) // nv
     assert got[2]["mean_reach_fp"] == (n2 * REACH_FP) // nv
     assert got[1]["hll_within_tolerance"] and got[2]["hll_within_tolerance"]
+
+
+def test_deletion_vector_stats_matches_pandas(spark):
+    """Every modeled column vs a pandas recompute over raw lineitem."""
+    from naive_query_engine_spark.operators.layout import (
+        DV_BYTES_PER_ROW,
+        DV_FILE_SPAN,
+        DV_FP,
+        DV_HEADER_BYTES,
+        DV_REWRITE_FP,
+    )
+    from naive_query_engine_spark.queries import QUERIES
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_returnflag"]
+    ]
+    li["file_id"] = li["l_orderkey"] // DV_FILE_SPAN
+    g = li.groupby("file_id").agg(
+        n_rows=("l_orderkey", "size"),
+        n_deleted=("l_returnflag", lambda s: int((s == "R").sum())),
+    )
+    rows = QUERIES["lakehouse_deletion_vector_stats"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == len(g)
+    assert any(r["n_deleted"] > 0 for r in rows)  # the model isn't vacuous
+    for r in rows:
+        n, d = int(g.loc[r["file_id"], "n_rows"]), int(g.loc[r["file_id"], "n_deleted"])
+        assert r["n_rows"] == n and r["n_deleted"] == d
+        assert r["deleted_share_fp"] == (d * DV_FP) // n
+        assert r["dv_bytes"] == (DV_HEADER_BYTES + DV_BYTES_PER_ROW * d if d else 0)
+        assert r["scan_amplification_fp"] == ((n * DV_FP) // (n - d) if d < n else 0)
+        assert r["rewrite_recommended"] == ((d * DV_FP) // n > DV_REWRITE_FP)
