@@ -2723,3 +2723,141 @@ def events_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences — the panel estimator completing the
+# experimentation family (z-test: levels; CUPED: prediction adjustment;
+# DiD: per-user fixed effects under parallel trends)
+
+
+@query(
+    "events_diff_in_diff",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(FLOOR((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / CAST(2 AS DOUBLE))
+                  AS BIGINT) AS m
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN (strpos('0123456789abcdef',
+                               SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             SUM(CASE WHEN epoch_us(ts) >= mid.m THEN 1 ELSE 0 END)
+               - SUM(CASE WHEN epoch_us(ts) < mid.m THEN 1 ELSE 0 END) AS d
+      FROM events CROSS JOIN mid
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(d) AS HUGEINT) AS sd,
+             SUM(CAST(d AS HUGEINT) * d) AS sdd
+      FROM per_user GROUP BY arm
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        MAX(CASE WHEN arm = 'A' THEN sd END) AS sd_a,
+        MAX(CASE WHEN arm = 'B' THEN sd END) AS sd_b,
+        MAX(CASE WHEN arm = 'A' THEN sdd END) AS sdd_a,
+        MAX(CASE WHEN arm = 'B' THEN sdd END) AS sdd_b
+      FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(sd_a AS DOUBLE) / n_a AS mean_diff_a,
+           CAST(sd_b AS DOUBLE) / n_b AS mean_diff_b,
+           CAST(sd_b AS DOUBLE) / n_b - CAST(sd_a AS DOUBLE) / n_a
+             AS did_estimate,
+           (CAST(sd_b AS DOUBLE) / n_b - CAST(sd_a AS DOUBLE) / n_a)
+             / SQRT(
+                 CAST(n_a * sdd_a - sd_a * sd_a AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+                 + CAST(n_b * sdd_b - sd_b * sd_b AS DOUBLE)
+                   / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))
+               ) AS z_score
+    FROM w
+    """,
+    tags=("events", "analytics", "experimentation", "diff-in-diff"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES readout — the panel estimator that
+    completes the experimentation family: `events_ab_test_analysis`
+    compares LEVELS (biased if arms differ at baseline), `events_ab_cuped`
+    adjusts by a pre-period PREDICTION; DiD differences each user against
+    THEMSELVES (post − pre activity), so any time-constant user effect
+    cancels exactly, and compares the per-user changes across arms —
+    identification needs only parallel trends.  Arm = the shared md5
+    assignment; pre/post = the corpus time midpoint (CUPED's anchor,
+    so the two adjusted readouts are directly comparable).
+
+    Everything before the final expressions is exact: per-user change d
+    is an integer, per-arm moments (n, Σd, Σd²) accumulate in
+    DECIMAL(38,0)/HUGEINT (the agg_corr_exact discipline — n·Σd² would
+    wrap raw BIGINT at large SF), and the estimate / Welch z-score are
+    fixed double trees over those six exact numbers — hash-stable.
+    Scale shape: one per-user shuffle, then a 2-row reduce; nothing
+    corpus-sized after the first aggregate."""
+    from ..queries import epoch_micros
+
+    ev = t(spark, sf_dir, "events")
+    us = epoch_micros(F.col("ts"))
+    mid = ev.agg(
+        F.floor((F.min(us) + F.max(us)) / F.lit(2.0)).cast("long").alias("m")
+    )
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(us >= F.col("m"), 1).otherwise(0))
+                - F.sum(F.when(us < F.col("m"), 1).otherwise(0))
+            ).alias("d")
+        )
+        .select(arm.alias("arm"), "d")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("d").cast("decimal(19,0)").alias("sd"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("sdd"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("sd"))).alias("sd_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("sd"))).alias("sd_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("sdd"))).alias("sdd_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("sdd"))).alias("sdd_b"),
+    )
+    mean_a = F.col("sd_a").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("sd_b").cast("double") / F.col("n_b").cast("double")
+    var_a = (F.col("n_a") * F.col("sdd_a") - F.col("sd_a") * F.col("sd_a")).cast(
+        "double"
+    ) / (
+        F.col("n_a").cast("double")
+        * F.col("n_a").cast("double")
+        * (F.col("n_a").cast("double") - 1)
+    )
+    var_b = (F.col("n_b") * F.col("sdd_b") - F.col("sd_b") * F.col("sd_b")).cast(
+        "double"
+    ) / (
+        F.col("n_b").cast("double")
+        * F.col("n_b").cast("double")
+        * (F.col("n_b").cast("double") - 1)
+    )
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        mean_a.alias("mean_diff_a"),
+        mean_b.alias("mean_diff_b"),
+        (mean_b - mean_a).alias("did_estimate"),
+        ((mean_b - mean_a) / F.sqrt(var_a + var_b)).alias("z_score"),
+    )

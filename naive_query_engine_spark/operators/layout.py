@@ -800,3 +800,191 @@ def lakehouse_deletion_vector_stats(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("scan_amplification_fp"),
         (share > DV_REWRITE_FP).alias("rewrite_recommended"),
     ).orderBy("file_id")
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve locality vs Morton — the layout bake-off behind every
+# "which clustering key" decision (Hilbert has no Z-order diagonal jumps)
+
+HILBERT_BITS = 16
+HILBERT_SIDE = 1 << HILBERT_BITS
+
+
+def hilbert_level_exprs(xc: str, yc: str, dc: str, s: int) -> tuple[str, str, str]:
+    """Engine-neutral SQL for ONE level of the standard iterative xy2d
+    Hilbert walk (mask ``s``): quadrant digit (3·rx)⊕ry appended to the
+    running index, then the reflect-and-swap quadrant rotation.  Both
+    engines evaluate these IDENTICAL generated strings (Spark via
+    ``F.expr`` in one select per level, DuckDB via one CTE per level),
+    so the curve cannot diverge across engines.  All three expressions
+    read only PRIOR-level columns — x and y must rotate simultaneously."""
+    rx_true = f"({xc} & {s}) > 0"
+    ry_true = f"({yc} & {s}) > 0"
+    quad = (
+        f"CASE WHEN {rx_true} AND {ry_true} THEN 2"
+        f" WHEN {rx_true} THEN 3"
+        f" WHEN {ry_true} THEN 1 ELSE 0 END"
+    )
+    d_expr = f"{dc} + CAST({s} AS BIGINT) * {s} * ({quad})"
+    x_expr = (
+        f"CASE WHEN NOT ({ry_true}) THEN"
+        f" CASE WHEN {rx_true} THEN {HILBERT_SIDE - 1} - {yc} ELSE {yc} END"
+        f" ELSE {xc} END"
+    )
+    y_expr = (
+        f"CASE WHEN NOT ({ry_true}) THEN"
+        f" CASE WHEN {rx_true} THEN {HILBERT_SIDE - 1} - {xc} ELSE {xc} END"
+        f" ELSE {yc} END"
+    )
+    return x_expr, y_expr, d_expr
+
+
+def _hilbert_sql_ctes(src: str) -> str:
+    """CTE chain computing ``hkey`` from ``{src}(ua, ub)`` — the same
+    generated level expressions the Spark side evaluates."""
+    ctes = [f"h0 AS (SELECT ua, ub, ua AS x0, ub AS y0, CAST(0 AS BIGINT) AS d0 FROM {src})"]
+    for i in range(HILBERT_BITS):
+        s = 1 << (HILBERT_BITS - 1 - i)
+        xe, ye, de = hilbert_level_exprs(f"x{i}", f"y{i}", f"d{i}", s)
+        ctes.append(
+            f"h{i + 1} AS (SELECT ua, ub, {xe} AS x{i + 1},"
+            f" {ye} AS y{i + 1}, {de} AS d{i + 1} FROM h{i})"
+        )
+    ctes.append(
+        f"hk AS (SELECT ua, ub, d{HILBERT_BITS} AS hkey FROM h{HILBERT_BITS})"
+    )
+    return ",\n    ".join(ctes)
+
+
+def hilbert_key_frame(b: DataFrame) -> DataFrame:
+    """(ua, ub) → (ua, ub, hkey): {HILBERT_BITS} one-select-per-level
+    passes over the generated expressions — pure integer arithmetic,
+    whole-stage-codegen'd, no shuffle."""
+    cur = b.select("ua", "ub", F.col("ua").alias("x0"), F.col("ub").alias("y0"),
+                   F.lit(0).cast("long").alias("d0"))
+    for i in range(HILBERT_BITS):
+        s = 1 << (HILBERT_BITS - 1 - i)
+        xe, ye, de = hilbert_level_exprs(f"x{i}", f"y{i}", f"d{i}", s)
+        cur = cur.select(
+            "ua", "ub",
+            F.expr(xe).alias(f"x{i + 1}"),
+            F.expr(ye).alias(f"y{i + 1}"),
+            F.expr(de).alias(f"d{i + 1}"),
+        )
+    return cur.select("ua", "ub", F.col(f"d{HILBERT_BITS}").alias("hkey"))
+
+
+def _curve_compare_oracle() -> str:
+    return f"""
+    WITH r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY user_id, event_id) - 1 AS ra,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rb,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    b AS (
+      SELECT {_floordiv_sql('ra * 65535', 'n - 1')} AS ua,
+             {_floordiv_sql('rb * 65535', 'n - 1')} AS ub
+      FROM r
+    ),
+    {_hilbert_sql_ctes('b')},
+    z AS (
+      SELECT ua, ub,
+             ({_spread_sql('ua')} | ({_spread_sql('ub')} << 1)) AS ckey,
+             'morton' AS curve
+      FROM b
+      UNION ALL
+      SELECT ua, ub, hkey, 'hilbert' FROM hk
+    ),
+    cells AS (
+      SELECT curve, ckey >> 24 AS cell,
+             COUNT(*) AS n_events,
+             MAX(ua) - MIN(ua) AS ua_spread,
+             MAX(ub) - MIN(ub) AS ub_spread
+      FROM z GROUP BY curve, cell
+    )
+    SELECT curve,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(ua_spread) AS BIGINT) AS total_ua_spread,
+           CAST(SUM(ub_spread) AS BIGINT) AS total_ub_spread,
+           CAST(MAX(ua_spread) AS BIGINT) AS max_ua_spread,
+           CAST(MAX(ub_spread) AS BIGINT) AS max_ub_spread
+    FROM cells GROUP BY curve
+    ORDER BY curve
+    """
+
+
+@query(
+    "layout_curve_locality_compare",
+    oracle=None,  # patched below (generated 16-level Hilbert chain)
+    tags=("layout", "zorder", "hilbert", "lakehouse"),
+)
+def layout_curve_locality_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORTON vs HILBERT clustering-key bake-off on the same
+    rank-normalized (user_id, ts) grid as `events_zorder_locality`: per
+    curve, the per-cell min/max spread totals that decide how well
+    parquet row-group pruning works on BOTH dimensions after clustering
+    — the actual decision input for choosing a lakehouse layout key
+    (Hilbert preserves adjacency across quadrant seams where Z-order
+    takes diagonal jumps, so its worst-cell spread is the number to
+    watch).  The Hilbert index is the standard iterative xy2d walk,
+    evaluated from GENERATED per-level expressions that both engines
+    run verbatim ({HILBERT_BITS} reflect-and-swap levels of pure integer
+    arithmetic — `hilbert_level_exprs`), so the curve cannot diverge
+    across engines.
+
+    Scale shape: two `global_rank` range-sorts (no single-partition
+    window — the zorder discipline), then map-only key arithmetic
+    (whole-stage codegen, zero Python), then one cell-bounded rollup
+    per curve.  Everything after the ranks is corpus-linear map work."""
+    e = t(spark, sf_dir, "events")
+    d1, n = global_rank(
+        e.select("event_id", "user_id", "ts"), ["user_id", "event_id"], "ra"
+    )
+    d2, _ = global_rank(d1, ["ts", "event_id"], "rb")
+
+    def scale(rank_col):
+        return floordiv_col(rank_col * 65535, F.lit(max(n - 1, 1)).cast("long"))
+
+    b = cut_lineage(
+        d2.select(scale(F.col("ra")).alias("ua"), scale(F.col("rb")).alias("ub"))
+    )  # the rank frame feeds BOTH curves — materialize the sorts once
+    z = b.select(
+        "ua", "ub", morton_key(F.col("ua"), F.col("ub")).alias("ckey")
+    ).withColumn("curve", F.lit("morton"))
+    h = hilbert_key_frame(b).select(
+        "ua", "ub", F.col("hkey").alias("ckey")
+    ).withColumn("curve", F.lit("hilbert"))
+    cells = (
+        z.unionAll(h)
+        .groupBy("curve", F.shiftright("ckey", 24).cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ua") - F.min("ua")).alias("ua_spread"),
+            (F.max("ub") - F.min("ub")).alias("ub_spread"),
+        )
+    )
+    return (
+        cells.groupBy("curve")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("ua_spread").cast("long").alias("total_ua_spread"),
+            F.sum("ub_spread").cast("long").alias("total_ub_spread"),
+            F.max("ua_spread").cast("long").alias("max_ua_spread"),
+            F.max("ub_spread").cast("long").alias("max_ub_spread"),
+        )
+        .orderBy("curve")
+    )
+
+
+def _patch_curve_compare_oracle() -> None:
+    import dataclasses as _dcl
+
+    from ..queries import QUERIES as _Q
+
+    _Q["layout_curve_locality_compare"] = _dcl.replace(
+        _Q["layout_curve_locality_compare"], oracle=_curve_compare_oracle()
+    )
+
+
+_patch_curve_compare_oracle()

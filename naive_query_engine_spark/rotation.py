@@ -308,6 +308,8 @@ ROTATION: tuple[str, ...] = (
     "similarity_range_search_ivf",
     "graph_neighborhood_function_ivf",
     "lakehouse_deletion_vector_stats",
+    "events_diff_in_diff",
+    "layout_curve_locality_compare",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

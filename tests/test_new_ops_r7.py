@@ -275,3 +275,125 @@ def test_deletion_vector_stats_matches_pandas(spark):
         assert r["dv_bytes"] == (DV_HEADER_BYTES + DV_BYTES_PER_ROW * d if d else 0)
         assert r["scan_amplification_fp"] == ((n * DV_FP) // (n - d) if d < n else 0)
         assert r["rewrite_recommended"] == ((d * DV_FP) // n > DV_REWRITE_FP)
+
+
+def test_diff_in_diff_matches_pandas(spark):
+    """The DiD estimate and Welch z against a pandas recompute with the
+    shared md5 arm assignment and midpoint split."""
+    import hashlib
+    import math
+
+    from naive_query_engine_spark.queries import QUERIES
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["user_id", "ts"]]
+    us = ev["ts"].astype("int64") // 1000  # ns -> us
+    mid = math.floor((us.min() + us.max()) / 2.0)
+    ev = ev.assign(us=us)
+    per_user = ev.groupby("user_id")["us"].agg(
+        d=lambda s: int((s >= mid).sum()) - int((s < mid).sum())
+    )
+    arms = {"A": [], "B": []}
+    for uid, d in per_user["d"].items():
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16)
+        arms["A" if h % 2 == 0 else "B"].append(d)
+
+    def moments(ds):
+        n, sd, sdd = len(ds), sum(ds), sum(x * x for x in ds)
+        mean = sd / n
+        var = (n * sdd - sd * sd) / (n * n * (n - 1))
+        return n, mean, var
+
+    na, ma, va = moments(arms["A"])
+    nb, mb, vb = moments(arms["B"])
+    [r] = QUERIES["events_diff_in_diff"].fn(spark, SF_SMOKE).collect()
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert abs(r["mean_diff_a"] - ma) < 1e-12
+    assert abs(r["mean_diff_b"] - mb) < 1e-12
+    assert abs(r["did_estimate"] - (mb - ma)) < 1e-12
+    assert abs(r["z_score"] - (mb - ma) / math.sqrt(va + vb)) < 1e-9
+
+
+def _xy2d(order_n: int, x: int, y: int) -> int:
+    """Literature xy2d (independent of the generated SQL expressions)."""
+    d = 0
+    s = order_n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = order_n - 1 - x
+                y = order_n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_curve_locality_compare_matches_python(spark):
+    """Both curves' per-cell spread aggregates vs a full recompute: ranks
+    via pandas sort, Morton via bit interleave, Hilbert via the
+    literature xy2d (NOT the generated expressions — an independent
+    implementation, so a generator bug cannot self-confirm)."""
+    from collections import defaultdict
+
+    from naive_query_engine_spark.operators.layout import HILBERT_SIDE
+    from naive_query_engine_spark.queries import QUERIES
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["event_id", "user_id", "ts"]
+    ]
+    n = len(ev)
+    ra = {
+        eid: i
+        for i, eid in enumerate(
+            ev.sort_values(["user_id", "event_id"])["event_id"]
+        )
+    }
+    rb = {
+        eid: i
+        for i, eid in enumerate(ev.sort_values(["ts", "event_id"])["event_id"])
+    }
+
+    def interleave(v: int) -> int:
+        out = 0
+        for bit in range(16):
+            out |= ((v >> bit) & 1) << (2 * bit)
+        return out
+
+    cells: dict[tuple, list] = defaultdict(list)
+    for eid in ev["event_id"]:
+        ua = ra[eid] * 65535 // (n - 1)
+        ub = rb[eid] * 65535 // (n - 1)
+        zkey = interleave(ua) | (interleave(ub) << 1)
+        hkey = _xy2d(HILBERT_SIDE, ua, ub)
+        cells[("morton", zkey >> 24)].append((ua, ub))
+        cells[("hilbert", hkey >> 24)].append((ua, ub))
+    want = {}
+    for curve in ("hilbert", "morton"):
+        ccells = {c: v for (cu, c), v in cells.items() if cu == curve}
+        ua_spreads = [
+            max(u for u, _ in v) - min(u for u, _ in v) for v in ccells.values()
+        ]
+        ub_spreads = [
+            max(b for _, b in v) - min(b for _, b in v) for v in ccells.values()
+        ]
+        want[curve] = (
+            len(ccells),
+            sum(ua_spreads),
+            sum(ub_spreads),
+            max(ua_spreads),
+            max(ub_spreads),
+        )
+    rows = QUERIES["layout_curve_locality_compare"].fn(spark, SF_SMOKE).collect()
+    got = {
+        r["curve"]: (
+            r["n_cells"],
+            r["total_ua_spread"],
+            r["total_ub_spread"],
+            r["max_ua_spread"],
+            r["max_ub_spread"],
+        )
+        for r in rows
+    }
+    assert got == want
