@@ -1939,3 +1939,251 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# the quality-rule FUNNEL + OVERLAP readouts — what a filter pipeline
+# actually deletes at each stage, and which rules are redundant
+
+FUNNEL_FP = 1_000_000  #: fixed-point scale for the per-stage reject share
+
+#: the funnel's fixed stage order (cheap/structural rules first — the
+#: order a production pipeline would run them to shed rows early)
+_FUNNEL_STAGES = ("len", "word_len", "stopword", "repetition")
+
+
+def _gopher_rules_sql() -> str:
+    """The shared per-doc rule booleans (identical expressions to
+    `text_gopher_quality_rules`'s oracle — change them together)."""
+    return rf"""q AS (
+      SELECT doc_id,
+             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS BIGINT) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, '[ \t\n\r\f]+', '', 'g')) AS BIGINT) AS n_nonspace,
+             CAST(LENGTH(list_filter(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+'),
+                                     x -> list_contains([{_STOP_SQL}], x))) AS BIGINT) AS n_stop,
+             CAST(LENGTH(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+'))) AS BIGINT) AS n_distinct
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             (n_tok BETWEEN {GOPHER_MIN_TOK} AND {GOPHER_MAX_TOK}) AS r_len,
+             (n_nonspace >= {GOPHER_MIN_MEAN_LEN} * n_tok
+              AND n_nonspace <= {GOPHER_MAX_MEAN_LEN} * n_tok) AS r_word_len,
+             (n_stop >= {GOPHER_MIN_STOP}) AS r_stop,
+             (2 * n_distinct >= n_tok) AS r_rep
+      FROM q
+    )"""
+
+
+def _gopher_rule_cols(d: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_gopher_rules_sql`: per-doc rule booleans."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
+    n_tok = F.size(toks).cast("long")
+    n_nonspace = F.length(
+        F.regexp_replace(F.col("text"), r"[ \t\n\r\f]+", "")
+    ).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    return d.select(
+        "doc_id",
+        ((n_tok >= GOPHER_MIN_TOK) & (n_tok <= GOPHER_MAX_TOK)).alias("r_len"),
+        (
+            (n_nonspace >= F.lit(GOPHER_MIN_MEAN_LEN) * n_tok)
+            & (n_nonspace <= F.lit(GOPHER_MAX_MEAN_LEN) * n_tok)
+        ).alias("r_word_len"),
+        (n_stop >= GOPHER_MIN_STOP).alias("r_stop"),
+        ((F.lit(2) * n_distinct) >= n_tok).alias("r_rep"),
+    )
+
+
+@query(
+    "text_quality_funnel",
+    oracle=f"""
+    WITH {_gopher_rules_sql()},
+    staged AS (
+      SELECT CASE WHEN NOT r_len THEN 1
+                  WHEN NOT r_word_len THEN 2
+                  WHEN NOT r_stop THEN 3
+                  WHEN NOT r_rep THEN 4
+                  ELSE 5 END AS first_fail
+      FROM r
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (WHERE first_fail = 1) AS BIGINT) AS f1,
+             CAST(COUNT(*) FILTER (WHERE first_fail = 2) AS BIGINT) AS f2,
+             CAST(COUNT(*) FILTER (WHERE first_fail = 3) AS BIGINT) AS f3,
+             CAST(COUNT(*) FILTER (WHERE first_fail = 4) AS BIGINT) AS f4
+      FROM staged
+    )
+    SELECT s.stage, s.rule,
+           CAST(s.n_in AS BIGINT) AS n_in,
+           CAST(s.n_rejected AS BIGINT) AS n_rejected,
+           CAST(s.n_in - s.n_rejected AS BIGINT) AS n_out,
+           CAST((s.n_rejected * {FUNNEL_FP}) // s.n_in AS BIGINT)
+             AS reject_share_fp
+    FROM (
+      SELECT 1 AS stage, 'len' AS rule, n_docs AS n_in, f1 AS n_rejected FROM m
+      UNION ALL
+      SELECT 2, 'word_len', n_docs - f1, f2 FROM m
+      UNION ALL
+      SELECT 3, 'stopword', n_docs - f1 - f2, f3 FROM m
+      UNION ALL
+      SELECT 4, 'repetition', n_docs - f1 - f2 - f3, f4 FROM m
+    ) s
+    ORDER BY s.stage
+    """,
+    tags=("text", "quality", "curation", "funnel"),
+)
+def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter FUNNEL: the same four Gopher rules as
+    `text_gopher_quality_rules`, but applied SEQUENTIALLY (each doc
+    charged to its FIRST failing rule) — the view a production pipeline
+    needs, because marginal per-rule counts double-charge docs that
+    fail several rules and so cannot answer "what does stage 3 actually
+    delete, given stages 1–2 already ran?".  Per stage: docs in, docs
+    rejected here, docs out, and the fixed-point reject share of the
+    SURVIVING population (the number that decides whether a stage earns
+    its compute at 100 TB — a stage rejecting 0.1% of survivors is a
+    candidate to drop).
+
+    Scale shape: one scan computing 4 integer rule booleans per doc, a
+    first-fail CASE, one 5-bucket count — map-side partial everywhere;
+    the funnel arithmetic runs on a 1-row frame."""
+    d = t(spark, sf_dir, "documents")
+    r = _gopher_rule_cols(d)
+    first_fail = (
+        F.when(~F.col("r_len"), 1)
+        .when(~F.col("r_word_len"), 2)
+        .when(~F.col("r_stop"), 3)
+        .when(~F.col("r_rep"), 4)
+        .otherwise(5)
+    )
+    m = r.select(first_fail.alias("ff")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col("ff") == i).cast("int")).alias(f"f{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    stage_frames = []
+    prior = F.lit(0)
+    for i, rule in enumerate(_FUNNEL_STAGES, start=1):
+        stage_frames.append(
+            m.select(
+                F.lit(i).alias("stage"),
+                F.lit(rule).alias("rule"),
+                (F.col("n_docs") - prior).alias("n_in"),
+                F.col(f"f{i}").alias("n_rejected"),
+            )
+        )
+        prior = prior + F.col(f"f{i}")
+    s = stage_frames[0]
+    for sf in stage_frames[1:]:
+        s = s.unionAll(sf)
+    return s.select(
+        F.col("stage").cast("long").alias("stage"),
+        "rule",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_rejected").cast("long").alias("n_rejected"),
+        (F.col("n_in") - F.col("n_rejected")).cast("long").alias("n_out"),
+        F.expr(f"(n_rejected * {FUNNEL_FP}) DIV n_in")
+        .cast("long")
+        .alias("reject_share_fp"),
+    ).orderBy("stage")
+
+
+# the (rule, column) domain shared by the overlap matrix's two sides
+_RULE_COLS = (
+    ("len", "r_len"),
+    ("word_len", "r_word_len"),
+    ("stopword", "r_stop"),
+    ("repetition", "r_rep"),
+)
+
+
+def _rule_overlap_oracle() -> str:
+    pair_rows = []
+    for i, (la, ca) in enumerate(_RULE_COLS):
+        for lb, cb in _RULE_COLS[i:]:
+            pair_rows.append(
+                f"SELECT '{la}' AS rule_a, '{lb}' AS rule_b,"
+                f" CAST(COUNT(*) FILTER (WHERE NOT {ca}) AS BIGINT) AS n_fail_a,"
+                f" CAST(COUNT(*) FILTER (WHERE NOT {cb}) AS BIGINT) AS n_fail_b,"
+                f" CAST(COUNT(*) FILTER (WHERE NOT {ca} AND NOT {cb}) AS BIGINT)"
+                f" AS n_fail_both FROM r"
+            )
+    union = "\n      UNION ALL\n      ".join(pair_rows)
+    return f"""
+    WITH {_gopher_rules_sql()},
+    pairs AS (
+      {union}
+    )
+    SELECT rule_a, rule_b, n_fail_a, n_fail_b, n_fail_both,
+           CAST(CASE WHEN n_fail_a + n_fail_b - n_fail_both = 0 THEN 0
+                     ELSE (n_fail_both * {FUNNEL_FP})
+                          // (n_fail_a + n_fail_b - n_fail_both) END AS BIGINT)
+             AS jaccard_fp
+    FROM pairs
+    ORDER BY rule_a, rule_b
+    """
+
+
+@query(
+    "text_quality_rule_overlap",
+    oracle=_rule_overlap_oracle(),
+    tags=("text", "quality", "curation", "audit"),
+)
+def text_quality_rule_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise FAILURE-OVERLAP matrix for the Gopher rules — the
+    redundancy audit behind every filter-set review: if rule B's
+    failures are mostly inside rule A's (high Jaccard), B adds little
+    beyond A and is a candidate to drop (its compute at 100 TB buys no
+    additional deletions).  For each unordered rule pair including the
+    diagonal: per-rule fail counts, joint fails, and the fixed-point
+    Jaccard of the two failure sets.  Reads with `text_quality_funnel`:
+    the funnel says what each stage deletes in sequence, this says
+    which stages are interchangeable.
+
+    Scale shape: ONE scan computing the 4 rule booleans, then a single
+    1-row aggregate carrying all 10 pair counts (map-side partial) —
+    the pair matrix never materializes per-doc rows."""
+    d = t(spark, sf_dir, "documents")
+    r = _gopher_rule_cols(d)
+    aggs = []
+    for la, ca in _RULE_COLS:
+        aggs.append(F.sum((~F.col(ca)).cast("int")).alias(f"fa_{la}"))
+    for i, (la, ca) in enumerate(_RULE_COLS):
+        for lb, cb in _RULE_COLS[i:]:
+            aggs.append(
+                F.sum((~F.col(ca) & ~F.col(cb)).cast("int")).alias(
+                    f"both_{la}_{lb}"
+                )
+            )
+    m = r.agg(*aggs)
+    rows = []
+    for i, (la, _) in enumerate(_RULE_COLS):
+        for lb, _ in _RULE_COLS[i:]:
+            rows.append(
+                m.select(
+                    F.lit(la).alias("rule_a"),
+                    F.lit(lb).alias("rule_b"),
+                    F.col(f"fa_{la}").cast("long").alias("n_fail_a"),
+                    F.col(f"fa_{lb}").cast("long").alias("n_fail_b"),
+                    F.col(f"both_{la}_{lb}").cast("long").alias("n_fail_both"),
+                )
+            )
+    out = rows[0]
+    for frame in rows[1:]:
+        out = out.unionAll(frame)
+    denom = F.col("n_fail_a") + F.col("n_fail_b") - F.col("n_fail_both")
+    return out.select(
+        "rule_a",
+        "rule_b",
+        "n_fail_a",
+        "n_fail_b",
+        "n_fail_both",
+        F.when(denom == 0, F.lit(0))
+        .otherwise(F.expr(f"(n_fail_both * {FUNNEL_FP}) DIV (n_fail_a + n_fail_b - n_fail_both)"))
+        .cast("long")
+        .alias("jaccard_fp"),
+    ).orderBy("rule_a", "rule_b")

@@ -310,6 +310,8 @@ ROTATION: tuple[str, ...] = (
     "lakehouse_deletion_vector_stats",
     "events_diff_in_diff",
     "layout_curve_locality_compare",
+    "text_quality_funnel",
+    "text_quality_rule_overlap",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

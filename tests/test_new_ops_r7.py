@@ -397,3 +397,91 @@ def test_curve_locality_compare_matches_python(spark):
         for r in rows
     }
     assert got == want
+
+
+def _gopher_fail_sets(sf_dir: str):
+    """Per-rule failure doc-id sets recomputed in plain Python (the
+    independent implementation of the four Gopher rules)."""
+    import re
+
+    from naive_query_engine_spark.operators.text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_TOK,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP,
+        GOPHER_MIN_TOK,
+        STOPWORDS,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    stop = set(STOPWORDS)
+    fails: dict[str, set] = {k: set() for k, _ in
+                             (("len", 0), ("word_len", 0), ("stopword", 0),
+                              ("repetition", 0))}
+    order = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = re.split(r"[ \t\n\r\f]+", text.strip().lower())
+        n_tok = len(toks)
+        n_nonspace = len(re.sub(r"[ \t\n\r\f]+", "", text))
+        n_stop = sum(1 for x in toks if x in stop)
+        n_distinct = len(set(toks))
+        if not (GOPHER_MIN_TOK <= n_tok <= GOPHER_MAX_TOK):
+            fails["len"].add(doc_id)
+        if not (GOPHER_MIN_MEAN_LEN * n_tok <= n_nonspace
+                <= GOPHER_MAX_MEAN_LEN * n_tok):
+            fails["word_len"].add(doc_id)
+        if n_stop < GOPHER_MIN_STOP:
+            fails["stopword"].add(doc_id)
+        if 2 * n_distinct < n_tok:
+            fails["repetition"].add(doc_id)
+        order.append(doc_id)
+    return fails, order
+
+
+def test_quality_funnel_matches_python(spark):
+    """Each stage's in/rejected/out vs a sequential recompute charging
+    every doc to its first failing rule."""
+    from naive_query_engine_spark.operators.text import FUNNEL_FP
+    from naive_query_engine_spark.queries import QUERIES
+
+    fails, order = _gopher_fail_sets(SF_SMOKE)
+    stages = ["len", "word_len", "stopword", "repetition"]
+    n_in = len(order)
+    remaining = set(order)
+    want = []
+    for i, st in enumerate(stages, 1):
+        rejected = remaining & fails[st]
+        want.append((i, st, len(remaining), len(rejected),
+                     len(remaining) - len(rejected),
+                     (len(rejected) * FUNNEL_FP) // len(remaining)))
+        remaining -= rejected
+    rows = QUERIES["text_quality_funnel"].fn(spark, SF_SMOKE).collect()
+    got = [(r["stage"], r["rule"], r["n_in"], r["n_rejected"], r["n_out"],
+            r["reject_share_fp"]) for r in rows]
+    assert got == want
+    assert want[0][3] > 0 or want[1][3] > 0  # the funnel isn't vacuous
+
+
+def test_rule_overlap_matches_python(spark):
+    """Every pair cell (fail counts, joint fails, Jaccard) vs the
+    recomputed failure sets."""
+    from naive_query_engine_spark.operators.text import FUNNEL_FP
+    from naive_query_engine_spark.queries import QUERIES
+
+    fails, _ = _gopher_fail_sets(SF_SMOKE)
+    labels = ["len", "word_len", "stopword", "repetition"]
+    want = {}
+    for i, la in enumerate(labels):
+        for lb in labels[i:]:
+            both = len(fails[la] & fails[lb])
+            union = len(fails[la]) + len(fails[lb]) - both
+            want[(la, lb)] = (len(fails[la]), len(fails[lb]), both,
+                              (both * FUNNEL_FP) // union if union else 0)
+    rows = QUERIES["text_quality_rule_overlap"].fn(spark, SF_SMOKE).collect()
+    got = {
+        (r["rule_a"], r["rule_b"]): (r["n_fail_a"], r["n_fail_b"],
+                                     r["n_fail_both"], r["jaccard_fp"])
+        for r in rows
+    }
+    assert got == want
+    assert len(got) == 10
