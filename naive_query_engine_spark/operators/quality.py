@@ -1441,8 +1441,12 @@ def audit_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = cell_band.groupBy("band").agg(F.sum("cnt").alias("g"))
     tot = glob.agg(F.sum("g").alias("n"))
+    # no hint on the band-distribution frame: it's band-domain-bounded
+    # (|acctbal range| / SENS_BAND rows) but GROUPED, so the broadcast
+    # guard can't prove it — AQE broadcasts it by measured size, which is
+    # the scale-safe default (tests/test_broadcast_guard.py)
     dom = (
-        cells.crossJoin(F.broadcast(glob.select("band", "g")))
+        cells.crossJoin(glob.select("band", "g"))
         .join(cell_band, ["c_mktsegment", "c_nationkey", "band"], "left")
         .crossJoin(F.broadcast(tot))
         .select(

@@ -335,6 +335,40 @@ ANNOTATED = {
     "one bounded MLE reduce",
     "multimodal_image_resize": "map-only: payload build + box-filter "
     "kernel fuse, zero exchanges; 16 typed rows per image out",
+    "graph_link_prediction_ivf": "the RA overlay on the per-IVF-cell "
+    "substrate: Lloyd assignment (broadcast centroids), within-cell pair "
+    "ranking, mutual top-k, then degree-bounded wedge join + anti-join — "
+    "candidates sum(cell^2), never n^2; K is the linear-path knob",
+    "graph_label_modularity_ivf": "the modularity overlay on the IVF edge "
+    "frame (localCheckpoint, reused 4x); label joins + |labels|-bounded "
+    "integer fixed-point rollups",
+    "similarity_range_search_ivf": "within-cell pairs from the shared "
+    "ivf_cell_cosine_pairs frame, one cosine filter — the production "
+    "range-search twin of the n^2 blocked matmul",
+    "graph_neighborhood_function_ivf": "wedge join on the degree-bounded "
+    "IVF graph (<= n k^2 rows) for exact N(2); per-vertex HLL "
+    "approx_count_distinct as the merge-shaped path replacing exact "
+    "distinct at scale",
+    "audit_t_closeness": "one (QI, band) grouped count (map-side partial), "
+    "a domain-bounded cells x bands completion cross join (both broadcast), "
+    "integer cross-multiplied TVD — nothing corpus-sized past the scan",
+    "multimodal_zip_eocd_parse": "JVM hex payload build + one Arrow "
+    "mapInPandas reverse-scan kernel — map-only, zero exchanges; scan "
+    "bounded by the spec 64 KiB comment, not payload size",
+    "lakehouse_deletion_vector_stats": "one file-granularity grouped count "
+    "with map-side combine; all shares integer fixed-point DIV",
+    "events_diff_in_diff": "one per-user shuffle then a 2-row reduce; "
+    "DECIMAL(38,0) moments; Welch z over six exact numbers",
+    "layout_curve_locality_compare": "two global_rank range-sorts "
+    "(no single-partition window), 16 codegen'd Hilbert levels + Morton "
+    "interleave map-only, cell-bounded rollups per curve",
+    "text_quality_funnel": "one scan computing 4 integer rule booleans, "
+    "first-fail CASE, 5-bucket count map-side combined; funnel arithmetic "
+    "on a 1-row frame",
+    "text_quality_rule_overlap": "ONE 1-row aggregate carrying all 10 "
+    "pair counts — the pair matrix never materializes per-doc rows",
+    "events_salting_plan": "one grouped count (key-domain output) + "
+    "broadcast total; pure ceil-division arithmetic",
 }
 
 
