@@ -622,3 +622,69 @@ def pipeline_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# uncertainty sampling — the active-learning composition over the scorer
+
+UNCERTAINTY_K = 25  #: labeling-batch size
+
+
+def _uncertainty_sample_oracle() -> str:
+    from ..queries import QUERIES as _Q
+
+    scoring = _Q["pipeline_model_scoring"].oracle
+    return f"""
+    WITH scored AS MATERIALIZED ({scoring})
+    SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CAST(ABS(score - {TIER_MID}) AS BIGINT) AS margin
+    FROM scored
+    ORDER BY margin, doc_id
+    LIMIT {UNCERTAINTY_K}
+    """
+
+
+@query(
+    "dataset_uncertainty_sample",
+    oracle=None,  # patched below (splices the scorer oracle)
+    tags=("pipeline", "curation", "active-learning", "sampling"),
+)
+def dataset_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCERTAINTY SAMPLING — the active-learning loop's selection step:
+    the {UNCERTAINTY_K} documents whose model score sits closest to the
+    tier boundary (margin = |score − TIER_MID|) are exactly the ones a
+    labeling budget should buy next, because the classifier is most
+    wrong-able there (Lewis & Gale 1994's uncertainty criterion, margin
+    form).  Composes `pipeline_model_scoring` unchanged — the Arrow
+    scoring kernel runs once, then a TakeOrdered top-k under the total
+    order (margin, doc_id); no global sort, shuffle volume is
+    K × n_partitions.  Scores are exact integers so the margin and the
+    cut are hash-stable.
+
+    The production loop: score → THIS pick → human/LLM labels → retrain
+    — each round one batch query, no per-row driver logic anywhere."""
+    from ..queries import QUERIES as _Q
+
+    scored = _Q["pipeline_model_scoring"].fn(spark, sf_dir)
+    return (
+        scored.select(
+            "doc_id",
+            "score",
+            F.abs(F.col("score") - F.lit(TIER_MID)).cast("long").alias("margin"),
+        )
+        .orderBy("margin", "doc_id")
+        .limit(UNCERTAINTY_K)
+    )
+
+
+def _patch_uncertainty_oracle() -> None:
+    import dataclasses as _dcp
+
+    from ..queries import QUERIES as _Q
+
+    _Q["dataset_uncertainty_sample"] = _dcp.replace(
+        _Q["dataset_uncertainty_sample"], oracle=_uncertainty_sample_oracle()
+    )
+
+
+_patch_uncertainty_oracle()

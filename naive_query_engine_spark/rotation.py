@@ -313,6 +313,7 @@ ROTATION: tuple[str, ...] = (
     "text_quality_funnel",
     "text_quality_rule_overlap",
     "events_salting_plan",
+    "dataset_uncertainty_sample",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

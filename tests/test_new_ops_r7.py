@@ -514,3 +514,23 @@ def test_salting_plan_matches_pandas(spark):
             assert (-prev["n_events"], prev["event_type"]) <= (
                 -r["n_events"], r["event_type"])
         prev = r
+
+
+def test_uncertainty_sample_matches_python(spark):
+    """Top-K margin picks vs a recompute over the collected scorer
+    output (total order (margin, doc_id) pinned)."""
+    from naive_query_engine_spark.operators.pipeline import (
+        TIER_MID,
+        UNCERTAINTY_K,
+    )
+    from naive_query_engine_spark.queries import QUERIES
+
+    scored = QUERIES["pipeline_model_scoring"].fn(spark, SF_SMOKE).collect()
+    want = sorted(
+        ((abs(r["score"] - TIER_MID), r["doc_id"], r["score"]) for r in scored)
+    )[:UNCERTAINTY_K]
+    got = [
+        (r["margin"], r["doc_id"], r["score"])
+        for r in QUERIES["dataset_uncertainty_sample"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
