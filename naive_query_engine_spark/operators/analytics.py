@@ -2861,3 +2861,132 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean_b - mean_a).alias("did_estimate"),
         ((mean_b - mean_a) / F.sqrt(var_a + var_b)).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# position-based (U-shaped) multi-touch attribution — the credit model
+# that replaces last-touch once a pipeline can afford the touch join
+
+MT_FP = 1_000_000  #: fixed-point credit scale (a conversion = 1.0 = MT_FP)
+MT_EDGE_FP = 400_000  #: first- and last-touch credit when n >= 3
+MT_MID_FP = 200_000  #: middle-touch pool when n >= 3
+
+
+@query(
+    "events_attribution_position_based",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS conv_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_id AS touch_id, ts AS tts, event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT p.conv_id, p.value, t.channel, t.tts, t.touch_id,
+             ROW_NUMBER() OVER (PARTITION BY p.conv_id
+                                ORDER BY t.tts, t.touch_id) AS rn,
+             COUNT(*) OVER (PARTITION BY p.conv_id) AS n_touch
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND (t.tts < p.pts OR (t.tts = p.pts AND t.touch_id < p.conv_id))
+       AND date_diff('microsecond', t.tts, p.pts) <= {ATTRIB_WINDOW_US}
+    ),
+    credited AS (
+      SELECT channel, value,
+             CASE WHEN n_touch = 1 THEN {MT_FP}
+                  WHEN n_touch = 2 THEN {MT_FP} // 2
+                  WHEN rn = 1 OR rn = n_touch THEN {MT_EDGE_FP}
+                  ELSE {MT_MID_FP} // (n_touch - 2) END AS w
+      FROM joined
+    ),
+    organic AS (
+      SELECT 'organic' AS channel, p.value, {MT_FP} AS w
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM joined j WHERE j.conv_id = p.conv_id)
+    ),
+    allc AS (SELECT * FROM credited UNION ALL SELECT * FROM organic)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+           CAST(SUM(w) AS BIGINT) AS credit_fp,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * w)
+                AS BIGINT) AS revenue_credit_microcents
+    FROM allc GROUP BY channel
+    """,
+    tags=("events", "analytics", "attribution", "multi-touch"),
+)
+def events_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped) multi-touch attribution — the upgrade
+    path from `events_attribution_last_touch` once the touch join is
+    affordable: every click/view strictly before a purchase (same tie
+    rule as last-touch: (ts, event_id) order) inside the 7-day window
+    earns credit — 100% for a lone touch, 50/50 for two, else 40%
+    first + 40% last + the middles sharing 20% equally (the industry
+    U-shape).  Purchases with no in-window touch stay 'organic' at full
+    credit.  Credits are integer fixed-point ({MT_FP} = one conversion;
+    middle shares by exact DIV), revenue credit is cents × weight —
+    exact integers end-to-end, no float anywhere.
+
+    Scale shape: the touch join is user-keyed (one shuffle each side)
+    with per-user fan-out bounded by user activity — the funnel/CEP
+    scaling class; ranking is per-conversion (partition = conv_id).
+    The organic set is an anti-join reusing the joined frame.  Output
+    is channel-bounded."""
+    from ..queries import dec
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (
+            (F.col("tts") < F.col("pts"))
+            | ((F.col("tts") == F.col("pts")) & (F.col("touch_id") < F.col("conv_id")))
+        )
+        & (
+            F.timestamp_diff("MICROSECOND", F.col("tts"), F.col("pts"))
+            <= F.lit(ATTRIB_WINDOW_US)
+        ),
+    )
+    w_rank = Window.partitionBy("conv_id").orderBy("tts", "touch_id")
+    w_cnt = Window.partitionBy("conv_id")
+    ranked = joined.select(
+        "conv_id",
+        "value",
+        "channel",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_touch"),
+    )
+    weight = (
+        F.when(F.col("n_touch") == 1, F.lit(MT_FP))
+        .when(F.col("n_touch") == 2, F.lit(MT_FP // 2))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("n_touch")),
+            F.lit(MT_EDGE_FP),
+        )
+        .otherwise(F.expr(f"{MT_MID_FP} DIV (n_touch - 2)"))
+    )
+    credited = ranked.select("channel", "value", weight.alias("w"))
+    organic = purchases.join(
+        joined.select("conv_id").distinct(), "conv_id", "left_anti"
+    ).select(F.lit("organic").alias("channel"), "value", F.lit(MT_FP).alias("w"))
+    allc = credited.unionAll(organic)
+    cents = (dec(F.col("value")) * 100).cast("long")
+    return allc.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+        F.sum("w").cast("long").alias("credit_fp"),
+        F.sum(cents * F.col("w")).cast("long").alias("revenue_credit_microcents"),
+    )

@@ -314,6 +314,7 @@ ROTATION: tuple[str, ...] = (
     "text_quality_rule_overlap",
     "events_salting_plan",
     "dataset_uncertainty_sample",
+    "events_attribution_position_based",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

@@ -286,7 +286,7 @@ def test_diff_in_diff_matches_pandas(spark):
     from naive_query_engine_spark.queries import QUERIES
 
     ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["user_id", "ts"]]
-    us = ev["ts"].astype("int64") // 1000  # ns -> us
+    us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
     mid = math.floor((us.min() + us.max()) / 2.0)
     ev = ev.assign(us=us)
     per_user = ev.groupby("user_id")["us"].agg(
@@ -534,3 +534,71 @@ def test_uncertainty_sample_matches_python(spark):
         for r in QUERIES["dataset_uncertainty_sample"].fn(spark, SF_SMOKE).collect()
     ]
     assert got == want
+
+
+def test_position_based_attribution_matches_python(spark):
+    """Per-channel credits/revenue vs a full pandas recompute of the
+    U-shape model, plus credit conservation (organic + touched = every
+    purchase, up to the documented DIV shortfall on middle shares)."""
+    from collections import defaultdict
+
+    from naive_query_engine_spark.operators.analytics import (
+        ATTRIB_WINDOW_US,
+        MT_EDGE_FP,
+        MT_FP,
+        MT_MID_FP,
+    )
+    from naive_query_engine_spark.queries import QUERIES
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["event_id", "user_id", "ts", "event_type", "value"]
+    ]
+    ev["us"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    touches = defaultdict(list)
+    for r in ev.itertuples():
+        if r.event_type in ("click", "view"):
+            touches[r.user_id].append((r.us, r.event_id, r.event_type))
+    for v in touches.values():
+        v.sort()
+    want = defaultdict(lambda: [0, 0, 0])  # channel -> [n, credit, revenue]
+    n_purchases = 0
+    for r in ev.itertuples():
+        if r.event_type != "purchase":
+            continue
+        n_purchases += 1
+        cents = int(round(r.value * 100))
+        ts_list = [
+            (us, eid, ch)
+            for us, eid, ch in touches.get(r.user_id, [])
+            if ((us, eid) < (r.us, r.event_id)) and r.us - us <= ATTRIB_WINDOW_US
+        ]
+        if not ts_list:
+            w = want["organic"]
+            w[0] += 1
+            w[1] += MT_FP
+            w[2] += cents * MT_FP
+            continue
+        n = len(ts_list)
+        for i, (_, _, ch) in enumerate(ts_list, 1):
+            if n == 1:
+                wt = MT_FP
+            elif n == 2:
+                wt = MT_FP // 2
+            elif i in (1, n):
+                wt = MT_EDGE_FP
+            else:
+                wt = MT_MID_FP // (n - 2)
+            w = want[ch]
+            w[0] += 1
+            w[1] += wt
+            w[2] += cents * wt
+    rows = QUERIES["events_attribution_position_based"].fn(spark, SF_SMOKE).collect()
+    got = {
+        r["channel"]: [r["n_touchpoints"], r["credit_fp"],
+                       r["revenue_credit_microcents"]]
+        for r in rows
+    }
+    assert got == dict(want)
+    total_credit = sum(v[1] for v in want.values())
+    assert total_credit <= n_purchases * MT_FP  # DIV shortfall only shrinks
+    assert total_credit > (n_purchases * MT_FP * 99) // 100
