@@ -48,6 +48,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
     """Register a named query. ``fn(spark, sf_dir) -> DataFrame``."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # a duplicate @query silently SHADOWS the original in the dict
+            # (caught live in r7: a second orders_rfm_segmentation displaced
+            # the registered one and only the rotation-completeness test
+            # noticed) — fail loudly at import instead
+            raise ValueError(f"query {name!r} is already registered")
         QUERIES[name] = QuerySpec(name, fn, oracle, tuple(tags), doc or (fn.__doc__ or ""))
         return fn
 
