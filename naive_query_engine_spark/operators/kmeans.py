@@ -819,6 +819,19 @@ def similarity_mutual_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session-scoped caches for the IVF substrate, keyed by (spark
+#: application id, sf_dir, k_cells) — the in-session stand-in for a
+#: MAINTAINED vector index (the `cached_capped_index` precedent in
+#: dedup.py).  Five registered queries ride this substrate; without the
+#: cache each re-ran the Lloyd training loop (ITERS collect jobs) per
+#: build.  The pairs cache stores a LAZY plan whose centroids are baked
+#: driver-side literals (training already paid); the edges cache stores
+#: the localCheckpoint'd (materialized, ≤ n·k rows) edge frame.  Reuse
+#: changes no results: every consumer reads the identical relation.
+_IVF_PAIRS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_IVF_EDGES_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def ivf_cell_cosine_pairs(
     spark: SparkSession, sf_dir: str, k_cells: int = KMEANS_K
 ) -> DataFrame:
@@ -827,7 +840,20 @@ def ivf_cell_cosine_pairs(
     mutual-kNN substrate and the τ-range search.  Candidate pairs are
     Σ cell_size², never n²; production holds cell size constant and
     grows the cell count with n (``k_cells``), making the build linear
-    (K∝n probe rows in BASELINE.md r7)."""
+    (K∝n probe rows in BASELINE.md r7).  Session-cached: the Lloyd
+    training (the expensive, eager prefix) runs once per
+    (session, corpus, K)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k_cells)
+    if key not in _IVF_PAIRS_CACHE:
+        _IVF_PAIRS_CACHE[key] = _build_ivf_cell_cosine_pairs(
+            spark, sf_dir, k_cells
+        )
+    return _IVF_PAIRS_CACHE[key]
+
+
+def _build_ivf_cell_cosine_pairs(
+    spark: SparkSession, sf_dir: str, k_cells: int
+) -> DataFrame:
     from pyspark.sql import Window
 
     from .similarity import _qtable, cosine_q, dot_q
@@ -882,7 +908,12 @@ def ivf_mutual_knn_edges(
     default so the oracle stays aligned; tools/ivf_kprop_probe.py
     passes k_cells ∝ n to measure the linear path, BASELINE.md r7).
     The quality price of the restriction is exactly what
-    ``similarity_mutual_knn_ivf``'s recall/precision report measures."""
+    ``similarity_mutual_knn_ivf``'s recall/precision report measures.
+    Session-cached like the pairs frame (one materialized edge frame
+    per (session, corpus, K))."""
+    key = (spark.sparkContext.applicationId, sf_dir, k_cells)
+    if key in _IVF_EDGES_CACHE:
+        return _IVF_EDGES_CACHE[key]
     from pyspark.sql import Window
 
     from .similarity import TOP_K
@@ -908,8 +939,10 @@ def ivf_mutual_knn_edges(
         .filter(F.col("x.src") < F.col("x.dst"))
         .select(F.col("x.src").alias("vec_a"), F.col("x.dst").alias("vec_b"))
     )
-    # built once per overlay — the edge frame is reused multiply there
-    return cut_lineage(ivf_edges)
+    # materialized once (localCheckpoint): the frame is reused multiply
+    # inside each overlay AND across the five substrate consumers
+    _IVF_EDGES_CACHE[key] = cut_lineage(ivf_edges)
+    return _IVF_EDGES_CACHE[key]
 
 
 _QK["similarity_mutual_knn_ivf"] = _dck.replace(
