@@ -1198,3 +1198,32 @@ _QK["graph_neighborhood_function_ivf"] = _dck.replace(
     _QK["graph_neighborhood_function_ivf"],
     oracle=_neighborhood_function_ivf_oracle(),
 )
+
+
+def write_ivf_edge_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    n_buckets: int = 16,
+    k_cells: int = KMEANS_K,
+) -> None:
+    """Persist the per-IVF-cell mutual-kNN edge frame as a MAINTAINED
+    bucketed table — the production form of the vector-similarity index
+    at 100 TB (the `write_shingle_index` precedent, vector edition):
+    the shuffle onto ``vec_a`` is paid once at write time, after which
+    the two serving-path shapes are exchange-free on the index side —
+    per-vertex degree/neighborhood aggregation (groupBy on the bucket
+    key) and the neighbor-lookup probe join (a query-id set joining on
+    ``vec_a``).  ``tests/test_ivf_edge_index.py`` pins both plan
+    properties and byte-equality with the session-built frame.
+    Maintenance on corpus growth is re-clustering per cell and
+    `sources.merge_upsert` on the same bucketed layout."""
+    from ..sources import write_bucketed
+
+    write_bucketed(
+        ivf_mutual_knn_edges(spark, sf_dir, k_cells),
+        table,
+        ["vec_a"],
+        n_buckets,
+        sort_cols=["vec_a", "vec_b"],
+    )
