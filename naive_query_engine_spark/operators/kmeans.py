@@ -851,15 +851,17 @@ def ivf_cell_cosine_pairs(
     return _IVF_PAIRS_CACHE[key]
 
 
-def _build_ivf_cell_cosine_pairs(
-    spark: SparkSession, sf_dir: str, k_cells: int
-) -> DataFrame:
+#: (assignment frame, centroids) per (app, sf_dir, k_cells) — shared by
+#: the pairs builder and the serving-path probe
+_IVF_ASSIGN_CACHE: dict[tuple[str, str, int], tuple[DataFrame, dict]] = {}
+
+
+def _assign_to_cells(qf: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
+    """(vec_id, q, nrm2) → + ``cell``: nearest learned centroid by exact
+    integer L2, lowest-cell-id tie-break (the oracle's ROW_NUMBER rule)."""
     from pyspark.sql import Window
 
-    from .similarity import _qtable, cosine_q, dot_q
-
-    qt = cut_lineage(spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2")))
-    centroids = train_centroids(qt, k_cells, KMEANS_ITERS)
+    spark = qf.sparkSession
     cent = spark.createDataFrame(
         [(j, centroids[j]) for j in sorted(centroids)],
         "c_label long, centroid array<long>",
@@ -870,13 +872,39 @@ def _build_ivf_cell_cosine_pairs(
         lambda acc, x: acc + x,
     )
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    assign = (
-        qt.crossJoin(F.broadcast(cent))
+    return (
+        qf.crossJoin(F.broadcast(cent))
         .select("vec_id", "q", "nrm2", "c_label", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "q", "nrm2", F.col("c_label").alias("cell"))
     )
+
+
+def ivf_corpus_assignment(
+    spark: SparkSession, sf_dir: str, k_cells: int = KMEANS_K
+) -> tuple[DataFrame, dict]:
+    """Session-cached (corpus cell assignment, trained centroids) — the
+    static index state every substrate consumer and the serving probe
+    share; Lloyd training runs once per (session, corpus, K)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k_cells)
+    if key not in _IVF_ASSIGN_CACHE:
+        from .similarity import _qtable
+
+        qt = cut_lineage(
+            spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
+        )
+        centroids = train_centroids(qt, k_cells, KMEANS_ITERS)
+        _IVF_ASSIGN_CACHE[key] = (_assign_to_cells(qt, centroids), centroids)
+    return _IVF_ASSIGN_CACHE[key]
+
+
+def _build_ivf_cell_cosine_pairs(
+    spark: SparkSession, sf_dir: str, k_cells: int
+) -> DataFrame:
+    from .similarity import cosine_q, dot_q
+
+    assign, _ = ivf_corpus_assignment(spark, sf_dir, k_cells)
     a = assign.select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("qa"),
@@ -1226,4 +1254,55 @@ def write_ivf_edge_index(
         ["vec_a"],
         n_buckets,
         sort_cols=["vec_a", "vec_b"],
+    )
+
+
+def ivf_probe_neighbors(
+    spark: SparkSession,
+    sf_dir: str,
+    queries_df: DataFrame,
+    top_k: int | None = None,
+    k_cells: int = KMEANS_K,
+) -> DataFrame:
+    """The ANN SERVING path over the learned cells: arriving query
+    vectors ``(vec_id, embedding)`` → each one's within-cell cosine
+    top-k against the STATIC corpus — what an online retrieval /
+    dedup-on-ingest endpoint computes per request, and what the
+    streaming test drives per micro-batch through ``foreachBatch``
+    (`tests/test_streaming.py::test_stream_ivf_probe_*`).  The corpus
+    side (cell assignment + centroids) is the session-cached index
+    state (`ivf_corpus_assignment` — production: the maintained table
+    from `write_ivf_edge_index`'s pipeline); per batch the only work is
+    quantize → broadcast-centroid assign → one cell-keyed join against
+    the corpus → per-query top-k.  Per-query results are independent,
+    so micro-batch boundaries cannot change them (the incremental-dedup
+    invariant, vector edition).
+
+    Determinism: exact integer dots; (cosine DESC, vec_id) total order."""
+    from pyspark.sql import Window
+
+    from .similarity import TOP_K, cosine_q, dot_q, quantized
+
+    k = top_k or TOP_K
+    corpus, centroids = ivf_corpus_assignment(spark, sf_dir, k_cells)
+    qf = queries_df.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).withColumn("nrm2", dot_q(F.col("q"), F.col("q")))
+    probe = _assign_to_cells(qf, centroids).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn2"),
+        "cell",
+    )
+    cos = cosine_q(dot_q(F.col("qq"), F.col("q")), F.col("qn2"), F.col("nrm2"))
+    scored = (
+        probe.join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long").alias("rk"))
     )

@@ -629,3 +629,50 @@ def test_cm_sink_replay_idempotent(spark, event_files, tmp_path):
         for r in st.cm_merged_sketch(spark, sketch_dir).collect()
     }
     assert merged == {k: 2 * v for k, v in once.items()}
+
+
+def test_stream_ivf_probe_equals_batch(spark, tmp_path):
+    """The ANN serving loop end-to-end (the r7 substrate's online path):
+    query vectors arrive as micro-batches and probe the STATIC
+    session-cached IVF index state per batch (quantize → broadcast-
+    centroid assign → one cell-keyed join → per-query top-k); the union
+    over micro-batches must equal the batch probe of the full query set
+    exactly — per-query results are independent, so micro-batch
+    boundaries cannot change them (the incremental-dedup invariant,
+    vector edition)."""
+    from naive_query_engine_spark.operators.kmeans import ivf_probe_neighbors
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    arrivals = str(tmp_path / "qvecs")
+    queries.repartition(4).write.parquet(arrivals)
+    got: set = set()
+
+    def probe_batch(batch_df, _bid):
+        got.update(
+            tuple(r)
+            for r in ivf_probe_neighbors(spark, SF_SMOKE, batch_df).collect()
+        )
+
+    q = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(probe_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        tuple(r) for r in ivf_probe_neighbors(spark, SF_SMOKE, queries).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous: every query has within-cell neighbors here
+    per_query: dict = {}
+    for query_id, neighbor_id, _cos, rk in got:
+        assert neighbor_id != query_id  # self-matches masked
+        per_query.setdefault(query_id, set()).add(rk)
+    from naive_query_engine_spark.operators.similarity import TOP_K
+
+    for ranks in per_query.values():  # dense 1..k ranks, k <= TOP_K
+        assert ranks == set(range(1, len(ranks) + 1)) and len(ranks) <= TOP_K
