@@ -2187,3 +2187,87 @@ def text_quality_rule_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("jaccard_fp"),
     ).orderBy("rule_a", "rule_b")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage CURVE — the "choose V" input (vocab_coverage reports
+# OOV at one fixed V; this is coverage as a function of V)
+
+COVERAGE_KS = (4, 8, 16, 24)  #: candidate vocabulary sizes (the corpus
+#: vocabulary is 31 types at every SF — production values would be
+#: 2^14..2^18; the CURVE SHAPE, not the absolute sizes, is the operator)
+COVERAGE_FP = 1_000_000
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t, COUNT(*) AS n_types FROM counts),
+    ranked AS (
+      SELECT tok, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn,
+             SUM(c) OVER (ORDER BY c DESC, tok
+                          ROWS UNBOUNDED PRECEDING) AS cum_c
+      FROM counts
+    )
+    SELECT CAST(rn AS BIGINT) AS vocab_size,
+           CAST(cum_c AS BIGINT) AS covered_tokens,
+           CAST(t.t AS BIGINT) AS total_tokens,
+           CAST(t.n_types AS BIGINT) AS n_types,
+           CAST((cum_c * {COVERAGE_FP}) // t.t AS BIGINT) AS coverage_ppm
+    FROM ranked CROSS JOIN tot t
+    WHERE rn IN ({", ".join(str(k) for k in COVERAGE_KS)})
+    ORDER BY rn
+    """,
+    tags=("text", "tokenizer", "vocabulary", "curation"),
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage CURVE: for each candidate vocab size V in
+    {COVERAGE_KS}, the share of the corpus token stream covered by the
+    top-V tokens — the decision input for choosing a tokenizer
+    vocabulary (`text_vocab_coverage` then audits per-doc OOV at the
+    chosen V).  The curve's knee is where more vocabulary stops buying
+    coverage; on a Zipfian corpus (`text_zipf_slope` measures this one)
+    the curve is log-shaped and the knee is sharp.
+
+    Scale shape: one token-count aggregation (map-side combine), then
+    the frequency ranking and running token-mass both come from ONE
+    `distributed_prefix_sums` pass over the (count DESC, token) total
+    order — no single-partition window (the no-global-window
+    discipline; the oracle's ROW_NUMBER/SUM OVER is the same total
+    order, single-threaded in DuckDB).  Output is |{COVERAGE_KS}|
+    rows."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        spread(d)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("negc", -F.col("c"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    tot = counts.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_types")
+    )
+    from .layout import distributed_prefix_sums
+
+    pref = distributed_prefix_sums(counts, ["negc", "tok"], ["c", "one"])
+    return (
+        pref.filter(F.col("one_cum").isin([k for k in COVERAGE_KS]))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("one_cum").cast("long").alias("vocab_size"),
+            F.col("c_cum").cast("long").alias("covered_tokens"),
+            F.col("t").cast("long").alias("total_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.expr(f"(c_cum * {COVERAGE_FP}) DIV t").cast("long").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("vocab_size")
+    )

@@ -315,6 +315,7 @@ ROTATION: tuple[str, ...] = (
     "events_salting_plan",
     "dataset_uncertainty_sample",
     "events_attribution_position_based",
+    "text_vocab_coverage_curve",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

@@ -602,3 +602,37 @@ def test_position_based_attribution_matches_python(spark):
     total_credit = sum(v[1] for v in want.values())
     assert total_credit <= n_purchases * MT_FP  # DIV shortfall only shrinks
     assert total_credit > (n_purchases * MT_FP * 99) // 100
+
+
+def test_vocab_coverage_curve_matches_python(spark):
+    """Each curve point vs a Counter-based recompute over the raw token
+    stream (count-desc, token-asc total order)."""
+    import re
+    from collections import Counter
+
+    from naive_query_engine_spark.operators.text import (
+        COVERAGE_FP,
+        COVERAGE_KS,
+    )
+    from naive_query_engine_spark.queries import QUERIES
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")["text"]
+    counts = Counter(
+        tok
+        for text in docs
+        for tok in re.split(r"[ \t\n\r\f]+", text.strip().lower())
+    )
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    want = []
+    cum = 0
+    for i, (_, c) in enumerate(ordered, 1):
+        cum += c
+        if i in COVERAGE_KS:
+            want.append((i, cum, total, len(counts),
+                         (cum * COVERAGE_FP) // total))
+    rows = QUERIES["text_vocab_coverage_curve"].fn(spark, SF_SMOKE).collect()
+    got = [(r["vocab_size"], r["covered_tokens"], r["total_tokens"],
+            r["n_types"], r["coverage_ppm"]) for r in rows]
+    assert got == want
+    assert len(got) >= 2  # at least two curve points exist at smoke SF
