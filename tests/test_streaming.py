@@ -676,3 +676,82 @@ def test_stream_ivf_probe_equals_batch(spark, tmp_path):
 
     for ranks in per_query.values():  # dense 1..k ranks, k <= TOP_K
         assert ranks == set(range(1, len(ranks) + 1)) and len(ranks) <= TOP_K
+
+
+def test_watermark_excludes_late_replay_from_results(spark, tmp_path):
+    """Late-data enforcement end-to-end, with the watermark CHECKPOINTED
+    across restarts: run 1 processes the corpus head and advances the
+    watermark to max(ts) - 1h; run 2 (same checkpoint) sees a REPLAY of
+    events days older than that.  The append-mode windowed counts must
+    never contain a replay-side window — the ancient rows are filtered
+    by the RESTORED watermark (batch twin of the policy:
+    events_late_arrival_audit).  Also documents the observability gap:
+    pre-aggregation watermark filtering reports ZERO in
+    numRowsDroppedByWatermark, so a production late-data DLQ must count
+    late rows itself (e.g. a foreachBatch filter), not rely on that
+    metric."""
+    import json as _json
+
+    ev = t(spark, SF_SMOKE, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "user_id"
+    )  # NTZ -> TIMESTAMP: EventTimeWatermark rejects TIMESTAMP_NTZ
+    hi = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    lo = ev.agg(F.min("ts").alias("m")).collect()[0]["m"]
+    assert (hi - lo).days >= 2  # the corpus spans enough for lateness
+    arrivals = str(tmp_path / "late_arrivals")
+    on_time = ev.filter(F.col("ts") >= F.lit(hi) - F.expr("INTERVAL 1 DAY"))
+    very_late = ev.filter(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 DAY"))
+    assert very_late.count() > 0
+    sink = str(tmp_path / "late_sink")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_available():
+        counts = (
+            spark.readStream.schema(on_time.schema)
+            .parquet(arrivals)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .count()
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return [
+            _json.loads(pp.json) if hasattr(pp, "json") else pp
+            for pp in q.recentProgress
+        ]
+
+    on_time.coalesce(1).write.mode("append").parquet(arrivals)
+    run_available()  # advances + checkpoints the watermark to hi - 1h
+    very_late.coalesce(1).write.mode("append").parquet(arrivals)
+    progresses = run_available()  # the replay, under the restored watermark
+    assert progresses, "the replay run processed no batch"
+    late_max = very_late.agg(F.max("ts")).collect()[0][0].isoformat()
+    assert all(
+        p["eventTime"]["watermark"] > late_max for p in progresses
+    )  # the restored watermark already sits past the whole replay
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in progresses
+        for op in p["stateOperators"]
+    )
+    n_late = very_late.count()
+    assert 0 < dropped <= n_late  # a lower bound, not an exact count
+    assert dropped >= n_late - len(progresses)  # ≤1 pre-filtered row/batch
+    assert all(
+        op["numRowsUpdated"] == 0
+        for p in progresses
+        for op in p["stateOperators"]
+    )  # the replay touched no state
+    out = spark.read.parquet(sink)
+    assert out.count() > 0  # head windows below the watermark flushed
+    cutoff = hi - __import__("datetime").timedelta(days=1, hours=1)
+    assert out.filter(F.col("window.start") < F.lit(cutoff)).count() == 0, (
+        "an ancient replay window reached the sink"
+    )
