@@ -1183,35 +1183,10 @@ def pipeline_dedup_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFra
 
 def _knn_components_oracle() -> str:
     from ..queries import QUERIES as _Q
+    from .graph_overlays import knn_components_oracle_with
 
     knn = _Q["similarity_mutual_knn"].oracle
-    return f"""
-    WITH RECURSIVE knn AS MATERIALIZED ({knn}),
-    sym AS MATERIALIZED (
-      SELECT vec_a AS a, vec_b AS b FROM knn
-      UNION
-      SELECT vec_b, vec_a FROM knn
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM sym
-      UNION
-      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    comp AS (
-      SELECT v.vec_id,
-             CAST(LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS BIGINT)
-               AS component
-      FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
-      GROUP BY v.vec_id
-    ),
-    sizes AS (
-      SELECT component, CAST(COUNT(*) AS BIGINT) AS csize FROM comp GROUP BY 1
-    )
-    SELECT csize AS cluster_size,
-           CAST(COUNT(*) AS BIGINT) AS n_clusters,
-           CAST(csize * COUNT(*) AS BIGINT) AS n_vectors
-    FROM sizes GROUP BY csize
-    """
+    return knn_components_oracle_with(f"knn AS MATERIALIZED ({knn})")
 
 
 @query(

@@ -185,3 +185,38 @@ def modularity_overlay(lab: DataFrame, edges: DataFrame) -> DataFrame:
             ).cast("long").alias("modularity_fp"),
         )
     )
+
+
+def knn_components_oracle_with(knn_with: str, recursive: bool = True) -> str:
+    """Connected-components cluster-size histogram oracle over any
+    substrate: ``knn_with`` opens the WITH clause and must define
+    ``knn(vec_a, vec_b)``.  The reach CTE is recursive, so the opener
+    is ``WITH RECURSIVE`` (legal for a mixed recursive/plain chain)."""
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"""
+    {kw} {knn_with},
+    sym AS MATERIALIZED (
+      SELECT vec_a AS a, vec_b AS b FROM knn
+      UNION
+      SELECT vec_b, vec_a FROM knn
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT v.vec_id,
+             CAST(LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS BIGINT)
+               AS component
+      FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+      GROUP BY v.vec_id
+    ),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS csize FROM comp GROUP BY 1
+    )
+    SELECT csize AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(csize * COUNT(*) AS BIGINT) AS n_vectors
+    FROM sizes GROUP BY csize
+    """

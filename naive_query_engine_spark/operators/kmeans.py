@@ -1306,3 +1306,45 @@ def ivf_probe_neighbors(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@query(
+    "graph_knn_components_ivf",
+    oracle=None,  # patched below (splices the per-cell substrate CTEs)
+    tags=("similarity", "graph", "clustering", "ivf", "iterative"),
+)
+def graph_knn_components_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``graph_knn_components`` on the PRODUCTION substrate: the same
+    label-propagation connected components + cluster-size histogram,
+    but over the per-IVF-cell mutual-kNN edges instead of the exact n²
+    graph — the semantic-cluster census a 100 TB corpus actually runs
+    (the exact twin stays as the small-SF calibration; the substrate's
+    recall/precision report prices the cross-cell edges this variant
+    cannot see, which can only SPLIT components, never merge them).
+
+    Determinism: component = min reachable vec_id (exact integers over
+    the substrate's deterministic edge set); exact counting."""
+    from .clustering import connected_components
+
+    e = t(spark, sf_dir, "embeddings")
+    edges = ivf_mutual_knn_edges(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    comp = connected_components(e.select(F.col("vec_id").alias("id")), edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy(F.col("csize").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_vectors"),
+    )
+
+
+def _patch_knn_components_ivf_oracle() -> None:
+    from .graph_overlays import knn_components_oracle_with
+
+    _QK["graph_knn_components_ivf"] = _dck.replace(
+        _QK["graph_knn_components_ivf"],
+        oracle=knn_components_oracle_with(_ivf_knn_with()),
+    )
+
+
+_patch_knn_components_ivf_oracle()

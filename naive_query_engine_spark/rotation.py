@@ -316,6 +316,7 @@ ROTATION: tuple[str, ...] = (
     "dataset_uncertainty_sample",
     "events_attribution_position_based",
     "text_vocab_coverage_curve",
+    "graph_knn_components_ivf",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

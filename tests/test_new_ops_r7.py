@@ -636,3 +636,34 @@ def test_vocab_coverage_curve_matches_python(spark):
             r["n_types"], r["coverage_ppm"]) for r in rows]
     assert got == want
     assert len(got) >= 2  # at least two curve points exist at smoke SF
+
+
+def test_knn_components_ivf_matches_unionfind(spark):
+    """Cluster-size histogram vs a union-find recompute over the
+    collected IVF edge frame (singletons included), plus the
+    substrate-restriction invariant: cells only SPLIT components, so
+    the IVF variant has at least as many clusters as the exact one."""
+    edges = _ivf_edges(spark)
+    n_vecs = len(pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet"))
+    parent = list(range(n_vecs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter(Counter(find(v) for v in range(n_vecs)).values())
+    rows = QUERIES["graph_knn_components_ivf"].fn(spark, SF_SMOKE).collect()
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_vectors"]) for r in rows}
+    assert got == {s: (n, s * n) for s, n in sizes.items()}
+    n_ivf_clusters = sum(n for n in sizes.values())
+    exact_rows = QUERIES["graph_knn_components"].fn(spark, SF_SMOKE).collect()
+    n_exact_clusters = sum(r["n_clusters"] for r in exact_rows)
+    assert n_ivf_clusters >= n_exact_clusters
