@@ -36,7 +36,7 @@ from .queries import QUERIES
 
 #: bump when the previous round's window is folded into DRIVER_SAMPLED —
 #: drives the deterministic resample-slot rotation below
-ROUND = 7
+ROUND = 8
 
 # Names with at least one driver-green CORRECTNESS row (union of the key
 # sets of CORRECTNESS_r01.json .. CORRECTNESS_r04.json).  55 names: the
@@ -107,6 +107,33 @@ DRIVER_SAMPLED: frozenset[str] = frozenset(
         "pipeline_model_scoring", "mv_incremental_refresh",
         "multimodal_frame_sample", "multimodal_payload_chunks",
         "sketch_approx_quantiles", "sketch_hll_intersection",
+        # --- r7 window (CORRECTNESS_r07.json: 50/50 green, 42 first-ever
+        # rows; scan_project_expr / join_inner_chain /
+        # agg_grouped_computed_key / window_rank / q01_pricing_summary were
+        # the sentinels and dedup_substring_strided / dedup_tfidf_cosine /
+        # dedup_tfidf_cosine_prefix that round's resample slots) ---
+        "agg_mode_exact", "audit_l_diversity",
+        "dataset_dsir_importance_weights", "dataset_erase_propagation",
+        "dataset_split_neardup_leakage", "dedup_containment",
+        "dedup_cross_source_overlap", "dedup_segment_exact",
+        "dedup_tokens_saved_by_source", "embedding_cluster_balanced_sample",
+        "embedding_int8_quantization_error",
+        "embedding_intrinsic_dimension_twonn",
+        "embedding_matryoshka_prefix_recall", "events_ab_mann_whitney",
+        "events_ab_srm_check", "events_absence_timeout",
+        "events_late_arrival_audit", "events_trend_theil_sen",
+        "graph_knn_components", "graph_label_modularity",
+        "graph_link_prediction", "graph_link_prediction_ivf",
+        "layout_partition_skew_report", "multimodal_audio_vad_segments",
+        "multimodal_http_response_parse", "multimodal_image_phash_dedup",
+        "multimodal_image_resize", "multimodal_mp4_box_parse",
+        "multimodal_pcm_frame_energy", "multimodal_phash_hamming_neardup",
+        "multimodal_tiff_header_parse", "orders_scd2_priority_history",
+        "orders_snapshot_as_of", "pipeline_cdc_merge",
+        "pipeline_dedup_weighted_mixture", "retrieval_mmr_diversify",
+        "similarity_ivf_nprobe_sweep", "similarity_mutual_knn",
+        "similarity_mutual_knn_ivf", "sketch_ams_f2", "text_heaps_law_fit",
+        "text_tokenizer_fertility",
     }
 )
 
