@@ -2870,6 +2870,14 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 MT_FP = 1_000_000  #: fixed-point credit scale (a conversion = 1.0 = MT_FP)
 MT_EDGE_FP = 400_000  #: first- and last-touch credit when n >= 3
 MT_MID_FP = 200_000  #: middle-touch pool when n >= 3
+#: STRUCTURAL fan-out caps (VERDICT r7 #6): without them the user-keyed
+#: touch join is quadratic in per-user activity — fine on real corpora
+#: (bounded journeys) but an assumed bound, not a structural one, and
+#: replicated probe corpora inflate it (3.2x at 10x, BASELINE.md r7).
+#: Production attribution systems rate-limit exactly this way.
+MT_USER_WEEK_CAP = 64  #: attributable touches kept per user per week (latest)
+MT_MAX_TOUCH = 32  #: U-shape computed over the LAST n touches per conversion
+MT_WEEK_US = 7 * 86_400 * 1_000_000  #: the week bucket for the rate cap
 
 
 @query(
@@ -2879,20 +2887,33 @@ MT_MID_FP = 200_000  #: middle-touch pool when n >= 3
       SELECT user_id, event_id AS conv_id, ts AS pts, value
       FROM events WHERE event_type = 'purchase'
     ),
-    touches AS (
-      SELECT user_id, event_id AS touch_id, ts AS tts, event_type AS channel
+    touches_all AS (
+      SELECT user_id, event_id AS touch_id, ts AS tts, event_type AS channel,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, epoch_us(ts) // {MT_WEEK_US}
+               ORDER BY ts DESC, event_id DESC) AS wr
       FROM events WHERE event_type IN ('click', 'view')
     ),
-    joined AS (
+    touches AS (
+      SELECT user_id, touch_id, tts, channel FROM touches_all
+      WHERE wr <= {MT_USER_WEEK_CAP}
+    ),
+    joined0 AS (
       SELECT p.conv_id, p.value, t.channel, t.tts, t.touch_id,
              ROW_NUMBER() OVER (PARTITION BY p.conv_id
-                                ORDER BY t.tts, t.touch_id) AS rn,
-             COUNT(*) OVER (PARTITION BY p.conv_id) AS n_touch
+                                ORDER BY t.tts DESC, t.touch_id DESC) AS rd,
+             COUNT(*) OVER (PARTITION BY p.conv_id) AS n_pre
       FROM purchases p
       JOIN touches t
         ON t.user_id = p.user_id
        AND (t.tts < p.pts OR (t.tts = p.pts AND t.touch_id < p.conv_id))
        AND date_diff('microsecond', t.tts, p.pts) <= {ATTRIB_WINDOW_US}
+    ),
+    joined AS (
+      SELECT conv_id, value, channel, tts, touch_id,
+             LEAST(n_pre, {MT_MAX_TOUCH}) - rd + 1 AS rn,
+             LEAST(n_pre, {MT_MAX_TOUCH}) AS n_touch
+      FROM joined0 WHERE rd <= {MT_MAX_TOUCH}
     ),
     credited AS (
       SELECT channel, value,
@@ -2929,11 +2950,17 @@ def events_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataF
     middle shares by exact DIV), revenue credit is cents × weight —
     exact integers end-to-end, no float anywhere.
 
-    Scale shape: the touch join is user-keyed (one shuffle each side)
-    with per-user fan-out bounded by user activity — the funnel/CEP
-    scaling class; ranking is per-conversion (partition = conv_id).
-    The organic set is an anti-join reusing the joined frame.  Output
-    is channel-bounded."""
+    Scale shape (VERDICT r7 #6 — the bound is STRUCTURAL, not assumed):
+    touches are rate-capped to the latest MT_USER_WEEK_CAP per
+    (user, epoch-week) BEFORE the join, and the U-shape is computed
+    over the last MT_MAX_TOUCH touches per conversion after it — both
+    caps applied identically in the oracle, so the per-purchase join
+    fan-out is <= 2 weeks x the rate cap whatever the corpus's per-user
+    activity (replicated probe corpora inflate exactly this, 3.2x at
+    10x pre-cap).  The join itself is user-keyed (one shuffle each
+    side); ranking is per-conversion (partition = conv_id).  The
+    organic set is an anti-join reusing the joined frame.  Output is
+    channel-bounded."""
     from ..queries import dec
 
     ev = t(spark, sf_dir, "events")
@@ -2943,15 +2970,41 @@ def events_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataF
         F.col("ts").alias("pts"),
         "value",
     )
-    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
-        F.col("user_id").alias("t_user"),
-        F.col("event_id").alias("touch_id"),
-        F.col("ts").alias("tts"),
-        F.col("event_type").alias("channel"),
+    from ..queries import epoch_micros, floordiv_col
+
+    w_week = Window.partitionBy(
+        "t_user", floordiv_col(epoch_micros(F.col("tts")), F.lit(MT_WEEK_US))
+    ).orderBy(F.col("tts").desc(), F.col("touch_id").desc())
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("touch_id"),
+            F.col("ts").alias("tts"),
+            F.col("event_type").alias("channel"),
+        )
+        .withColumn("wr", F.row_number().over(w_week))
+        .filter(F.col("wr") <= MT_USER_WEEK_CAP)  # per-user-week rate cap
+        .drop("wr")
     )
-    joined = purchases.join(
-        touches,
-        (F.col("t_user") == F.col("user_id"))
+    # (user, week-bucket) composite join key: the 7-day lookback spans at
+    # most two epoch-week buckets, so each touch is exploded into the two
+    # buckets it can serve and the join runs on the FINER key — per-group
+    # pair evaluations drop from (user purchases x user touches) to
+    # (user-week purchases x <= 2 weeks x rate cap), and the shuffle
+    # distributes on (user, week) instead of piling a heavy user on one
+    # task.  A (purchase, touch) pair matches exactly one bucket value,
+    # so no dedup is needed; the oracle keeps the plain user-keyed join —
+    # identical semantics, this is physical only.
+    tweek = floordiv_col(epoch_micros(F.col("tts")), F.lit(MT_WEEK_US))
+    touches2 = touches.withColumn(
+        "jweek", F.explode(F.array(tweek, tweek + F.lit(1)))
+    )
+    pweek = floordiv_col(epoch_micros(F.col("pts")), F.lit(MT_WEEK_US))
+    joined0 = purchases.withColumn("pweek", pweek).join(
+        touches2,
+        (F.col("jweek") == F.col("pweek"))
+        & (F.col("t_user") == F.col("user_id"))
         & (
             (F.col("tts") < F.col("pts"))
             | ((F.col("tts") == F.col("pts")) & (F.col("touch_id") < F.col("conv_id")))
@@ -2961,15 +3014,33 @@ def events_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataF
             <= F.lit(ATTRIB_WINDOW_US)
         ),
     )
-    w_rank = Window.partitionBy("conv_id").orderBy("tts", "touch_id")
-    w_cnt = Window.partitionBy("conv_id")
-    ranked = joined.select(
-        "conv_id",
-        "value",
-        "channel",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_cnt).alias("n_touch"),
+    # one descending window gives the recency rank AND the pre-cap count;
+    # the ascending U-shape position is then pure arithmetic on the kept
+    # rows — no second or third window sort over the joined frame
+    w_recency = Window.partitionBy("conv_id").orderBy(
+        F.col("tts").desc(), F.col("touch_id").desc()
     )
+    n_kept = F.least(F.col("n_pre"), F.lit(MT_MAX_TOUCH))
+    ranked = (
+        joined0.select(
+            "conv_id",
+            "value",
+            "channel",
+            F.row_number().over(w_recency).alias("rd"),
+            F.count(F.lit(1)).over(w_recency.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )).alias("n_pre"),
+        )
+        .filter(F.col("rd") <= MT_MAX_TOUCH)  # per-conversion touch cap
+        .select(
+            "conv_id",
+            "value",
+            "channel",
+            (n_kept - F.col("rd") + 1).alias("rn"),
+            n_kept.alias("n_touch"),
+        )
+    )
+    joined = ranked  # organic anti-join below needs the kept conv ids
     weight = (
         F.when(F.col("n_touch") == 1, F.lit(MT_FP))
         .when(F.col("n_touch") == 2, F.lit(MT_FP // 2))

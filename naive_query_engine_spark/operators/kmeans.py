@@ -205,11 +205,21 @@ def train_centroids(
     return centroids
 
 
-def _kmeans_sql_parts(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> list[str]:
+def _kmeans_sql_parts(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, train_pred: str = ""
+) -> list[str]:
     """DuckDB CTE chain for the Lloyd recurrence (shared by the k-means
     oracle and the learned-quantizer IVF oracle): q, c0, a1..a{iters},
     c1..c{iters-1}.  ``c{iters-1}`` is the final centroid table and
-    ``a{iters}`` the final assignment."""
+    ``a{iters}`` the final assignment.
+
+    ``train_pred`` (a SQL predicate over ``vec_id``) restricts the
+    TRAINING corpus — seed selection and the assignment rounds feeding
+    centroid updates — while the FINAL assignment ``a{iters}`` still
+    covers every vector.  That is exactly the maintained-index regime
+    (frozen quantizer trained on the base corpus, everyone assigned to
+    it); empty/default keeps the original train-on-everything chain."""
+    seed_w = f" WHERE {train_pred}" if train_pred else ""
     ctes = [
         f"""q AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -218,10 +228,17 @@ def _kmeans_sql_parts(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> list[str]
     )""",
         f"""c0 AS (
       SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cluster, dim, qv AS cv
-      FROM q WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+      FROM q WHERE vec_id IN (SELECT vec_id FROM embeddings{seed_w} ORDER BY vec_id LIMIT {k})
     )""",
     ]
     for i in range(1, iters + 1):
+        # training rounds assign the training subset only; the last round
+        # is the final assignment and covers the full corpus
+        src = (
+            f"(SELECT * FROM q WHERE {train_pred})"
+            if train_pred and i < iters
+            else "q"
+        )
         ctes.append(f"""a{i} AS (
       SELECT vec_id, cluster, dist2 FROM (
         SELECT q.vec_id, c.cluster,
@@ -229,7 +246,7 @@ def _kmeans_sql_parts(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> list[str]
                ROW_NUMBER() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cluster) AS rn
-        FROM q JOIN c{i - 1} c ON q.dim = c.dim
+        FROM {src} q JOIN c{i - 1} c ON q.dim = c.dim
         GROUP BY q.vec_id, c.cluster
       ) WHERE rn = 1
     )""")
@@ -899,12 +916,17 @@ def ivf_corpus_assignment(
     return _IVF_ASSIGN_CACHE[key]
 
 
-def _build_ivf_cell_cosine_pairs(
-    spark: SparkSession, sf_dir: str, k_cells: int
+def cell_cosine_pairs_from_assignment(
+    assign: DataFrame, with_cell: bool = False
 ) -> DataFrame:
+    """Within-cell (vec_a < vec_b, cosine) pairs for ANY assignment frame
+    (vec_id, q, nrm2, cell) — the substrate builder factored out so the
+    incremental index maintenance can run it on a partition-pruned
+    touched-cells slice instead of the whole corpus.  ``with_cell``
+    retains the cell id (every pair is within-cell, so it has exactly
+    one), which the maintained cell-partitioned index needs."""
     from .similarity import cosine_q, dot_q
 
-    assign, _ = ivf_corpus_assignment(spark, sf_dir, k_cells)
     a = assign.select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("qa"),
@@ -918,11 +940,56 @@ def _build_ivf_cell_cosine_pairs(
         "cell",
     )
     cos = cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
+    cols = ["vec_a", "vec_b", cos.alias("cosine")] + (
+        ["cell"] if with_cell else []
+    )
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .select(*cols)
     )
+
+
+def mutual_knn_edges_from_pairs(
+    pairs: DataFrame, top_k: int, with_cell: bool = False
+) -> DataFrame:
+    """(vec_a < vec_b) mutual top-k edges from a within-cell pairs frame —
+    the ranking half of the substrate, factored for the same reason as
+    :func:`cell_cosine_pairs_from_assignment`.  With ``with_cell`` the
+    input pairs must carry ``cell`` and the output keeps it."""
+    from pyspark.sql import Window
+
+    extra = ["cell"] if with_cell else []
+    directed = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine", *extra
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine", *extra
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    ranked = directed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_k
+    )
+    x, y = ranked.alias("x"), ranked.alias("y")
+    out = [F.col("x.src").alias("vec_a"), F.col("x.dst").alias("vec_b")] + (
+        [F.col("x.cell").alias("cell")] if with_cell else []
+    )
+    return (
+        x.join(
+            y,
+            (F.col("y.src") == F.col("x.dst")) & (F.col("y.dst") == F.col("x.src")),
+        )
+        .filter(F.col("x.src") < F.col("x.dst"))
+        .select(*out)
+    )
+
+
+def _build_ivf_cell_cosine_pairs(
+    spark: SparkSession, sf_dir: str, k_cells: int
+) -> DataFrame:
+    assign, _ = ivf_corpus_assignment(spark, sf_dir, k_cells)
+    return cell_cosine_pairs_from_assignment(assign)
 
 
 def ivf_mutual_knn_edges(
@@ -942,31 +1009,10 @@ def ivf_mutual_knn_edges(
     key = (spark.sparkContext.applicationId, sf_dir, k_cells)
     if key in _IVF_EDGES_CACHE:
         return _IVF_EDGES_CACHE[key]
-    from pyspark.sql import Window
-
     from .similarity import TOP_K
 
     pairs = ivf_cell_cosine_pairs(spark, sf_dir, k_cells)
-    directed = pairs.select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
-    ).unionAll(
-        pairs.select(
-            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine"
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
-    ranked = directed.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= TOP_K
-    )
-    x, y = ranked.alias("x"), ranked.alias("y")
-    ivf_edges = (
-        x.join(
-            y,
-            (F.col("y.src") == F.col("x.dst")) & (F.col("y.dst") == F.col("x.src")),
-        )
-        .filter(F.col("x.src") < F.col("x.dst"))
-        .select(F.col("x.src").alias("vec_a"), F.col("x.dst").alias("vec_b"))
-    )
+    ivf_edges = mutual_knn_edges_from_pairs(pairs, TOP_K)
     # materialized once (localCheckpoint): the frame is reused multiply
     # inside each overlay AND across the five substrate consumers
     _IVF_EDGES_CACHE[key] = cut_lineage(ivf_edges)
@@ -1109,6 +1155,214 @@ def similarity_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QK["similarity_range_search_ivf"] = _dck.replace(
     _QK["similarity_range_search_ivf"], oracle=_range_search_ivf_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# decontamination / split-leakage audits ON the IVF substrate (VERDICT r7
+# #4) — the pipeline operators most likely to run at full corpus scale,
+# composed onto the substrate that scales, the way the graph overlays were
+# in r7.  Registered HERE (not in clustering/dedup) for the same
+# sibling-import reason as the overlays.
+
+
+#: DuckDB twin of quality.hash_bucket over vec_id (first md5 hex digit)
+_VEC_BUCKET_SQL = (
+    "strpos('0123456789abcdef', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1"
+)
+
+
+def _split_neardup_leakage_ivf_oracle() -> str:
+    from .quality import TRAIN_BUCKETS
+
+    return f"""
+    WITH {ivf_edges_sql_parts()},
+    tagged AS (
+      SELECT vec_id,
+             CASE WHEN {_VEC_BUCKET_SQL} < {TRAIN_BUCKETS}
+                  THEN 'train' ELSE 'test' END AS split
+      FROM embeddings
+    ),
+    tag_edges AS (
+      SELECT e.vec_a, e.vec_b, ta.split AS split_a, tb.split AS split_b
+      FROM ivf_edges e
+      JOIN tagged ta ON ta.vec_id = e.vec_a
+      JOIN tagged tb ON tb.vec_id = e.vec_b
+    ),
+    contaminated AS (
+      SELECT DISTINCT CASE WHEN split_a = 'test' THEN vec_a ELSE vec_b END
+               AS vec_id
+      FROM tag_edges WHERE split_a <> split_b
+    ),
+    e AS (
+      SELECT COUNT(*) AS n_edges,
+             SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+               AS n_cross_edges
+      FROM tag_edges
+    ),
+    tt AS (
+      SELECT COUNT(*) AS n_test_vecs FROM tagged WHERE split = 'test'
+    ),
+    c AS (SELECT COUNT(*) AS n_contaminated FROM contaminated)
+    SELECT CAST(e.n_edges AS BIGINT) AS n_edges,
+           CAST(e.n_cross_edges AS BIGINT) AS n_cross_edges,
+           CAST(CASE WHEN e.n_edges = 0 THEN NULL
+                     ELSE (1000000 * e.n_cross_edges) // e.n_edges END
+             AS BIGINT) AS cross_edge_ppm,
+           CAST(tt.n_test_vecs AS BIGINT) AS n_test_vecs,
+           CAST(c.n_contaminated AS BIGINT) AS n_contaminated_test_vecs,
+           CAST(CASE WHEN tt.n_test_vecs = 0 THEN NULL
+                     ELSE (1000000 * c.n_contaminated) // tt.n_test_vecs END
+             AS BIGINT) AS contamination_ppm
+    FROM e CROSS JOIN tt CROSS JOIN c
+    """
+
+
+@query(
+    "dataset_split_neardup_leakage_ivf",
+    oracle=_split_neardup_leakage_ivf_oracle(),
+    tags=("pipeline", "split", "dedup", "evaluation", "ivf", "composition"),
+)
+def dataset_split_neardup_leakage_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dataset_split_neardup_leakage`` in EMBEDDING space on the
+    PRODUCTION substrate: the same cross-split audit (near-dup pairs
+    whose endpoints landed on opposite sides of the content-hash split,
+    and test items with a training-side near-twin), but the near-dup
+    relation is the per-IVF-cell mutual-kNN edge set instead of the
+    exact shingle graph — semantic leakage a lexical audit cannot see,
+    at a cost that scales (Σ cell_size² candidates, grow-K linear path;
+    the exact twin's edge generation inherits the n² blocked matmul).
+    The substrate's recall report prices the cross-cell edges this
+    variant misses; a missed edge can only UNDERCOUNT leakage, never
+    invent it.
+
+    Scale shape: the edge frame is the session-cached substrate (built
+    once per (session, corpus, K); production: the maintained
+    cell-partitioned table from `build_ivf_vector_index`); the audit is
+    two vec_id-keyed joins of the edge list against split tags plus
+    counting — edge-list-linear.
+
+    Determinism: tags are the shared md5 bucketing
+    (quality.hash_bucket); counts exact; ppm via integer division,
+    NULL-guarded denominators."""
+    from .quality import TRAIN_BUCKETS, hash_bucket
+
+    e = t(spark, sf_dir, "embeddings")
+    tagged = e.select(
+        "vec_id",
+        F.when(hash_bucket(F.col("vec_id")) < TRAIN_BUCKETS, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    edges = ivf_mutual_knn_edges(spark, sf_dir)
+    tag_edges = edges.join(
+        tagged.select(F.col("vec_id").alias("vec_a"), F.col("split").alias("split_a")),
+        "vec_a",
+    ).join(
+        tagged.select(F.col("vec_id").alias("vec_b"), F.col("split").alias("split_b")),
+        "vec_b",
+    )
+    cross = F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+    edge_stats = tag_edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(cross).alias("n_cross_edges"),
+    )
+    contaminated = (
+        tag_edges.filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "test", F.col("vec_a"))
+            .otherwise(F.col("vec_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_test = tagged.filter(F.col("split") == "test").agg(
+        F.count(F.lit(1)).alias("n_test_vecs")
+    )
+    return (
+        edge_stats.crossJoin(F.broadcast(n_test))
+        .crossJoin(F.broadcast(contaminated))
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_cross_edges").cast("long").alias("n_cross_edges"),
+            F.when(F.col("n_edges") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr("CAST((1000000 * n_cross_edges) DIV n_edges AS BIGINT)")
+            )
+            .alias("cross_edge_ppm"),
+            F.col("n_test_vecs").cast("long").alias("n_test_vecs"),
+            F.col("n_contaminated").cast("long").alias(
+                "n_contaminated_test_vecs"
+            ),
+            F.when(F.col("n_test_vecs") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr(
+                    "CAST((1000000 * n_contaminated) DIV n_test_vecs AS BIGINT)"
+                )
+            )
+            .alias("contamination_ppm"),
+        )
+    )
+
+
+#: held-out eval membership for the SEMANTIC decontamination twin — the
+#: same ~2% eval set as dedup.dataset_contamination_check
+_SEM_EVAL_MOD, _SEM_EVAL_REM = 50, 3
+
+
+def _contamination_check_ivf_oracle() -> str:
+    from .similarity import COSINE_THRESHOLD
+
+    return f"""
+    WITH {ivf_ccos_sql_parts()}
+    SELECT CASE WHEN vec_a % {_SEM_EVAL_MOD} = {_SEM_EVAL_REM}
+                THEN vec_b ELSE vec_a END AS train_vec,
+           CASE WHEN vec_a % {_SEM_EVAL_MOD} = {_SEM_EVAL_REM}
+                THEN vec_a ELSE vec_b END AS eval_vec,
+           cosine
+    FROM ccos
+    WHERE cosine >= {COSINE_THRESHOLD}
+      AND ((vec_a % {_SEM_EVAL_MOD} = {_SEM_EVAL_REM})
+           <> (vec_b % {_SEM_EVAL_MOD} = {_SEM_EVAL_REM}))
+    """
+
+
+@query(
+    "dataset_contamination_check_ivf",
+    oracle=_contamination_check_ivf_oracle(),
+    tags=("dedup", "pipeline", "contamination", "ivf", "similarity"),
+)
+def dataset_contamination_check_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC train/eval decontamination on the PRODUCTION substrate:
+    flag (train, eval) vector pairs with cosine ≥ τ that share a Lloyd
+    cell — the embedding-space counterpart of
+    ``dedup.dataset_contamination_check`` (shingle containment catches
+    verbatim leaks; this catches paraphrase-level leaks a lexical check
+    cannot), sharing the same held-out eval membership (vec_id ≡ 3 mod
+    50) and the corpus-wide COSINE_THRESHOLD τ.  Candidates come from
+    `ivf_cell_cosine_pairs` — the session-cached Σ cell_size² frame all
+    substrate consumers share — so decontamination runs at index-build
+    cost, not n²; cross-cell leaks are the priced recall gap, and a
+    missed pair only UNDERCOUNTS contamination.
+
+    Determinism: exact integer dots, one double division, shared τ —
+    bit-identical comparisons in both engines."""
+    from .similarity import COSINE_THRESHOLD
+
+    p = ivf_cell_cosine_pairs(spark, sf_dir).filter(
+        F.col("cosine") >= COSINE_THRESHOLD
+    )
+    a_eval = F.col("vec_a") % _SEM_EVAL_MOD == _SEM_EVAL_REM
+    b_eval = F.col("vec_b") % _SEM_EVAL_MOD == _SEM_EVAL_REM
+    return p.filter(a_eval != b_eval).select(
+        F.when(a_eval, F.col("vec_b")).otherwise(F.col("vec_a")).alias("train_vec"),
+        F.when(a_eval, F.col("vec_a")).otherwise(F.col("vec_b")).alias("eval_vec"),
+        "cosine",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1305,6 +1559,314 @@ def ivf_probe_neighbors(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF incremental index MAINTENANCE (VERDICT r7 #2) — the living form of
+# the vector index.  A 100 TB ANN index is never rebuilt from scratch on
+# ingest: the coarse quantizer (Lloyd centroids) is trained once offline
+# and held fixed; arriving vectors are assigned to their cell and ONLY the
+# touched cells' mutual-kNN edges are recomputed.  State = three tables:
+#
+#   {table}            (vec_a, vec_b | cell)  edge set, PARTITIONED BY cell
+#                      + BUCKETED BY vec_a (sorted) — partition overwrite
+#                      is the maintenance unit, the bucket spec keeps the
+#                      degree rollup exchange-free (test-pinned)
+#   {table}_assign     (vec_id, q, nrm2 | cell) membership, PARTITIONED BY
+#                      cell — the per-cell vectors the recompute needs;
+#                      upsert APPENDS O(|batch|) rows to touched partitions
+#   {table}_centroids  (c_label, centroid) — the frozen quantizer
+#   {table}_conf       (k_cells, top_k, n_buckets) — one row, so upsert
+#                      can never run with mismatched parameters
+#
+# Correctness invariant (the equivalence test's claim): each upsert
+# recomputes a touched cell's edges from that cell's FULL current
+# membership, so after any sequence of batches the state equals the
+# from-scratch build over the final corpus under the same centroids —
+# arrival order and batch boundaries cannot matter.  Staleness never
+# hides: a touched cell with ≥2 members always has ≥1 mutual edge (the
+# max-cosine pair (a,b) with a = min vertex among max-cosine pairs is
+# mutual rank-1 under the (cosine DESC, dst ASC) tie-break), so dynamic
+# partition overwrite always carries rows for every touched cell that
+# could hold stale edges; cells with ≤1 prior member had none.
+
+
+def build_ivf_vector_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    table: str,
+    n_buckets: int = 8,
+    k_cells: int = KMEANS_K,
+    top_k: int | None = None,
+) -> None:
+    """Train the quantizer on ``vectors`` (vec_id, embedding) and persist
+    the full index state (edges / assignment / centroids / conf).  The
+    one-off build pays the corpus shuffle; every subsequent
+    :func:`upsert_ivf_vector_index` is O(touched cells)."""
+    from .similarity import TOP_K, dot_q
+
+    k = top_k or TOP_K
+    qt = cut_lineage(
+        spread(
+            vectors.select(
+                "vec_id", quantized(F.col("embedding")).alias("q")
+            ).withColumn("nrm2", dot_q(F.col("q"), F.col("q")))
+        )
+    )
+    centroids = train_centroids(qt, k_cells, KMEANS_ITERS)
+    assign = _assign_to_cells(qt, centroids)
+    edges = mutual_knn_edges_from_pairs(
+        cell_cosine_pairs_from_assignment(assign, with_cell=True),
+        k,
+        with_cell=True,
+    )
+    spark.createDataFrame(
+        [(j, centroids[j]) for j in sorted(centroids)],
+        "c_label long, centroid array<long>",
+    ).write.mode("overwrite").saveAsTable(f"{table}_centroids")
+    spark.createDataFrame(
+        [(k_cells, k, n_buckets)], "k_cells long, top_k long, n_buckets long"
+    ).write.mode("overwrite").saveAsTable(f"{table}_conf")
+    assign.select("vec_id", "q", "nrm2", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").saveAsTable(f"{table}_assign")
+    (
+        edges.select("vec_a", "vec_b", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .bucketBy(n_buckets, "vec_a")
+        .sortBy("vec_a", "vec_b")
+        .saveAsTable(table)
+    )
+
+
+def upsert_ivf_vector_index(
+    spark: SparkSession, table: str, arrivals: DataFrame
+) -> dict:
+    """Incremental maintenance: assign ``arrivals`` (vec_id, embedding) to
+    their frozen-quantizer cells, recompute ONLY the touched cells'
+    mutual-kNN edges over old+new membership, and swap those edge
+    partitions in (dynamic partition overwrite; the assignment table
+    gets an O(|batch|) partition append).  The members scan is
+    partition-PRUNED to the touched cells (plan pinned in
+    tests/test_ivf_edge_index.py), so maintenance cost scales with the
+    batch's cell footprint, never the corpus.
+
+    Delivery: append-then-overwrite is not idempotent on the assign
+    table — re-running a half-failed batch duplicates membership rows;
+    exactly-once is the caller's checkpoint contract (foreachBatch
+    batch-id dedup, the streaming twin's shape), mirroring the
+    incremental-dedup ingest loop.
+
+    Returns {"n_arrivals", "touched_cells", "n_edges_written"}."""
+    from .similarity import dot_q
+
+    # Session discipline: inside a streaming foreachBatch the arrivals
+    # frame belongs to a CLONED SparkSession — conf set on the outer
+    # session does not govern writes executed under the clone (a static-
+    # mode INSERT OVERWRITE would truncate the WHOLE edge table), and a
+    # session's table-relation cache does not see files appended through
+    # another session's writes.  So: run everything on the arrivals
+    # frame's own session and refresh both state tables first.
+    s = arrivals.sparkSession
+    s.catalog.refreshTable(f"{table}_assign")
+    s.catalog.refreshTable(table)
+    conf = s.table(f"{table}_conf").collect()[0]
+    centroids = {
+        r["c_label"]: list(r["centroid"])
+        for r in s.table(f"{table}_centroids").collect()  # bounded K×D
+    }
+    qt = arrivals.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).withColumn("nrm2", dot_q(F.col("q"), F.col("q")))
+    new_assign = cut_lineage(_assign_to_cells(qt, centroids))
+    touched = sorted(
+        r["cell"] for r in new_assign.select("cell").distinct().collect()
+    )  # bounded by k_cells
+    n_arrivals = new_assign.count()
+    if not touched:
+        return {"n_arrivals": 0, "touched_cells": [], "n_edges_written": 0}
+    members = (
+        s.table(f"{table}_assign")
+        .filter(F.col("cell").isin(touched))  # partition-pruned scan
+        .select("vec_id", "q", "nrm2", "cell")
+        .unionByName(new_assign.select("vec_id", "q", "nrm2", "cell"))
+    )
+    new_edges = cut_lineage(
+        mutual_knn_edges_from_pairs(
+            cell_cosine_pairs_from_assignment(members, with_cell=True),
+            int(conf["top_k"]),
+            with_cell=True,
+        )
+    )
+    prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        new_assign.select("vec_id", "q", "nrm2", "cell").write.insertInto(
+            f"{table}_assign", overwrite=False
+        )
+        new_edges.select("vec_a", "vec_b", "cell").write.insertInto(
+            table, overwrite=True
+        )
+    finally:
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "n_arrivals": n_arrivals,
+        "touched_cells": touched,
+        "n_edges_written": new_edges.count(),
+    }
+
+
+_UPSERT_TRAIN_PRED = "vec_id % 3 <> 0"  #: the index's base corpus
+_UPSERT_BATCH_PREDS = ("vec_id % 6 = 0", "vec_id % 6 = 3")  #: two arrivals
+_EDGE_CKSUM = 1_000_003  #: vec_a multiplier in the per-cell edge checksum
+
+
+def _ivf_upsert_oracle(
+    k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """From-scratch rebuild of the final index state: centroids trained on
+    the base corpus only (train_pred), EVERY vector assigned to them,
+    mutual-kNN per cell — what the incremental fold must converge to."""
+    from .similarity import TOP_K
+
+    parts = _kmeans_sql_parts(k_cells, iters, train_pred=_UPSERT_TRAIN_PRED)
+    parts.append(
+        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    cdots AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster AS cell,
+             SUM(ea.qv * eb.qv) AS dot
+      FROM a{iters} x
+      JOIN a{iters} y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN q ea ON ea.vec_id = x.vec_id
+      JOIN q eb ON eb.vec_id = y.vec_id AND eb.dim = ea.dim
+      GROUP BY 1, 2, 3
+    ),
+    ccos AS (
+      SELECT vec_a, vec_b, cell,
+             CAST(dot AS DOUBLE)
+               / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
+               AS cosine
+      FROM cdots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+    ),
+    directed AS (
+      SELECT vec_a AS src, vec_b AS dst, cosine, cell FROM ccos
+      UNION ALL
+      SELECT vec_b, vec_a, cosine, cell FROM ccos
+    ),
+    ranked AS (
+      SELECT src, dst, cell,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+      FROM directed
+    ),
+    edges AS (
+      SELECT x.src AS vec_a, x.dst AS vec_b, x.cell
+      FROM ranked x
+      JOIN ranked y ON y.src = x.dst AND y.dst = x.src AND y.rk <= {TOP_K}
+      WHERE x.rk <= {TOP_K} AND x.src < x.dst
+    ),
+    mem AS (SELECT cluster AS cell, COUNT(*) AS n_members FROM a{iters} GROUP BY 1),
+    ed AS (
+      SELECT cell, COUNT(*) AS n_edges,
+             SUM(vec_a * {_EDGE_CKSUM} + vec_b) AS edge_checksum
+      FROM edges GROUP BY 1
+    )
+    SELECT CAST(m.cell AS BIGINT) AS cell,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(ed.n_edges, 0) AS BIGINT) AS n_edges,
+           CAST(COALESCE(ed.edge_checksum, 0) AS BIGINT) AS edge_checksum
+    FROM mem m LEFT JOIN ed ON ed.cell = m.cell
+    """
+
+
+@query(
+    "similarity_ivf_index_upsert",
+    oracle=_ivf_upsert_oracle(),
+    tags=("similarity", "ivf", "incremental", "iterative", "lakehouse"),
+)
+def similarity_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance, end state (VERDICT r7 #2): the
+    quantizer is trained on the BASE corpus (vec_id % 3 <> 0) and frozen;
+    the remaining vectors arrive in two batches, each upserted by the
+    touched-cell recompute the table path
+    (:func:`upsert_ivf_vector_index`) runs — assign the batch, pull the
+    touched cells' current membership, rebuild ONLY those cells' mutual
+    top-k edges, splice them over the previous edge state.  Returns the
+    final per-cell census (members, edges, edge checksum); the oracle
+    computes the from-scratch rebuild under the same frozen centroids,
+    so equality IS the batching-invariance claim (each touched cell is
+    rebuilt from its full current membership, hence the fold's fixpoint
+    equals the batch build regardless of arrival order).
+
+    Scale shape: per batch the work is one broadcast-centroid assign of
+    the batch, a membership scan partition-pruned to the touched cells,
+    and Σ(touched cell size)² candidate pairs — never corpus-sized; the
+    bounded collects are the K-cell touched set (the Lloyd K×D collect
+    discipline).  The persisted-table twin (cell-partitioned, vec_a-
+    bucketed, dynamic partition overwrite) is pinned in
+    tests/test_ivf_edge_index.py, including stream==batch equivalence.
+
+    The reference's datasource registry (datasource/mod.rs:20-28) is
+    static — this is the extension that makes the ANN family a living
+    index rather than a one-shot build."""
+    from .similarity import TOP_K
+
+    from .similarity import _qtable
+
+    qt = cut_lineage(
+        spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
+    )
+    base = qt.filter(F.expr(_UPSERT_TRAIN_PRED))
+    centroids = train_centroids(base.select("vec_id", "q"), KMEANS_K, KMEANS_ITERS)
+    state_assign = cut_lineage(_assign_to_cells(base, centroids))
+    state_edges = cut_lineage(
+        mutual_knn_edges_from_pairs(
+            cell_cosine_pairs_from_assignment(state_assign, with_cell=True),
+            TOP_K,
+            with_cell=True,
+        )
+    )
+    for pred in _UPSERT_BATCH_PREDS:
+        batch = qt.filter(F.expr(pred))
+        new_assign = cut_lineage(_assign_to_cells(batch, centroids))
+        touched = sorted(
+            r["cell"] for r in new_assign.select("cell").distinct().collect()
+        )  # bounded by K cells
+        members = state_assign.filter(F.col("cell").isin(touched)).unionByName(
+            new_assign
+        )
+        new_edges = mutual_knn_edges_from_pairs(
+            cell_cosine_pairs_from_assignment(members, with_cell=True),
+            TOP_K,
+            with_cell=True,
+        )
+        state_edges = cut_lineage(
+            state_edges.filter(~F.col("cell").isin(touched)).unionByName(new_edges)
+        )
+        state_assign = cut_lineage(state_assign.unionByName(new_assign))
+    mem = state_assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    ed = state_edges.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.col("vec_a") * _EDGE_CKSUM + F.col("vec_b"))
+        .cast("long")
+        .alias("edge_checksum"),
+    )
+    return mem.join(ed, "cell", "left").select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_members",
+        F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(F.col("edge_checksum"), F.lit(0))
+        .cast("long")
+        .alias("edge_checksum"),
     )
 
 

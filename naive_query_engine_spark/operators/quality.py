@@ -1394,8 +1394,10 @@ T_CLOSE = 300_000  #: release threshold: cells with TVD > 0.30 are flagged
     ),
     tvd AS (
       SELECT c_mktsegment, c_nationkey,
-             ({T_CLOSE_FP} * SUM(ABS(cnt * t.n - g * cell_n)))
-               // (2 * ANY_VALUE(cell_n) * ANY_VALUE(t.n)) AS tvd_fp
+             ({T_CLOSE_FP} * SUM(ABS(CAST(cnt AS HUGEINT) * t.n
+                                     - CAST(g AS HUGEINT) * cell_n)))
+               // (2 * CAST(ANY_VALUE(cell_n) AS HUGEINT) * ANY_VALUE(t.n))
+               AS tvd_fp
       FROM dom CROSS JOIN tot t
       GROUP BY c_mktsegment, c_nationkey
     )
@@ -1458,10 +1460,18 @@ def audit_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
         )
     )
+    # cnt·n is O(cell_n·N): at 100 TB corpus sizes the BIGINT product
+    # overflows (Spark with ANSI off wraps SILENTLY while the DuckDB
+    # oracle errors — the engines would diverge instead of failing
+    # loudly).  Accumulate the |·| sum in DECIMAL(38,0) (HUGEINT in the
+    # oracle — the agg_corr_exact discipline, ADVICE r7) BEFORE the
+    # fixed-point multiply; DIV on decimals returns BIGINT, so the
+    # output schema is unchanged.
     tvd = dom.groupBy("c_mktsegment", "c_nationkey").agg(
         F.expr(
-            f"({T_CLOSE_FP} * SUM(ABS(cnt * n - g * cell_n)))"
-            " DIV (2 * ANY_VALUE(cell_n) * ANY_VALUE(n))"
+            f"({T_CLOSE_FP} * SUM(ABS(CAST(cnt AS DECIMAL(38,0)) * n"
+            " - CAST(g AS DECIMAL(38,0)) * cell_n)))"
+            " DIV (2 * CAST(ANY_VALUE(cell_n) AS DECIMAL(38,0)) * ANY_VALUE(n))"
         ).alias("tvd_fp")
     )
     return tvd.agg(

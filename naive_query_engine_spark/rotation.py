@@ -344,6 +344,12 @@ ROTATION: tuple[str, ...] = (
     "events_attribution_position_based",
     "text_vocab_coverage_curve",
     "graph_knn_components_ivf",
+    # r8-created: incremental IVF index maintenance (VERDICT r7 #2) and
+    # the decontamination/leakage audits composed onto the substrate
+    # (VERDICT r7 #4)
+    "similarity_ivf_index_upsert",
+    "dataset_split_neardup_leakage_ivf",
+    "dataset_contamination_check_ivf",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

@@ -67,3 +67,153 @@ def test_table_matches_session_built_edges(spark, ivf_index):
         tuple(r) for r in ivf_mutual_knn_edges(spark, SF_SMOKE).collect()
     )
     assert via_table == via_session and via_table
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance (VERDICT r7 #2): the living-index trio
+
+
+MAINT_TABLE = "b_ivf_maint_index"
+
+
+def _vectors(spark, pred: str):
+    from naive_query_engine_spark.queries import t
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    return e.filter(F.expr(pred)).select("vec_id", "embedding")
+
+
+@pytest.fixture()
+def maint_index(spark):
+    from naive_query_engine_spark.operators.kmeans import (
+        build_ivf_vector_index,
+    )
+
+    build_ivf_vector_index(
+        spark, _vectors(spark, "vec_id % 3 <> 0"), MAINT_TABLE, n_buckets=8
+    )
+    yield
+    for suffix in ("", "_assign", "_centroids", "_conf"):
+        spark.sql(f"DROP TABLE IF EXISTS {MAINT_TABLE}{suffix}")
+
+
+def _rebuild_reference(spark):
+    """From-scratch final state under the SAME frozen centroids: train on
+    the base corpus, assign everyone, mutual-kNN per cell."""
+    from naive_query_engine_spark.operators.kmeans import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _assign_to_cells,
+        cell_cosine_pairs_from_assignment,
+        mutual_knn_edges_from_pairs,
+        train_centroids,
+    )
+    from naive_query_engine_spark.operators.similarity import (
+        TOP_K,
+        _qtable,
+    )
+    from naive_query_engine_spark.queries import cut_lineage, spread
+
+    qt = cut_lineage(spread(_qtable(spark, SF_SMOKE).select("vec_id", "q", "nrm2")))
+    centroids = train_centroids(
+        qt.filter("vec_id % 3 <> 0").select("vec_id", "q"), KMEANS_K, KMEANS_ITERS
+    )
+    assign = _assign_to_cells(qt, centroids)
+    edges = mutual_knn_edges_from_pairs(
+        cell_cosine_pairs_from_assignment(assign, with_cell=True),
+        TOP_K,
+        with_cell=True,
+    )
+    return assign, edges
+
+
+def test_upsert_converges_to_batch_rebuild(spark, maint_index):
+    """Two arrival batches upserted into the persisted index must leave the
+    edge AND assignment tables equal to the from-scratch build over the
+    full corpus under the same frozen centroids — the batching-invariance
+    contract of touched-cell recompute."""
+    from naive_query_engine_spark.operators.kmeans import (
+        upsert_ivf_vector_index,
+    )
+
+    r1 = upsert_ivf_vector_index(
+        spark, MAINT_TABLE, _vectors(spark, "vec_id % 6 = 0")
+    )
+    r2 = upsert_ivf_vector_index(
+        spark, MAINT_TABLE, _vectors(spark, "vec_id % 6 = 3")
+    )
+    assert r1["n_arrivals"] > 0 and r2["n_arrivals"] > 0
+    want_assign, want_edges = _rebuild_reference(spark)
+    got_edges = sorted(
+        tuple(r) for r in spark.table(MAINT_TABLE).collect()
+    )
+    assert got_edges == sorted(tuple(r) for r in want_edges.collect())
+    assert got_edges
+    got_assign = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.table(f"{MAINT_TABLE}_assign").collect()
+    )
+    assert got_assign == sorted(
+        (r["vec_id"], r["cell"]) for r in want_assign.collect()
+    )
+
+
+def test_upsert_members_scan_is_partition_pruned(spark, maint_index):
+    """The maintenance cost bound: reading a touched-cells membership slice
+    scans ONLY those cell partitions (PartitionFilters in the scan node),
+    so an upsert's work scales with the batch's cell footprint, never the
+    corpus."""
+    sliced = spark.table(f"{MAINT_TABLE}_assign").filter(
+        F.col("cell").isin([0, 1])
+    )
+    text = plans.explain_text(sliced, "formatted")
+    assert "PartitionFilters" in text
+    seg = text[text.index("PartitionFilters"):].splitlines()[0]
+    assert "cell" in seg, seg
+
+
+def test_maintained_degree_rollup_still_exchange_free(spark, maint_index):
+    """Cell-partitioning must not cost the bucketed property: the degree
+    rollup on the maintained (partitioned + bucketed) edge table still
+    runs without any Exchange."""
+    deg = spark.table(MAINT_TABLE).groupBy("vec_a").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    text = plans.explain_text(deg, "simple")
+    assert "Exchange" not in text, text
+
+
+def test_registered_upsert_query_matches_table_path(spark, maint_index):
+    """The registered similarity_ivf_index_upsert (the in-memory fold the
+    driver oracle-checks) and the persisted-table upsert path must agree
+    on the final per-cell census — same helpers, same fixpoint."""
+    from naive_query_engine_spark.operators.kmeans import (
+        _EDGE_CKSUM,
+        upsert_ivf_vector_index,
+    )
+    from naive_query_engine_spark.queries import QUERIES
+
+    upsert_ivf_vector_index(spark, MAINT_TABLE, _vectors(spark, "vec_id % 6 = 0"))
+    upsert_ivf_vector_index(spark, MAINT_TABLE, _vectors(spark, "vec_id % 6 = 3"))
+    ed = spark.table(MAINT_TABLE)
+    mem = spark.table(f"{MAINT_TABLE}_assign")
+    got = {
+        r["cell"]: (r["n_members"], r["n_edges"], r["cksum"])
+        for r in mem.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            ed.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_edges"),
+                F.sum(F.col("vec_a") * _EDGE_CKSUM + F.col("vec_b")).alias("cksum"),
+            ),
+            "cell",
+            "left",
+        )
+        .fillna(0, ["n_edges", "cksum"])
+        .collect()
+    }
+    want = {
+        r["cell"]: (r["n_members"], r["n_edges"], r["edge_checksum"])
+        for r in QUERIES["similarity_ivf_index_upsert"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got

@@ -546,7 +546,10 @@ def test_position_based_attribution_matches_python(spark):
         ATTRIB_WINDOW_US,
         MT_EDGE_FP,
         MT_FP,
+        MT_MAX_TOUCH,
         MT_MID_FP,
+        MT_USER_WEEK_CAP,
+        MT_WEEK_US,
     )
     from naive_query_engine_spark.queries import QUERIES
 
@@ -558,8 +561,17 @@ def test_position_based_attribution_matches_python(spark):
     for r in ev.itertuples():
         if r.event_type in ("click", "view"):
             touches[r.user_id].append((r.us, r.event_id, r.event_type))
-    for v in touches.values():
+    for k, v in touches.items():
         v.sort()
+        # per-user-week rate cap: keep the LATEST MT_USER_WEEK_CAP per week
+        by_week = defaultdict(list)
+        for tup in v:
+            by_week[tup[0] // MT_WEEK_US].append(tup)
+        touches[k] = sorted(
+            tup
+            for week in by_week.values()
+            for tup in week[-MT_USER_WEEK_CAP:]
+        )
     want = defaultdict(lambda: [0, 0, 0])  # channel -> [n, credit, revenue]
     n_purchases = 0
     for r in ev.itertuples():
@@ -571,7 +583,7 @@ def test_position_based_attribution_matches_python(spark):
             (us, eid, ch)
             for us, eid, ch in touches.get(r.user_id, [])
             if ((us, eid) < (r.us, r.event_id)) and r.us - us <= ATTRIB_WINDOW_US
-        ]
+        ][-MT_MAX_TOUCH:]  # per-conversion cap: U-shape over the last n
         if not ts_list:
             w = want["organic"]
             w[0] += 1

@@ -1,0 +1,161 @@
+"""Behavioral recomputes / invariants for the round-8 operators: the
+incremental IVF index maintenance fold and the decontamination / split-
+leakage audits composed onto the IVF substrate.
+
+(The persisted-table maintenance path — build/upsert/stream — is pinned in
+tests/test_ivf_edge_index.py and tests/test_streaming.py; oracle equality
+for all registered queries is tests/test_oracle.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naive_query_engine_spark.queries import QUERIES, t
+
+from .conftest import SF_SMOKE
+
+
+def test_leakage_ivf_zero_for_cells_only_split(spark):
+    """Structural invariant of the IVF substrate: every edge is
+    within-cell, so a split assigned PER CELL (here: cell parity) can
+    never produce a cross-split edge — the leakage-safe-split property,
+    substrate edition.  (The registered query's md5 split does cross
+    cells, which is exactly the leakage it measures.)"""
+    from naive_query_engine_spark.operators.kmeans import (
+        ivf_corpus_assignment,
+        ivf_mutual_knn_edges,
+    )
+
+    assign, _ = ivf_corpus_assignment(spark, SF_SMOKE)
+    tag = assign.select(
+        "vec_id", (F.col("cell") % 2).alias("split")
+    )
+    edges = ivf_mutual_knn_edges(spark, SF_SMOKE)
+    crossed = (
+        edges.join(
+            tag.select(F.col("vec_id").alias("vec_a"), F.col("split").alias("sa")),
+            "vec_a",
+        )
+        .join(
+            tag.select(F.col("vec_id").alias("vec_b"), F.col("split").alias("sb")),
+            "vec_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossed == 0
+    assert edges.count() > 0  # non-vacuous
+
+
+def test_leakage_ivf_counts_recompute(spark):
+    """Plain-Python recompute of the audit over the collected substrate
+    edge set + md5 tags — pins the rollup arithmetic (cross edges,
+    contaminated test vectors, ppm floors) independently of both
+    engines' SQL."""
+    import hashlib
+
+    from naive_query_engine_spark.operators.kmeans import ivf_mutual_knn_edges
+    from naive_query_engine_spark.operators.quality import TRAIN_BUCKETS
+
+    def split_of(vid: int) -> str:
+        h = int(hashlib.md5(str(vid).encode()).hexdigest()[0], 16)
+        return "train" if h < TRAIN_BUCKETS else "test"
+
+    edges = [
+        (r["vec_a"], r["vec_b"])
+        for r in ivf_mutual_knn_edges(spark, SF_SMOKE).collect()
+    ]
+    vec_ids = [
+        r["vec_id"] for r in t(spark, SF_SMOKE, "embeddings").select("vec_id").collect()
+    ]
+    n_cross = sum(1 for a, b in edges if split_of(a) != split_of(b))
+    contaminated = {
+        (a if split_of(a) == "test" else b)
+        for a, b in edges
+        if split_of(a) != split_of(b)
+    }
+    n_test = sum(1 for v in vec_ids if split_of(v) == "test")
+    row = (
+        QUERIES["dataset_split_neardup_leakage_ivf"].fn(spark, SF_SMOKE).collect()[0]
+    )
+    assert row["n_edges"] == len(edges)
+    assert row["n_cross_edges"] == n_cross
+    assert row["n_test_vecs"] == n_test
+    assert row["n_contaminated_test_vecs"] == len(contaminated)
+    assert row["cross_edge_ppm"] == (1_000_000 * n_cross) // len(edges)
+    assert row["contamination_ppm"] == (1_000_000 * len(contaminated)) // n_test
+
+
+def test_contamination_ivf_subset_of_exact_pairs(spark):
+    """The IVF restriction can only UNDERCOUNT: every flagged semantic
+    (train, eval) pair must appear in the EXACT >= tau cosine pair set
+    (the n-squared calibration twin), with correct eval/train membership
+    on each side."""
+    from naive_query_engine_spark.operators.kmeans import (
+        _SEM_EVAL_MOD,
+        _SEM_EVAL_REM,
+    )
+
+    flagged = QUERIES["dataset_contamination_check_ivf"].fn(spark, SF_SMOKE).collect()
+    assert flagged  # non-vacuous at the smoke SF (2 rows)
+    exact = {
+        (min(r["vec_a"], r["vec_b"]), max(r["vec_a"], r["vec_b"]))
+        for r in QUERIES["similarity_cosine_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    for r in flagged:
+        assert r["eval_vec"] % _SEM_EVAL_MOD == _SEM_EVAL_REM
+        assert r["train_vec"] % _SEM_EVAL_MOD != _SEM_EVAL_REM
+        key = (min(r["train_vec"], r["eval_vec"]), max(r["train_vec"], r["eval_vec"]))
+        assert key in exact, key
+
+
+def test_upsert_fold_single_vs_two_batches_agree(spark):
+    """Batching invariance of the registered incremental fold, checked a
+    third way (beyond the DuckDB rebuild oracle and the table path):
+    folding the two arrival batches as ONE batch must give the same
+    census, because each touched cell is rebuilt from its full current
+    membership either way."""
+    from naive_query_engine_spark.operators.kmeans import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _EDGE_CKSUM,
+        _UPSERT_TRAIN_PRED,
+        _assign_to_cells,
+        cell_cosine_pairs_from_assignment,
+        mutual_knn_edges_from_pairs,
+        train_centroids,
+    )
+    from naive_query_engine_spark.operators.similarity import TOP_K, _qtable
+    from naive_query_engine_spark.queries import cut_lineage, spread
+
+    qt = cut_lineage(spread(_qtable(spark, SF_SMOKE).select("vec_id", "q", "nrm2")))
+    base = qt.filter(F.expr(_UPSERT_TRAIN_PRED))
+    centroids = train_centroids(base.select("vec_id", "q"), KMEANS_K, KMEANS_ITERS)
+    # one-shot fold: everything arrives at once
+    assign = _assign_to_cells(qt, centroids)
+    edges = mutual_knn_edges_from_pairs(
+        cell_cosine_pairs_from_assignment(assign, with_cell=True),
+        TOP_K,
+        with_cell=True,
+    )
+    want = {
+        (r["cell"], r["n_members"], r["n_edges"], r["cksum"])
+        for r in assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            edges.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_edges"),
+                F.sum(F.col("vec_a") * _EDGE_CKSUM + F.col("vec_b")).alias("cksum"),
+            ),
+            "cell",
+            "left",
+        )
+        .fillna(0, ["n_edges", "cksum"])
+        .collect()
+    }
+    got = {
+        (r["cell"], r["n_members"], r["n_edges"], r["edge_checksum"])
+        for r in QUERIES["similarity_ivf_index_upsert"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got

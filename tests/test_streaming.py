@@ -755,3 +755,78 @@ def test_watermark_excludes_late_replay_from_results(spark, tmp_path):
     assert out.filter(F.col("window.start") < F.lit(cutoff)).count() == 0, (
         "an ancient replay window reached the sink"
     )
+
+
+def test_stream_ivf_index_upsert_equals_batch_rebuild(spark, tmp_path):
+    """The living-index ingest loop end-to-end (VERDICT r7 #2): arriving
+    vectors stream in as micro-batches, each foreachBatch upserting the
+    persisted cell-partitioned IVF index (frozen quantizer, touched-cell
+    edge recompute, dynamic partition overwrite); the final edge table
+    must equal the from-scratch rebuild over the full corpus under the
+    same centroids — touched cells are rebuilt from their full current
+    membership, so batch boundaries cannot change the fixpoint (the
+    incremental-dedup invariant, index-maintenance edition)."""
+    from naive_query_engine_spark.operators.kmeans import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _assign_to_cells,
+        build_ivf_vector_index,
+        cell_cosine_pairs_from_assignment,
+        mutual_knn_edges_from_pairs,
+        train_centroids,
+        upsert_ivf_vector_index,
+    )
+    from naive_query_engine_spark.operators.similarity import TOP_K, _qtable
+    from naive_query_engine_spark.queries import cut_lineage, spread
+
+    table = "b_stream_ivf_maint"
+    e = t(spark, SF_SMOKE, "embeddings")
+    base = e.filter("vec_id % 3 <> 0").select("vec_id", "embedding")
+    arriving = e.filter("vec_id % 3 = 0").select("vec_id", "embedding")
+    build_ivf_vector_index(spark, base, table, n_buckets=8)
+    try:
+        arrivals_dir = str(tmp_path / "vec_arrivals")
+        arriving.repartition(3).write.parquet(arrivals_dir)
+
+        def upsert_batch(batch_df, _bid):
+            upsert_ivf_vector_index(spark, table, batch_df)
+
+        q = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals_dir)
+            .writeStream.foreachBatch(upsert_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        qt = cut_lineage(
+            spread(_qtable(spark, SF_SMOKE).select("vec_id", "q", "nrm2"))
+        )
+        centroids = train_centroids(
+            qt.filter("vec_id % 3 <> 0").select("vec_id", "q"),
+            KMEANS_K,
+            KMEANS_ITERS,
+        )
+        want_edges = mutual_knn_edges_from_pairs(
+            cell_cosine_pairs_from_assignment(
+                _assign_to_cells(qt, centroids), with_cell=True
+            ),
+            TOP_K,
+            with_cell=True,
+        )
+        # the upserts ran under the stream's cloned session: refresh this
+        # session's relation cache before reading the final state
+        spark.catalog.refreshTable(table)
+        spark.catalog.refreshTable(f"{table}_assign")
+        got = sorted(tuple(r) for r in spark.table(table).collect())
+        assert got == sorted(tuple(r) for r in want_edges.collect())
+        assert got
+        # membership reached full-corpus size exactly once per vector
+        assert (
+            spark.table(f"{table}_assign").count() == e.count()
+        )
+    finally:
+        for suffix in ("", "_assign", "_centroids", "_conf"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")

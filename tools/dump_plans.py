@@ -369,6 +369,18 @@ ANNOTATED = {
     "pair counts — the pair matrix never materializes per-doc rows",
     "events_salting_plan": "one grouped count (key-domain output) + "
     "broadcast total; pure ceil-division arithmetic",
+    "similarity_ivf_index_upsert": "the incremental-maintenance fold: "
+    "frozen base-trained centroids (broadcast), per-batch assign + "
+    "touched-cell membership slice + within-cell mutual top-k recompute, "
+    "edge state spliced per batch (localCheckpoint between folds); "
+    "census is two cell-bounded rollups — per batch the work is "
+    "sum(touched cell^2), never corpus-sized",
+    "dataset_split_neardup_leakage_ivf": "the cross-split audit over the "
+    "session-cached IVF edge frame: two vec_id-keyed tag joins + "
+    "counting — edge-list-linear; substrate misses only UNDERCOUNT",
+    "dataset_contamination_check_ivf": "one cosine filter + eval-parity "
+    "orientation over the shared ivf_cell_cosine_pairs frame — semantic "
+    "decontamination at index-build cost, not n^2",
 }
 
 

@@ -3,7 +3,13 @@
 Synthesizes embeddings at sf0.1 x N (key-shifted copies, N files) and
 times the per-IVF-cell mutual-kNN edge build with k_cells = KMEANS_K*N
 (constant expected cell size -> the linear production path) plus the
-modularity overlay on that substrate.  min-of-2 warm per tier.
+modularity overlay on that substrate.
+
+edges_build_sec is min-of-2 COLD builds (the session IVF caches are
+evicted between iterations — ADVICE r7); edges_cached_read_sec is the
+subsequent cached-frame read the substrate consumers actually see; the
+overlay timing deliberately runs on the cached edges (it measures the
+overlay, not the build).
 """
 from __future__ import annotations
 
@@ -19,12 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from naive_query_engine_spark import get_spark  # noqa: E402
+from naive_query_engine_spark.operators import kmeans  # noqa: E402
 from naive_query_engine_spark.operators.kmeans import (  # noqa: E402
     KMEANS_K,
     ivf_mutual_knn_edges,
 )
 from naive_query_engine_spark.operators.clustering import (  # noqa: E402
     _modularity_overlay,
+    connected_components,
 )
 from naive_query_engine_spark.queries import t  # noqa: E402
 
@@ -32,15 +40,50 @@ BASE_SF = "/root/testdata/sf0.1"
 
 
 def synthesize(spark, n_copies: int, out_dir: str) -> None:
+    """sf0.1 x N embeddings, key-shifted AND direction-perturbed.
+
+    The perturbation (deterministic xxhash64 of (shifted vec_id, dim),
+    amplitude +-0.1 ~ the corpus's component scale) is the VERDICT r7 #3
+    fix: exact duplicate vectors form mutual-kNN cliques that collapse
+    the graph diameter, so the components overlay CONVERGED FASTER at
+    10x than 1x and the probe row carried no scale information.
+    Perturbed copies keep the corpus's geometry without the degenerate
+    clique structure, so propagation cost is actually measured."""
     base = t(spark, BASE_SF, "embeddings")
     span = base.agg(F.max("vec_id")).collect()[0][0] + 1
     copies = None
     for i in range(n_copies):
         c = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * span))
         copies = c if copies is None else copies.unionAll(c)
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, j: (
+            x
+            + (
+                ((F.xxhash64(F.col("vec_id"), j) % 2001) + 2001) % 2001 - 1000
+            ).cast("double")
+            / 10000.0
+        ).cast("float"),
+    )
+    copies = copies.withColumn("embedding", pert)
     copies.repartition(n_copies).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
+
+
+def evict_ivf_caches(spark, sf_dir: str, k_cells: int) -> None:
+    """Drop the session-cached IVF state for one (corpus, K) so a repeat
+    timing measures the BUILD again, not a cached localCheckpoint read
+    (ADVICE r7: the min-of-2 loop was otherwise defeated by
+    _IVF_EDGES_CACHE — the second call returned the materialized frame
+    and 'edges_build_sec' reported a cached-scan time)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k_cells)
+    for cache in (
+        kmeans._IVF_PAIRS_CACHE,
+        kmeans._IVF_EDGES_CACHE,
+        kmeans._IVF_ASSIGN_CACHE,
+    ):
+        cache.pop(key, None)
 
 
 def main() -> None:
@@ -55,12 +98,20 @@ def main() -> None:
             res = {"scale_x": n, "k_cells": k}
             best = float("inf")
             for _ in range(2):
+                evict_ivf_caches(spark, work, k)  # min-of-2 COLD builds
                 t0 = time.perf_counter()
                 ivf_mutual_knn_edges(spark, work, k_cells=k).write.format(
                     "noop"
                 ).mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             res["edges_build_sec"] = round(best, 2)
+            # the cached-read path (what the five substrate consumers see
+            # after the first build in a session) — reported separately
+            t0 = time.perf_counter()
+            ivf_mutual_knn_edges(spark, work, k_cells=k).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            res["edges_cached_read_sec"] = round(time.perf_counter() - t0, 2)
             lab = t(spark, work, "embeddings").select("vec_id", "label")
             best = float("inf")
             for _ in range(2):
@@ -70,6 +121,23 @@ def main() -> None:
                 ).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             res["modularity_ivf_sec"] = round(best, 2)
+            # the components overlay (VERDICT r7 #7): label propagation
+            # over the cached edges; perturbed copies keep the diameter
+            # honest, so this measures per-round propagation cost
+            verts = t(spark, work, "embeddings").select(
+                F.col("vec_id").alias("id")
+            )
+            edges = ivf_mutual_knn_edges(spark, work, k_cells=k).select(
+                F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+            )
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                connected_components(verts, edges).groupBy("component").agg(
+                    F.count(F.lit(1)).alias("csize")
+                ).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            res["components_ivf_sec"] = round(best, 2)
             print(json.dumps(res), flush=True)
         finally:
             shutil.rmtree(work, ignore_errors=True)

@@ -76,9 +76,19 @@ FACTS = {
 
 
 def synthesize(spark, n_copies: int, out_dir: str) -> None:
+    # SPARK_GRAFT_PROBE_TABLES=embeddings,events replicates only those
+    # fact tables (the rest are linked at 1x) — for targeted re-measures
+    # of queries that touch a known table subset, where synthesizing all
+    # eight facts at 10-100x would dominate the probe's wall-clock.
+    sel = os.environ.get("SPARK_GRAFT_PROBE_TABLES")
+    scaled = {s.strip() for s in sel.split(",")} if sel else set(FACTS)
     for name in ("region", "nation"):
         shutil.copy(f"{BASE_SF}/{name}.parquet", f"{out_dir}/{name}.parquet")
+    for name in set(FACTS) - scaled:
+        shutil.copy(f"{BASE_SF}/{name}.parquet", f"{out_dir}/{name}.parquet")
     for name, key in FACTS.items():
+        if name not in scaled:
+            continue
         base = t(spark, BASE_SF, name)
         span = base.agg(F.max(key)).collect()[0][0] + 1
         copies = None
