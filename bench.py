@@ -225,11 +225,11 @@ BASELINES = {
     # consumers measure the substrate-cache-warm in-context regime (the
     # graph_label_modularity_ivf precedent — cold build economics live
     # in the K∝n probe rows).
-    "similarity_range_search_ivf": 0.5,
-    "graph_neighborhood_function_ivf": 1.5,
-    "events_attribution_position_based": 1.5,
-    "text_quality_funnel": 0.9,
-    "audit_t_closeness": 0.8,
+    "similarity_range_search_ivf": 2.359,
+    "graph_neighborhood_function_ivf": 0.827,
+    "events_attribution_position_based": 1.143,
+    "text_quality_funnel": 0.656,
+    "audit_t_closeness": 0.353,
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
