@@ -220,3 +220,45 @@ def knn_components_oracle_with(knn_with: str, recursive: bool = True) -> str:
            CAST(csize * COUNT(*) AS BIGINT) AS n_vectors
     FROM sizes GROUP BY csize
     """
+
+
+def leakage_safe_split_oracle_with(knn_with: str) -> str:
+    """Component-keyed leakage-safe split census over any substrate:
+    ``knn_with`` opens the WITH clause and must define
+    ``knn(vec_a, vec_b)``.  Components by min-reachable-vec_id (the
+    shared reach CTE), split by the md5-first-hex-digit bucket of the
+    component id (quality.hash_bucket's SQL twin), per-split census."""
+    from .quality import TRAIN_BUCKETS
+
+    return f"""
+    WITH RECURSIVE {knn_with},
+    sym AS MATERIALIZED (
+      SELECT vec_a AS a, vec_b AS b FROM knn
+      UNION
+      SELECT vec_b, vec_a FROM knn
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT v.vec_id,
+             CAST(LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS BIGINT)
+               AS component
+      FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+      GROUP BY v.vec_id
+    ),
+    tagged AS (
+      SELECT vec_id, component,
+             CASE WHEN strpos('0123456789abcdef',
+                              SUBSTR(MD5(CAST(component AS VARCHAR)), 1, 1)) - 1
+                       < {TRAIN_BUCKETS}
+                  THEN 'train' ELSE 'test' END AS split
+      FROM comp
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
+    FROM tagged GROUP BY split
+    """

@@ -47,6 +47,13 @@ from .similarity import QUANT, quantized
 KMEANS_K = 8
 KMEANS_ITERS = 4  # assignments; ITERS-1 centroid updates between them
 
+#: the maintained-index family's frozen-quantizer regime (upsert fold,
+#: centroid drift gate): centroids train on the BASE corpus, the rest
+#: arrives afterwards
+_UPSERT_TRAIN_PRED = "vec_id % 3 <> 0"  #: the index's base corpus
+_UPSERT_BATCH_PREDS = ("vec_id % 6 = 0", "vec_id % 6 = 3")  #: two arrivals
+_EDGE_CKSUM = 1_000_003  #: vec_a multiplier in the per-cell edge checksum
+
 
 def _dist2(qcol, centroid: list[int]):
     """Exact integer squared-L2 distance from array column to a literal centroid."""
@@ -1365,6 +1372,210 @@ def dataset_contamination_check_ivf(
     )
 
 
+def _leakage_safe_split_ivf_oracle() -> str:
+    from .graph_overlays import leakage_safe_split_oracle_with
+
+    return leakage_safe_split_oracle_with(_ivf_knn_with())
+
+
+@query(
+    "dataset_split_leakage_safe_ivf",
+    oracle=None,  # patched below (splices the per-cell substrate CTEs)
+    tags=("pipeline", "split", "dedup", "clustering", "ivf", "composition"),
+)
+def dataset_split_leakage_safe_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CONSTRUCTIVE half of the substrate split story
+    (`dataset_split_neardup_leakage_ivf` is the audit): split by the
+    connected COMPONENT of the per-IVF-cell mutual-kNN graph, so a whole
+    semantic near-dup cluster moves to one side as a unit and a test
+    vector can never have a training-side near-twin the substrate can
+    see — leakage zero by construction (exactly the cells-only-split
+    invariant the audit's test pins, now as the shipped split).  The
+    residual risk is the substrate's priced recall gap: a CROSS-CELL
+    near-twin the index misses can still straddle — which is why the
+    audit (on a different substrate, e.g. the exact shingle graph) stays
+    in the release checklist.
+
+    Scale shape: components = the label-propagation fixpoint over the
+    session-cached edge frame (one keyed shuffle per round, lineage cut
+    per round); the split is one md5 expression on the component id;
+    the census is split-bounded.  Same content-hash bucketing and ~81/19
+    target as every split in the family."""
+    from .clustering import connected_components
+    from .quality import TRAIN_BUCKETS, hash_bucket
+
+    e = t(spark, sf_dir, "embeddings")
+    edges = ivf_mutual_knn_edges(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    comp = connected_components(e.select(F.col("vec_id").alias("id")), edges)
+    split = F.when(
+        hash_bucket(F.col("component")) < TRAIN_BUCKETS, "train"
+    ).otherwise("test")
+    return (
+        comp.select(split.alias("split"), "component")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count_distinct(F.col("component")).cast("long").alias(
+                "n_components"
+            ),
+        )
+    )
+
+
+def _patch_leakage_safe_split_ivf_oracle() -> None:
+    _QK["dataset_split_leakage_safe_ivf"] = _dck.replace(
+        _QK["dataset_split_leakage_safe_ivf"],
+        oracle=_leakage_safe_split_ivf_oracle(),
+    )
+
+
+_patch_leakage_safe_split_ivf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# centroid drift — the retrain gate for the frozen quantizer
+
+#: RELATIVE retrain flag: a cell drifting ≥ DRIFT_NUM/DRIFT_DEN (= 1.2×)
+#: above the average per-cell displacement is the retrain candidate —
+#: absolute drift² units are corpus- and quantization-dependent (this
+#: corpus reads 1.3e9–9.8e9 across SFs), so the actionable signal is the
+#: SKEW: which cells the ingest moved hardest.  Production anchors the
+#: absolute scale to the recall SLO via the nprobe/recall gates; the raw
+#: drift2 column stays in the output for that.
+DRIFT_NUM, DRIFT_DEN = 6, 5
+
+
+def _centroid_drift_oracle(
+    k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    parts = _kmeans_sql_parts(k_cells, iters, train_pred=_UPSERT_TRAIN_PRED)
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    cellq AS (
+      SELECT a.cluster AS cell, a.vec_id, q.dim, q.qv
+      FROM a{iters} a JOIN q ON q.vec_id = a.vec_id
+    ),
+    means AS (
+      SELECT cell, dim,
+             CAST((SUM(qv) - ((SUM(qv) % COUNT(*)) + COUNT(*)) % COUNT(*))
+                  / COUNT(*) AS BIGINT) AS m
+      FROM cellq GROUP BY cell, dim
+    ),
+    drift AS (
+      SELECT means.cell, SUM((m - c.cv) * (m - c.cv)) AS drift2
+      FROM means JOIN c{iters - 1} c
+        ON c.cluster = means.cell AND c.dim = means.dim
+      GROUP BY means.cell
+    ),
+    counts AS (
+      SELECT cluster AS cell, COUNT(*) AS n_members,
+             SUM(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS n_new
+      FROM a{iters} GROUP BY cluster
+    ),
+    tot AS (SELECT SUM(drift2) AS s, COUNT(*) AS k FROM drift)
+    SELECT CAST(c.cell AS BIGINT) AS cell,
+           CAST(c.n_members AS BIGINT) AS n_members,
+           CAST(c.n_new AS BIGINT) AS n_new,
+           CAST(d.drift2 AS BIGINT) AS drift2,
+           {DRIFT_DEN} * CAST(d.drift2 AS HUGEINT) * t.k
+             > {DRIFT_NUM} * CAST(t.s AS HUGEINT) AS retrain
+    FROM counts c JOIN drift d ON d.cell = c.cell CROSS JOIN tot t
+    """
+
+
+@query(
+    "embedding_centroid_drift_check",
+    oracle=_centroid_drift_oracle(),
+    tags=("similarity", "ivf", "clustering", "quality", "incremental"),
+)
+def embedding_centroid_drift_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHEN TO RETRAIN the frozen quantizer — the missing control loop of
+    the maintained index (`upsert_ivf_vector_index` holds centroids
+    fixed; this measures how stale they've become): train on the base
+    corpus (the upsert family's vec_id % 3 <> 0 split), assign EVERYONE
+    (base + the ingested arrivals), and report per cell the squared
+    displacement between the frozen centroid and the cell's current
+    floor-mean — exactly the next Lloyd step the frozen quantizer isn't
+    taking.  Cells drifting ≥ DRIFT_NUM/DRIFT_DEN (1.2×) above the
+    average displacement are flagged (the skew signal — absolute drift
+    units are corpus-dependent; the raw drift2 column carries them); a
+    flagged cell's members are quantized against a centroid the data
+    has moved away from, degrading IVF recall until a re-cluster of
+    exactly those cells (the `upsert_ivf_vector_index` machinery applied
+    as a repair, not an ingest).
+
+    Integer-exact: quantized dims, the shared non-negative-modulus
+    floor-mean (the Lloyd update's own arithmetic), integer squared
+    diffs — both engines agree bit-for-bit, flag included.
+
+    Scale shape: one broadcast-centroid assign pass, one (cell, dim)
+    grouped sum with map-side combine (≤ K×D groups), one K×D-bounded
+    centroid join, a K-bounded rollup — nothing corpus-sized past the
+    scan; the same shape as the Lloyd update step it simulates."""
+    from .similarity import _qtable
+
+    qt = cut_lineage(
+        spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
+    )
+    base = qt.filter(F.expr(_UPSERT_TRAIN_PRED))
+    centroids = train_centroids(base.select("vec_id", "q"), KMEANS_K, KMEANS_ITERS)
+    assign = _assign_to_cells(qt, centroids)
+    cellq = assign.select(
+        "cell", "vec_id", F.posexplode(F.col("q")).alias("dim0", "qv")
+    )
+    means = cellq.groupBy("cell", "dim0").agg(
+        floordiv_col(F.sum("qv"), F.count(F.lit(1))).alias("m")
+    )
+    cent = spark.createDataFrame(
+        [
+            (j, d, centroids[j][d])
+            for j in sorted(centroids)
+            for d in range(len(centroids[j]))
+        ],
+        "cell long, dim0 long, cv long",
+    )
+    drift = (
+        means.join(F.broadcast(cent), ["cell", "dim0"])
+        .groupBy("cell")
+        .agg(
+            F.sum((F.col("m") - F.col("cv")) * (F.col("m") - F.col("cv"))).alias(
+                "drift2"
+            )
+        )
+    )
+    counts = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("vec_id") % 3 == 0, 1).otherwise(0)).alias("n_new"),
+    )
+    tot = drift.agg(
+        F.sum("drift2").alias("s"), F.count(F.lit(1)).alias("k")
+    )
+    # cross-multiplied relative gate in DECIMAL(38,0) (HUGEINT in the
+    # oracle): drift2·k and s can each exceed BIGINT at production K
+    flag = (
+        F.lit(DRIFT_DEN) * F.col("drift2").cast("decimal(38,0)") * F.col("k")
+        > F.lit(DRIFT_NUM) * F.col("s").cast("decimal(38,0)")
+    )
+    return (
+        counts.join(drift, "cell")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.col("drift2").cast("long").alias("drift2"),
+            flag.alias("retrain"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # neighborhood function N(h) over the kNN graph — the HyperANF primitive
 # (Boldi/Rosa/Vigna 2011): how fast does reach grow with hop count?
@@ -1716,11 +1927,6 @@ def upsert_ivf_vector_index(
         "touched_cells": touched,
         "n_edges_written": new_edges.count(),
     }
-
-
-_UPSERT_TRAIN_PRED = "vec_id % 3 <> 0"  #: the index's base corpus
-_UPSERT_BATCH_PREDS = ("vec_id % 6 = 0", "vec_id % 6 = 3")  #: two arrivals
-_EDGE_CKSUM = 1_000_003  #: vec_a multiplier in the per-cell edge checksum
 
 
 def _ivf_upsert_oracle(

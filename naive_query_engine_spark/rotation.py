@@ -350,6 +350,8 @@ ROTATION: tuple[str, ...] = (
     "similarity_ivf_index_upsert",
     "dataset_split_neardup_leakage_ivf",
     "dataset_contamination_check_ivf",
+    "dataset_split_leakage_safe_ivf",
+    "embedding_centroid_drift_check",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

@@ -159,3 +159,101 @@ def test_upsert_fold_single_vs_two_batches_agree(spark):
         for r in QUERIES["similarity_ivf_index_upsert"].fn(spark, SF_SMOKE).collect()
     }
     assert got == want and got
+
+
+def test_leakage_safe_split_ivf_zero_cross_edges(spark):
+    """The constructive guarantee end-to-end: tag every vector with the
+    component-keyed split the query ships, then check NO substrate edge
+    straddles the split (the audit that motivated it reads zero on it
+    by construction)."""
+    from naive_query_engine_spark.operators.clustering import (
+        connected_components,
+    )
+    from naive_query_engine_spark.operators.kmeans import ivf_mutual_knn_edges
+    from naive_query_engine_spark.operators.quality import (
+        TRAIN_BUCKETS,
+        hash_bucket,
+    )
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    edges = ivf_mutual_knn_edges(spark, SF_SMOKE)
+    comp = connected_components(
+        e.select(F.col("vec_id").alias("id")),
+        edges.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")),
+    )
+    tag = comp.select(
+        F.col("id").alias("vec_id"),
+        F.when(hash_bucket(F.col("component")) < TRAIN_BUCKETS, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    crossed = (
+        edges.join(
+            tag.select(F.col("vec_id").alias("vec_a"), F.col("split").alias("sa")),
+            "vec_a",
+        )
+        .join(
+            tag.select(F.col("vec_id").alias("vec_b"), F.col("split").alias("sb")),
+            "vec_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossed == 0
+    # census covers the corpus exactly, both splits present
+    rows = QUERIES["dataset_split_leakage_safe_ivf"].fn(spark, SF_SMOKE).collect()
+    assert sum(r["n_vecs"] for r in rows) == e.count()
+    assert {r["split"] for r in rows} == {"train", "test"}
+
+
+def test_centroid_drift_matches_numpy(spark):
+    """Per-cell drift² and the relative retrain flag vs a plain numpy
+    recompute from the collected quantized vectors and the same frozen
+    base-trained centroids — pins the floor-mean (non-negative modulus)
+    and cross-multiplied gate arithmetic independently of both engines'
+    SQL."""
+    import numpy as np
+
+    from naive_query_engine_spark.operators.kmeans import (
+        DRIFT_DEN,
+        DRIFT_NUM,
+        KMEANS_ITERS,
+        KMEANS_K,
+        _UPSERT_TRAIN_PRED,
+        train_centroids,
+    )
+    from naive_query_engine_spark.operators.similarity import _qtable
+    from naive_query_engine_spark.queries import cut_lineage, spread
+
+    qt = cut_lineage(spread(_qtable(spark, SF_SMOKE).select("vec_id", "q")))
+    centroids = train_centroids(
+        qt.filter(F.expr(_UPSERT_TRAIN_PRED)), KMEANS_K, KMEANS_ITERS
+    )
+    rows = qt.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    Q = np.array([list(r["q"]) for r in rows], dtype=np.int64)
+    labels = sorted(centroids)
+    C = np.array([centroids[j] for j in labels], dtype=np.int64)
+    d2 = (Q * Q).sum(1)[:, None] - 2 * (Q @ C.T) + (C * C).sum(1)[None, :]
+    a = d2.argmin(1)  # ties: argmin picks the first = lowest cell id
+    want = {}
+    for i, j in enumerate(labels):
+        members = Q[a == i]
+        s = members.sum(0)
+        n = len(members)
+        mean = (s - ((s % n) + n) % n) // n  # the shared floor-mean
+        drift2 = int(((mean - C[i]) ** 2).sum())
+        n_new = int((ids[a == i] % 3 == 0).sum())
+        want[j] = (n, n_new, drift2)
+    total = sum(v[2] for v in want.values())
+    got = {
+        r["cell"]: (r["n_members"], r["n_new"], r["drift2"], r["retrain"])
+        for r in QUERIES["embedding_centroid_drift_check"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for j, (n, n_new, drift2) in want.items():
+        gn, gnew, gd, gflag = got[j]
+        assert (gn, gnew, gd) == (n, n_new, drift2), j
+        assert gflag == (DRIFT_DEN * drift2 * len(want) > DRIFT_NUM * total), j
+    flags = {v[3] for v in got.values()}
+    assert flags == {True, False}  # the relative gate splits on this corpus

@@ -381,6 +381,14 @@ ANNOTATED = {
     "dataset_contamination_check_ivf": "one cosine filter + eval-parity "
     "orientation over the shared ivf_cell_cosine_pairs frame — semantic "
     "decontamination at index-build cost, not n^2",
+    "dataset_split_leakage_safe_ivf": "label-propagation components over "
+    "the cached IVF edges (one keyed shuffle per round, lineage cut), "
+    "md5 split on the component id, split-bounded census — leakage zero "
+    "by construction on the substrate the index can see",
+    "embedding_centroid_drift_check": "broadcast-centroid assign, one "
+    "(cell, dim) grouped sum (map-side combine, <= KxD groups), KxD "
+    "centroid join + K-bounded rollup — the Lloyd update step it "
+    "simulates, as a report",
 }
 
 
