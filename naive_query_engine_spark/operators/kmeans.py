@@ -1929,6 +1929,116 @@ def upsert_ivf_vector_index(
     }
 
 
+def _clear_partitions(
+    spark: SparkSession, table: str, cells: list[int]
+) -> None:
+    """Empty the given cell partitions explicitly (INSERT OVERWRITE with a
+    static partition spec and a zero-row select of typed NULLs — reading
+    FROM the target itself is rejected: UNSUPPORTED_OVERWRITE.TABLE) —
+    dynamic partition overwrite only rewrites partitions PRESENT in the
+    incoming data, so a repaired cell that ends up empty would otherwise
+    keep stale rows."""
+    cols = ", ".join(
+        f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}"
+        for f in spark.table(table).schema.fields
+        if f.name != "cell"
+    )
+    for c in cells:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {table} PARTITION (cell={c}) "
+            f"SELECT {cols} LIMIT 0"
+        )
+
+
+def repair_ivf_vector_index(
+    spark: SparkSession, table: str, cells: list[int]
+) -> dict:
+    """PARTIAL RETRAIN — the drift gate's repair arm
+    (`embedding_centroid_drift_check` names the cells; this fixes them
+    without touching the rest of the index): pool the flagged cells'
+    members (partition-pruned scan), retrain |cells| fresh Lloyd
+    centroids on the pool, reassign ONLY the pooled members among the
+    refreshed centroids (members may migrate between repaired cells,
+    never in or out of the pool — unflagged cells are untouched by
+    construction), rebuild exactly those cells' mutual-kNN edges, and
+    swap the repaired partitions in.  The centroids table is rewritten
+    with the hybrid set (frozen ∪ refreshed), so subsequent
+    `upsert_ivf_vector_index` / `ivf_probe_neighbors`-style consumers
+    quantize against the repaired geometry.
+
+    Cost: O(Σ repaired-cell sizes) — a 100 TB index repairs its worst
+    cells without a corpus re-cluster, completing the build → upsert →
+    drift-check → repair control loop.
+
+    Post-state invariant (test-pinned): untouched cells are byte-
+    identical; the repaired region equals a direct recompute from the
+    pool under the refreshed centroids; the centroids table carries the
+    hybrid set.  (This is deliberately NOT a global hybrid re-assign:
+    partial retrain respects the existing assignment partition — only
+    the pooled members move, so the operation stays O(pool).)  A
+    repaired cell left EMPTY by the reassignment is explicitly cleared
+    (dynamic overwrite cannot).
+
+    Returns {"repaired_cells", "n_members", "n_edges_written"}."""
+    s = spark
+    s.catalog.refreshTable(f"{table}_assign")
+    s.catalog.refreshTable(table)
+    conf = s.table(f"{table}_conf").collect()[0]
+    cells = sorted(cells)
+    members = cut_lineage(
+        s.table(f"{table}_assign")
+        .filter(F.col("cell").isin(cells))  # partition-pruned
+        .select("vec_id", "q", "nrm2")
+    )
+    n_members = members.count()
+    # |cells| fresh centroids on the pool; relabel 0..k-1 -> the repaired
+    # cell ids so partition layout and oracle tie-breaks stay aligned
+    trained = train_centroids(
+        members.select("vec_id", "q"), len(cells), KMEANS_ITERS
+    )
+    refreshed = {cells[j]: v for j, v in trained.items()}
+    new_assign = cut_lineage(_assign_to_cells(members, refreshed))
+    new_edges = cut_lineage(
+        mutual_knn_edges_from_pairs(
+            cell_cosine_pairs_from_assignment(new_assign, with_cell=True),
+            int(conf["top_k"]),
+            with_cell=True,
+        )
+    )
+    # hybrid centroid table: frozen rows for untouched cells + refreshed
+    old = {
+        r["c_label"]: list(r["centroid"])
+        for r in s.table(f"{table}_centroids").collect()
+    }
+    hybrid = {**{k: v for k, v in old.items() if k not in set(cells)}, **refreshed}
+    prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        new_assign.select("vec_id", "q", "nrm2", "cell").write.insertInto(
+            f"{table}_assign", overwrite=True
+        )
+        new_edges.select("vec_a", "vec_b", "cell").write.insertInto(
+            table, overwrite=True
+        )
+        present_a = {r["cell"] for r in new_assign.select("cell").distinct().collect()}
+        present_e = {r["cell"] for r in new_edges.select("cell").distinct().collect()}
+        _clear_partitions(
+            s, f"{table}_assign", [c for c in cells if c not in present_a]
+        )
+        _clear_partitions(s, table, [c for c in cells if c not in present_e])
+    finally:
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.createDataFrame(
+        [(j, hybrid[j]) for j in sorted(hybrid)],
+        "c_label long, centroid array<long>",
+    ).write.mode("overwrite").saveAsTable(f"{table}_centroids")
+    return {
+        "repaired_cells": cells,
+        "n_members": n_members,
+        "n_edges_written": new_edges.count(),
+    }
+
+
 def _ivf_upsert_oracle(
     k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> str:

@@ -217,3 +217,144 @@ def test_registered_upsert_query_matches_table_path(spark, maint_index):
         for r in QUERIES["similarity_ivf_index_upsert"].fn(spark, SF_SMOKE).collect()
     }
     assert got == want and got
+
+
+def test_repair_flagged_cells_partial_retrain(spark, maint_index):
+    """The control loop's repair arm: re-cluster two cells of the
+    maintained index.  Untouched cells must be byte-identical, the
+    repaired region must equal a direct Lloyd recompute from the pooled
+    members under the refreshed centroids, and the centroids table must
+    carry the hybrid set — all without reading any unflagged partition
+    (partial retrain is O(pool))."""
+    from naive_query_engine_spark.operators.kmeans import (
+        KMEANS_ITERS,
+        _assign_to_cells,
+        cell_cosine_pairs_from_assignment,
+        mutual_knn_edges_from_pairs,
+        repair_ivf_vector_index,
+        train_centroids,
+    )
+    from naive_query_engine_spark.operators.similarity import TOP_K
+
+    repaired = [0, 1]
+    before_assign = {
+        c: sorted(
+            (r["vec_id"], tuple(r["q"]), r["nrm2"])
+            for r in spark.table(f"{MAINT_TABLE}_assign")
+            .filter(F.col("cell") == c)
+            .collect()
+        )
+        for c in range(8)
+    }
+    before_edges = {
+        c: sorted(
+            (r["vec_a"], r["vec_b"])
+            for r in spark.table(MAINT_TABLE).filter(F.col("cell") == c).collect()
+        )
+        for c in range(8)
+    }
+    pool = (
+        spark.table(f"{MAINT_TABLE}_assign")
+        .filter(F.col("cell").isin(repaired))
+        .select("vec_id", "q", "nrm2")
+    )
+    pool_rows = sorted(
+        (r["vec_id"], tuple(r["q"]), r["nrm2"]) for r in pool.collect()
+    )
+    old_centroids = {
+        r["c_label"]: list(r["centroid"])
+        for r in spark.table(f"{MAINT_TABLE}_centroids").collect()
+    }
+
+    res = repair_ivf_vector_index(spark, MAINT_TABLE, repaired)
+    assert res["n_members"] == len(pool_rows) > 0
+
+    spark.catalog.refreshTable(MAINT_TABLE)
+    spark.catalog.refreshTable(f"{MAINT_TABLE}_assign")
+    spark.catalog.refreshTable(f"{MAINT_TABLE}_centroids")
+
+    # (a) untouched cells byte-identical, both tables
+    for c in range(2, 8):
+        got_a = sorted(
+            (r["vec_id"], tuple(r["q"]), r["nrm2"])
+            for r in spark.table(f"{MAINT_TABLE}_assign")
+            .filter(F.col("cell") == c)
+            .collect()
+        )
+        assert got_a == before_assign[c], c
+        got_e = sorted(
+            (r["vec_a"], r["vec_b"])
+            for r in spark.table(MAINT_TABLE).filter(F.col("cell") == c).collect()
+        )
+        assert got_e == before_edges[c], c
+
+    # (b) repaired region == direct recompute from the pool under the
+    # refreshed centroids (same seeding: Lloyd on the pool, relabeled)
+    pool_df = spark.createDataFrame(
+        [(v, list(q), n) for v, q, n in pool_rows],
+        "vec_id long, q array<long>, nrm2 long",
+    )
+    trained = train_centroids(pool_df.select("vec_id", "q"), len(repaired), KMEANS_ITERS)
+    refreshed = {repaired[j]: v for j, v in trained.items()}
+    want_assign = sorted(
+        (r["vec_id"], r["cell"])
+        for r in _assign_to_cells(pool_df, refreshed).collect()
+    )
+    got_assign = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.table(f"{MAINT_TABLE}_assign")
+        .filter(F.col("cell").isin(repaired))
+        .collect()
+    )
+    assert got_assign == want_assign
+    # the pool neither grew nor shrank — members only migrate inside it
+    assert sorted(v for v, _ in got_assign) == sorted(v for v, _, _ in pool_rows)
+    want_edges = sorted(
+        tuple(r)
+        for r in mutual_knn_edges_from_pairs(
+            cell_cosine_pairs_from_assignment(
+                _assign_to_cells(pool_df, refreshed), with_cell=True
+            ),
+            TOP_K,
+            with_cell=True,
+        ).collect()
+    )
+    got_edges = sorted(
+        tuple(r)
+        for r in spark.table(MAINT_TABLE)
+        .filter(F.col("cell").isin(repaired))
+        .collect()
+    )
+    assert got_edges == want_edges
+
+    # (c) centroids table = hybrid (frozen outside, refreshed inside)
+    after_centroids = {
+        r["c_label"]: list(r["centroid"])
+        for r in spark.table(f"{MAINT_TABLE}_centroids").collect()
+    }
+    for c, v in after_centroids.items():
+        if c in repaired:
+            assert v == refreshed[c], c
+        else:
+            assert v == old_centroids[c], c
+
+
+def test_clear_partitions_empties_exactly_the_named_cells(spark, maint_index):
+    """The repair path's stale-partition guard: clearing named cells
+    empties exactly those partitions and leaves the rest untouched."""
+    from naive_query_engine_spark.operators.kmeans import _clear_partitions
+
+    before = spark.table(MAINT_TABLE).groupBy("cell").count().collect()
+    before = {r["cell"]: r["count"] for r in before}
+    victims = [c for c in sorted(before) if before[c] > 0][:2]
+    _clear_partitions(spark, MAINT_TABLE, victims)
+    spark.catalog.refreshTable(MAINT_TABLE)
+    after = {
+        r["cell"]: r["count"]
+        for r in spark.table(MAINT_TABLE).groupBy("cell").count().collect()
+    }
+    for c in victims:
+        assert after.get(c, 0) == 0, c
+    for c, n in before.items():
+        if c not in victims:
+            assert after.get(c, 0) == n, c
