@@ -1439,6 +1439,66 @@ _patch_leakage_safe_split_ivf_oracle()
 # ---------------------------------------------------------------------------
 # centroid drift — the retrain gate for the frozen quantizer
 
+#: (cut assignment frame, frozen centroids) per (app, sf_dir) — shared by
+#: the drift gate and the repair query so the base Lloyd training runs
+#: once per session (the _IVF_ASSIGN_CACHE precedent, frozen edition)
+_FROZEN_CACHE: dict[tuple[str, str], tuple[DataFrame, dict]] = {}
+
+
+def _frozen_assignment(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """Full-corpus assignment under the FROZEN base-trained quantizer
+    (the maintained-index family's regime: train on vec_id % 3 <> 0,
+    assign everyone)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FROZEN_CACHE:
+        from .similarity import _qtable
+
+        qt = cut_lineage(
+            spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
+        )
+        base = qt.filter(F.expr(_UPSERT_TRAIN_PRED))
+        centroids = train_centroids(
+            base.select("vec_id", "q"), KMEANS_K, KMEANS_ITERS
+        )
+        _FROZEN_CACHE[key] = (
+            cut_lineage(_assign_to_cells(qt, centroids)),
+            centroids,
+        )
+    return _FROZEN_CACHE[key]
+
+
+def _drift2_frame(
+    spark: SparkSession, assign: DataFrame, centroids: dict
+) -> DataFrame:
+    """(cell, drift2): squared displacement between each cell's current
+    floor-mean and its frozen centroid — the untaken Lloyd step."""
+    cellq = assign.select(
+        "cell", "vec_id", F.posexplode(F.col("q")).alias("dim0", "qv")
+    )
+    means = cellq.groupBy("cell", "dim0").agg(
+        floordiv_col(F.sum("qv"), F.count(F.lit(1))).alias("m")
+    )
+    cent = spark.createDataFrame(
+        [
+            (j, d, centroids[j][d])
+            for j in sorted(centroids)
+            for d in range(len(centroids[j]))
+        ],
+        "cell long, dim0 long, cv long",
+    )
+    return (
+        means.join(F.broadcast(cent), ["cell", "dim0"])
+        .groupBy("cell")
+        .agg(
+            F.sum((F.col("m") - F.col("cv")) * (F.col("m") - F.col("cv"))).alias(
+                "drift2"
+            )
+        )
+    )
+
+
 #: RELATIVE retrain flag: a cell drifting ≥ DRIFT_NUM/DRIFT_DEN (= 1.2×)
 #: above the average per-cell displacement is the retrain candidate —
 #: absolute drift² units are corpus- and quantization-dependent (this
@@ -1519,37 +1579,8 @@ def embedding_centroid_drift_check(
     grouped sum with map-side combine (≤ K×D groups), one K×D-bounded
     centroid join, a K-bounded rollup — nothing corpus-sized past the
     scan; the same shape as the Lloyd update step it simulates."""
-    from .similarity import _qtable
-
-    qt = cut_lineage(
-        spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
-    )
-    base = qt.filter(F.expr(_UPSERT_TRAIN_PRED))
-    centroids = train_centroids(base.select("vec_id", "q"), KMEANS_K, KMEANS_ITERS)
-    assign = _assign_to_cells(qt, centroids)
-    cellq = assign.select(
-        "cell", "vec_id", F.posexplode(F.col("q")).alias("dim0", "qv")
-    )
-    means = cellq.groupBy("cell", "dim0").agg(
-        floordiv_col(F.sum("qv"), F.count(F.lit(1))).alias("m")
-    )
-    cent = spark.createDataFrame(
-        [
-            (j, d, centroids[j][d])
-            for j in sorted(centroids)
-            for d in range(len(centroids[j]))
-        ],
-        "cell long, dim0 long, cv long",
-    )
-    drift = (
-        means.join(F.broadcast(cent), ["cell", "dim0"])
-        .groupBy("cell")
-        .agg(
-            F.sum((F.col("m") - F.col("cv")) * (F.col("m") - F.col("cv"))).alias(
-                "drift2"
-            )
-        )
-    )
+    assign, centroids = _frozen_assignment(spark, sf_dir)
+    drift = _drift2_frame(spark, assign, centroids)
     counts = assign.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.when(F.col("vec_id") % 3 == 0, 1).otherwise(0)).alias("n_new"),
@@ -1572,6 +1603,197 @@ def embedding_centroid_drift_check(
             F.col("n_new").cast("long").alias("n_new"),
             F.col("drift2").cast("long").alias("drift2"),
             flag.alias("retrain"),
+        )
+    )
+
+
+def _lloyd_parts_on(src: str, p: str, k_sql: str, iters: int) -> list[str]:
+    """Generalized DuckDB Lloyd chain over ANY (vec_id, dim, qv) relation
+    ``src`` with a prefixed namespace ``p`` — the stage-2 recurrence the
+    repair oracle runs on the pooled flagged-cell members.  Seeds = the
+    first ``k_sql`` (a scalar SQL expression) vec_ids of ``src``; same
+    floor-mean update, argmin tie-break, and drop-empty semantics as
+    :func:`_kmeans_sql_parts`."""
+    ctes = [
+        f"""{p}c0 AS (
+      SELECT rk - 1 AS cluster, dim, qv AS cv FROM (
+        SELECT s.vec_id, s.dim, s.qv,
+               DENSE_RANK() OVER (ORDER BY s.vec_id) AS rk
+        FROM {src} s
+      ) seeded WHERE rk <= {k_sql}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""{p}a{i} AS (
+      SELECT vec_id, cluster, dist2 FROM (
+        SELECT q.vec_id, c.cluster,
+               SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cluster) AS rn
+        FROM {src} q JOIN {p}c{i - 1} c ON q.dim = c.dim
+        GROUP BY q.vec_id, c.cluster
+      ) WHERE rn = 1
+    )""")
+        if i < iters:
+            ctes.append(f"""{p}c{i} AS (
+      SELECT a.cluster, q.dim,
+             CAST((SUM(q.qv) - ((SUM(q.qv) % COUNT(*)) + COUNT(*)) % COUNT(*)) / COUNT(*)
+                  AS BIGINT) AS cv
+      FROM {p}a{i} a JOIN {src} q ON a.vec_id = q.vec_id
+      GROUP BY a.cluster, q.dim
+    )""")
+    return ctes
+
+
+def _ivf_repair_oracle(
+    k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """The full control loop as one CTE chain: stage-1 Lloyd on the base
+    corpus (frozen quantizer) + full assignment, the drift gate, then a
+    STAGE-2 Lloyd re-cluster of the pooled flagged-cell members —
+    exactly what `repair_ivf_vector_index` does to the persisted index,
+    as a from-scratch recompute DuckDB can run.
+
+    The multiply-referenced expensive CTEs (q, the stage-1 assignment,
+    flagged, pool) are MATERIALIZED — DuckDB otherwise inlines a CTE
+    per reference and re-executes the whole Lloyd recurrence each time
+    (measured 420 s → ~15 s at sf0.01)."""
+    parts = _kmeans_sql_parts(k_cells, iters, train_pred=_UPSERT_TRAIN_PRED)
+    parts[0] = parts[0].replace("q AS (", "q AS MATERIALIZED (", 1)
+    parts[-1] = parts[-1].replace(
+        f"a{iters} AS (", f"a{iters} AS MATERIALIZED (", 1
+    )
+    parts.append(f"""cellq AS (
+      SELECT a.cluster AS cell, a.vec_id, q.dim, q.qv
+      FROM a{iters} a JOIN q ON q.vec_id = a.vec_id
+    )""")
+    parts.append("""means AS (
+      SELECT cell, dim,
+             CAST((SUM(qv) - ((SUM(qv) % COUNT(*)) + COUNT(*)) % COUNT(*))
+                  / COUNT(*) AS BIGINT) AS m
+      FROM cellq GROUP BY cell, dim
+    )""")
+    parts.append(f"""drift AS (
+      SELECT means.cell, SUM((m - c.cv) * (m - c.cv)) AS drift2
+      FROM means JOIN c{iters - 1} c
+        ON c.cluster = means.cell AND c.dim = means.dim
+      GROUP BY means.cell
+    )""")
+    parts.append("tot AS (SELECT SUM(drift2) AS s, COUNT(*) AS k FROM drift)")
+    parts.append(f"""flagged AS MATERIALIZED (
+      SELECT d.cell FROM drift d CROSS JOIN tot t
+      WHERE {DRIFT_DEN} * CAST(d.drift2 AS HUGEINT) * t.k
+              > {DRIFT_NUM} * CAST(t.s AS HUGEINT)
+    )""")
+    parts.append(f"""pool AS MATERIALIZED (
+      SELECT q.vec_id, q.dim, q.qv
+      FROM q JOIN a{iters} a ON a.vec_id = q.vec_id
+      WHERE a.cluster IN (SELECT cell FROM flagged)
+    )""")
+    parts.extend(
+        _lloyd_parts_on("pool", "r", "(SELECT COUNT(*) FROM flagged)", iters)
+    )
+    parts.append("""relabel AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cell) - 1 AS tmp, cell FROM flagged
+    )""")
+    parts.append(f"""post AS (
+      SELECT a.vec_id, a.cluster AS cell FROM a{iters} a
+      WHERE a.cluster NOT IN (SELECT cell FROM flagged)
+      UNION ALL
+      SELECT ra.vec_id, rl.cell
+      FROM ra{iters} ra JOIN relabel rl ON rl.tmp = ra.cluster
+    )""")
+    parts.append(f"""hybrid AS (
+      SELECT cluster AS cell, dim, cv FROM c{iters - 1}
+      WHERE cluster NOT IN (SELECT cell FROM flagged)
+      UNION ALL
+      SELECT rl.cell, rc.dim, rc.cv
+      FROM rc{iters - 1} rc JOIN relabel rl ON rl.tmp = rc.cluster
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    census AS (SELECT cell, COUNT(*) AS n_members FROM post GROUP BY cell),
+    cks AS (SELECT cell, SUM(cv * dim) AS centroid_checksum
+            FROM hybrid GROUP BY cell)
+    SELECT CAST(c.cell AS BIGINT) AS cell,
+           CAST(c.n_members AS BIGINT) AS n_members,
+           CAST(k.centroid_checksum AS BIGINT) AS centroid_checksum,
+           c.cell IN (SELECT cell FROM flagged) AS repaired
+    FROM census c JOIN cks k ON k.cell = c.cell
+    """
+
+
+@query(
+    "similarity_ivf_index_repair",
+    oracle=_ivf_repair_oracle(),
+    tags=("similarity", "ivf", "incremental", "iterative", "quality"),
+)
+def similarity_ivf_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTROL LOOP end state, externally verified: run the drift
+    gate under the frozen base-trained quantizer, PARTIALLY RETRAIN
+    exactly the flagged cells (fresh Lloyd on their pooled members —
+    the DataFrame twin of `repair_ivf_vector_index`'s table path), and
+    report the post-repair census: per cell, its member count, a
+    checksum of its governing centroid (frozen outside the pool,
+    refreshed inside), and whether it was repaired.  The oracle
+    recomputes BOTH Lloyd stages and the gate as one CTE chain, so
+    hash-equality verifies the whole build → drift → repair loop in a
+    single driver row.
+
+    Integer-exact throughout: the shared floor-mean/argmin recurrence
+    at both stages, the DECIMAL/HUGEINT cross-multiplied gate, and a
+    Σ cv·(dim+1) centroid checksum.
+
+    Scale shape: stage 2 runs on the POOLED FLAGGED MEMBERS only —
+    O(pool) like the table-path repair; the driver-side collects are
+    the K-bounded flag set and the K×D centroid dicts (the Lloyd
+    discipline)."""
+    assign, centroids = _frozen_assignment(spark, sf_dir)
+    drift = _drift2_frame(spark, assign, centroids)
+    tot = drift.agg(F.sum("drift2").alias("s"), F.count(F.lit(1)).alias("k"))
+    gate = (
+        F.lit(DRIFT_DEN) * F.col("drift2").cast("decimal(38,0)") * F.col("k")
+        > F.lit(DRIFT_NUM) * F.col("s").cast("decimal(38,0)")
+    )
+    flagged = sorted(
+        r["cell"]
+        for r in drift.crossJoin(F.broadcast(tot)).filter(gate).collect()
+    )  # K-bounded
+    pool = assign.filter(F.col("cell").isin(flagged)).select(
+        "vec_id", "q", "nrm2"
+    )
+    trained = train_centroids(
+        pool.select("vec_id", "q"), len(flagged), KMEANS_ITERS
+    )
+    refreshed = {flagged[j]: v for j, v in trained.items()}
+    new_assign = _assign_to_cells(pool, refreshed)
+    post = (
+        assign.filter(~F.col("cell").isin(flagged))
+        .select("vec_id", "cell")
+        .unionByName(new_assign.select("vec_id", "cell"))
+    )
+    hybrid = {
+        **{c: v for c, v in centroids.items() if c not in set(flagged)},
+        **refreshed,
+    }
+    cks = spark.createDataFrame(
+        [
+            (c, sum(v[d] * (d + 1) for d in range(len(v))))
+            for c, v in sorted(hybrid.items())
+        ],
+        "cell long, centroid_checksum long",
+    )
+    return (
+        post.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .join(F.broadcast(cks), "cell")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_members",
+            "centroid_checksum",
+            F.col("cell").isin(flagged).alias("repaired"),
         )
     )
 

@@ -358,3 +358,40 @@ def test_clear_partitions_empties_exactly_the_named_cells(spark, maint_index):
     for c, n in before.items():
         if c not in victims:
             assert after.get(c, 0) == n, c
+
+
+def test_registered_repair_query_matches_table_path(spark, maint_index):
+    """The control loop, both halves: ingest the two arrival batches into
+    the persisted index, repair the drift-flagged cells via the TABLE
+    path, and check the post-repair (cell, n_members) census equals the
+    registered similarity_ivf_index_repair fold (whose DuckDB oracle
+    re-derives the same state from scratch) — plus the hybrid centroids
+    table matches the fold's checksums."""
+    from naive_query_engine_spark.operators.kmeans import (
+        repair_ivf_vector_index,
+        upsert_ivf_vector_index,
+    )
+    from naive_query_engine_spark.queries import QUERIES
+
+    upsert_ivf_vector_index(spark, MAINT_TABLE, _vectors(spark, "vec_id % 6 = 0"))
+    upsert_ivf_vector_index(spark, MAINT_TABLE, _vectors(spark, "vec_id % 6 = 3"))
+    rows = QUERIES["similarity_ivf_index_repair"].fn(spark, SF_SMOKE).collect()
+    flagged = sorted(r["cell"] for r in rows if r["repaired"])
+    assert flagged  # the gate flags something on this corpus
+    repair_ivf_vector_index(spark, MAINT_TABLE, flagged)
+    spark.catalog.refreshTable(f"{MAINT_TABLE}_assign")
+    spark.catalog.refreshTable(f"{MAINT_TABLE}_centroids")
+    got_census = {
+        r["cell"]: r["count"]
+        for r in spark.table(f"{MAINT_TABLE}_assign").groupBy("cell").count().collect()
+    }
+    want_census = {r["cell"]: r["n_members"] for r in rows}
+    assert got_census == want_census
+    got_cks = {
+        r["c_label"]: sum(
+            v * (d + 1) for d, v in enumerate(r["centroid"])
+        )
+        for r in spark.table(f"{MAINT_TABLE}_centroids").collect()
+    }
+    want_cks = {r["cell"]: r["centroid_checksum"] for r in rows}
+    assert got_cks == want_cks

@@ -389,6 +389,11 @@ ANNOTATED = {
     "(cell, dim) grouped sum (map-side combine, <= KxD groups), KxD "
     "centroid join + K-bounded rollup — the Lloyd update step it "
     "simulates, as a report",
+    "similarity_ivf_index_repair": "the whole control loop: frozen "
+    "assignment (session-cached), drift gate, stage-2 Lloyd on the "
+    "pooled flagged members only (O(pool)), K-bounded census + "
+    "broadcast checksum join; driver collects are the K-flag set and "
+    "KxD centroid dicts",
 }
 
 
