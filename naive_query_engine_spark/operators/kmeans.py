@@ -1607,6 +1607,45 @@ def embedding_centroid_drift_check(
     )
 
 
+def index_drift_report(spark: SparkSession, table: str) -> DataFrame:
+    """The PRODUCTION drift gate: (cell, n_members, drift2, retrain) read
+    straight from the maintained index tables — one pass over the
+    cell-partitioned assignment plus the K×D centroids table, NO
+    retraining (the registered `embedding_centroid_drift_check` retrains
+    per call because a driver query must be self-contained; against a
+    live `build_ivf_vector_index` index the quantizer already exists).
+    Same floor-mean displacement and relative DECIMAL/HUGEINT gate, so
+    on an index whose state equals the frozen-assignment regime the two
+    agree row-for-row (test-pinned)."""
+    s = spark
+    s.catalog.refreshTable(f"{table}_assign")
+    s.catalog.refreshTable(f"{table}_centroids")
+    assign = s.table(f"{table}_assign")
+    centroids = {
+        r["c_label"]: list(r["centroid"])
+        for r in s.table(f"{table}_centroids").collect()  # bounded K×D
+    }
+    drift = _drift2_frame(s, assign, centroids)
+    counts = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    tot = drift.agg(F.sum("drift2").alias("s"), F.count(F.lit(1)).alias("k"))
+    flag = (
+        F.lit(DRIFT_DEN) * F.col("drift2").cast("decimal(38,0)") * F.col("k")
+        > F.lit(DRIFT_NUM) * F.col("s").cast("decimal(38,0)")
+    )
+    return (
+        counts.join(drift, "cell")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("drift2").cast("long").alias("drift2"),
+            flag.alias("retrain"),
+        )
+    )
+
+
 def _lloyd_parts_on(src: str, p: str, k_sql: str, iters: int) -> list[str]:
     """Generalized DuckDB Lloyd chain over ANY (vec_id, dim, qv) relation
     ``src`` with a prefixed namespace ``p`` — the stage-2 recurrence the

@@ -395,3 +395,28 @@ def test_registered_repair_query_matches_table_path(spark, maint_index):
     }
     want_cks = {r["cell"]: r["centroid_checksum"] for r in rows}
     assert got_cks == want_cks
+
+
+def test_index_drift_report_matches_registered_gate(spark, maint_index):
+    """The production gate (read off the maintained tables, no
+    retraining) must agree row-for-row with the registered self-
+    contained drift check once the index holds the same state (base
+    build + both arrival batches == the frozen-assignment regime)."""
+    from naive_query_engine_spark.operators.kmeans import (
+        index_drift_report,
+        upsert_ivf_vector_index,
+    )
+    from naive_query_engine_spark.queries import QUERIES
+
+    upsert_ivf_vector_index(spark, MAINT_TABLE, _vectors(spark, "vec_id % 6 = 0"))
+    upsert_ivf_vector_index(spark, MAINT_TABLE, _vectors(spark, "vec_id % 6 = 3"))
+    got = {
+        r["cell"]: (r["n_members"], r["drift2"], r["retrain"])
+        for r in index_drift_report(spark, MAINT_TABLE).collect()
+    }
+    want = {
+        r["cell"]: (r["n_members"], r["drift2"], r["retrain"])
+        for r in QUERIES["embedding_centroid_drift_check"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    assert {v[2] for v in got.values()} == {True, False}
