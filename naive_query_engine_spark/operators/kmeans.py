@@ -1426,6 +1426,84 @@ def dataset_split_leakage_safe_ivf(
     )
 
 
+def _semantic_dedup_ivf_oracle() -> str:
+    from .similarity import COSINE_THRESHOLD
+
+    return f"""
+    WITH RECURSIVE {ivf_ccos_sql_parts()},
+    cedges AS MATERIALIZED (
+      SELECT vec_a AS a, vec_b AS b FROM ccos
+      WHERE cosine >= {COSINE_THRESHOLD}
+    ),
+    sym AS (
+      SELECT a, b FROM cedges
+      UNION
+      SELECT b, a FROM cedges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT v.vec_id,
+             CAST(LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS BIGINT)
+               AS component
+      FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+      GROUP BY v.vec_id
+    )
+    SELECT component AS canonical_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component
+    """
+
+
+@query(
+    "dedup_semantic_ivf",
+    oracle=None,  # patched below (splices the per-cell cosine CTEs)
+    tags=("dedup", "pipeline", "clustering", "similarity", "ivf", "iterative"),
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_semantic`` on the PRODUCTION substrate: the SemDeDup stage
+    (cosine ≥ τ edges → connected components → lowest-vec_id canonical
+    per duplicate group) with edge generation restricted to the learned
+    IVF cells — Σ cell_size² candidates via the session-cached
+    `ivf_cell_cosine_pairs` frame instead of the exact twin's n² blocked
+    matmul (the calibration artifact).  A cross-cell near-dup pair the
+    index misses can only SPLIT a duplicate group (never merge two), so
+    substrate dedup is conservative: it keeps more, it never deletes a
+    non-duplicate — the safe failure direction for a destructive
+    pipeline stage; the mutual-kNN recall report prices the miss rate.
+
+    Same output contract as the exact twin (canonical_vec_id,
+    n_members), so pipelines swap substrates without schema changes.
+
+    Determinism: the shared exact-int cosine and τ; component = min
+    reachable vec_id over a deterministic edge set."""
+    from .clustering import connected_components
+    from .similarity import COSINE_THRESHOLD
+
+    e = t(spark, sf_dir, "embeddings")
+    edges = (
+        ivf_cell_cosine_pairs(spark, sf_dir)
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    )
+    comp = connected_components(e.select(F.col("vec_id").alias("id")), edges)
+    return comp.groupBy(F.col("component").alias("canonical_vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+def _patch_semantic_dedup_ivf_oracle() -> None:
+    _QK["dedup_semantic_ivf"] = _dck.replace(
+        _QK["dedup_semantic_ivf"], oracle=_semantic_dedup_ivf_oracle()
+    )
+
+
+_patch_semantic_dedup_ivf_oracle()
+
+
 def _patch_leakage_safe_split_ivf_oracle() -> None:
     _QK["dataset_split_leakage_safe_ivf"] = _dck.replace(
         _QK["dataset_split_leakage_safe_ivf"],

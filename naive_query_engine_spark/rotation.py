@@ -353,6 +353,7 @@ ROTATION: tuple[str, ...] = (
     "dataset_split_leakage_safe_ivf",
     "embedding_centroid_drift_check",
     "similarity_ivf_index_repair",
+    "dedup_semantic_ivf",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

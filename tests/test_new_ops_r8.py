@@ -257,3 +257,56 @@ def test_centroid_drift_matches_numpy(spark):
         assert gflag == (DRIFT_DEN * drift2 * len(want) > DRIFT_NUM * total), j
     flags = {v[3] for v in got.values()}
     assert flags == {True, False}  # the relative gate splits on this corpus
+
+
+def test_semantic_dedup_ivf_refines_exact_partition(spark):
+    """Conservative-failure property of substrate dedup: the IVF edge set
+    is a subset of the exact >= tau edge set, so every IVF duplicate
+    group must sit INSIDE one exact group (cross-cell misses only SPLIT
+    groups, never merge) — substrate dedup keeps more, never deletes a
+    non-duplicate.  Checked on memberships, plus census consistency
+    with the registered queries."""
+    from naive_query_engine_spark.operators.clustering import (
+        connected_components,
+    )
+    from naive_query_engine_spark.operators.kmeans import ivf_cell_cosine_pairs
+    from naive_query_engine_spark.operators.similarity import (
+        COSINE_THRESHOLD,
+        _qtable,
+        cosine_block_pairs,
+    )
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    verts = e.select(F.col("vec_id").alias("id"))
+    ivf_edges = (
+        ivf_cell_cosine_pairs(spark, SF_SMOKE)
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    )
+    exact_edges = cosine_block_pairs(_qtable(spark, SF_SMOKE)).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    ivf_comp = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, ivf_edges).collect()
+    }
+    exact_comp = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, exact_edges).collect()
+    }
+    # refinement: two vectors in the same IVF group share the exact group
+    by_ivf: dict = {}
+    for v, c in ivf_comp.items():
+        by_ivf.setdefault(c, []).append(v)
+    for members in by_ivf.values():
+        assert len({exact_comp[v] for v in members}) == 1
+    # and the substrate is conservative: at least as many groups
+    assert len(by_ivf) >= len(set(exact_comp.values()))
+    # census consistency with the registered query
+    got = {
+        r["canonical_vec_id"]: r["n_members"]
+        for r in QUERIES["dedup_semantic_ivf"].fn(spark, SF_SMOKE).collect()
+    }
+    want = {c: len(ms) for c, ms in by_ivf.items()}
+    assert got == want
+    assert any(n > 1 for n in got.values())  # non-vacuous: real dup groups

@@ -394,6 +394,10 @@ ANNOTATED = {
     "pooled flagged members only (O(pool)), K-bounded census + "
     "broadcast checksum join; driver collects are the K-flag set and "
     "KxD centroid dicts",
+    "dedup_semantic_ivf": "SemDeDup on the substrate: tau-filter over "
+    "the shared within-cell pairs frame, label-propagation components, "
+    "canonical census — cross-cell misses only SPLIT groups "
+    "(conservative dedup), never merge",
 }
 
 
