@@ -1685,6 +1685,75 @@ def embedding_centroid_drift_check(
     )
 
 
+def dedup_on_ingest(
+    spark: SparkSession,
+    table: str,
+    arrivals: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """DEDUP-ON-INGEST over the maintained index — the gate a streaming
+    pipeline runs BEFORE admitting a vector: each arrival
+    (vec_id, embedding) probes its frozen-quantizer cell for a corpus
+    neighbor with cosine ≥ τ and gets a verdict row
+    (vec_id, is_duplicate, dup_of, best_cosine) — ``dup_of`` the
+    highest-cosine (then lowest-id) existing twin, NULL when none.
+    Per-arrival verdicts are independent of batching (the
+    incremental-dedup invariant), so foreachBatch micro-batches give
+    exactly the batch answer — test-pinned, and the natural upstream
+    of `upsert_ivf_vector_index` (admit-then-index).
+
+    One broadcast-centroid assign + one cell-keyed join against the
+    maintained assignment (probe side is the only exchange) — the
+    serving-probe shape with a τ-verdict head instead of top-k."""
+    from pyspark.sql import Window
+
+    from .similarity import COSINE_THRESHOLD, cosine_q, dot_q
+
+    tau = COSINE_THRESHOLD if threshold is None else threshold
+    s = arrivals.sparkSession
+    s.catalog.refreshTable(f"{table}_assign")
+    centroids = {
+        r["c_label"]: list(r["centroid"])
+        for r in s.table(f"{table}_centroids").collect()  # bounded K×D
+    }
+    qf = arrivals.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).withColumn("nrm2", dot_q(F.col("q"), F.col("q")))
+    probe = _assign_to_cells(qf, centroids).select(
+        F.col("vec_id").alias("arrival_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn2"),
+        "cell",
+    )
+    corpus = s.table(f"{table}_assign")
+    cos = cosine_q(dot_q(F.col("qq"), F.col("q")), F.col("qn2"), F.col("nrm2"))
+    scored = (
+        probe.join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("arrival_id"))
+        .select(
+            "arrival_id", F.col("vec_id").alias("dup_of"), cos.alias("cosine")
+        )
+    )
+    w = Window.partitionBy("arrival_id").orderBy(F.col("cosine").desc(), "dup_of")
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("arrival_id", "dup_of", F.col("cosine").alias("best_cosine"))
+    )
+    return (
+        probe.select("arrival_id")
+        .join(best, "arrival_id", "left")
+        .select(
+            F.col("arrival_id").alias("vec_id"),
+            (F.coalesce(F.col("best_cosine"), F.lit(-2.0)) >= tau).alias(
+                "is_duplicate"
+            ),
+            F.when(F.col("best_cosine") >= tau, F.col("dup_of")).alias("dup_of"),
+            "best_cosine",
+        )
+    )
+
+
 def index_drift_report(spark: SparkSession, table: str) -> DataFrame:
     """The PRODUCTION drift gate: (cell, n_members, drift2, retrain) read
     straight from the maintained index tables — one pass over the

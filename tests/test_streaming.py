@@ -830,3 +830,60 @@ def test_stream_ivf_index_upsert_equals_batch_rebuild(spark, tmp_path):
     finally:
         for suffix in ("", "_assign", "_centroids", "_conf"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_stream_dedup_on_ingest_equals_batch(spark, tmp_path):
+    """The admit-gate loop: arriving vectors stream in and each micro-batch
+    probes the MAINTAINED index for a tau-twin verdict; the union over
+    batches must equal the batch verdicts of the full arrival set (the
+    incremental-dedup invariant, admission edition).  Also pins verdict
+    semantics against the exact pair set: every is_duplicate arrival has
+    a same-cell corpus twin at cosine >= tau, and dup_of is an existing
+    corpus vector, not a co-arrival."""
+    from naive_query_engine_spark.operators.kmeans import (
+        build_ivf_vector_index,
+        dedup_on_ingest,
+    )
+    from naive_query_engine_spark.operators.similarity import COSINE_THRESHOLD
+
+    table = "b_stream_ingest_gate"
+    e = t(spark, SF_SMOKE, "embeddings")
+    base = e.filter("vec_id % 3 <> 0").select("vec_id", "embedding")
+    arriving = e.filter("vec_id % 3 = 0").select("vec_id", "embedding")
+    build_ivf_vector_index(spark, base, table, n_buckets=8)
+    try:
+        arrivals_dir = str(tmp_path / "gate_arrivals")
+        arriving.repartition(3).write.parquet(arrivals_dir)
+        got: set = set()
+
+        def gate_batch(batch_df, _bid):
+            got.update(
+                tuple(r) for r in dedup_on_ingest(spark, table, batch_df).collect()
+            )
+
+        q = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals_dir)
+            .writeStream.foreachBatch(gate_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        want = {
+            tuple(r) for r in dedup_on_ingest(spark, table, arriving).collect()
+        }
+        assert got == want and got
+        base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+        dups = [r for r in got if r[1]]
+        assert dups  # non-vacuous: the corpus contains tau-twins
+        for vec_id, is_dup, dup_of, best in dups:
+            assert dup_of in base_ids  # an existing vector, not a co-arrival
+            assert best >= COSINE_THRESHOLD
+        for vec_id, is_dup, dup_of, best in got:
+            if not is_dup:
+                assert dup_of is None
+                assert best is None or best < COSINE_THRESHOLD
+    finally:
+        for suffix in ("", "_assign", "_centroids", "_conf"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
