@@ -1426,6 +1426,110 @@ def dataset_split_leakage_safe_ivf(
     )
 
 
+def _hard_negatives_ivf_oracle() -> str:
+    from .similarity import N_QUERY_VECS, TOP_K
+
+    return f"""
+    WITH {ivf_ccos_sql_parts()},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    directed AS (
+      SELECT vec_a AS query_id, vec_b AS negative_id, cosine FROM ccos
+      WHERE vec_a < {N_QUERY_VECS}
+      UNION ALL
+      SELECT vec_b, vec_a, cosine FROM ccos
+      WHERE vec_b < {N_QUERY_VECS}
+    ),
+    crossl AS (
+      SELECT d.query_id, d.negative_id, d.cosine
+      FROM directed d
+      JOIN lab lq ON lq.vec_id = d.query_id
+      JOIN lab ln ON ln.vec_id = d.negative_id AND ln.label <> lq.label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, negative_id) AS rnk
+      FROM crossl
+    )
+    SELECT query_id, negative_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@query(
+    "embedding_hard_negatives_ivf",
+    oracle=None,  # patched below (splices the per-cell cosine CTEs)
+    tags=("similarity", "pipeline", "training", "topk", "ivf"),
+)
+def embedding_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_hard_negatives`` on the PRODUCTION substrate — the swap
+    the exact twin's docstring promises ("the scan side swaps for the
+    IVF candidate generators unchanged"): cross-label top-k negatives
+    per query, with candidates restricted to the query's Lloyd cell via
+    the session-cached `ivf_cell_cosine_pairs` frame (Σ cell_size²)
+    instead of the query×corpus broadcast scan.  Exactly the right
+    restriction for THIS op: hard negatives are by definition the
+    nearest cross-label vectors, and near vectors co-locate in cells —
+    a cross-cell miss is a farther, softer negative (the substrate
+    recall report prices it).  Same output contract as the exact twin.
+
+    Determinism: shared exact-int cosine; (cosine DESC, negative_id)
+    total order."""
+    from pyspark.sql import Window
+
+    from .similarity import N_QUERY_VECS, TOP_K
+
+    p = ivf_cell_cosine_pairs(spark, sf_dir)
+    directed = (
+        p.select(
+            F.col("vec_a").alias("query_id"),
+            F.col("vec_b").alias("negative_id"),
+            "cosine",
+        )
+        .unionAll(
+            p.select(
+                F.col("vec_b").alias("query_id"),
+                F.col("vec_a").alias("negative_id"),
+                "cosine",
+            )
+        )
+        .filter(F.col("query_id") < N_QUERY_VECS)
+    )
+    lab = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    crossl = (
+        directed.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("negative_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "negative_id",
+        )
+        .filter(F.col("nlabel") != F.col("qlabel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        crossl.select("query_id", "negative_id", "cosine")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def _patch_hard_negatives_ivf_oracle() -> None:
+    _QK["embedding_hard_negatives_ivf"] = _dck.replace(
+        _QK["embedding_hard_negatives_ivf"], oracle=_hard_negatives_ivf_oracle()
+    )
+
+
+_patch_hard_negatives_ivf_oracle()
+
+
 def _semantic_dedup_ivf_oracle() -> str:
     from .similarity import COSINE_THRESHOLD
 

@@ -354,6 +354,7 @@ ROTATION: tuple[str, ...] = (
     "embedding_centroid_drift_check",
     "similarity_ivf_index_repair",
     "dedup_semantic_ivf",
+    "embedding_hard_negatives_ivf",
     # r6-block leftovers (re-slotted from above; land r8)
     "events_wau_sliding",
     "graph_clustering_coefficient",

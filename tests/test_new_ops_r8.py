@@ -310,3 +310,32 @@ def test_semantic_dedup_ivf_refines_exact_partition(spark):
     want = {c: len(ms) for c, ms in by_ivf.items()}
     assert got == want
     assert any(n > 1 for n in got.values())  # non-vacuous: real dup groups
+
+
+def test_hard_negatives_ivf_dominated_by_exact(spark):
+    """Substrate restriction semantics: each flagged negative is SAME-CELL
+    and CROSS-LABEL, and per query the IVF top-k cosine at rank r can
+    never exceed the exact twin's rank-r cosine (restricting candidates
+    can only produce equal-or-softer negatives)."""
+    from naive_query_engine_spark.operators.kmeans import ivf_corpus_assignment
+
+    ivf = QUERIES["embedding_hard_negatives_ivf"].fn(spark, SF_SMOKE).collect()
+    exact = QUERIES["embedding_hard_negatives"].fn(spark, SF_SMOKE).collect()
+    assert ivf  # non-vacuous
+    assign, _ = ivf_corpus_assignment(spark, SF_SMOKE)
+    cell = {r["vec_id"]: r["cell"] for r in assign.collect()}
+    label = {
+        r["vec_id"]: r["label"]
+        for r in t(spark, SF_SMOKE, "embeddings").select("vec_id", "label").collect()
+    }
+    by_q_ivf: dict = {}
+    for r in ivf:
+        assert cell[r["query_id"]] == cell[r["negative_id"]]  # same cell
+        assert label[r["query_id"]] != label[r["negative_id"]]  # cross label
+        by_q_ivf.setdefault(r["query_id"], {})[r["rnk"]] = r["cosine"]
+    by_q_exact: dict = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], {})[r["rnk"]] = r["cosine"]
+    for q, ranks in by_q_ivf.items():
+        for rk, cos in ranks.items():
+            assert cos <= by_q_exact[q][rk] + 1e-12, (q, rk)

@@ -398,6 +398,10 @@ ANNOTATED = {
     "the shared within-cell pairs frame, label-propagation components, "
     "canonical census — cross-cell misses only SPLIT groups "
     "(conservative dedup), never merge",
+    "embedding_hard_negatives_ivf": "cross-label top-k per query over "
+    "the shared within-cell pairs frame instead of the query x corpus "
+    "broadcast scan — near vectors co-locate in cells, so the "
+    "restriction fits this op; misses are softer negatives only",
 }
 
 
