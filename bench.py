@@ -249,16 +249,15 @@ BASELINES = {
 #: baseline and a consistent BENCH_r07 confirming read (norm 0.44–1.33
 #: inside the 0.958 run; worst: containment 1.33, snapshot_as_of 1.28,
 #: cross-source 1.24 — all within the ≤1.5 graduation tolerance with a
-#: prior at-baseline read).  The r7 five (srm / fertility /
-#: phash-hamming / modularity-ivf / tokens-saved) got their FIRST
-#: artifact read in BENCH_r07 (norm 1.02–1.18) and stay fresh for an
-#: r8 confirming read; the r8 five are this round's rotation.
+#: prior at-baseline read).  GRADUATED r9: the r7 five (srm /
+#: fertility / phash-hamming / modularity-ivf / tokens-saved) — first
+#: read BENCH_r07 (norm 1.02–1.18), confirming read BENCH_r08 (raw
+#: 1.17–1.42 inside the 1.109×-established, documented wildly-loaded r8
+#: host window → normalized ~1.05–1.28, consistent).  The r8 five
+#: (range-search-ivf / neighborhood-fn-ivf / capped attribution /
+#: quality-funnel / t-closeness) got their FIRST artifact read in
+#: BENCH_r08 (raw 1.06–1.23×) and stay fresh for an r9 confirming read.
 FRESH_ROTATION: list[str] = [
-    "events_ab_srm_check",
-    "text_tokenizer_fertility",
-    "multimodal_phash_hamming_neardup",
-    "graph_label_modularity_ivf",
-    "dedup_tokens_saved_by_source",
     "similarity_range_search_ivf",
     "graph_neighborhood_function_ivf",
     "events_attribution_position_based",
@@ -290,40 +289,76 @@ def main() -> None:
     for name in BENCH_QUERIES:
         timings[name] = round(run_one(spark, name, sf_dir), 3)
 
+    # In-artifact load proxy (VERDICT r8 #6): re-run the three cheapest
+    # established sentinels AT BENCH END and report end/mid spread — a
+    # co-rise here says the HOST drifted during the run (external load),
+    # letting a >1.2 established ratio be attributed without BASELINE.md
+    # archaeology; flat proxies + one inflated query says code.
+    proxy_names = ("agg_grouped_computed_key", "window_rank", "text_quality_score")
+    proxy_end = {n: round(run_one(spark, n, sf_dir), 3) for n in proxy_names}
+    load_proxy = round(
+        sum(proxy_end.values()) / max(sum(timings[n] for n in proxy_names), 1e-9), 3
+    )
+
     total = round(sum(timings.values()), 3)
     est = [q for q in BENCH_QUERIES if q in ESTABLISHED]
     est_measured = sum(timings[q] for q in est)
     est_baseline = sum(BASELINES[q] for q in est)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # same-run calibration (VERDICT r4 #9): ratio of this run's
-                # established-query subtotal to those queries' BASELINE.md
-                # values — the host-drift-corrected number to judge
-                "established_subtotal_ratio": round(est_measured / est_baseline, 3),
-                "established_baseline_sec": round(est_baseline, 3),
-                "established_queries": len(est),
-                # first-re-measure evidence for freshly-rotated queries
-                # (their single-run baselines are NOT in the calibration
-                # ratio above; this field is what graduates them)
-                "fresh_subtotal_ratio": round(
-                    sum(timings[q] for q in BENCH_QUERIES if q in FRESH_ROTATION)
-                    / max(
-                        sum(BASELINES[q] for q in BENCH_QUERIES if q in FRESH_ROTATION),
-                        1e-9,
-                    ),
-                    3,
-                )
-                if any(q in FRESH_ROTATION for q in BENCH_QUERIES)
-                else None,
-            }
+    payload = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # same-run calibration (VERDICT r4 #9): ratio of this run's
+        # established-query subtotal to those queries' BASELINE.md
+        # values — the host-drift-corrected number to judge
+        "established_subtotal_ratio": round(est_measured / est_baseline, 3),
+        "established_baseline_sec": round(est_baseline, 3),
+        "established_queries": len(est),
+        # first-re-measure evidence for freshly-rotated queries
+        # (their single-run baselines are NOT in the calibration
+        # ratio above; this field is what graduates them)
+        "fresh_subtotal_ratio": round(
+            sum(timings[q] for q in BENCH_QUERIES if q in FRESH_ROTATION)
+            / max(
+                sum(BASELINES[q] for q in BENCH_QUERIES if q in FRESH_ROTATION),
+                1e-9,
+            ),
+            3,
         )
-    )
+        if any(q in FRESH_ROTATION for q in BENCH_QUERIES)
+        else None,
+        # end-of-run re-read of the three cheapest sentinels ÷ their
+        # mid-run readings: >1.2 means the host was drifting DURING the
+        # run (broad-inflation signature); ~1.0 means readings are clean
+        "load_proxy_end_over_mid": load_proxy,
+        "load_proxy_end_sec": proxy_end,
+    }
+    # The round driver keeps only the LAST 2000 chars of stdout and parses
+    # the JSON out of them (BENCH_r08 was unparseable: the 54-query line
+    # outgrew the window and lost its head).  Emit the FULL payload on
+    # stderr for humans, and on stdout exactly ONE compact line, dropping
+    # optional fields (never the spec-required metric/value/unit/queries/
+    # sf) until it fits the driver's window.
+    print(json.dumps(payload, indent=1), file=sys.stderr)
+    line = json.dumps(payload, separators=(",", ":"))
+    for drop in (
+        "load_proxy_end_sec",
+        "established_baseline_sec",
+        "established_queries",
+        "fresh_subtotal_ratio",
+        "load_proxy_end_over_mid",
+        "established_subtotal_ratio",
+    ):
+        if len(line) <= 1900:
+            break
+        payload.pop(drop, None)
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # last resort: trim per-query precision
+        payload["queries"] = {k: round(v, 2) for k, v in payload["queries"].items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -2996,6 +2996,14 @@ def events_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataF
     # task.  A (purchase, touch) pair matches exactly one bucket value,
     # so no dedup is needed; the oracle keeps the plain user-keyed join —
     # identical semantics, this is physical only.
+    # COMPLETENESS GUARD (ADVICE r8): exploding into {tweek, tweek+1} is
+    # exhaustive only while the lookback fits one week bucket — widening
+    # ATTRIB_WINDOW_US past MT_WEEK_US without growing the explosion
+    # would silently drop qualifying pairs beyond tweek+1.
+    assert ATTRIB_WINDOW_US <= MT_WEEK_US, (
+        "widen the jweek explosion to ceil(ATTRIB_WINDOW_US/MT_WEEK_US)+1 "
+        "buckets before widening the attribution window"
+    )
     tweek = floordiv_col(epoch_micros(F.col("tts")), F.lit(MT_WEEK_US))
     touches2 = touches.withColumn(
         "jweek", F.explode(F.array(tweek, tweek + F.lit(1)))

@@ -1809,13 +1809,16 @@ def dedup_on_ingest(
     One broadcast-centroid assign + one cell-keyed join against the
     maintained assignment (probe side is the only exchange) — the
     serving-probe shape with a τ-verdict head instead of top-k."""
-    from pyspark.sql import Window
-
-    from .similarity import COSINE_THRESHOLD, cosine_q, dot_q
+    from .similarity import COSINE_THRESHOLD, dot_q
 
     tau = COSINE_THRESHOLD if threshold is None else threshold
     s = arrivals.sparkSession
     s.catalog.refreshTable(f"{table}_assign")
+    # A repair may have rewritten the centroids since this (possibly
+    # cloned-foreachBatch) session last read them (ADVICE r8) — probe
+    # cells must come from the LIVE quantizer or the verdict consults
+    # the wrong cell's membership.
+    s.catalog.refreshTable(f"{table}_centroids")
     centroids = {
         r["c_label"]: list(r["centroid"])
         for r in s.table(f"{table}_centroids").collect()  # bounded K×D
@@ -1830,6 +1833,20 @@ def dedup_on_ingest(
         "cell",
     )
     corpus = s.table(f"{table}_assign")
+    return _admit_verdicts(probe, corpus, tau)
+
+
+def _admit_verdicts(probe: DataFrame, corpus: DataFrame, tau: float) -> DataFrame:
+    """The τ-twin verdict core shared by the table-path admit gate
+    (`dedup_on_ingest`) and its registered driver query
+    (`dedup_ingest_admit_gate`): probe rows (arrival_id, qq, qn2, cell)
+    vs corpus rows (vec_id, q, nrm2, cell) → one verdict row per
+    arrival.  Cell-keyed join (probe side is the only exchange), one
+    descending window per arrival for the best-twin argmax."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_q, dot_q
+
     cos = cosine_q(dot_q(F.col("qq"), F.col("q")), F.col("qn2"), F.col("nrm2"))
     scored = (
         probe.join(corpus, "cell")
@@ -1855,6 +1872,111 @@ def dedup_on_ingest(
             F.when(F.col("best_cosine") >= tau, F.col("dup_of")).alias("dup_of"),
             "best_cosine",
         )
+    )
+
+
+def _admit_gate_oracle(
+    k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """DuckDB twin of the admit gate over the same frozen-quantizer
+    state: Lloyd trained on the base corpus only, everyone assigned,
+    each arrival's best within-cell base twin.  ``q`` and the final
+    assignment are MATERIALIZED — both are referenced more than once
+    and DuckDB inlines CTEs per reference (the repair-oracle lesson)."""
+    from .similarity import COSINE_THRESHOLD
+
+    parts = _kmeans_sql_parts(k_cells, iters, train_pred=_UPSERT_TRAIN_PRED)
+    parts[0] = parts[0].replace("q AS (", "q AS MATERIALIZED (", 1)
+    parts[-1] = parts[-1].replace(
+        f"a{iters} AS (", f"a{iters} AS MATERIALIZED (", 1
+    )
+    parts.append(
+        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    arr AS (SELECT vec_id, cluster FROM a{iters}
+            WHERE NOT ({_UPSERT_TRAIN_PRED})),
+    base AS (SELECT vec_id, cluster FROM a{iters}
+             WHERE {_UPSERT_TRAIN_PRED}),
+    pdots AS (
+      SELECT ar.vec_id AS arrival, b.vec_id AS neighbor,
+             SUM(ea.qv * eb.qv) AS dot
+      FROM arr ar
+      JOIN base b ON b.cluster = ar.cluster
+      JOIN q ea ON ea.vec_id = ar.vec_id
+      JOIN q eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+      GROUP BY 1, 2
+    ),
+    pcos AS (
+      SELECT arrival, neighbor,
+             CAST(dot AS DOUBLE)
+               / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
+               AS cosine
+      FROM pdots
+      JOIN norms na ON na.vec_id = arrival
+      JOIN norms nb ON nb.vec_id = neighbor
+    ),
+    best AS (
+      SELECT arrival, neighbor, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY arrival ORDER BY cosine DESC, neighbor) AS rk
+      FROM pcos
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           COALESCE(b.cosine, -2.0) >= {COSINE_THRESHOLD} AS is_duplicate,
+           CAST(CASE WHEN b.cosine >= {COSINE_THRESHOLD} THEN b.neighbor END
+                AS BIGINT) AS dup_of,
+           b.cosine AS best_cosine
+    FROM arr a
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.arrival = a.vec_id
+    """
+
+
+@query(
+    "dedup_ingest_admit_gate",
+    oracle=_admit_gate_oracle(),
+    tags=("dedup", "similarity", "ivf", "incremental", "streaming"),
+)
+def dedup_ingest_admit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADMIT GATE as a driver row — the last arm of the index
+    lifecycle without one (VERDICT r8 #3): every held-out arrival
+    (vec_id ≡ 0 mod 3, the upsert family's two batches combined) gets
+    its τ-twin verdict (is_duplicate, dup_of, best_cosine) against the
+    BASE corpus under the frozen base-trained quantizer — exactly the
+    `kmeans.dedup_on_ingest` computation (shared `_admit_verdicts`
+    core; the table path reads the same state from the maintained
+    `{table}_assign` and is stream==batch-pinned in
+    tests/test_streaming.py), re-derived self-contained from sf_dir so
+    DuckDB can re-run it from the raw parquet.
+
+    Determinism: exact integer dots, one double division (the ccos
+    discipline), ROW_NUMBER tie-break on (cosine DESC, neighbor) in
+    both engines.
+
+    Scale shape: one broadcast-centroid assign + one cell-keyed join;
+    the probe side is the only exchange — a 100 TB ingest admits each
+    micro-batch at O(batch × cell-occupancy) cost, never O(corpus).
+
+    Reference basis: extends the §2.8 extension surface (the reference
+    has no streaming/ANN plane; its join machinery is
+    hash_join.rs:43-289)."""
+    assign, _ = _frozen_assignment(spark, sf_dir)
+    base = assign.filter(F.expr(_UPSERT_TRAIN_PRED))
+    probe = assign.filter(~F.expr(_UPSERT_TRAIN_PRED)).select(
+        F.col("vec_id").alias("arrival_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn2"),
+        "cell",
+    )
+    from .similarity import COSINE_THRESHOLD
+
+    return _admit_verdicts(probe, base, COSINE_THRESHOLD).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "is_duplicate",
+        F.col("dup_of").cast("long").alias("dup_of"),
+        "best_cosine",
     )
 
 
@@ -2051,6 +2173,29 @@ def similarity_ivf_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["cell"]
         for r in drift.crossJoin(F.broadcast(tot)).filter(gate).collect()
     )  # K-bounded
+    if not flagged:
+        # The RELATIVE gate can flag nothing on a corpus whose drift is
+        # uniform across cells (ADVICE r8): the repaired index IS the
+        # current index — emit the unrepaired census instead of
+        # exercising a k=0 Lloyd / empty-centroid assign / isin([]).
+        cks0 = spark.createDataFrame(
+            [
+                (c, sum(v[d] * (d + 1) for d in range(len(v))))
+                for c, v in sorted(centroids.items())
+            ],
+            "cell long, centroid_checksum long",
+        )
+        return (
+            assign.groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .join(F.broadcast(cks0), "cell")
+            .select(
+                F.col("cell").cast("long").alias("cell"),
+                "n_members",
+                "centroid_checksum",
+                F.lit(False).alias("repaired"),
+            )
+        )
     pool = assign.filter(F.col("cell").isin(flagged)).select(
         "vec_id", "q", "nrm2"
     )
@@ -2365,7 +2510,10 @@ def build_ivf_vector_index(
 
 
 def upsert_ivf_vector_index(
-    spark: SparkSession, table: str, arrivals: DataFrame
+    spark: SparkSession,
+    table: str,
+    arrivals: DataFrame,
+    compact_threshold: int | None = 64,
 ) -> dict:
     """Incremental maintenance: assign ``arrivals`` (vec_id, embedding) to
     their frozen-quantizer cells, recompute ONLY the touched cells'
@@ -2374,7 +2522,10 @@ def upsert_ivf_vector_index(
     gets an O(|batch|) partition append).  The members scan is
     partition-PRUNED to the touched cells (plan pinned in
     tests/test_ivf_edge_index.py), so maintenance cost scales with the
-    batch's cell footprint, never the corpus.
+    batch's cell footprint, never the corpus.  Appends accrete small
+    files at streaming cadence, so any TOUCHED cell whose file count
+    crosses ``compact_threshold`` is compacted in place after the write
+    (`compact_ivf_assign`; pass None to manage compaction externally).
 
     Delivery: append-then-overwrite is not idempotent on the assign
     table — re-running a half-failed batch duplicates membership rows;
@@ -2382,7 +2533,8 @@ def upsert_ivf_vector_index(
     batch-id dedup, the streaming twin's shape), mirroring the
     incremental-dedup ingest loop.
 
-    Returns {"n_arrivals", "touched_cells", "n_edges_written"}."""
+    Returns {"n_arrivals", "touched_cells", "n_edges_written",
+    "compacted_cells"}."""
     from .similarity import dot_q
 
     # Session discipline: inside a streaming foreachBatch the arrivals
@@ -2395,6 +2547,14 @@ def upsert_ivf_vector_index(
     s = arrivals.sparkSession
     s.catalog.refreshTable(f"{table}_assign")
     s.catalog.refreshTable(table)
+    # repair_ivf_vector_index REWRITES the centroids table (and a future
+    # arm could bump conf): a cloned session's relation cache would
+    # otherwise serve the pre-repair quantizer here — assigning arrivals
+    # under stale centroids silently breaks maintained==rebuild (or
+    # fails on the swapped-away files).  Refresh both, matching
+    # index_drift_report (ADVICE r8).
+    s.catalog.refreshTable(f"{table}_centroids")
+    s.catalog.refreshTable(f"{table}_conf")
     conf = s.table(f"{table}_conf").collect()[0]
     centroids = {
         r["c_label"]: list(r["centroid"])
@@ -2409,7 +2569,12 @@ def upsert_ivf_vector_index(
     )  # bounded by k_cells
     n_arrivals = new_assign.count()
     if not touched:
-        return {"n_arrivals": 0, "touched_cells": [], "n_edges_written": 0}
+        return {
+            "n_arrivals": 0,
+            "touched_cells": [],
+            "n_edges_written": 0,
+            "compacted_cells": [],
+        }
     members = (
         s.table(f"{table}_assign")
         .filter(F.col("cell").isin(touched))  # partition-pruned scan
@@ -2434,10 +2599,100 @@ def upsert_ivf_vector_index(
         )
     finally:
         s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Small-file guard (VERDICT r8 #4): the O(|batch|) append above adds
+    # one file set per batch; once a TOUCHED cell's file count crosses
+    # the threshold, compact just that cell.  The check is a metadata
+    # listing of only the touched partitions — O(batch cell footprint).
+    compacted: list[int] = []
+    if compact_threshold is not None:
+        compacted = compact_ivf_assign(
+            s, table, max_files_per_cell=compact_threshold, cells=touched
+        )["compacted_cells"]
     return {
         "n_arrivals": n_arrivals,
         "touched_cells": touched,
         "n_edges_written": new_edges.count(),
+        "compacted_cells": compacted,
+    }
+
+
+def _assign_partition_file_counts(
+    spark: SparkSession, table: str, cells: list[int] | None = None
+) -> dict[int, int]:
+    """Per-cell data-file counts of ``{table}_assign`` — a pure METADATA
+    listing (never reads rows).  Local-fs walk here; on object storage /
+    HDFS the same O(files-in-listed-cells) call is
+    ``FileSystem.listStatus`` per partition directory."""
+    import os
+    from urllib.parse import urlparse
+
+    loc = urlparse(
+        spark.sql(f"DESCRIBE FORMATTED {table}_assign")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).path
+    entries = (
+        [f"cell={c}" for c in cells]
+        if cells is not None
+        else [e for e in os.listdir(loc) if e.startswith("cell=")]
+    )
+    counts: dict[int, int] = {}
+    for e in entries:
+        d = os.path.join(loc, e)
+        if not os.path.isdir(d):
+            continue
+        counts[int(e.split("=", 1)[1])] = sum(
+            1 for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    return counts
+
+
+def compact_ivf_assign(
+    spark: SparkSession,
+    table: str,
+    max_files_per_cell: int = 64,
+    cells: list[int] | None = None,
+) -> dict:
+    """Small-file compaction for the maintained assignment table
+    (VERDICT r8 #4): every `upsert_ivf_vector_index` APPENDS an
+    O(|batch|) partition slice to ``{table}_assign``, so at streaming
+    cadence a hot cell accretes one file per batch — the classic
+    small-file pile-up that turns a partition-pruned probe into a
+    thousand-task scan.  This rewrites exactly the cells whose file
+    count exceeds ``max_files_per_cell`` (or a caller-named subset):
+    read those cells partition-pruned, CUT LINEAGE (eager
+    localCheckpoint — the rows must be materialized before their own
+    partitions are overwritten), repartition by cell so each repaired
+    cell lands as one task's worth of files, and swap via dynamic
+    partition overwrite — the same per-partition commit the rest of the
+    maintenance loop uses, so untouched cells are never rewritten.
+
+    Row-preserving by construction (M upserts + compact ≡ the
+    uncompacted state, test-pinned in tests/test_ivf_edge_index.py).
+
+    Returns {"compacted_cells", "files_before", "files_after"}."""
+    s = spark
+    s.catalog.refreshTable(f"{table}_assign")
+    before = _assign_partition_file_counts(s, table, cells)
+    victims = sorted(c for c, n in before.items() if n > max_files_per_cell)
+    if not victims:
+        return {"compacted_cells": [], "files_before": before, "files_after": before}
+    rows = cut_lineage(
+        s.table(f"{table}_assign")
+        .filter(F.col("cell").isin(victims))  # partition-pruned
+        .select("vec_id", "q", "nrm2", "cell")
+    )
+    prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.repartition("cell").write.insertInto(f"{table}_assign", overwrite=True)
+    finally:
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.catalog.refreshTable(f"{table}_assign")
+    return {
+        "compacted_cells": victims,
+        "files_before": before,
+        "files_after": _assign_partition_file_counts(s, table, cells),
     }
 
 
@@ -2495,8 +2750,13 @@ def repair_ivf_vector_index(
     s = spark
     s.catalog.refreshTable(f"{table}_assign")
     s.catalog.refreshTable(table)
+    s.catalog.refreshTable(f"{table}_centroids")
+    s.catalog.refreshTable(f"{table}_conf")
     conf = s.table(f"{table}_conf").collect()[0]
     cells = sorted(cells)
+    if not cells:
+        # nothing flagged — the repaired index IS the current index
+        return {"repaired_cells": [], "n_members": 0, "n_edges_written": 0}
     members = cut_lineage(
         s.table(f"{table}_assign")
         .filter(F.col("cell").isin(cells))  # partition-pruned

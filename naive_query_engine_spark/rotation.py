@@ -36,7 +36,7 @@ from .queries import QUERIES
 
 #: bump when the previous round's window is folded into DRIVER_SAMPLED —
 #: drives the deterministic resample-slot rotation below
-ROUND = 8
+ROUND = 9
 
 # Names with at least one driver-green CORRECTNESS row (union of the key
 # sets of CORRECTNESS_r01.json .. CORRECTNESS_r04.json).  55 names: the
@@ -134,6 +134,30 @@ DRIVER_SAMPLED: frozenset[str] = frozenset(
         "similarity_ivf_nprobe_sweep", "similarity_mutual_knn",
         "similarity_mutual_knn_ivf", "sketch_ams_f2", "text_heaps_law_fit",
         "text_tokenizer_fertility",
+        # --- r8 window (CORRECTNESS_r08.json: 50/50 green, 42 first-ever
+        # rows — the late-r7 creations, the r8 IVF maintenance plane, and
+        # the r6-block events leftovers) ---
+        "graph_label_modularity_ivf", "audit_t_closeness",
+        "multimodal_zip_eocd_parse", "similarity_range_search_ivf",
+        "graph_neighborhood_function_ivf", "lakehouse_deletion_vector_stats",
+        "events_diff_in_diff", "layout_curve_locality_compare",
+        "text_quality_funnel", "text_quality_rule_overlap",
+        "events_salting_plan", "dataset_uncertainty_sample",
+        "events_attribution_position_based", "text_vocab_coverage_curve",
+        "graph_knn_components_ivf", "similarity_ivf_index_upsert",
+        "dataset_split_neardup_leakage_ivf", "dataset_contamination_check_ivf",
+        "dataset_split_leakage_safe_ivf", "embedding_centroid_drift_check",
+        "similarity_ivf_index_repair", "dedup_semantic_ivf",
+        "embedding_hard_negatives_ivf", "events_wau_sliding",
+        "graph_clustering_coefficient", "graph_degree_distribution",
+        "fuzzy_match_part_names", "fuzzy_match_multipass",
+        "join_salted_skew", "asof_join_tolerance", "events_sessionize",
+        "events_tumbling_window", "events_sliding_window",
+        "events_peak_concurrency", "events_value_drift_ks",
+        "events_value_drift_l1", "events_changepoint_cusum",
+        "events_sequence_patterns", "events_bot_regularity",
+        "events_activity_islands", "events_state_durations",
+        "events_cumulative_unique_users",
     }
 )
 
@@ -447,6 +471,9 @@ ROTATION: tuple[str, ...] = (
     "q20_excess_stock_analog",
     "q21_sole_supplier_orders",
     "q22_idle_customers",
+    # --- r9-created (after the backlog: new registrations stay below the
+    # drain rate until every older query has an external row) ---
+    "dedup_ingest_admit_gate",
 )
 
 

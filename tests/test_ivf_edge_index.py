@@ -420,3 +420,107 @@ def test_index_drift_report_matches_registered_gate(spark, maint_index):
     }
     assert got == want and got
     assert {v[2] for v in got.values()} == {True, False}
+
+
+def test_repair_empty_flag_path(spark, maint_index, monkeypatch):
+    """ADVICE r8: the relative drift gate can flag NOTHING on a corpus
+    whose drift is uniform — both repair arms must then no-op gracefully
+    instead of exercising a k=0 Lloyd / empty-centroid assign / isin([]).
+
+    Table path: explicit cells=[] returns the zero summary and leaves
+    every table byte-identical.  Registered query: with the gate forced
+    unflaggable, the fold returns the UNREPAIRED census (all cells,
+    repaired=false) equal to the frozen assignment's group counts."""
+    from naive_query_engine_spark.operators import kmeans
+    from naive_query_engine_spark.queries import QUERIES
+
+    before_assign = sorted(
+        tuple(r) for r in spark.table(f"{MAINT_TABLE}_assign").collect()
+    )
+    before_centroids = sorted(
+        (r["c_label"], tuple(r["centroid"]))
+        for r in spark.table(f"{MAINT_TABLE}_centroids").collect()
+    )
+    res = kmeans.repair_ivf_vector_index(spark, MAINT_TABLE, [])
+    assert res == {"repaired_cells": [], "n_members": 0, "n_edges_written": 0}
+    assert (
+        sorted(tuple(r) for r in spark.table(f"{MAINT_TABLE}_assign").collect())
+        == before_assign
+    )
+    assert (
+        sorted(
+            (r["c_label"], tuple(r["centroid"]))
+            for r in spark.table(f"{MAINT_TABLE}_centroids").collect()
+        )
+        == before_centroids
+    )
+
+    # registered query: an unflaggable gate (numerator made enormous)
+    monkeypatch.setattr(kmeans, "DRIFT_NUM", 10**12)
+    rows = QUERIES["similarity_ivf_index_repair"].fn(spark, SF_SMOKE).collect()
+    assert rows and all(not r["repaired"] for r in rows)
+    assign, centroids = kmeans._frozen_assignment(spark, SF_SMOKE)
+    want_census = {
+        r["cell"]: r["count"]
+        for r in assign.groupBy("cell").count().collect()
+    }
+    assert {r["cell"]: r["n_members"] for r in rows} == want_census
+    want_cks = {
+        c: sum(v[d] * (d + 1) for d in range(len(v)))
+        for c, v in centroids.items()
+    }
+    assert {r["cell"]: r["centroid_checksum"] for r in rows} == want_cks
+
+
+def test_upsert_compaction_preserves_state_and_drops_files(spark, maint_index):
+    """VERDICT r8 #4: M upserts accrete one file set per batch on the
+    touched assign partitions; compaction must drop the file count while
+    leaving the table row-for-row identical (and the in-upsert trigger
+    must fire once a touched cell crosses the threshold)."""
+    from naive_query_engine_spark.operators.kmeans import (
+        _assign_partition_file_counts,
+        compact_ivf_assign,
+        upsert_ivf_vector_index,
+    )
+
+    # threshold=None: accrete without the in-upsert trigger
+    for m in range(4):
+        upsert_ivf_vector_index(
+            spark,
+            MAINT_TABLE,
+            _vectors(spark, f"vec_id % 12 = {3 * m}"),
+            compact_threshold=None,
+        )
+    spark.catalog.refreshTable(f"{MAINT_TABLE}_assign")
+    before_rows = sorted(
+        tuple(r) for r in spark.table(f"{MAINT_TABLE}_assign").collect()
+    )
+    before_files = _assign_partition_file_counts(spark, MAINT_TABLE)
+    assert max(before_files.values()) > 1  # the append really accreted
+
+    res = compact_ivf_assign(spark, MAINT_TABLE, max_files_per_cell=1)
+    assert res["compacted_cells"]  # something crossed the threshold
+    after_rows = sorted(
+        tuple(r) for r in spark.table(f"{MAINT_TABLE}_assign").collect()
+    )
+    assert after_rows == before_rows  # row-for-row identical
+    after_files = _assign_partition_file_counts(spark, MAINT_TABLE)
+    assert sum(after_files.values()) < sum(before_files.values())
+    for c in res["compacted_cells"]:
+        assert after_files[c] <= before_files[c]
+        assert after_files[c] == 1  # repartition("cell") -> one task's file
+    for c, n in before_files.items():  # untouched cells never rewritten
+        if c not in res["compacted_cells"]:
+            assert after_files[c] == n
+
+    # the in-upsert trigger: a tiny threshold compacts the touched cells
+    r = upsert_ivf_vector_index(
+        spark, MAINT_TABLE, _vectors(spark, "vec_id % 12 = 6"),
+        compact_threshold=1,
+    )
+    assert set(r["compacted_cells"]) <= set(r["touched_cells"])
+    assert r["compacted_cells"]  # 1-file threshold + fresh append crosses
+    trig_files = _assign_partition_file_counts(
+        spark, MAINT_TABLE, r["compacted_cells"]
+    )
+    assert all(n == 1 for n in trig_files.values())
