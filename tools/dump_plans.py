@@ -398,6 +398,11 @@ ANNOTATED = {
     "the shared within-cell pairs frame, label-propagation components, "
     "canonical census — cross-cell misses only SPLIT groups "
     "(conservative dedup), never merge",
+    "dedup_ingest_admit_gate": "the admit arm of the index lifecycle: "
+    "broadcast-centroid assign of the arrivals, ONE cell-keyed join "
+    "against the base assignment (probe side is the only exchange), "
+    "per-arrival descending window for the tau-twin argmax — O(batch x "
+    "cell-occupancy) per micro-batch once K tracks n, never O(corpus)",
     "embedding_hard_negatives_ivf": "cross-label top-k per query over "
     "the shared within-cell pairs frame instead of the query x corpus "
     "broadcast scan — near vectors co-locate in cells, so the "

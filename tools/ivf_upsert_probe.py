@@ -68,6 +68,33 @@ def main() -> int:
             t0 = time.perf_counter()
             r = upsert_ivf_vector_index(spark, table, batch)
             upsert_sec = time.perf_counter() - t0
+            # compaction arm (VERDICT r8 #4): M more micro-batch upserts
+            # accrete one file set each on the touched assign partitions;
+            # time the threshold-crossing compaction and report the file
+            # drop alongside the maintenance costs it amortizes against
+            from naive_query_engine_spark.operators.kmeans import (
+                _assign_partition_file_counts,
+                compact_ivf_assign,
+            )
+
+            for m in range(1, 4):
+                upsert_ivf_vector_index(
+                    spark,
+                    table,
+                    e.filter(f"vec_id % {ARRIVAL_MOD} = {m}").select(
+                        "vec_id", "embedding"
+                    ),
+                    compact_threshold=None,
+                )
+            files_before = sum(
+                _assign_partition_file_counts(spark, table).values()
+            )
+            t0 = time.perf_counter()
+            c = compact_ivf_assign(spark, table, max_files_per_cell=1)
+            compact_sec = time.perf_counter() - t0
+            files_after = sum(
+                _assign_partition_file_counts(spark, table).values()
+            )
             print(
                 json.dumps(
                     {
@@ -79,6 +106,11 @@ def main() -> int:
                         "build_sec": round(build_sec, 2),
                         "upsert_sec": round(upsert_sec, 2),
                         "upsert_over_build": round(upsert_sec / build_sec, 3),
+                        "compacted_cells": len(c["compacted_cells"]),
+                        "files_before_compact": files_before,
+                        "files_after_compact": files_after,
+                        "compact_sec": round(compact_sec, 2),
+                        "compact_over_build": round(compact_sec / build_sec, 3),
                     }
                 ),
                 flush=True,
