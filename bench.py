@@ -115,6 +115,12 @@ BENCH_QUERIES = [
     "events_attribution_position_based",
     "text_quality_funnel",
     "audit_t_closeness",
+    # r9 rotation: the admit arm of the IVF index lifecycle joins the
+    # artifact so each round measures the gate a streaming ingest runs
+    # most often (frozen-assignment substrate is session-cached after
+    # the first run — the modularity-ivf warm-regime precedent; cold
+    # economics are the grow-K probe rows in BASELINE.md r9)
+    "dedup_ingest_admit_gate",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays
@@ -230,6 +236,13 @@ BASELINES = {
     "events_attribution_position_based": 1.143,
     "text_quality_funnel": 0.656,
     "audit_t_closeness": 0.353,
+    # r9 rotation: per-query MIN over three same-day 55-query runs
+    # normalized by each run's min-based established ratio (BASELINE.md
+    # r9 calibration section).  Measures the substrate-cache-warm
+    # in-context regime (frozen assignment trained once per session —
+    # the graph_label_modularity_ivf precedent); cold economics are the
+    # r9 grow-K probe rows.
+    "dedup_ingest_admit_gate": 1.178,
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
@@ -263,6 +276,7 @@ FRESH_ROTATION: list[str] = [
     "events_attribution_position_based",
     "text_quality_funnel",
     "audit_t_closeness",
+    "dedup_ingest_admit_gate",
 ]
 ESTABLISHED = [q for q in BASELINES if q not in FRESH_ROTATION]
 
@@ -342,22 +356,25 @@ def main() -> None:
     # optional fields (never the spec-required metric/value/unit/queries/
     # sf) until it fits the driver's window.
     print(json.dumps(payload, indent=1), file=sys.stderr)
-    line = json.dumps(payload, separators=(",", ":"))
-    for drop in (
-        "load_proxy_end_sec",
-        "established_baseline_sec",
-        "established_queries",
-        "fresh_subtotal_ratio",
-        "load_proxy_end_over_mid",
-        "established_subtotal_ratio",
-    ):
+
+    def _line() -> str:
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = _line()
+    for drop in ("load_proxy_end_sec", "established_baseline_sec", "established_queries"):
         if len(line) <= 1900:
             break
         payload.pop(drop, None)
-        line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:  # last resort: trim per-query precision
+        line = _line()
+    if len(line) > 1900:  # trim per-query precision before losing the
+        # ratio fields — fresh_subtotal_ratio is what graduates rotations
         payload["queries"] = {k: round(v, 2) for k, v in payload["queries"].items()}
-        line = json.dumps(payload, separators=(",", ":"))
+        line = _line()
+    for drop in ("fresh_subtotal_ratio", "load_proxy_end_over_mid", "established_subtotal_ratio"):
+        if len(line) <= 1900:
+            break
+        payload.pop(drop, None)
+        line = _line()
     print(line)
 
 

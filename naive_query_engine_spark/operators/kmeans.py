@@ -1980,6 +1980,59 @@ def dedup_ingest_admit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def maintain_ivf_index(
+    spark: SparkSession,
+    table: str,
+    arrivals: DataFrame,
+    threshold: float | None = None,
+    compact_threshold: int | None = 64,
+) -> dict:
+    """One MAINTENANCE TICK of the living index — the composed
+    admit-then-index primitive a streaming ingest pipeline runs per
+    micro-batch: τ-twin ADMIT GATE over the maintained assignment
+    (`dedup_on_ingest`), UPSERT of only the admitted (non-duplicate)
+    vectors (`upsert_ivf_vector_index`, frozen quantizer, touched-cell
+    recompute), and the in-upsert small-file COMPACTION trigger.  The
+    drift gate (`index_drift_report`) and repair arm
+    (`repair_ivf_vector_index`) stay caller-scheduled — they are
+    corpus-census operations a pipeline runs on a cadence, not per
+    batch.
+
+    ORDER SENSITIVITY (by design, unlike the bare upsert): the gate
+    probes the LIVE maintained state, so an arrival admitted in batch N
+    can reject its τ-twin in batch N+1 — the composition is a
+    sequential fold, equivalent across foreachBatch and driver-loop
+    execution with the SAME batch boundaries (test-pinned), but NOT
+    batching-invariant: two mutual twins in one batch both pass the
+    gate (each sees only the pre-batch corpus).  A pipeline needing
+    intra-batch dedup runs an exact/LSH pass inside the batch first
+    (the incremental-dedup operator).
+
+    Returns {"n_arrivals", "n_admitted", "n_rejected"} merged with the
+    upsert report ({"touched_cells", "n_edges_written",
+    "compacted_cells"})."""
+    verdicts = dedup_on_ingest(spark, table, arrivals, threshold)
+    admitted = arrivals.join(
+        verdicts.filter(~F.col("is_duplicate")).select("vec_id"), "vec_id"
+    )
+    n_arrivals = arrivals.count()
+    # upsert localCheckpoints its assignment derivation eagerly, so the
+    # admit join executes against the PRE-upsert state and the later
+    # table append never reads its own write
+    stats = upsert_ivf_vector_index(
+        spark, table, admitted, compact_threshold=compact_threshold
+    )
+    n_admitted = stats["n_arrivals"]
+    return {
+        "n_arrivals": n_arrivals,
+        "n_admitted": n_admitted,
+        "n_rejected": n_arrivals - n_admitted,
+        "touched_cells": stats["touched_cells"],
+        "n_edges_written": stats["n_edges_written"],
+        "compacted_cells": stats["compacted_cells"],
+    }
+
+
 def index_drift_report(spark: SparkSession, table: str) -> DataFrame:
     """The PRODUCTION drift gate: (cell, n_members, drift2, retrain) read
     straight from the maintained index tables — one pass over the

@@ -887,3 +887,117 @@ def test_stream_dedup_on_ingest_equals_batch(spark, tmp_path):
     finally:
         for suffix in ("", "_assign", "_centroids", "_conf"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_stream_maintain_ivf_index_admit_then_index(spark, tmp_path):
+    """The COMPOSED maintenance tick (r9): admit-gate -> upsert ->
+    compaction trigger as one `maintain_ivf_index` call per micro-batch.
+    Pins (a) foreachBatch execution == a driver-loop fold with the SAME
+    batch boundaries (the composition is a sequential fold — order
+    matters, batching at fixed boundaries doesn't), (b) a corpus twin is
+    rejected and never indexed, (c) a twin of an EARLIER-ADMITTED
+    arrival is rejected by the LIVE maintained state with dup_of = that
+    arrival, and (d) the documented intra-batch blind spot: two mutual
+    twins in one batch both pass (each sees only the pre-batch state)."""
+    import time as _time
+
+    from naive_query_engine_spark.operators.kmeans import (
+        build_ivf_vector_index,
+        dedup_on_ingest,
+        maintain_ivf_index,
+    )
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    base = e.filter("vec_id % 3 <> 0").select("vec_id", "embedding")
+
+    def plant(src_df, src_id: int, new_id: int):
+        emb = src_df.filter(F.col("vec_id") == src_id).collect()[0]["embedding"]
+        return spark.createDataFrame(
+            [(new_id, emb)], "vec_id long, embedding array<float>"
+        )
+
+    base_ids = [r["vec_id"] for r in base.select("vec_id").orderBy("vec_id").limit(1).collect()]
+    novel = [float((-1) ** i * (i + 1)) for i in range(64)]  # far from the corpus
+    twins = spark.createDataFrame(
+        [(9_000_003, novel), (9_000_004, novel)],
+        "vec_id long, embedding array<float>",
+    )
+
+    seq_table, stream_table = "b_maint_seq", "b_maint_stream"
+    try:
+        build_ivf_vector_index(spark, base, seq_table, n_buckets=8)
+        batch0 = (
+            e.filter("vec_id % 6 = 0")
+            .select("vec_id", "embedding")
+            .unionByName(plant(base, base_ids[0], 9_000_001))
+        )
+        r0 = maintain_ivf_index(spark, seq_table, batch0)
+        # (b) the corpus twin was rejected, real arrivals were admitted
+        assert r0["n_rejected"] >= 1 and r0["n_admitted"] >= 1
+        admitted0 = {
+            r["vec_id"]
+            for r in spark.table(f"{seq_table}_assign")
+            .filter("vec_id % 6 = 0")
+            .select("vec_id")
+            .collect()
+        }
+        assert 9_000_001 not in {
+            r["vec_id"]
+            for r in spark.table(f"{seq_table}_assign").select("vec_id").collect()
+        }
+        src = sorted(admitted0)[0]  # an arrival the gate admitted in tick 0
+        batch1 = (
+            e.filter("vec_id % 6 = 3")
+            .select("vec_id", "embedding")
+            .unionByName(plant(e, src, 9_000_002))
+        )
+        # (c) the live state rejects the twin and names the EARLIER ARRIVAL
+        v = {
+            r["vec_id"]: r
+            for r in dedup_on_ingest(spark, seq_table, batch1).collect()
+        }
+        assert v[9_000_002]["is_duplicate"] and v[9_000_002]["dup_of"] == src
+        maintain_ivf_index(spark, seq_table, batch1)
+        # (d) intra-batch mutual twins both pass the gate
+        r2 = maintain_ivf_index(spark, seq_table, twins)
+        assert r2["n_admitted"] == 2
+        seq_assign = sorted(
+            tuple(r) for r in spark.table(f"{seq_table}_assign").collect()
+        )
+        seq_edges = sorted(tuple(r) for r in spark.table(seq_table).collect())
+        assert {9_000_003, 9_000_004} <= {r[0] for r in seq_assign}
+        assert 9_000_002 not in {r[0] for r in seq_assign}
+
+        # --- the same fold through foreachBatch (mod-time-ordered files)
+        build_ivf_vector_index(spark, base, stream_table, n_buckets=8)
+        arrivals_dir = tmp_path / "maint_arrivals"
+        arrivals_dir.mkdir()
+        for i, b in enumerate((batch0, batch1, twins)):
+            b.coalesce(1).write.parquet(str(arrivals_dir / f"b{i}"))
+            _time.sleep(1.1)  # FileStreamSource orders by mod time
+        schema = "vec_id long, embedding array<float>"
+
+        def tick(batch_df, _bid):
+            maintain_ivf_index(spark, stream_table, batch_df)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(arrivals_dir / "b*"))
+            .writeStream.foreachBatch(tick)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        spark.catalog.refreshTable(f"{stream_table}_assign")
+        spark.catalog.refreshTable(stream_table)
+        got_assign = sorted(
+            tuple(r) for r in spark.table(f"{stream_table}_assign").collect()
+        )
+        got_edges = sorted(tuple(r) for r in spark.table(stream_table).collect())
+        assert got_assign == seq_assign
+        assert got_edges == seq_edges and got_edges
+    finally:
+        for tbl in (seq_table, stream_table):
+            for suffix in ("", "_assign", "_centroids", "_conf"):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")

@@ -399,10 +399,15 @@ ANNOTATED = {
     "canonical census — cross-cell misses only SPLIT groups "
     "(conservative dedup), never merge",
     "dedup_ingest_admit_gate": "the admit arm of the index lifecycle: "
-    "broadcast-centroid assign of the arrivals, ONE cell-keyed join "
-    "against the base assignment (probe side is the only exchange), "
-    "per-arrival descending window for the tau-twin argmax — O(batch x "
-    "cell-occupancy) per micro-batch once K tracks n, never O(corpus)",
+    "broadcast-centroid assign of the arrivals, ONE cell-keyed join, "
+    "and a per-arrival tau-twin argmax that WindowGroupLimit prunes to "
+    "top-1 BEFORE the full window sort — O(batch x cell-occupancy) per "
+    "micro-batch once K tracks n, never O(corpus).  (Here the arrival "
+    "set is a full third of the corpus, so AQE picks a symmetric "
+    "sort-merge join; at real micro-batch sizes the probe side falls "
+    "under autoBroadcastJoinThreshold and the maintained-table twin's "
+    "join becomes broadcast — the index side scans in place with no "
+    "exchange, the serving-probe shape)",
     "embedding_hard_negatives_ivf": "cross-label top-k per query over "
     "the shared within-cell pairs frame instead of the query x corpus "
     "broadcast scan — near vectors co-locate in cells, so the "
