@@ -1059,6 +1059,109 @@ def degree_log_histogram(sym: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition of the near-dup graph (bounded peeling)
+
+#: the core order: survivors keep >= KCORE_K neighbors among survivors.
+#: 2 (cycles, not just pairs) — the corpus's near-dup graph is
+#: pair/path-heavy, so the 3-core is EMPTY at sf0.01 (probed via the
+#: oracle at k=2/3); k=2 keeps the registered row non-vacuous at every
+#: SF while still separating chains from genuine mirror blobs
+KCORE_K = 2
+#: peeling rounds — the OPERATOR'S SEMANTICS is exactly this many
+#: synchronized peels (both engines run the same bounded recurrence, so
+#: results agree at any SF by construction); production iterates with an
+#: early exit once a round peels nothing, which at the registered SFs
+#: happens within this budget (fixpoint asserted in tests)
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    alive = ["alive0 AS (SELECT DISTINCT a AS node FROM sym)"]
+    for r in range(1, rounds + 1):
+        alive.append(f"""deg{r} AS (
+      SELECT s.a AS node, COUNT(*) AS d FROM sym s
+      JOIN alive{r - 1} x ON x.node = s.a
+      JOIN alive{r - 1} y ON y.node = s.b
+      GROUP BY 1
+    ),
+    alive{r} AS (SELECT node FROM deg{r} WHERE d >= {k})""")
+    chain = ",\n    ".join(alive)
+    return f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_EDGES_SQL},
+    sym AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    {chain},
+    degf AS (
+      SELECT s.a AS node, COUNT(*) AS d FROM sym s
+      JOIN alive{rounds} x ON x.node = s.a
+      JOIN alive{rounds} y ON y.node = s.b
+      GROUP BY 1
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(d AS BIGINT) AS kcore_degree
+    FROM degf
+    """
+
+
+@query(
+    "graph_kcore_peeling",
+    oracle=_kcore_oracle(),
+    tags=("graph", "dedup", "iterative", "quality"),
+)
+def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the near-dup graph by synchronized peeling: each round
+    drops every document with fewer than ``KCORE_K`` surviving
+    neighbors; what remains after ``KCORE_ROUNDS`` rounds is the dense
+    duplication COMMUNITY structure — template farms and mirror
+    clusters that pairwise dedup under-reports (a k-core survivor sits
+    in a blob of mutually-similar documents even if no single pair
+    crosses the keep-best tie-break).  Output = surviving (doc_id,
+    within-core degree).
+
+    Semantics are the BOUNDED recurrence (exactly ``KCORE_ROUNDS``
+    synchronized peels, the oracle's unrolled CTE chain); production
+    iterates to fixpoint with an early exit once a round peels nothing
+    — at the registered SFs the budget reaches that fixpoint
+    (test-asserted), and extra rounds past fixpoint are no-ops, so the
+    two phrasings agree wherever the budget suffices.
+
+    Scale shape: each round is one degree aggregation over the
+    (bucketed-writable, see `write_edge_table`) symmetrized edge frame
+    plus two semi-join restrictions on the shrinking survivor set —
+    map-side joins once survivors fit a broadcast; the driver never
+    sees a row (`cut_lineage` bounds the plan, not the data).  Peeling
+    is the degeneracy-ordering building block (Matula–Beck) — the
+    kNN-graph twin would run per-IVF-cell like the other overlays.
+
+    Reference basis: no graph surface in the reference (SURVEY §2.8+);
+    LLM-pipeline extension."""
+    sym = cut_lineage(symmetrized_edges(spark, sf_dir))
+    alive = sym.select(F.col("a").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            sym.join(alive.select(F.col("node").alias("a")), "a")
+            .join(alive.select(F.col("node").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = cut_lineage(
+            deg.filter(F.col("d") >= KCORE_K).select(F.col("a").alias("node"))
+        )
+    degf = (
+        sym.join(alive.select(F.col("node").alias("a")), "a")
+        .join(alive.select(F.col("node").alias("b")), "b")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("kcore_degree"))
+    )
+    return degf.select(
+        F.col("a").cast("long").alias("doc_id"), "kcore_degree"
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup-aware mixture planning (the composition after profiling)
 
 

@@ -3051,3 +3051,161 @@ def _patch_knn_components_ivf_oracle() -> None:
 
 
 _patch_knn_components_ivf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# the composed maintenance tick as a driver row (round 9): ADMIT then
+# INDEX, folded sequentially over two batches — the per-micro-batch
+# primitive `maintain_ivf_index` runs, re-derived self-contained so
+# DuckDB can replay the fold from the raw parquet.
+
+
+def _tick_round_sql(i: int, arrivals: str, corpus: str) -> str:
+    """One admit round of the maintenance-tick oracle: batch ``arrivals``
+    probed against ``corpus`` (both (vec_id, cluster) relations over the
+    MATERIALIZED q/a{iters}) → verdict CTE ``v{i}`` with a batch tag.
+    Same exact-integer dots, single double division, and
+    (cosine DESC, neighbor) tie-break as `_admit_gate_oracle`."""
+    from .similarity import COSINE_THRESHOLD
+
+    return f"""p{i} AS (
+      SELECT ar.vec_id AS arrival, b.vec_id AS neighbor,
+             SUM(ea.qv * eb.qv) AS dot
+      FROM {arrivals} ar
+      JOIN {corpus} b ON b.cluster = ar.cluster AND b.vec_id <> ar.vec_id
+      JOIN q ea ON ea.vec_id = ar.vec_id
+      JOIN q eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+      GROUP BY 1, 2
+    ),
+    s{i} AS (
+      SELECT arrival, neighbor,
+             CAST(dot AS DOUBLE)
+               / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
+               AS cosine
+      FROM p{i}
+      JOIN norms na ON na.vec_id = arrival
+      JOIN norms nb ON nb.vec_id = neighbor
+    ),
+    w{i} AS (
+      SELECT arrival, neighbor, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY arrival ORDER BY cosine DESC, neighbor) AS rk
+      FROM s{i}
+    ),
+    v{i} AS (
+      SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+             CAST({i} AS BIGINT) AS batch,
+             COALESCE(b.cosine, -2.0) >= {COSINE_THRESHOLD} AS is_duplicate,
+             CAST(CASE WHEN b.cosine >= {COSINE_THRESHOLD} THEN b.neighbor END
+                  AS BIGINT) AS dup_of,
+             b.cosine AS best_cosine
+      FROM {arrivals} a
+      LEFT JOIN (SELECT * FROM w{i} WHERE rk = 1) b ON b.arrival = a.vec_id
+    )"""
+
+
+def _maintenance_tick_oracle(
+    k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """DuckDB replay of the two-batch sequential fold: batch 1 admitted
+    against the BASE corpus, batch 2 against base ∪ admitted(batch 1) —
+    the order-sensitivity `maintain_ivf_index` documents, pinned by
+    hash equality (a batching-invariant gate would verdict batch 2
+    against base alone and diverge wherever an admitted batch-1 arrival
+    is a batch-2 arrival's τ-twin)."""
+    parts = _kmeans_sql_parts(k_cells, iters, train_pred=_UPSERT_TRAIN_PRED)
+    parts[0] = parts[0].replace("q AS (", "q AS MATERIALIZED (", 1)
+    parts[-1] = parts[-1].replace(
+        f"a{iters} AS (", f"a{iters} AS MATERIALIZED (", 1
+    )
+    parts.append(
+        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+    )
+    pred1, pred2 = _UPSERT_BATCH_PREDS
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    base AS MATERIALIZED (
+      SELECT vec_id, cluster FROM a{iters} WHERE {_UPSERT_TRAIN_PRED}),
+    b1 AS (SELECT vec_id, cluster FROM a{iters} WHERE {pred1}),
+    b2 AS (SELECT vec_id, cluster FROM a{iters} WHERE {pred2}),
+    {_tick_round_sql(1, "b1", "base")},
+    adm1 AS (
+      SELECT x.vec_id, x.cluster FROM b1 x
+      JOIN v1 v ON v.vec_id = x.vec_id AND NOT v.is_duplicate),
+    corpus1 AS MATERIALIZED (
+      SELECT * FROM base UNION ALL SELECT * FROM adm1),
+    {_tick_round_sql(2, "b2", "corpus1")}
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """
+
+
+@query(
+    "similarity_ivf_maintenance_tick",
+    oracle=_maintenance_tick_oracle(),
+    tags=("dedup", "similarity", "ivf", "incremental", "streaming"),
+)
+def similarity_ivf_maintenance_tick(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPOSED maintenance tick as a driver row — admit-then-index
+    folded over two sequential batches, the per-micro-batch primitive
+    :func:`maintain_ivf_index` runs against the maintained tables
+    (stream==batch-pinned in tests/test_streaming.py), re-derived
+    self-contained from sf_dir: the quantizer is trained on the BASE
+    corpus (vec_id % 3 <> 0) and frozen; batch 1 (vec_id % 6 = 0) gets
+    τ-twin verdicts against the base membership; its ADMITTED
+    (non-duplicate) arrivals join the corpus; batch 2 (vec_id % 6 = 3)
+    gets verdicts against that GROWN corpus.  Output = one verdict row
+    per arrival (vec_id, batch, is_duplicate, dup_of, best_cosine).
+
+    Hash equality with the oracle IS the sequential-fold claim: the
+    fold is order-sensitive by design (an arrival admitted in batch 1
+    can reject its τ-twin in batch 2), so a gate that verdicted every
+    batch against the pre-ingest corpus would diverge exactly where a
+    batch-1 admit is a batch-2 arrival's best twin.
+
+    Scale shape: per batch, one broadcast-centroid assign of the batch
+    plus one cell-keyed join against (pruned) cell membership — the
+    serving-probe cost envelope; the corpus never re-shuffles.  The
+    substrate (frozen assignment) is session-cached and shared with
+    `dedup_ingest_admit_gate` and the upsert family.
+
+    Reference basis: extends the §2.8 extension surface (the reference
+    engine is one-shot batch; datasource/mod.rs:20-28 has no ingest
+    path)."""
+    from .similarity import COSINE_THRESHOLD
+
+    assign, _ = _frozen_assignment(spark, sf_dir)
+    corpus = assign.filter(F.expr(_UPSERT_TRAIN_PRED)).select(
+        "vec_id", "q", "nrm2", "cell"
+    )
+    out: DataFrame | None = None
+    for i, pred in enumerate(_UPSERT_BATCH_PREDS, start=1):
+        probe = assign.filter(F.expr(pred)).select(
+            F.col("vec_id").alias("arrival_id"),
+            F.col("q").alias("qq"),
+            F.col("nrm2").alias("qn2"),
+            "cell",
+        )
+        v = _admit_verdicts(probe, corpus, COSINE_THRESHOLD).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.lit(i).cast("long").alias("batch"),
+            "is_duplicate",
+            F.col("dup_of").cast("long").alias("dup_of"),
+            "best_cosine",
+        )
+        out = v if out is None else out.unionByName(v)
+        admitted = probe.join(
+            v.filter(~F.col("is_duplicate")).select(
+                F.col("vec_id").alias("arrival_id")
+            ),
+            "arrival_id",
+        ).select(
+            F.col("arrival_id").alias("vec_id"),
+            F.col("qq").alias("q"),
+            F.col("qn2").alias("nrm2"),
+            "cell",
+        )
+        corpus = cut_lineage(corpus.unionByName(admitted))
+    return out

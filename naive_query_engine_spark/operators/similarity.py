@@ -492,10 +492,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NPROBE = 2  # cells searched per query in the multi-probe variant
 
 
-def _ivf_oracle(nprobe: int) -> str:
-    return f"""
-    WITH {_Q_SQL},
-    cent AS (
+def _ivf_cells_sql(nprobe: int) -> str:
+    """Coarse-quantizer CTE block (append after ``_Q_SQL``): per-label
+    exact centroids, nearest-centroid ``assign`` (vec_id, cell), and the
+    per-query ``probe`` of its ``nprobe`` nearest cells — shared by the
+    exact-rerank IVF oracles and the IVF-PQ composition."""
+    return f"""cent AS (
       SELECT e2.label, e2.i, CAST(SUM(e2.v) AS DOUBLE) / COUNT(*) AS c
       FROM (SELECT m.label, q.v, q.i
             FROM e q JOIN embeddings m ON m.vec_id = q.vec_id) e2
@@ -520,7 +522,13 @@ def _ivf_oracle(nprobe: int) -> str:
     probe AS (
       SELECT vec_id, label AS cell FROM ranked_cells
       WHERE rn <= {nprobe} AND vec_id < {N_QUERY_VECS}
-    ),
+    )"""
+
+
+def _ivf_oracle(nprobe: int) -> str:
+    return f"""
+    WITH {_Q_SQL},
+    {_ivf_cells_sql(nprobe)},
     dots AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(ea.v * eb.v) AS dot
       FROM probe a
@@ -547,14 +555,16 @@ def _ivf_oracle(nprobe: int) -> str:
     """
 
 
-def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """Shared IVF body: centroid build, cell assignment, probe of the
-    query's ``nprobe`` nearest cells, cosine rank within the probed pool.
-    A corpus vector lives in exactly one cell and a query probes distinct
-    cells, so (query, neighbor) pairs are unique without a dedup."""
+def _label_cells(
+    qt: DataFrame, nprobe: int
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse-quantizer assignment over a ``_qtable`` frame: per-label
+    exact centroids (doubles), nearest-centroid ``assign``
+    (vec_id, q, nrm2, cell) and the per-query ``probe`` of its
+    ``nprobe`` nearest cells — shared by the exact-rerank IVF search
+    and the IVF-PQ composition (mirrors `_ivf_cells_sql`)."""
     from pyspark.sql import Window
 
-    qt = _qtable(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     # exact centroid per (label, dim) from quantized components
     cent = (
         qt.select("label", F.posexplode(F.col("q")).alias("pos", "v"))
@@ -581,14 +591,26 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     assign = ranked_cells.filter(F.col("rn") == 1).select(
         "vec_id", "q", "nrm2", F.col("c_label").alias("cell")
     )
-    queries = (
-        ranked_cells.filter((F.col("rn") <= nprobe) & (F.col("vec_id") < N_QUERY_VECS))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("q").alias("qq"),
-            F.col("nrm2").alias("nq2"),
-            F.col("c_label").alias("cell"),
-        )
+    probe = ranked_cells.filter(
+        (F.col("rn") <= nprobe) & (F.col("vec_id") < N_QUERY_VECS)
+    ).select("vec_id", "q", "nrm2", F.col("c_label").alias("cell"))
+    return assign, probe
+
+
+def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared IVF body: centroid build, cell assignment, probe of the
+    query's ``nprobe`` nearest cells, cosine rank within the probed pool.
+    A corpus vector lives in exactly one cell and a query probes distinct
+    cells, so (query, neighbor) pairs are unique without a dedup."""
+    from pyspark.sql import Window
+
+    qt = _qtable(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    assign, probe = _label_cells(qt, nprobe)
+    queries = probe.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("nq2"),
+        "cell",
     )
     cos = cosine_q(dot_q(F.col("qq"), F.col("qn")), F.col("nq2"), F.col("nn2"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -813,6 +835,69 @@ PQ_SUB_DIM = 8
 PQ_CENT_SCALE = 16
 
 
+def _pq_parts(qt: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(subcent, subv, codes): the PQ codebook (per-(label, subspace)
+    sub-centroid arrays, exact BIGINTs), the per-(vector, subspace)
+    slice rows, and each vector's nearest-codeword code — shared by the
+    flat ADC scan (`similarity_pq_adc_topk`) and the IVF-PQ composition
+    (`similarity_ivfpq_adc_topk`)."""
+    from pyspark.sql import Window
+
+    K = F.lit(PQ_CENT_SCALE)
+    # codebook: per-(label, subspace) sub-centroid arrays, exact BIGINTs
+    comps = qt.select("label", "vec_id", F.posexplode(F.col("q")).alias("pos", "v"))
+    cent = (
+        comps.groupBy("label", "pos")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "label",
+            "pos",
+            F.floor(K * F.col("sv").cast("double") / F.col("cnt")).cast("long").alias("cq"),
+        )
+    )
+    subcent = (
+        cent.groupBy("label", F.floor(F.col("pos") / PQ_SUB_DIM).cast("long").alias("s"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cq"))).alias("cs"))
+        .select("label", "s", F.transform(F.col("cs"), lambda x: x.cq).alias("subc"))
+    )
+    # corpus side: one row per (vector, subspace), payload = the 8-dim slice
+    slices = F.array(*[F.slice(F.col("q"), m * PQ_SUB_DIM + 1, PQ_SUB_DIM) for m in range(PQ_M)])
+    subv = qt.select(
+        "vec_id", F.posexplode(slices).alias("s_int", "subq")
+    ).select("vec_id", F.col("s_int").cast("long").alias("s"), "subq")
+    # encode: nearest sub-centroid per (vector, subspace); exact integer d2
+    d2 = F.aggregate(
+        F.zip_with(F.col("subq"), F.col("subc"), lambda x, y: (K * x - y) * (K * x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy("d2", "label")
+    codes = (
+        subv.join(F.broadcast(subcent), "s")
+        .select("vec_id", "s", "label", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("label").alias("code"))
+    )
+    return subcent, subv, codes
+
+
+def _pq_adc_tables(subv: DataFrame, subcent: DataFrame) -> DataFrame:
+    """Per-query ADC lookup tables (query_id, s, label, pdot): exact
+    integer query×sub-centroid partial dots — N_QUERY_VECS × PQ_M ×
+    labels rows, tiny and broadcast at the consumer."""
+    pdot = F.aggregate(
+        F.zip_with(F.col("subq"), F.col("subc"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subv.filter(F.col("vec_id") < N_QUERY_VECS)
+        .join(F.broadcast(subcent), "s")
+        .select(F.col("vec_id").alias("query_id"), "s", "label", pdot.alias("pdot"))
+    )
+
+
 @query(
     "similarity_pq_adc_topk",
     oracle=f"""
@@ -882,53 +967,8 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     qt = _qtable(spark, sf_dir)
-    K = F.lit(PQ_CENT_SCALE)
-    # codebook: per-(label, subspace) sub-centroid arrays, exact BIGINTs
-    comps = qt.select("label", "vec_id", F.posexplode(F.col("q")).alias("pos", "v"))
-    cent = (
-        comps.groupBy("label", "pos")
-        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "label",
-            "pos",
-            F.floor(K * F.col("sv").cast("double") / F.col("cnt")).cast("long").alias("cq"),
-        )
-    )
-    subcent = (
-        cent.groupBy("label", F.floor(F.col("pos") / PQ_SUB_DIM).cast("long").alias("s"))
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cq"))).alias("cs"))
-        .select("label", "s", F.transform(F.col("cs"), lambda x: x.cq).alias("subc"))
-    )
-    # corpus side: one row per (vector, subspace), payload = the 8-dim slice
-    slices = F.array(*[F.slice(F.col("q"), m * PQ_SUB_DIM + 1, PQ_SUB_DIM) for m in range(PQ_M)])
-    subv = qt.select(
-        "vec_id", F.posexplode(slices).alias("s_int", "subq")
-    ).select("vec_id", F.col("s_int").cast("long").alias("s"), "subq")
-    # encode: nearest sub-centroid per (vector, subspace); exact integer d2
-    d2 = F.aggregate(
-        F.zip_with(F.col("subq"), F.col("subc"), lambda x, y: (K * x - y) * (K * x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w_code = Window.partitionBy("vec_id", "s").orderBy("d2", "label")
-    codes = (
-        subv.join(F.broadcast(subcent), "s")
-        .select("vec_id", "s", "label", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("label").alias("code"))
-    )
-    # ADC lookup tables: query × (subspace, codeword) partial dots — tiny
-    pdot = F.aggregate(
-        F.zip_with(F.col("subq"), F.col("subc"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    adc = (
-        subv.filter(F.col("vec_id") < N_QUERY_VECS)
-        .join(F.broadcast(subcent), "s")
-        .select(F.col("vec_id").alias("query_id"), "s", "label", pdot.alias("pdot"))
-    )
+    subcent, subv, codes = _pq_parts(qt)
+    adc = _pq_adc_tables(subv, subcent)
     # scan codes, look up partial dots, sum per (query, neighbor), top-k
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dot").desc(), F.col("neighbor_id"))
     return (
@@ -938,6 +978,117 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adc_dot"))
+        .withColumn("adc_score", F.col("adc_dot").cast("double"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_score", "rnk")
+    )
+
+
+@query(
+    "similarity_ivfpq_adc_topk",
+    oracle=f"""
+    WITH {_Q_SQL},
+    {_ivf_cells_sql(IVF_NPROBE)},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cq AS (
+      SELECT l.label, e.i,
+             CAST(FLOOR({PQ_CENT_SCALE} * CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      FROM e JOIN lab l ON l.vec_id = e.vec_id
+      GROUP BY 1, 2
+    ),
+    subd AS (
+      SELECT e.vec_id, c.label, CAST(FLOOR((e.i - 1) / {PQ_SUB_DIM}) AS BIGINT) AS s,
+             SUM(({PQ_CENT_SCALE} * e.v - c.cq) * ({PQ_CENT_SCALE} * e.v - c.cq)) AS d2
+      FROM e JOIN cq c ON c.i = e.i
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, s, label AS code FROM (
+        SELECT vec_id, s, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, label) AS rn
+        FROM subd) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT e.vec_id AS query_id, c.label,
+             CAST(FLOOR((e.i - 1) / {PQ_SUB_DIM}) AS BIGINT) AS s,
+             SUM(e.v * c.cq) AS pdot
+      FROM e JOIN cq c ON c.i = e.i
+      WHERE e.vec_id < {N_QUERY_VECS}
+      GROUP BY 1, 2, 3
+    ),
+    approx AS (
+      SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id, SUM(a.pdot) AS adc_dot
+      FROM probe p
+      JOIN assign m ON m.cell = p.cell AND m.vec_id <> p.vec_id
+      JOIN codes k ON k.vec_id = m.vec_id
+      JOIN adc a ON a.query_id = p.vec_id AND a.s = k.s AND a.label = k.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, CAST(adc_dot AS DOUBLE) AS adc_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dot DESC, neighbor_id) AS rnk
+      FROM approx
+    )
+    SELECT query_id, neighbor_id, adc_score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "pipeline", "topk", "quantization", "pq", "ivf"),
+)
+def similarity_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed production ANN index (Jégou et al.; the
+    structure FAISS ships as ``IndexIVFPQ``): the coarse quantizer
+    (per-label exact centroids, shared with `similarity_ivf_topk`)
+    restricts each query's candidates to its ``IVF_NPROBE`` nearest
+    cells, and within those cells candidates are scored from their
+    ``PQ_M`` one-byte codes via the precomputed ADC lookup tables
+    (shared `_pq_parts`/`_pq_adc_tables` with the flat ADC scan) — no
+    float decompression, O(nprobe · N/cells · M) adds per query instead
+    of the flat scan's O(N · M).
+
+    This is the 100 TB serving shape: the inverted file bounds the scan
+    set, the codes bound the bytes per candidate (8 vs 256 — 32×), and
+    the ADC tables (queries × M × codewords) broadcast.  The corpus
+    side moves only (cell-pruned) code rows; one skinny shuffle for the
+    per-(query, neighbor) sum; window top-k.  Approximate on both axes
+    by construction (cell misses + quantization error) — recall is
+    priced by `similarity_recall_at_k`'s methodology against the exact
+    twin.
+
+    Reference basis: the §2.8 extension surface (no ANN plane in the
+    reference; its scan machinery is datasource/mod.rs:20-28)."""
+    from pyspark.sql import Window
+
+    qt = _qtable(spark, sf_dir)
+    assign, probe = _label_cells(qt, IVF_NPROBE)
+    subcent, subv, codes = _pq_parts(qt)
+    adc = _pq_adc_tables(subv, subcent)
+    cand = (
+        assign.select(F.col("vec_id").alias("neighbor_id"), "cell")
+        .join(
+            F.broadcast(probe.select(F.col("vec_id").alias("query_id"), "cell")),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    adcx = adc.select(
+        F.col("query_id").alias("a_query"),
+        F.col("s").alias("a_s"),
+        F.col("label").alias("a_code"),
+        "pdot",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dot").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(codes, cand.neighbor_id == codes.vec_id)
+        .join(
+            F.broadcast(adcx),
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("s") == F.col("a_s"))
+            & (F.col("code") == F.col("a_code")),
+        )
+        .groupBy("query_id", "neighbor_id")
         .agg(F.sum("pdot").alias("adc_dot"))
         .withColumn("adc_score", F.col("adc_dot").cast("double"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -214,3 +214,132 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("o_orderkey")).alias("o_orderkey"),
         F.when(fresh, F.col("asof_date")).alias("asof_date"),
     )
+
+
+#: PIT feature windows: trailing-activity horizon for the windowed
+#: features (the corpus spans ~30 days, so 7d is a real sub-window at
+#: every SF) and the fixed-point scale for the value sum (floor(v*1e6)
+#: — exact BIGINT in both engines, summation order irrelevant)
+PIT_WINDOW_DAYS = 7
+PIT_VALUE_FP = 1_000_000
+
+
+@query(
+    "features_pit_backfill",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(p.event_id AS BIGINT) AS event_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(COUNT(e.ts) AS BIGINT) AS lifetime_events,
+           CAST(COUNT(e.ts) FILTER (
+             WHERE e.ts >= p.ts - INTERVAL {PIT_WINDOW_DAYS} DAY) AS BIGINT)
+             AS events_7d,
+           CAST(COUNT(e.ts) FILTER (
+             WHERE e.ts >= p.ts - INTERVAL {PIT_WINDOW_DAYS} DAY
+               AND e.event_type = 'click') AS BIGINT) AS clicks_7d,
+           CAST(COALESCE(SUM(CAST(FLOOR(e.value * {PIT_VALUE_FP}) AS BIGINT))
+             FILTER (WHERE e.ts >= p.ts - INTERVAL {PIT_WINDOW_DAYS} DAY), 0)
+             AS BIGINT) AS value_7d_fp
+    FROM p LEFT JOIN events e ON e.user_id = p.user_id AND e.ts < p.ts
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "asof", "features", "window", "pipeline"),
+)
+def features_pit_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct feature backfill — the feature-store
+    materialization every training pipeline runs: for each label row
+    (here: every ``purchase`` event) compute the user's activity
+    features from STRICTLY BEFORE the label timestamp (lifetime event
+    count, trailing-7d event count, trailing-7d clicks, trailing-7d
+    quantized value sum), never after it — the leakage rule that makes
+    offline features match what online serving would have seen.
+
+    Implemented as the as-of family's union + running-sum shape, NOT an
+    inequality join: facts and TWO probe rows per label (one at the
+    label ts, one at ts − 7d) union into one frame; one window per user
+    (probes sort before facts at equal ts ⇒ the strict ``<`` boundary);
+    each windowed feature is the difference of the two probes' running
+    sums.  One shuffle on user_id, linear scan per partition, zero
+    fan-out — the same plan at 100 TB (an inequality join explodes on
+    |facts| × |labels| per user).  The oracle is the naive inequality
+    join with FILTER clauses — an independent formulation agreeing on
+    semantics, including the [ts−7d, ts) boundary at both ends.
+
+    Reference basis: extends the as-of surface (SURVEY §2.3 "not
+    present" list); exact integer features via floor(v·1e6)."""
+    ev = t(spark, sf_dir, "events")
+    qv = F.coalesce(
+        F.floor(F.col("value").cast("double") * PIT_VALUE_FP).cast("long"),
+        F.lit(0),
+    )
+    facts = ev.select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(1).cast("long").alias("cnt"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("c_cnt"),
+        qv.alias("qv"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("kind"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    zero = [
+        F.lit(0).alias("_tag"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("c_cnt"),
+        F.lit(0).cast("long").alias("qv"),
+    ]
+    pr_at = probes.select(
+        "user_id", F.col("ts").alias("_t"), *zero,
+        F.col("event_id").cast("long").alias("event_id"),
+        F.lit("at").alias("kind"),
+    )
+    pr_cut = probes.select(
+        "user_id",
+        (F.col("ts") - F.expr(f"INTERVAL {PIT_WINDOW_DAYS} DAYS")).alias("_t"),
+        *zero,
+        F.col("event_id").cast("long").alias("event_id"),
+        F.lit("cut").alias("kind"),
+    )
+    un = facts.unionByName(pr_at).unionByName(pr_cut)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = un.select(
+        "user_id",
+        "event_id",
+        "kind",
+        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("c_cnt").over(w).alias("cum_c"),
+        F.sum("qv").over(w).alias("cum_qv"),
+    ).filter(F.col("kind").isNotNull())
+    at = cum.filter(F.col("kind") == "at").select(
+        "event_id",
+        "user_id",
+        F.col("cum_cnt").alias("at_cnt"),
+        F.col("cum_c").alias("at_c"),
+        F.col("cum_qv").alias("at_qv"),
+    )
+    cut = cum.filter(F.col("kind") == "cut").select(
+        "event_id",
+        F.col("cum_cnt").alias("cut_cnt"),
+        F.col("cum_c").alias("cut_c"),
+        F.col("cum_qv").alias("cut_qv"),
+    )
+    return at.join(cut, "event_id").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("at_cnt").cast("long").alias("lifetime_events"),
+        (F.col("at_cnt") - F.col("cut_cnt")).cast("long").alias("events_7d"),
+        (F.col("at_c") - F.col("cut_c")).cast("long").alias("clicks_7d"),
+        (F.col("at_qv") - F.col("cut_qv")).cast("long").alias("value_7d_fp"),
+    )

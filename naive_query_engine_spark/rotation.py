@@ -474,6 +474,10 @@ ROTATION: tuple[str, ...] = (
     # --- r9-created (after the backlog: new registrations stay below the
     # drain rate until every older query has an external row) ---
     "dedup_ingest_admit_gate",
+    "similarity_ivf_maintenance_tick",
+    "similarity_ivfpq_adc_topk",
+    "graph_kcore_peeling",
+    "features_pit_backfill",
 )
 
 

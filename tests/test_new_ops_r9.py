@@ -1,0 +1,138 @@
+"""Behavioral invariants for the round-9 operators: the composed
+maintenance tick, the IVF-PQ ANN composition, near-dup k-core peeling,
+and the point-in-time feature backfill.
+
+(Oracle hash-equality for all four is tests/test_oracle.py's registry
+sweep; these pin the SEMANTIC claims the oracles alone can't state —
+order sensitivity, candidate-set structure, fixpoint, leakage bounds.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naive_query_engine_spark.queries import QUERIES, t
+
+from .conftest import SF_SMOKE
+
+
+def test_tick_batch2_sees_batch1_admits(spark):
+    """The sequential-fold claim, non-vacuous: at least one batch-2
+    verdict names a batch-1 ARRIVAL as its best twin (possible only
+    because admitted batch-1 vectors joined the corpus before batch 2
+    was gated), and no batch-2 verdict ever names a batch-1 REJECT
+    (rejects never enter the corpus)."""
+    out = QUERIES["similarity_ivf_maintenance_tick"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    b1_rejects = {
+        r["vec_id"] for r in rows if r["batch"] == 1 and r["is_duplicate"]
+    }
+    b2_dupof = [
+        r["dup_of"]
+        for r in rows
+        if r["batch"] == 2 and r["dup_of"] is not None
+    ]
+    assert any(d % 6 == 0 for d in b2_dupof), (
+        "no batch-2 verdict references a batch-1 admit - the fold is "
+        "indistinguishable from a batch-vs-base gate at this SF"
+    )
+    assert not (set(b2_dupof) & b1_rejects)
+
+
+def test_tick_batch1_equals_admit_gate_on_batch1(spark):
+    """Batch 1 is gated against the BASE corpus, so its verdicts must be
+    row-for-row the registered admit gate's verdicts restricted to the
+    batch-1 arrivals (the gate verdicts ALL arrivals against base)."""
+    tick = (
+        QUERIES["similarity_ivf_maintenance_tick"]
+        .fn(spark, SF_SMOKE)
+        .filter(F.col("batch") == 1)
+        .drop("batch")
+    )
+    gate = (
+        QUERIES["dedup_ingest_admit_gate"]
+        .fn(spark, SF_SMOKE)
+        .filter(F.col("vec_id") % 6 == 0)
+    )
+    assert sorted(map(tuple, tick.collect())) == sorted(
+        map(tuple, gate.collect())
+    )
+    assert tick.count() > 0
+
+
+def test_ivfpq_candidates_stay_in_probed_cells(spark):
+    """Structural IVF-PQ claim: every returned neighbor lives in one of
+    its query's probed cells (the inverted file really bounds the scan
+    set), and each query returns at most TOP_K ranked rows."""
+    from naive_query_engine_spark.operators.similarity import (
+        IVF_NPROBE,
+        TOP_K,
+        _label_cells,
+        _qtable,
+    )
+
+    out = QUERIES["similarity_ivfpq_adc_topk"].fn(spark, SF_SMOKE)
+    assign, probe = _label_cells(_qtable(spark, SF_SMOKE), IVF_NPROBE)
+    probed = probe.select(
+        F.col("vec_id").alias("query_id"), F.col("cell")
+    )
+    member = assign.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    outside = (
+        out.join(member, "neighbor_id")
+        .join(
+            probed.withColumnRenamed("cell", "qcell"),
+            ["query_id"],
+        )
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(F.max((F.col("cell") == F.col("qcell")).cast("int")).alias("ok"))
+        .filter(F.col("ok") == 0)
+        .count()
+    )
+    assert outside == 0
+    per_q = out.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] <= TOP_K for r in per_q)
+
+
+def test_kcore_fixpoint_and_degree_bound(spark):
+    """KCORE_ROUNDS reaches the fixpoint at this SF (one more peel drops
+    nobody) and the core is non-vacuous; every survivor's within-core
+    degree is >= KCORE_K by the fixpoint definition."""
+    from naive_query_engine_spark.operators.clustering import (
+        KCORE_K,
+        symmetrized_edges,
+    )
+
+    out = QUERIES["graph_kcore_peeling"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "empty k-core - the registered row went vacuous"
+    assert all(r["kcore_degree"] >= KCORE_K for r in rows)
+    # one more peel: recompute degrees restricted to the survivor set
+    survivors = {r["doc_id"] for r in rows}
+    sym = symmetrized_edges(spark, SF_SMOKE)
+    deg = (
+        sym.filter(
+            F.col("a").isin(survivors) & F.col("b").isin(survivors)
+        )
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    again = {r["a"] for r in deg if r["d"] >= KCORE_K}
+    assert again == survivors
+
+
+def test_pit_backfill_bounds_and_coverage(spark):
+    """PIT-correctness bounds: the windowed features are dominated by
+    the lifetime feature, clicks by events, nothing negative; one
+    feature row per purchase event."""
+    out = QUERIES["features_pit_backfill"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    n_purch = (
+        t(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(rows) == n_purch
+    for r in rows:
+        assert 0 <= r["events_7d"] <= r["lifetime_events"]
+        assert 0 <= r["clicks_7d"] <= r["events_7d"]

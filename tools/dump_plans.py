@@ -412,6 +412,30 @@ ANNOTATED = {
     "the shared within-cell pairs frame instead of the query x corpus "
     "broadcast scan — near vectors co-locate in cells, so the "
     "restriction fits this op; misses are softer negatives only",
+    "similarity_ivf_maintenance_tick": "the composed admit-then-index "
+    "fold: two sequential gate rounds, each one broadcast-centroid "
+    "assign + one cell-keyed join + a WindowGroupLimit-pruned top-1 "
+    "argmax; the corpus side grows by the admitted rows between rounds "
+    "behind a lineage cut, so round 2's plan is round 1's plan over "
+    "base ∪ admits — per-batch cost is the serving-probe envelope, the "
+    "corpus never re-shuffles",
+    "similarity_ivfpq_adc_topk": "IVF-PQ: the coarse cells bound the "
+    "candidate scan (probe joins assign on cell, broadcast), the PQ "
+    "codes bound the bytes per candidate (8 codes vs 64 floats), and "
+    "the ADC tables broadcast — one skinny shuffle for the per-(query, "
+    "neighbor) partial-dot sum, WindowGroupLimit top-k; the corpus "
+    "side moves only cell-pruned code rows",
+    "graph_kcore_peeling": "four synchronized peels, each a degree "
+    "aggregation over the session-cached symmetrized edge frame plus "
+    "two semi-join restrictions on the shrinking survivor set (AQE "
+    "turns them broadcast as survivors collapse); lineage cut per "
+    "round bounds the plan, the driver never sees a row",
+    "features_pit_backfill": "PIT backfill as union + running sums: "
+    "facts and two probe rows per label in ONE frame, a single "
+    "user-partitioned window (probes sort before facts at equal ts = "
+    "the strict < boundary), windowed features as probe-pair "
+    "differences — one shuffle on user_id, zero fan-out, vs the "
+    "oracle's inequality join that explodes on facts x labels per user",
 }
 
 
