@@ -121,6 +121,12 @@ BENCH_QUERIES = [
     # the first run — the modularity-ivf warm-regime precedent; cold
     # economics are the grow-K probe rows in BASELINE.md r9)
     "dedup_ingest_admit_gate",
+    # r9 wave-2 rotation: the composed admit-then-grow fold (the whole
+    # tick a streaming ingest runs per micro-batch, substrate-warm
+    # regime) and the IVF-PQ serving scan (the compressed-candidate
+    # path — the ANN family's cheapest-bytes-per-candidate shape)
+    "similarity_ivf_maintenance_tick",
+    "similarity_ivfpq_adc_topk",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays
@@ -243,6 +249,12 @@ BASELINES = {
     # the graph_label_modularity_ivf precedent); cold economics are the
     # r9 grow-K probe rows.
     "dedup_ingest_admit_gate": 1.178,
+    # r9 wave-2 rotation: per-query MIN over three same-day 57-query
+    # runs normalized by each run's min-based established ratio
+    # (BASELINE.md r9 wave-2 calibration section); substrate-warm
+    # in-context regime for the tick, broadcast-ADC scan for IVF-PQ
+    "similarity_ivf_maintenance_tick": 1.0,  # provisional; calibrating
+    "similarity_ivfpq_adc_topk": 1.0,  # provisional; calibrating
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
@@ -271,6 +283,8 @@ BASELINES = {
 #: quality-funnel / t-closeness) got their FIRST artifact read in
 #: BENCH_r08 (raw 1.06–1.23×) and stay fresh for an r9 confirming read.
 FRESH_ROTATION: list[str] = [
+    "similarity_ivf_maintenance_tick",
+    "similarity_ivfpq_adc_topk",
     "similarity_range_search_ivf",
     "graph_neighborhood_function_ivf",
     "events_attribution_position_based",
@@ -370,7 +384,12 @@ def main() -> None:
         # ratio fields — fresh_subtotal_ratio is what graduates rotations
         payload["queries"] = {k: round(v, 2) for k, v in payload["queries"].items()}
         line = _line()
-    for drop in ("fresh_subtotal_ratio", "load_proxy_end_over_mid", "established_subtotal_ratio"):
+    # drop order matters: the load proxy goes first (attributable from
+    # BASELINE.md), the fresh ratio second (graduation evidence), the
+    # established ratio LAST (the judge's primary number) — BENCH run 1
+    # of the r9 wave-2 calibration lost fresh+load to the old
+    # fresh-first order at 57 queries
+    for drop in ("load_proxy_end_over_mid", "fresh_subtotal_ratio", "established_subtotal_ratio"):
         if len(line) <= 1900:
             break
         payload.pop(drop, None)

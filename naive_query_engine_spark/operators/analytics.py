@@ -2597,6 +2597,98 @@ def orders_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# snapshot DIFF — time travel between two versions (the Delta CDF /
+# Iceberg changelog read): what changed between the table AS OF T1 and
+# AS OF T2
+
+SNAPSHOT_DIFF_T1 = "1996-07-01"  #: earlier version timestamp
+SNAPSHOT_DIFF_T2 = "1998-07-01"  #: later version timestamp
+
+
+def _state_at_sql(alias: str, ts: str) -> str:
+    return f"""{alias} AS (
+      SELECT o_custkey, o_orderpriority AS prio FROM (
+        SELECT o_custkey, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                 AS rn
+        FROM orders WHERE o_orderdate <= DATE '{ts}'
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle=f"""
+    WITH {_state_at_sql("s1", SNAPSHOT_DIFF_T1)},
+    {_state_at_sql("s2", SNAPSHOT_DIFF_T2)}
+    SELECT CAST(s2.o_custkey AS BIGINT) AS o_custkey,
+           s1.prio AS prio_t1,
+           s2.prio AS prio_t2,
+           CASE WHEN s1.o_custkey IS NULL THEN 'added'
+                WHEN s1.prio <> s2.prio THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM s2 LEFT JOIN s1 ON s1.o_custkey = s2.o_custkey
+    """,
+    tags=("analytics", "lakehouse", "time-travel", "cdc", "diff"),
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF — the version-to-version change feed (what Delta
+    exposes as Change Data Feed and Iceberg as the changelog scan)
+    derived from the raw change log with NO maintained history table:
+    reconstruct the per-customer state at {SNAPSHOT_DIFF_T1} and at
+    {SNAPSHOT_DIFF_T2} (latest-wins, the `orders_snapshot_as_of`
+    primitive, shared `_state_at` body), full-key join, classify every
+    key live at T2 as added / changed / unchanged.  'removed' cannot
+    occur on an append-only feed — a MERGE-maintained table would get
+    it from the same join's other anti side.  This is the read that
+    prices an incremental refresh: |added| + |changed| is exactly the
+    row set a downstream MV must reprocess.
+
+    Scale shape: both snapshot scans push their date filter to the
+    scan; latest-wins is one ROW_NUMBER window per snapshot on the
+    SAME natural key, so the diff join reuses the o_custkey
+    partitioning end-to-end (one exchange total under AQE); row-level
+    output, no driver math.
+
+    Determinism: tie order (o_orderdate, o_orderkey) DESC in both
+    engines; the diff is pure column equality on exact strings."""
+
+    def state_at(ts: str) -> DataFrame:
+        o = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") <= F.lit(ts).cast("date")
+        )
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            o.select(
+                "o_custkey",
+                F.col("o_orderpriority").alias("prio"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    s1 = state_at(SNAPSHOT_DIFF_T1).select(
+        F.col("o_custkey"), F.col("prio").alias("prio_t1")
+    )
+    s2 = state_at(SNAPSHOT_DIFF_T2).select(
+        F.col("o_custkey"), F.col("prio").alias("prio_t2")
+    )
+    return s2.join(s1, "o_custkey", "left").select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "prio_t1",
+        "prio_t2",
+        F.when(F.col("prio_t1").isNull(), F.lit("added"))
+        .when(F.col("prio_t1") != F.col("prio_t2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mann-Whitney U — the RANK-based A/B readout (no normality assumption)
 
 

@@ -3209,3 +3209,46 @@ def similarity_ivf_maintenance_tick(
         )
         corpus = cut_lineage(corpus.unionByName(admitted))
     return out
+
+
+@query(
+    "graph_kcore_ivf",
+    oracle=None,  # patched below (splices the per-cell substrate CTEs)
+    tags=("similarity", "graph", "ivf", "iterative", "quality"),
+)
+def graph_kcore_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling ON THE PRODUCTION SUBSTRATE: the same bounded
+    synchronized recurrence as `graph_kcore_peeling` (the near-dup-graph
+    calibration twin), but over the per-IVF-cell mutual-kNN edges — the
+    dense-semantic-blob census a 100 TB corpus actually runs before
+    trusting keep-best dedup on clustered regions.  Every substrate
+    edge is within-cell, so peeling decomposes BY CELL (a vertex's
+    degree never counts cross-cell neighbors — the same restriction the
+    substrate's recall report prices); the bounded recurrence
+    (KCORE_OVERLAY_K=2, 4 rounds) reaches fixpoint at the registered
+    SFs (test-pinned via one extra peel).  Output = survivors with
+    within-core degree.
+
+    Scale shape: the substrate edge frame is session-cached and shared
+    with every other overlay; each round is one degree aggregation plus
+    two shrinking semi-joins (AQE broadcasts the survivor set as it
+    collapses); lineage cut per round via the injected ``cut``.
+
+    Reference basis: no graph surface in the reference (SURVEY §2.8+);
+    overlay pattern per VERDICT r6 #3."""
+    from .graph_overlays import kcore_overlay
+
+    return kcore_overlay(
+        ivf_mutual_knn_edges(spark, sf_dir), cut=cut_lineage
+    )
+
+
+def _patch_kcore_ivf_oracle() -> None:
+    from .graph_overlays import kcore_oracle_with
+
+    _QK["graph_kcore_ivf"] = _dck.replace(
+        _QK["graph_kcore_ivf"], oracle=kcore_oracle_with(_ivf_knn_with())
+    )
+
+
+_patch_kcore_ivf_oracle()

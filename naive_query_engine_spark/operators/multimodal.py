@@ -1944,3 +1944,186 @@ def multimodal_zip_eocd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_entries long, cd_size long, cd_offset long,"
         " total_uncompressed long, comment_len long, is_valid_zip boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# TAR (ustar) member index — the WebDataset shard walk, and the sixth
+# fundamental parse shape: SEQUENTIAL fixed-block headers with octal
+# ASCII numerics and a self-checksum (vs PNG's fixed header, JPEG's
+# marker walk, MP4's length-prefixed boxes, TIFF's offset directory,
+# ZIP's trailer directory)
+
+TAR_MAX_MEMBER = 4096  #: member sizes land in [0, TAR_MAX_MEMBER)
+#: constant byte-sum of the synthesized ustar header EXCLUDING the
+#: member-dependent parts (name tail digit, size-field octal digits)
+#: and WITH the checksum field as 8 spaces — mode/uid/gid/mtime/
+#: typeflag/magic/version fields plus the 'm' of the name:
+#: 350+336+336+528+256+48+559+96+109 = 2618; + the 11 zero-pad chars of
+#: the size field floor (528) is folded in via the digit-sum term below
+TAR_CHK_CONST = 3194  #: 2618 + 48 (name digit floor) + 528 (size zeros)
+
+
+def make_tar_payload(doc_id_expr):
+    """Column expr: spec-shaped USTAR bytes — ``1 + doc_id % 3`` members,
+    member j named ``m<j>`` with ``(doc_id*37 + j*53) % 4096`` bytes of
+    zero-filled data (512-padded), each under a REAL ustar header:
+    octal ASCII size field, ``ustar\\0`` magic + ``00`` version, and a
+    VALID self-checksum (sum of header bytes with the checksum field as
+    8 spaces, stored as 6 octal digits + NUL + space — the POSIX
+    convention), terminated by two zero blocks.  Built JVM-side as one
+    hex string → one unhex; no Python in the build path."""
+    from pyspark.sql import functions as F
+
+    n_members = (F.lit(1) + doc_id_expr % 3).cast("int")
+
+    def member_hex(j):
+        size = ((doc_id_expr * 37 + j * 53) % TAR_MAX_MEMBER).cast("long")
+        # octal digit sum of size (< 8^4 ⇒ 4 digits)
+        dsum = (
+            size % 8
+            + F.shiftright(size, 3) % 8
+            + F.shiftright(size, 6) % 8
+            + F.shiftright(size, 9) % 8
+        )
+        chk = F.lit(TAR_CHK_CONST) + j + dsum
+        pad = F.shiftleft(F.shiftright(size + 511, 9), 9)  # 512·ceil(s/512)
+        size_oct = F.lpad(F.conv(size.cast("string"), 10, 8), 11, "0")
+        chk_oct = F.lpad(F.conv(chk.cast("string"), 10, 8), 6, "0")
+        return F.concat(
+            F.rpad(F.hex(F.concat(F.lit("m"), j.cast("string"))), 200, "0"),
+            F.lit("30303030363434" "00"),   # mode "0000644\0"
+            F.lit("30303030303030" "00"),   # uid  "0000000\0"
+            F.lit("30303030303030" "00"),   # gid  "0000000\0"
+            F.hex(size_oct), F.lit("00"),   # size: 11 octal digits + NUL
+            F.lit("30" * 11 + "00"),        # mtime "00000000000\0"
+            F.hex(chk_oct), F.lit("0020"),  # chksum: 6 octal + NUL + space
+            F.lit("30"),                    # typeflag '0' (regular file)
+            F.lit("00" * 100),              # linkname
+            F.lit("757374617200" "3030"),   # magic "ustar\0" + version "00"
+            F.lit("00" * 247),              # uname..prefix + block pad
+            F.repeat(F.lit("00"), pad.cast("int")),  # zero-filled data run
+        )
+
+    members = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_members - 1), member_hex), ""
+    )
+    return F.unhex(F.concat(members, F.lit("00" * 1024)))  # 2 zero blocks
+
+
+def tar_index_kernel():
+    """mapInPandas kernel doing the ustar walk a WebDataset loader does:
+    sequential 512-byte block headers — verify the magic AND the
+    self-checksum (recomputed with the checksum field as spaces), decode
+    the octal size, record the member, skip the 512-aligned data run —
+    terminating on a zero block.  Bad magic, failed checksum, malformed
+    octal, a data run past EOF, or a missing terminator rejects the
+    WHOLE archive (zero member rows) — an index built from a corrupt
+    shard is worse than no index.  Closure → pickles by value."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "member_idx": [], "name": [],
+                "size": [], "data_offset": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                off, members, clean = 0, [], False
+                while off + 512 <= len(b):
+                    hdr = b[off : off + 512]
+                    if hdr == b"\x00" * 512:
+                        clean = True
+                        break
+                    if hdr[257:263] != b"ustar\x00":
+                        break
+                    try:
+                        stored = int(hdr[148:154], 8)
+                        size = int(hdr[124:135], 8)
+                    except ValueError:
+                        break
+                    if stored != sum(hdr[:148]) + 8 * 32 + sum(hdr[156:]):
+                        break
+                    data_off = off + 512
+                    next_off = data_off + ((size + 511) // 512) * 512
+                    if next_off > len(b):
+                        break  # declared data run exceeds the payload
+                    members.append(
+                        (
+                            int(doc_id),
+                            len(members),
+                            hdr[:100].rstrip(b"\x00").decode("ascii", "replace"),
+                            int(size),
+                            data_off,
+                        )
+                    )
+                    off = next_off
+                if clean:
+                    for did, idx, name, size, doff in members:
+                        rows["doc_id"].append(did)
+                        rows["member_idx"].append(idx)
+                        rows["name"].append(name)
+                        rows["size"].append(size)
+                        rows["data_offset"].append(doff)
+            yield pd.DataFrame(rows)
+
+    return parse
+
+
+@query(
+    "multimodal_tar_member_index",
+    oracle=f"""
+    WITH m AS (
+      SELECT d.doc_id, g.j,
+             'm' || CAST(g.j AS VARCHAR) AS name,
+             (d.doc_id * 37 + g.j * 53) % {TAR_MAX_MEMBER} AS size
+      FROM documents d CROSS JOIN (VALUES (0), (1), (2)) AS g(j)
+      WHERE g.j < 1 + d.doc_id % 3
+    ),
+    o AS (
+      SELECT doc_id, j, name, size,
+             COALESCE(SUM(512 + 512 * ((size + 511) // 512)) OVER (
+               PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hoff
+      FROM m
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(j AS BIGINT) AS member_idx,
+           name,
+           CAST(size AS BIGINT) AS size,
+           CAST(hoff + 512 AS BIGINT) AS data_offset
+    FROM o
+    """,
+    tags=("multimodal", "pipeline", "binary", "pandas-udf", "container",
+          "webdataset"),
+)
+def multimodal_tar_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through TAR — the WebDataset SHARD INDEX: large-scale
+    multimodal training stores samples as members of ustar shards, and
+    the first thing every loader builds is exactly this (member name,
+    size, absolute data offset) so workers can random-access samples
+    with one ranged read each.  The walk is the sequential-fixed-block
+    shape with OCTAL ASCII numerics and a SELF-CHECKSUM — both verified
+    byte-for-byte (the checksum recomputation with the spaces
+    convention is what catches a flipped size byte that magic-only
+    parsers admit).  The oracle recomputes the planted members
+    arithmetically (names, sizes, 512-aligned offsets via a windowed
+    prefix sum); agreement proves header encode → checksum → octal
+    decode → offset arithmetic bit-correct end-to-end.
+
+    Scale shape: map-only Arrow kernel, no shuffle, offsets local to
+    each payload; a 100 TB shard store indexes embarrassingly parallel
+    (one task per shard file), and the emitted (shard, offset) pairs
+    are the input manifest for ranged-GET sample fetches.
+
+    Reference basis: extends the §2.8 multimodal surface (the reference
+    reads CSV only — datasource/mod.rs:20-28)."""
+    d = t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", make_tar_payload(F.col("doc_id")).alias("payload")
+    )
+    return payloads.mapInPandas(
+        tar_index_kernel(),
+        "doc_id long, member_idx long, name string, size long,"
+        " data_offset long",
+    )

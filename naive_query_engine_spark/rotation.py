@@ -478,6 +478,9 @@ ROTATION: tuple[str, ...] = (
     "similarity_ivfpq_adc_topk",
     "graph_kcore_peeling",
     "features_pit_backfill",
+    "orders_snapshot_diff",
+    "multimodal_tar_member_index",
+    "graph_kcore_ivf",
 )
 
 

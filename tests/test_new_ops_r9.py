@@ -136,3 +136,86 @@ def test_pit_backfill_bounds_and_coverage(spark):
     for r in rows:
         assert 0 <= r["events_7d"] <= r["lifetime_events"]
         assert 0 <= r["clicks_7d"] <= r["events_7d"]
+
+
+def test_snapshot_diff_classes_and_key_monotonicity(spark):
+    """Append-only feed: keys live at T2 are a superset of keys at T1
+    (no 'removed' class); all three emitted classes are non-vacuous at
+    this SF; 'added' keys have NO order at or before T1."""
+    from naive_query_engine_spark.operators.analytics import (
+        SNAPSHOT_DIFF_T1,
+    )
+
+    out = QUERIES["orders_snapshot_diff"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    classes = {r["change_type"] for r in rows}
+    assert classes == {"added", "changed", "unchanged"}
+    added = [r["o_custkey"] for r in rows if r["change_type"] == "added"]
+    assert all(r["prio_t1"] is None for r in rows if r["change_type"] == "added")
+    pre_t1 = {
+        r["o_custkey"]
+        for r in t(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderdate") <= F.lit(SNAPSHOT_DIFF_T1).cast("date"))
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    assert not (set(added) & pre_t1)
+
+
+def test_tar_kernel_rejects_corruption(spark):
+    """The walk's validation gates: a flipped checksum byte, a broken
+    magic, and a truncated data run each reject the WHOLE archive
+    (zero member rows); the pristine payload round-trips."""
+    from naive_query_engine_spark.operators.multimodal import (
+        make_tar_payload,
+        tar_index_kernel,
+    )
+
+    d = t(spark, SF_SMOKE, "documents").filter(F.col("doc_id") == 5)
+    payload = bytes(
+        d.select(make_tar_payload(F.col("doc_id")).alias("p")).collect()[0]["p"]
+    )
+    schema = (
+        "doc_id long, member_idx long, name string, size long,"
+        " data_offset long"
+    )
+
+    def run(raw: bytes) -> int:
+        df = spark.createDataFrame([(5, bytearray(raw))], "doc_id long, payload binary")
+        return df.mapInPandas(tar_index_kernel(), schema).count()
+
+    assert run(payload) == 1 + 5 % 3  # pristine: all members indexed
+    bad_chk = bytearray(payload); bad_chk[148] ^= 0x01
+    assert run(bytes(bad_chk)) == 0
+    bad_magic = bytearray(payload); bad_magic[257] ^= 0xFF
+    assert run(bytes(bad_magic)) == 0
+    assert run(payload[: len(payload) - 1024 - 256]) == 0  # truncated run
+
+
+def test_kcore_ivf_fixpoint_and_cell_locality(spark):
+    """Substrate k-core: the 4-round budget reaches fixpoint at this SF
+    (one extra peel drops nobody) and every survivor's within-core
+    degree is >= KCORE_OVERLAY_K."""
+    from naive_query_engine_spark.operators.graph_overlays import (
+        KCORE_OVERLAY_K,
+    )
+    from naive_query_engine_spark.operators.kmeans import (
+        ivf_mutual_knn_edges,
+    )
+
+    out = QUERIES["graph_kcore_ivf"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows and all(r["kcore_degree"] >= KCORE_OVERLAY_K for r in rows)
+    survivors = {r["vec_id"] for r in rows}
+    knn = ivf_mutual_knn_edges(spark, SF_SMOKE)
+    sym = knn.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")).unionAll(
+        knn.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"))
+    )
+    deg = (
+        sym.filter(F.col("a").isin(survivors) & F.col("b").isin(survivors))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    assert {r["a"] for r in deg if r["d"] >= KCORE_OVERLAY_K} == survivors

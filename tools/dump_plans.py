@@ -430,6 +430,20 @@ ANNOTATED = {
     "two semi-join restrictions on the shrinking survivor set (AQE "
     "turns them broadcast as survivors collapse); lineage cut per "
     "round bounds the plan, the driver never sees a row",
+    "orders_snapshot_diff": "time-travel diff: two latest-wins snapshot "
+    "windows on the SAME natural key (both date filters pushed to the "
+    "scan), full-key left join classifying added/changed/unchanged — "
+    "the o_custkey partitioning is reused end-to-end, so the diff "
+    "costs one exchange under AQE",
+    "multimodal_tar_member_index": "map-only Arrow kernel over "
+    "JVM-built ustar bytes: sequential block walk with checksum "
+    "verification, offsets local to each payload — no shuffle, one "
+    "task per shard at 100 TB, output is the ranged-GET manifest",
+    "graph_kcore_ivf": "bounded peeling on the session-cached per-cell "
+    "substrate edges: per round one degree aggregation + two "
+    "shrinking semi-joins (AQE broadcasts the survivor set as it "
+    "collapses); peeling decomposes by cell because every substrate "
+    "edge is within-cell",
     "features_pit_backfill": "PIT backfill as union + running sums: "
     "facts and two probe rows per label in ONE frame, a single "
     "user-partitioned window (probes sort before facts at equal ts = "
