@@ -250,11 +250,12 @@ BASELINES = {
     # r9 grow-K probe rows.
     "dedup_ingest_admit_gate": 1.178,
     # r9 wave-2 rotation: per-query MIN over three same-day 57-query
-    # runs normalized by each run's min-based established ratio
+    # runs (est ratios 1.134/1.109/1.196; min-based 1.020 — a quiet
+    # window) normalized by the min-based established ratio
     # (BASELINE.md r9 wave-2 calibration section); substrate-warm
     # in-context regime for the tick, broadcast-ADC scan for IVF-PQ
-    "similarity_ivf_maintenance_tick": 1.0,  # provisional; calibrating
-    "similarity_ivfpq_adc_topk": 1.0,  # provisional; calibrating
+    "similarity_ivf_maintenance_tick": 2.468,
+    "similarity_ivfpq_adc_topk": 1.651,
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
