@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries import query, t
+from ..queries import floordiv_col, query, t
 
 SPLIT_BUCKETS = 16
 TRAIN_BUCKETS = 13  # 13/16 ≈ 81% train
@@ -1481,4 +1481,117 @@ def audit_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("tvd_fp") > T_CLOSE).cast("int")).cast("long").alias(
             "n_skewed_cells"
         ),
+    )
+
+
+#: candidate context-window budgets for the packing fragmentation sweep
+CTX_SWEEP = (512, 1024, 2048, 4096)
+
+
+@query(
+    "dataset_packing_fragmentation_sweep",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS BIGINT) AS tk
+      FROM documents
+    ),
+    offs AS (
+      SELECT source, doc_id, tk,
+             CAST(COALESCE(SUM(tk) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS off
+      FROM toks
+    ),
+    sweep AS (
+      SELECT o.source, c.ctx, o.doc_id, o.tk, o.off
+      FROM offs o CROSS JOIN (VALUES (512), (1024), (2048), (4096)) AS c(ctx)
+    )
+    SELECT CAST(ctx AS BIGINT) AS ctx, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tk > 0
+                          AND off // ctx <> (off + tk - 1) // ctx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           CAST(SUM(CASE WHEN tk > ctx THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oversize_docs,
+           CAST((MAX(off + tk) + ctx - 1) // ctx AS BIGINT) AS n_packs,
+           CAST(SUM(CASE WHEN tk > 0
+                          AND off // ctx <> (off + tk - 1) // ctx
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS split_ratio
+    FROM sweep GROUP BY ctx, source
+    """,
+    tags=("pipeline", "packing", "quality", "planning"),
+)
+def dataset_packing_fragmentation_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Context-length PLANNING sweep for sequence packing: for each
+    candidate budget in CTX_SWEEP, how fragmented would streaming-concat
+    packing (the `dataset_pack_context_windows` scheme) leave each
+    source — documents SPLIT across a pack boundary lose attention
+    locality, oversize documents (tk > ctx) split no matter what, and
+    the pack count prices the epoch.  One run answers "which context
+    length do we train at" with the exact census instead of a rule of
+    thumb.
+
+    The running offset is computed ONCE per source (the same
+    shuffle-on-source + in-partition ordered window as the packing op);
+    the four candidates then fan out as a broadcast-joined VALUES table
+    — the sweep costs one extra projection per candidate, not four
+    window passes.  Boundary math is pure integer division (a doc
+    [off, off+tk) splits iff off//ctx ≠ (off+tk-1)//ctx); the only
+    double is the final split_ratio division.
+
+    Reference basis: LLM-pipeline extension (SURVEY §2.8+); the
+    packing scheme itself is `dataset_pack_context_windows`."""
+    from .text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select("source", "doc_id", token_count(F.col("text")).alias("tk"))
+    offs = toks.select(
+        "source",
+        "doc_id",
+        "tk",
+        F.coalesce(F.sum("tk").over(w), F.lit(0)).cast("long").alias("off"),
+    )
+    ctxs = spark.createDataFrame([(c,) for c in CTX_SWEEP], "ctx long")
+    sweep = offs.crossJoin(F.broadcast(ctxs))
+    is_split = (
+        (F.col("tk") > 0)
+        & (
+            floordiv_col(F.col("off"), F.col("ctx"))
+            != floordiv_col(F.col("off") + F.col("tk") - 1, F.col("ctx"))
+        )
+    ).cast("int")
+    return (
+        sweep.groupBy("ctx", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_split).cast("long").alias("n_split_docs"),
+            F.sum((F.col("tk") > F.col("ctx")).cast("int"))
+            .cast("long")
+            .alias("n_oversize_docs"),
+            F.max(F.col("off") + F.col("tk")).alias("src_tokens"),
+            (F.sum(is_split).cast("double") / F.count(F.lit(1))).alias(
+                "split_ratio"
+            ),
+        )
+        .select(
+            "ctx",
+            "source",
+            "n_docs",
+            "n_split_docs",
+            "n_oversize_docs",
+            floordiv_col(F.col("src_tokens") + F.col("ctx") - 1, F.col("ctx"))
+            .cast("long")
+            .alias("n_packs"),
+            "split_ratio",
+        )
     )

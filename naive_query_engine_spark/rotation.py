@@ -481,6 +481,7 @@ ROTATION: tuple[str, ...] = (
     "orders_snapshot_diff",
     "multimodal_tar_member_index",
     "graph_kcore_ivf",
+    "dataset_packing_fragmentation_sweep",
 )
 
 

@@ -219,3 +219,33 @@ def test_kcore_ivf_fixpoint_and_cell_locality(spark):
         .collect()
     )
     assert {r["a"] for r in deg if r["d"] >= KCORE_OVERLAY_K} == survivors
+
+
+def test_packing_sweep_monotone_and_consistent(spark):
+    """Sweep sanity: per source, n_packs and n_oversize_docs are
+    non-increasing in ctx; at CTX_TOKENS the sweep's pack count equals
+    the packing op's materialized bin count."""
+    from collections import defaultdict
+
+    from naive_query_engine_spark.operators.quality import CTX_TOKENS
+
+    rows = QUERIES["dataset_packing_fragmentation_sweep"].fn(
+        spark, SF_SMOKE
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["ctx"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["n_packs"] >= b["n_packs"]
+            assert a["n_oversize_docs"] >= b["n_oversize_docs"]
+    packs = QUERIES["dataset_pack_context_windows"].fn(spark, SF_SMOKE)
+    bins = {
+        r["source"]: r["n"]
+        for r in packs.groupBy("source")
+        .agg(F.countDistinct("bin").alias("n"))
+        .collect()
+    }
+    sweep_at = {r["source"]: r["n_packs"] for r in rows if r["ctx"] == CTX_TOKENS}
+    assert sweep_at == bins

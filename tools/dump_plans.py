@@ -444,6 +444,11 @@ ANNOTATED = {
     "shrinking semi-joins (AQE broadcasts the survivor set as it "
     "collapses); peeling decomposes by cell because every substrate "
     "edge is within-cell",
+    "dataset_packing_fragmentation_sweep": "one shuffle-on-source "
+    "ordered window computes the running offset ONCE; the four ctx "
+    "candidates fan out as a broadcast VALUES join (a projection per "
+    "candidate, not four window passes); boundary math is pure integer "
+    "division",
     "features_pit_backfill": "PIT backfill as union + running sums: "
     "facts and two probe rows per label in ONE frame, a single "
     "user-partitioned window (probes sort before facts at equal ts = "
