@@ -424,7 +424,10 @@ ANNOTATED = {
     "codes bound the bytes per candidate (8 codes vs 64 floats), and "
     "the ADC tables broadcast — one skinny shuffle for the per-(query, "
     "neighbor) partial-dot sum, WindowGroupLimit top-k; the corpus "
-    "side moves only cell-pruned code rows",
+    "side moves only cell-pruned code rows.  The code-assignment "
+    "argmin is min(struct(d2,label)) — a hash aggregate with map-side "
+    "combine, not a sort-window, so the encode shuffle carries one row "
+    "per (vector, subspace) instead of one per scored codeword",
     "graph_kcore_peeling": "four synchronized peels, each a degree "
     "aggregation over the session-cached symmetrized edge frame plus "
     "two semi-join restrictions on the shrinking survivor set (AQE "
