@@ -400,8 +400,10 @@ ANNOTATED = {
     "(conservative dedup), never merge",
     "dedup_ingest_admit_gate": "the admit arm of the index lifecycle: "
     "broadcast-centroid assign of the arrivals, ONE cell-keyed join, "
-    "and a per-arrival tau-twin argmax that WindowGroupLimit prunes to "
-    "top-1 BEFORE the full window sort — O(batch x cell-occupancy) per "
+    "and a per-arrival tau-twin argmax as max(struct(cosine,-dup_of)) "
+    "— a hash aggregate whose map-side combine collapses the scored "
+    "rows BEFORE any exchange (was a WindowGroupLimit sort-window) — "
+    "O(batch x cell-occupancy) per "
     "micro-batch once K tracks n, never O(corpus).  (Here the arrival "
     "set is a full third of the corpus, so AQE picks a symmetric "
     "sort-merge join; at real micro-batch sizes the probe side falls "
@@ -414,7 +416,7 @@ ANNOTATED = {
     "restriction fits this op; misses are softer negatives only",
     "similarity_ivf_maintenance_tick": "the composed admit-then-index "
     "fold: two sequential gate rounds, each one broadcast-centroid "
-    "assign + one cell-keyed join + a WindowGroupLimit-pruned top-1 "
+    "assign + one cell-keyed join + a map-side-combined struct-max "
     "argmax; the corpus side grows by the admitted rows between rounds "
     "behind a lineage cut, so round 2's plan is round 1's plan over "
     "base ∪ admits — per-batch cost is the serving-probe envelope, the "
