@@ -57,6 +57,16 @@ PROBE_QUERIES = [
     "part_skyline_pareto",
     "events_value_drift_ks",
     "retrieval_rrf_fusion",
+    # r9 additions: the PIT feature backfill, the snapshot diff, the
+    # WebDataset TAR index, and the IVF-PQ serving scan — future rounds
+    # measure them at scale by default.  (The maintenance tick is
+    # deliberately absent: at the registered fixed K its cost is the
+    # documented O(n²/K) calibration artifact; its scale story is the
+    # grow-K probe rows in BASELINE.md.)
+    "features_pit_backfill",
+    "orders_snapshot_diff",
+    "multimodal_tar_member_index",
+    "similarity_ivfpq_adc_topk",
 ]
 #: tables that must scale with N.  In TPC-H *everything except nation and
 #: region* grows linearly with SF — including customer/supplier/part, which
