@@ -77,6 +77,14 @@ HINT_EXCEPTIONS = {
     # |labels| x PQ_M, not corpus size — and (b) the ADC lookup tables,
     # bounded by the vec_id < N_QUERY_VECS literal filter x the codebook
     "similarity_pq_adc_topk": "codebook (labels x PQ_M) + ADC tables (5 x codebook)",
+    # operators/similarity.py: IVF-PQ composes the two exception classes
+    # above — hints cover the per-label sub-centroid codebook
+    # (labels x PQ_M rows, label-keyed like similarity_ivf_topk's cent),
+    # the ADC tables (N_QUERY_VECS x PQ_M x labels, bounded by the
+    # vec_id < 5 literal), and the probe cell set (nprobe x 5 rows via
+    # the same literal) — never a corpus-scaling relation unhinted AQE
+    # wouldn't handle
+    "similarity_ivfpq_adc_topk": "codebook + ADC tables (5 x codebook) + probe cells (nprobe x 5)",
     # operators/kmeans.py: the hinted probe frame is ranked cells filtered
     # to `rn <= IVF_KM_NPROBE AND vec_id < N_QUERY_VECS` — bounded to
     # nprobe x 5 rows by literal predicates (the trained centroid frame is
