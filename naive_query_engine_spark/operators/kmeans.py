@@ -1841,13 +1841,10 @@ def _admit_verdicts(probe: DataFrame, corpus: DataFrame, tau: float) -> DataFram
     (`dedup_on_ingest`) and its registered driver query
     (`dedup_ingest_admit_gate`): probe rows (arrival_id, qq, qn2, cell)
     vs corpus rows (vec_id, q, nrm2, cell) → one verdict row per
-    arrival.  Cell-keyed join (probe side is the only exchange); the
-    best-twin argmax is max(struct(cosine, −dup_of)) — a HASH AGGREGATE
-    with map-side partial combine, so the per-arrival reduction
-    collapses the (arrival × cell-occupancy) scored rows BEFORE any
-    exchange (a row_number window would sort-shuffle every scored row —
-    this is the serving hot path at ingest cadence).  Struct ordering =
-    (cosine DESC, dup_of ASC), the oracle's ROW_NUMBER tie-break."""
+    arrival.  Cell-keyed join (probe side is the only exchange), one
+    descending window per arrival for the best-twin argmax."""
+    from pyspark.sql import Window
+
     from .similarity import cosine_q, dot_q
 
     cos = cosine_q(dot_q(F.col("qq"), F.col("q")), F.col("qn2"), F.col("nrm2"))
@@ -1858,18 +1855,11 @@ def _admit_verdicts(probe: DataFrame, corpus: DataFrame, tau: float) -> DataFram
             "arrival_id", F.col("vec_id").alias("dup_of"), cos.alias("cosine")
         )
     )
+    w = Window.partitionBy("arrival_id").orderBy(F.col("cosine").desc(), "dup_of")
     best = (
-        scored.groupBy("arrival_id")
-        .agg(
-            F.max(
-                F.struct(F.col("cosine"), (-F.col("dup_of")).alias("nd"))
-            ).alias("m")
-        )
-        .select(
-            "arrival_id",
-            (-F.col("m.nd")).cast("long").alias("dup_of"),
-            F.col("m.cosine").alias("best_cosine"),
-        )
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("arrival_id", "dup_of", F.col("cosine").alias("best_cosine"))
     )
     return (
         probe.select("arrival_id")

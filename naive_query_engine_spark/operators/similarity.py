@@ -865,25 +865,19 @@ def _pq_parts(qt: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     subv = qt.select(
         "vec_id", F.posexplode(slices).alias("s_int", "subq")
     ).select("vec_id", F.col("s_int").cast("long").alias("s"), "subq")
-    # encode: nearest sub-centroid per (vector, subspace); exact integer
-    # d2.  The argmin is min(struct(d2, label)) — a HASH AGGREGATE with
-    # map-side partial combine, not a window: the (vec_id, s) groups are
-    # labels-wide, so the combiner collapses them before the exchange
-    # (a row_number window would sort-shuffle every scored row; at
-    # corpus scale that's labels× more shuffled bytes).  struct ordering
-    # = (d2 ASC, label ASC), the same tie-break as the oracle's
-    # ROW_NUMBER ORDER BY d2, label.
+    # encode: nearest sub-centroid per (vector, subspace); exact integer d2
     d2 = F.aggregate(
         F.zip_with(F.col("subq"), F.col("subc"), lambda x, y: (K * x - y) * (K * x - y)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    w_code = Window.partitionBy("vec_id", "s").orderBy("d2", "label")
     codes = (
         subv.join(F.broadcast(subcent), "s")
         .select("vec_id", "s", "label", d2.alias("d2"))
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "label")).alias("m"))
-        .select("vec_id", "s", F.col("m.label").alias("code"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("label").alias("code"))
     )
     return subcent, subv, codes
 

@@ -400,10 +400,8 @@ ANNOTATED = {
     "(conservative dedup), never merge",
     "dedup_ingest_admit_gate": "the admit arm of the index lifecycle: "
     "broadcast-centroid assign of the arrivals, ONE cell-keyed join, "
-    "and a per-arrival tau-twin argmax as max(struct(cosine,-dup_of)) "
-    "— a hash aggregate whose map-side combine collapses the scored "
-    "rows BEFORE any exchange (was a WindowGroupLimit sort-window) — "
-    "O(batch x cell-occupancy) per "
+    "and a per-arrival tau-twin argmax that WindowGroupLimit prunes to "
+    "top-1 BEFORE the full window sort — O(batch x cell-occupancy) per "
     "micro-batch once K tracks n, never O(corpus).  (Here the arrival "
     "set is a full third of the corpus, so AQE picks a symmetric "
     "sort-merge join; at real micro-batch sizes the probe side falls "
@@ -416,7 +414,7 @@ ANNOTATED = {
     "restriction fits this op; misses are softer negatives only",
     "similarity_ivf_maintenance_tick": "the composed admit-then-index "
     "fold: two sequential gate rounds, each one broadcast-centroid "
-    "assign + one cell-keyed join + a map-side-combined struct-max "
+    "assign + one cell-keyed join + a WindowGroupLimit-pruned top-1 "
     "argmax; the corpus side grows by the admitted rows between rounds "
     "behind a lineage cut, so round 2's plan is round 1's plan over "
     "base ∪ admits — per-batch cost is the serving-probe envelope, the "
@@ -426,10 +424,7 @@ ANNOTATED = {
     "codes bound the bytes per candidate (8 codes vs 64 floats), and "
     "the ADC tables broadcast — one skinny shuffle for the per-(query, "
     "neighbor) partial-dot sum, WindowGroupLimit top-k; the corpus "
-    "side moves only cell-pruned code rows.  The code-assignment "
-    "argmin is min(struct(d2,label)) — a hash aggregate with map-side "
-    "combine, not a sort-window, so the encode shuffle carries one row "
-    "per (vector, subspace) instead of one per scored codeword",
+    "side moves only cell-pruned code rows",
     "graph_kcore_peeling": "four synchronized peels, each a degree "
     "aggregation over the session-cached symmetrized edge frame plus "
     "two semi-join restrictions on the shrinking survivor set (AQE "
