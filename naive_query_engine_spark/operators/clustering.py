@@ -272,10 +272,21 @@ PR_ITERS = 3
 PR_TOPN = 20
 
 
-def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank_int(
+    edges: DataFrame, iters: int = PR_ITERS, seeds: DataFrame | None = None
+) -> DataFrame:
     """(node, rank): integer micro-rank PageRank after ``iters`` synchronous
     iterations over the symmetrized edge set (undirected → no dangling
     nodes, every node has outdeg >= 1).
+
+    ``seeds`` (a (node) frame) switches the teleport term from uniform
+    to PERSONALIZED: seed nodes get the full 15% restart mass
+    (15·PR_SCALE) and everyone else 0, and the initial rank vector is
+    the seed indicator — random-walk-with-restart toward the seed set
+    (Personalized PageRank).  The per-node teleport column is computed
+    ONCE (node-keyed, lineage-cut) and joins each iteration's node-keyed
+    aggregate partition-aligned, so personalization adds no exchange to
+    the iteration loop.
 
     Scale shape: the one-time setup (symmetrize, degrees, degree-annotated
     edges) is materialized ONCE via ``localCheckpoint``, which preserves
@@ -313,24 +324,49 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         .select("src", "dst", "outdeg")
         .transform(cut_lineage)  # hash-partitioned on src — reused every iteration
     )
-    ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
+    if seeds is None:
+        tele = None
+        ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
+    else:
+        is_seed = F.col("seed_node").isNotNull()
+        tele = (
+            deg.join(
+                seeds.select(F.col("node").alias("seed_node")),
+                deg.node == F.col("seed_node"),
+                "left",
+            )
+            .select(
+                "node",
+                F.when(is_seed, F.lit(15 * PR_SCALE))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("tp"),
+                F.when(is_seed, F.lit(PR_SCALE))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("r_init"),
+            )
+            .transform(cut_lineage)  # node-keyed — aligns with each agg
+        )
+        ranks = tele.select("node", F.col("r_init").alias("rank"))
     for i in range(iters):
         contrib = src_side.join(ranks, src_side.src == ranks.node).select(
             F.col("dst"),
             F.floor(F.col("rank").cast("double") / F.col("outdeg")).cast("long").alias("c"),
         )
-        ranks = (
-            contrib.groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("s"))
-            .select(
-                "node",
-                F.floor(
-                    (F.lit(15 * PR_SCALE).cast("double") + F.lit(85) * F.col("s").cast("double"))
-                    / F.lit(100)
-                )
-                .cast("long")
-                .alias("rank"),
-            )
+        summed = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        if tele is None:
+            tp = F.lit(15 * PR_SCALE).cast("double")
+        else:
+            summed = summed.join(tele.select("node", "tp"), "node")
+            tp = F.col("tp").cast("double")
+        ranks = summed.select(
+            "node",
+            F.floor((tp + F.lit(85) * F.col("s").cast("double")) / F.lit(100))
+            .cast("long")
+            .alias("rank"),
         )
         if i < iters - 1:
             # truncate lineage so iteration k+1 doesn't replay 1..k
@@ -416,6 +452,112 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOPN)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("node", F.col("rank").alias("pagerank_micro"), "rnk")
+    )
+
+
+#: the personalization seed segment for graph_pagerank_personalized
+PPR_SEGMENT = "BUILDING"
+
+
+def _ppr_oracle() -> str:
+    cte = [
+        f"""
+    edges0 AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    seeds AS (SELECT c_custkey * 2 AS node FROM customer
+              WHERE c_mktsegment = '{PPR_SEGMENT}'),
+    tele AS (
+      SELECT d.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {15 * PR_SCALE}
+                       ELSE 0 END AS BIGINT) AS tp
+      FROM deg d LEFT JOIN seeds s ON s.node = d.node
+    ),
+    r0 AS (
+      SELECT d.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {PR_SCALE}
+                       ELSE 0 END AS BIGINT) AS rank
+      FROM deg d LEFT JOIN seeds s ON s.node = d.node
+    )"""
+    ]
+    for k in range(1, PR_ITERS + 1):
+        cte.append(f"""
+    s{k} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(FLOOR(CAST(r.rank AS DOUBLE) / d.outdeg) AS BIGINT)) AS s
+      FROM edges e
+      JOIN r{k - 1} r ON r.node = e.src
+      JOIN deg d ON d.node = e.src
+      GROUP BY 1
+    ),
+    r{k} AS (
+      SELECT s{k}.node,
+             CAST(FLOOR((t.tp + 85 * CAST(s AS DOUBLE)) / 100) AS BIGINT) AS rank
+      FROM s{k} JOIN tele t ON t.node = s{k}.node
+    )""")
+    return f"""
+    WITH {",".join(cte)}
+    SELECT node, ppr_micro, rnk FROM (
+      SELECT node, rank AS ppr_micro,
+             CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rnk
+      FROM r{PR_ITERS} WHERE node % 2 = 1
+    ) WHERE rnk <= {PR_TOPN}
+    """
+
+
+@query(
+    "graph_pagerank_personalized",
+    oracle=_ppr_oracle(),
+    tags=("graph", "iterative", "pipeline", "retrieval"),
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart) over the
+    customer–supplier graph: the 15% teleport mass restarts at the
+    {PPR_SEGMENT}-segment customers instead of uniformly, so the
+    stationary mass measures proximity TO THAT SEGMENT — the top
+    suppliers by personalized rank are "which suppliers matter to this
+    market segment", the seed-conditioned recommendation readout (the
+    recsys/retrieval workhorse built on the same iterate as global
+    PageRank).
+
+    Shares :func:`pagerank_int` (seeds switch the teleport term and the
+    init vector); the per-node teleport column is computed once,
+    lineage-cut node-keyed, and joins each iteration's node-keyed
+    aggregate partition-aligned — personalization adds ZERO exchanges
+    to the iteration loop.  Exact integer micro-ranks; supplier-side
+    (odd-namespace) top-``PR_TOPN`` via TakeOrdered, never a global
+    sort.
+
+    Reference basis: no iteration in the reference at all (SURVEY
+    §2.8+); extends the graph_pagerank extension."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    edges = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = c.filter(F.col("c_mktsegment") == PPR_SEGMENT).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return (
+        pagerank_int(edges, seeds=seeds)
+        .filter(F.col("node") % 2 == 1)
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(PR_TOPN)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("node", F.col("rank").alias("ppr_micro"), "rnk")
     )
 
 

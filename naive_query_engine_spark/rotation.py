@@ -482,6 +482,7 @@ ROTATION: tuple[str, ...] = (
     "multimodal_tar_member_index",
     "graph_kcore_ivf",
     "dataset_packing_fragmentation_sweep",
+    "graph_pagerank_personalized",
 )
 
 

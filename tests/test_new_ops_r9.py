@@ -249,3 +249,26 @@ def test_packing_sweep_monotone_and_consistent(spark):
     }
     sweep_at = {r["source"]: r["n_packs"] for r in rows if r["ctx"] == CTX_TOKENS}
     assert sweep_at == bins
+
+
+def test_ppr_differs_from_global_and_seeds_matter(spark):
+    """Personalization is non-vacuous: the segment-seeded supplier
+    ranking differs from global PageRank's supplier-side order, and all
+    ranks are non-negative with a full top-N emitted."""
+    from naive_query_engine_spark.operators.clustering import PR_TOPN
+
+    ppr = (
+        QUERIES["graph_pagerank_personalized"].fn(spark, SF_SMOKE).collect()
+    )
+    pr = QUERIES["graph_pagerank"].fn(spark, SF_SMOKE).collect()
+    # sf0.001 has only 10 suppliers, so the supplier-side top-N can be
+    # shorter than PR_TOPN at the smallest SF
+    assert 0 < len(ppr) <= PR_TOPN
+    assert all(r["ppr_micro"] >= 0 for r in ppr)
+    ppr_order = [r["node"] for r in sorted(ppr, key=lambda r: r["rnk"])]
+    pr_sup_order = [
+        r["node"]
+        for r in sorted(pr, key=lambda r: r["rnk"])
+        if r["node"] % 2 == 1
+    ]
+    assert ppr_order != pr_sup_order[: len(ppr_order)]

@@ -449,6 +449,12 @@ ANNOTATED = {
     "candidates fan out as a broadcast VALUES join (a projection per "
     "candidate, not four window passes); boundary math is pure integer "
     "division",
+    "graph_pagerank_personalized": "same iterate as graph_pagerank "
+    "(checkpointed setup, one contribution-sum shuffle per iteration); "
+    "the seed teleport column is computed once, lineage-cut node-keyed, "
+    "and joins each iteration's node-keyed aggregate partition-aligned "
+    "— personalization adds zero exchanges to the loop; supplier top-N "
+    "is TakeOrdered",
     "features_pit_backfill": "PIT backfill as union + running sums: "
     "facts and two probe rows per label in ONE frame, a single "
     "user-partitioned window (probes sort before facts at equal ts = "
