@@ -2271,3 +2271,158 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010) — unsupervised keyphrase
+# scoring by word co-occurrence degree within stopword-delimited phrases
+
+RAKE_SCALE = 1_000_000  #: fixed-point scale for degree/freq word scores
+RAKE_TOPN = 25
+
+
+@query(
+    "text_rake_keywords",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+') AS ts
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok
+    ),
+    marked AS (
+      SELECT doc_id, i, w,
+             CASE WHEN list_contains([{_STOP_SQL}], w) THEN 1 ELSE 0 END AS st
+      FROM words
+    ),
+    pidd AS (
+      SELECT doc_id, i, w, st,
+             SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+      FROM marked
+    ),
+    ph AS (SELECT doc_id, pid, i, w FROM pidd WHERE st = 0),
+    plen AS (
+      SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS len
+      FROM ph GROUP BY 1, 2
+    ),
+    wstat AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(len) AS BIGINT) AS degree
+      FROM ph JOIN plen USING (doc_id, pid) GROUP BY w
+    ),
+    wsc AS (
+      SELECT w, ({RAKE_SCALE} * degree) // freq AS score FROM wstat
+    ),
+    phs AS (
+      SELECT ph.doc_id, ph.pid,
+             STRING_AGG(ph.w, ' ' ORDER BY ph.i) AS phrase,
+             CAST(SUM(wsc.score) AS BIGINT) AS score_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM ph JOIN wsc ON wsc.w = ph.w GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT phrase, MAX(score_fp) AS score_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             MAX(n_words) AS n_words
+      FROM phs GROUP BY phrase
+    )
+    SELECT phrase, score_fp, n_occurrences, n_words,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_fp DESC, phrase) AS rnk
+      FROM agg
+    ) WHERE rnk <= {RAKE_TOPN}
+    """,
+    tags=("text", "keywords", "quality", "pipeline"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rapid Automatic Keyword Extraction, Rose
+    et al. 2010): candidate phrases are maximal stopword-free token
+    runs (boundaries = the shared STOPWORDS list); each word scores
+    degree/frequency where degree sums the lengths of every phrase the
+    word occurs in (its co-occurrence mass) and frequency counts its
+    occurrences; a phrase scores the sum of its word scores.  Corpus
+    top-{RAKE_TOPN} distinct phrases — the unsupervised keyphrase
+    census a corpus-exploration pass runs before any labeling.
+
+    Determinism: word scores are pure integer division
+    (RAKE_SCALE·degree // freq — no doubles anywhere); phrase text is
+    order-reconstructed (array_sort by position / STRING_AGG ORDER BY);
+    final rank ties break on the phrase string.  Identical phrase texts
+    have identical scores by construction, so the MAX in the dedup
+    aggregate is exact, not a choice.
+
+    Scale shape: one token explode (narrow), a per-doc ordered window
+    for the phrase ids (one shuffle on doc_id), vocabulary- and
+    phrase-keyed aggregates (word-stat table is vocab-bounded; AQE
+    broadcasts it into the phrase-scoring join), TakeOrdered for the
+    final top-N — the corpus is never globally sorted.
+
+    Reference basis: LLM-pipeline extension (SURVEY §2.8+); shares the
+    tokenizer and STOPWORDS with the quality/lang-id family."""
+    from pyspark.sql import Window
+
+    from ..queries import floordiv_col
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "w")
+    )
+    marked = toks.withColumn(
+        "st", F.col("w").isin(list(STOPWORDS)).cast("long")
+    )
+    w_pid = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = (
+        marked.withColumn("pid", F.sum("st").over(w_pid))
+        .filter(F.col("st") == 0)
+        .select("doc_id", "pid", "i", "w")
+    )
+    plen = ph.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    wstat = (
+        ph.join(plen, ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("len").cast("long").alias("degree"),
+        )
+    )
+    wsc = wstat.select(
+        "w",
+        floordiv_col(F.lit(RAKE_SCALE) * F.col("degree"), F.col("freq")).alias(
+            "score"
+        ),
+    )
+    phs = (
+        ph.join(wsc, "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda x: x.w,
+                ),
+            ).alias("phrase"),
+            F.sum("score").cast("long").alias("score_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )
+    agg = phs.groupBy("phrase").agg(
+        F.max("score_fp").alias("score_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("n_words").alias("n_words"),
+    )
+    w_rank = Window.orderBy(F.col("score_fp").desc(), F.col("phrase"))
+    return (
+        agg.orderBy(F.col("score_fp").desc(), F.col("phrase"))
+        .limit(RAKE_TOPN)
+        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .select("phrase", "score_fp", "n_occurrences", "n_words", "rnk")
+    )

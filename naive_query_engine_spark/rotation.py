@@ -483,6 +483,7 @@ ROTATION: tuple[str, ...] = (
     "graph_kcore_ivf",
     "dataset_packing_fragmentation_sweep",
     "graph_pagerank_personalized",
+    "text_rake_keywords",
 )
 
 

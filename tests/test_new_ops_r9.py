@@ -272,3 +272,23 @@ def test_ppr_differs_from_global_and_seeds_matter(spark):
         if r["node"] % 2 == 1
     ]
     assert ppr_order != pr_sup_order[: len(ppr_order)]
+
+
+def test_rake_phrases_are_stopword_free(spark):
+    """RAKE structural invariants: no extracted phrase contains a
+    stopword (they are the boundaries), n_words matches the phrase's
+    token count, and ranks are the (score DESC, phrase) order."""
+    from naive_query_engine_spark.operators.text import STOPWORDS
+
+    rows = sorted(
+        QUERIES["text_rake_keywords"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert rows
+    stop = set(STOPWORDS)
+    for r in rows:
+        ws = r["phrase"].split(" ")
+        assert not (set(ws) & stop), r["phrase"]
+        assert r["n_words"] == len(ws)
+    keys = [(-r["score_fp"], r["phrase"]) for r in rows]
+    assert keys == sorted(keys)

@@ -455,6 +455,11 @@ ANNOTATED = {
     "and joins each iteration's node-keyed aggregate partition-aligned "
     "— personalization adds zero exchanges to the loop; supplier top-N "
     "is TakeOrdered",
+    "text_rake_keywords": "RAKE: one token explode + one per-doc "
+    "ordered window for the phrase ids (single doc_id shuffle); word "
+    "stats are vocab-bounded (AQE broadcasts them into the "
+    "phrase-scoring join); pure-integer degree//freq scores; corpus "
+    "top-N is TakeOrdered, never a global sort",
     "features_pit_backfill": "PIT backfill as union + running sums: "
     "facts and two probe rows per label in ONE frame, a single "
     "user-partitioned window (probes sort before facts at equal ts = "
