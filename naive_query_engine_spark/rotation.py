@@ -36,7 +36,7 @@ from .queries import QUERIES
 
 #: bump when the previous round's window is folded into DRIVER_SAMPLED —
 #: drives the deterministic resample-slot rotation below
-ROUND = 9
+ROUND = 10
 
 # Names with at least one driver-green CORRECTNESS row (union of the key
 # sets of CORRECTNESS_r01.json .. CORRECTNESS_r04.json).  55 names: the
@@ -158,6 +158,32 @@ DRIVER_SAMPLED: frozenset[str] = frozenset(
         "events_sequence_patterns", "events_bot_regularity",
         "events_activity_islands", "events_state_durations",
         "events_cumulative_unique_users",
+        # --- r9 window (CORRECTNESS_r09.json: 50/50 green, 42 first-ever
+        # rows — the r6-block events/orders/profile/dataset leftovers and
+        # the head of the function-family extension block) ---
+        "events_decayed_engagement", "events_ab_test_analysis",
+        "events_ab_cuped", "events_forecast_backtest",
+        "events_funnel_time_to_convert", "events_power_users_pareto",
+        "events_seasonality_profile", "events_new_vs_returning_daily",
+        "events_type_concentration_hhi",
+        "events_attribution_last_touch", "events_value_winsorized",
+        "events_growth_accounting", "events_json_extract",
+        "events_variant_props", "orders_rfm_segmentation",
+        "orders_market_basket_lift", "orders_cohort_ltv_curve",
+        "orders_mom_growth", "orders_abc_classification",
+        "orders_shipping_latency_sla", "orders_discount_elasticity",
+        "supplier_revenue_gini", "part_skyline_pareto",
+        "revenue_share_of_parent", "audit_constraints",
+        "audit_k_anonymity", "audit_benford_first_digit",
+        "profile_dedup_rate_by_source", "profile_orders",
+        "profile_documents_by_source",
+        "profile_quality_dup_correlation",
+        "profile_doc_length_histogram",
+        "profile_shingle_df_histogram", "dataset_train_test_split",
+        "dataset_mixture_sample", "dataset_reservoir_per_lang",
+        "dataset_pack_context_windows", "dataset_global_interleave",
+        "dataset_curriculum_bins", "dataset_chunk_documents",
+        "dataset_split_leakage_safe", "agg_weighted_median",
     }
 )
 
