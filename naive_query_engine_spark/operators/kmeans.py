@@ -1794,6 +1794,7 @@ def dedup_on_ingest(
     table: str,
     arrivals: DataFrame,
     threshold: float | None = None,
+    intra_batch: bool = False,
 ) -> DataFrame:
     """DEDUP-ON-INGEST over the maintained index — the gate a streaming
     pipeline runs BEFORE admitting a vector: each arrival
@@ -1801,10 +1802,19 @@ def dedup_on_ingest(
     neighbor with cosine ≥ τ and gets a verdict row
     (vec_id, is_duplicate, dup_of, best_cosine) — ``dup_of`` the
     highest-cosine (then lowest-id) existing twin, NULL when none.
-    Per-arrival verdicts are independent of batching (the
-    incremental-dedup invariant), so foreachBatch micro-batches give
-    exactly the batch answer — test-pinned, and the natural upstream
-    of `upsert_ivf_vector_index` (admit-then-index).
+    With the default ``intra_batch=False``, per-arrival verdicts are
+    independent of batching (the incremental-dedup invariant), so
+    foreachBatch micro-batches give exactly the batch answer —
+    test-pinned, and the natural upstream of `upsert_ivf_vector_index`
+    (admit-then-index).
+
+    ``intra_batch=True`` (what `maintain_ivf_index` passes, VERDICT r9
+    #3) additionally gates the batch against ITSELF, lowest-id-wins:
+    arrival a's candidate set grows by the batch members with
+    vec_id < a, so two mutual τ-twins arriving together can no longer
+    both pass.  This deliberately trades the batching-invariance of
+    the bare gate for the composed tick's sequential-fold semantics
+    (which is already batch-boundary-sensitive).
 
     One broadcast-centroid assign + one cell-keyed join against the
     maintained assignment (probe side is the only exchange) — the
@@ -1833,24 +1843,53 @@ def dedup_on_ingest(
         "cell",
     )
     corpus = s.table(f"{table}_assign")
-    return _admit_verdicts(probe, corpus, tau)
+    peers = None
+    if intra_batch:
+        peers = probe.select(
+            F.col("arrival_id").alias("vec_id"),
+            F.col("qq").alias("q"),
+            F.col("qn2").alias("nrm2"),
+            "cell",
+        )
+    return _admit_verdicts(probe, corpus, tau, peers=peers)
 
 
-def _admit_verdicts(probe: DataFrame, corpus: DataFrame, tau: float) -> DataFrame:
+def _admit_verdicts(
+    probe: DataFrame,
+    corpus: DataFrame,
+    tau: float,
+    peers: DataFrame | None = None,
+) -> DataFrame:
     """The τ-twin verdict core shared by the table-path admit gate
     (`dedup_on_ingest`) and its registered driver query
     (`dedup_ingest_admit_gate`): probe rows (arrival_id, qq, qn2, cell)
     vs corpus rows (vec_id, q, nrm2, cell) → one verdict row per
     arrival.  Cell-keyed join (probe side is the only exchange), one
-    descending window per arrival for the best-twin argmax."""
+    descending window per arrival for the best-twin argmax.
+
+    ``peers`` (optional, corpus-shaped) is the INTRA-BATCH candidate
+    set — the batch itself, gated lowest-id-wins: a peer row competes
+    for arrival a only when ``peer.vec_id < a`` (VERDICT r9 #3).  One
+    pass, no iteration: arrival a's candidates are corpus ∪ ALL
+    lower-id batch peers (admitted or not), so a mid-chain rejected
+    peer still shadows its own later twins — deterministic and
+    slightly stricter than an item-at-a-time replay, documented on
+    `maintain_ivf_index`.  Cost: one extra cell-keyed self-join
+    bounded by batch × batch-cell-occupancy, never corpus-sized."""
     from pyspark.sql import Window
 
     from .similarity import cosine_q, dot_q
 
+    cand = corpus.withColumn("_peer", F.lit(False))
+    if peers is not None:
+        cand = cand.unionByName(peers.withColumn("_peer", F.lit(True)))
     cos = cosine_q(dot_q(F.col("qq"), F.col("q")), F.col("qn2"), F.col("nrm2"))
     scored = (
-        probe.join(corpus, "cell")
-        .filter(F.col("vec_id") != F.col("arrival_id"))
+        probe.join(cand, "cell")
+        .filter(
+            (F.col("vec_id") != F.col("arrival_id"))
+            & (~F.col("_peer") | (F.col("vec_id") < F.col("arrival_id")))
+        )
         .select(
             "arrival_id", F.col("vec_id").alias("dup_of"), cos.alias("cosine")
         )
@@ -2003,15 +2042,23 @@ def maintain_ivf_index(
     can reject its τ-twin in batch N+1 — the composition is a
     sequential fold, equivalent across foreachBatch and driver-loop
     execution with the SAME batch boundaries (test-pinned), but NOT
-    batching-invariant: two mutual twins in one batch both pass the
-    gate (each sees only the pre-batch corpus).  A pipeline needing
-    intra-batch dedup runs an exact/LSH pass inside the batch first
-    (the incremental-dedup operator).
+    batching-invariant (boundaries matter).
+
+    INTRA-BATCH twins (VERDICT r9 #3, closed): the gate runs with
+    ``intra_batch=True``, so each arrival's candidate set is the
+    maintained corpus ∪ the batch's own LOWER-ID members
+    (lowest-id-wins, one pass) — two mutual τ-twins arriving in the
+    same micro-batch can no longer both be admitted.  The single-pass
+    rule is deterministic but slightly stricter than an
+    item-at-a-time replay: a batch member rejected mid-chain still
+    shadows its own later (higher-id) twins within the batch — the
+    safe side for a dedup gate (never admits a pair of twins; may
+    reject a transitively-linked non-twin of everything admitted).
 
     Returns {"n_arrivals", "n_admitted", "n_rejected"} merged with the
     upsert report ({"touched_cells", "n_edges_written",
     "compacted_cells"})."""
-    verdicts = dedup_on_ingest(spark, table, arrivals, threshold)
+    verdicts = dedup_on_ingest(spark, table, arrivals, threshold, intra_batch=True)
     admitted = arrivals.join(
         verdicts.filter(~F.col("is_duplicate")).select("vec_id"), "vec_id"
     )
@@ -3062,17 +3109,23 @@ _patch_knn_components_ivf_oracle()
 
 def _tick_round_sql(i: int, arrivals: str, corpus: str) -> str:
     """One admit round of the maintenance-tick oracle: batch ``arrivals``
-    probed against ``corpus`` (both (vec_id, cluster) relations over the
-    MATERIALIZED q/a{iters}) → verdict CTE ``v{i}`` with a batch tag.
-    Same exact-integer dots, single double division, and
-    (cosine DESC, neighbor) tie-break as `_admit_gate_oracle`."""
+    probed against ``corpus`` ∪ the batch's own LOWER-ID members (the
+    intra-batch lowest-id-wins pre-pass, VERDICT r9 #3; both
+    (vec_id, cluster) relations over the MATERIALIZED q/a{iters}) →
+    verdict CTE ``v{i}`` with a batch tag.  Same exact-integer dots,
+    single double division, and (cosine DESC, neighbor) tie-break as
+    `_admit_gate_oracle`."""
     from .similarity import COSINE_THRESHOLD
 
     return f"""p{i} AS (
       SELECT ar.vec_id AS arrival, b.vec_id AS neighbor,
              SUM(ea.qv * eb.qv) AS dot
       FROM {arrivals} ar
-      JOIN {corpus} b ON b.cluster = ar.cluster AND b.vec_id <> ar.vec_id
+      JOIN (SELECT vec_id, cluster, FALSE AS peer FROM {corpus}
+            UNION ALL
+            SELECT vec_id, cluster, TRUE AS peer FROM {arrivals}) b
+        ON b.cluster = ar.cluster AND b.vec_id <> ar.vec_id
+           AND (NOT b.peer OR b.vec_id < ar.vec_id)
       JOIN q ea ON ea.vec_id = ar.vec_id
       JOIN q eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
       GROUP BY 1, 2
@@ -3108,11 +3161,14 @@ def _maintenance_tick_oracle(
     k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> str:
     """DuckDB replay of the two-batch sequential fold: batch 1 admitted
-    against the BASE corpus, batch 2 against base ∪ admitted(batch 1) —
-    the order-sensitivity `maintain_ivf_index` documents, pinned by
-    hash equality (a batching-invariant gate would verdict batch 2
-    against base alone and diverge wherever an admitted batch-1 arrival
-    is a batch-2 arrival's τ-twin)."""
+    against the BASE corpus ∪ its own lower-id members, batch 2 against
+    base ∪ admitted(batch 1) ∪ its own lower-id members — the
+    order-sensitivity plus the intra-batch lowest-id-wins pre-pass
+    `maintain_ivf_index` documents (VERDICT r9 #3), pinned by hash
+    equality (a batching-invariant gate would verdict batch 2 against
+    base alone and diverge wherever an admitted batch-1 arrival is a
+    batch-2 arrival's τ-twin; a pre-pass-free gate would diverge
+    wherever an arrival's best twin is a lower-id co-arrival)."""
     parts = _kmeans_sql_parts(k_cells, iters, train_pred=_UPSERT_TRAIN_PRED)
     parts[0] = parts[0].replace("q AS (", "q AS MATERIALIZED (", 1)
     parts[-1] = parts[-1].replace(
@@ -3154,16 +3210,20 @@ def similarity_ivf_maintenance_tick(
     (stream==batch-pinned in tests/test_streaming.py), re-derived
     self-contained from sf_dir: the quantizer is trained on the BASE
     corpus (vec_id % 3 <> 0) and frozen; batch 1 (vec_id % 6 = 0) gets
-    τ-twin verdicts against the base membership; its ADMITTED
-    (non-duplicate) arrivals join the corpus; batch 2 (vec_id % 6 = 3)
-    gets verdicts against that GROWN corpus.  Output = one verdict row
-    per arrival (vec_id, batch, is_duplicate, dup_of, best_cosine).
+    τ-twin verdicts against the base membership ∪ its own LOWER-ID
+    co-arrivals (the intra-batch lowest-id-wins pre-pass, VERDICT r9
+    #3); its ADMITTED (non-duplicate) arrivals join the corpus; batch 2
+    (vec_id % 6 = 3) gets verdicts against that GROWN corpus ∪ its own
+    lower-id co-arrivals.  Output = one verdict row per arrival
+    (vec_id, batch, is_duplicate, dup_of, best_cosine).
 
     Hash equality with the oracle IS the sequential-fold claim: the
     fold is order-sensitive by design (an arrival admitted in batch 1
     can reject its τ-twin in batch 2), so a gate that verdicted every
     batch against the pre-ingest corpus would diverge exactly where a
-    batch-1 admit is a batch-2 arrival's best twin.
+    batch-1 admit is a batch-2 arrival's best twin — and the
+    intra-batch stage means two mutual twins in ONE batch can no
+    longer both be admitted (dup_of may name a lower-id co-arrival).
 
     Scale shape: per batch, one broadcast-centroid assign of the batch
     plus one cell-keyed join against (pruned) cell membership — the
@@ -3188,7 +3248,13 @@ def similarity_ivf_maintenance_tick(
             F.col("nrm2").alias("qn2"),
             "cell",
         )
-        v = _admit_verdicts(probe, corpus, COSINE_THRESHOLD).select(
+        peers = probe.select(
+            F.col("arrival_id").alias("vec_id"),
+            F.col("qq").alias("q"),
+            F.col("qn2").alias("nrm2"),
+            "cell",
+        )
+        v = _admit_verdicts(probe, corpus, COSINE_THRESHOLD, peers=peers).select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.lit(i).cast("long").alias("batch"),
             "is_duplicate",

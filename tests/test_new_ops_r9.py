@@ -39,25 +39,43 @@ def test_tick_batch2_sees_batch1_admits(spark):
     assert not (set(b2_dupof) & b1_rejects)
 
 
-def test_tick_batch1_equals_admit_gate_on_batch1(spark):
-    """Batch 1 is gated against the BASE corpus, so its verdicts must be
-    row-for-row the registered admit gate's verdicts restricted to the
-    batch-1 arrivals (the gate verdicts ALL arrivals against base)."""
-    tick = (
-        QUERIES["similarity_ivf_maintenance_tick"]
+def test_tick_batch1_extends_admit_gate_with_lower_id_peers(spark):
+    """Batch 1 is gated against the BASE corpus ∪ its own LOWER-ID
+    co-arrivals (the intra-batch pre-pass, VERDICT r9 #3), so vs the
+    registered admit gate (base-only candidates) restricted to batch-1
+    arrivals the verdicts are MONOTONE: every gate-duplicate stays a
+    tick-duplicate; best_cosine never decreases; any divergence (new
+    duplicate, changed dup_of) is explained by a lower-id batch-1
+    co-arrival; and arrivals whose tick verdict matches the gate's are
+    bit-identical."""
+    tick = {
+        r["vec_id"]: r
+        for r in QUERIES["similarity_ivf_maintenance_tick"]
         .fn(spark, SF_SMOKE)
         .filter(F.col("batch") == 1)
-        .drop("batch")
-    )
-    gate = (
-        QUERIES["dedup_ingest_admit_gate"]
+        .collect()
+    }
+    gate = {
+        r["vec_id"]: r
+        for r in QUERIES["dedup_ingest_admit_gate"]
         .fn(spark, SF_SMOKE)
         .filter(F.col("vec_id") % 6 == 0)
-    )
-    assert sorted(map(tuple, tick.collect())) == sorted(
-        map(tuple, gate.collect())
-    )
-    assert tick.count() > 0
+        .collect()
+    }
+    assert set(tick) == set(gate) and tick
+    for vid, g in gate.items():
+        tk = tick[vid]
+        if g["is_duplicate"]:
+            assert tk["is_duplicate"]
+        if g["best_cosine"] is not None and tk["best_cosine"] is not None:
+            assert tk["best_cosine"] >= g["best_cosine"]
+        if (tk["is_duplicate"], tk["dup_of"]) != (
+            g["is_duplicate"],
+            g["dup_of"],
+        ):
+            # only a lower-id batch-1 co-arrival can explain the delta
+            assert tk["dup_of"] is not None
+            assert tk["dup_of"] % 6 == 0 and tk["dup_of"] < vid
 
 
 def test_ivfpq_candidates_stay_in_probed_cells(spark):

@@ -897,8 +897,11 @@ def test_stream_maintain_ivf_index_admit_then_index(spark, tmp_path):
     matters, batching at fixed boundaries doesn't), (b) a corpus twin is
     rejected and never indexed, (c) a twin of an EARLIER-ADMITTED
     arrival is rejected by the LIVE maintained state with dup_of = that
-    arrival, and (d) the documented intra-batch blind spot: two mutual
-    twins in one batch both pass (each sees only the pre-batch state)."""
+    arrival, and (d) the intra-batch pre-pass (VERDICT r9 #3): two
+    mutual twins in one batch → the LOWER id is admitted, the higher
+    rejected with dup_of naming its co-arrival; the BARE gate
+    (`dedup_on_ingest` default) stays batching-invariant and passes
+    both."""
     import time as _time
 
     from naive_query_engine_spark.operators.kmeans import (
@@ -958,14 +961,32 @@ def test_stream_maintain_ivf_index_admit_then_index(spark, tmp_path):
         }
         assert v[9_000_002]["is_duplicate"] and v[9_000_002]["dup_of"] == src
         maintain_ivf_index(spark, seq_table, batch1)
-        # (d) intra-batch mutual twins both pass the gate
+        # (d) intra-batch mutual twins: the bare gate (batching-invariant
+        # by contract) passes both; the composed tick's lowest-id-wins
+        # pre-pass admits only the lower id, dup_of = the co-arrival
+        bare = {
+            r["vec_id"]: r
+            for r in dedup_on_ingest(spark, seq_table, twins).collect()
+        }
+        assert not bare[9_000_003]["is_duplicate"]
+        assert not bare[9_000_004]["is_duplicate"]
+        gated = {
+            r["vec_id"]: r
+            for r in dedup_on_ingest(
+                spark, seq_table, twins, intra_batch=True
+            ).collect()
+        }
+        assert not gated[9_000_003]["is_duplicate"]
+        assert gated[9_000_004]["is_duplicate"]
+        assert gated[9_000_004]["dup_of"] == 9_000_003
         r2 = maintain_ivf_index(spark, seq_table, twins)
-        assert r2["n_admitted"] == 2
+        assert r2["n_admitted"] == 1 and r2["n_rejected"] == 1
         seq_assign = sorted(
             tuple(r) for r in spark.table(f"{seq_table}_assign").collect()
         )
         seq_edges = sorted(tuple(r) for r in spark.table(seq_table).collect())
-        assert {9_000_003, 9_000_004} <= {r[0] for r in seq_assign}
+        assert 9_000_003 in {r[0] for r in seq_assign}
+        assert 9_000_004 not in {r[0] for r in seq_assign}
         assert 9_000_002 not in {r[0] for r in seq_assign}
 
         # --- the same fold through foreachBatch (mod-time-ordered files)
