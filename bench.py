@@ -127,6 +127,11 @@ BENCH_QUERIES = [
     # path — the ANN family's cheapest-bytes-per-candidate shape)
     "similarity_ivf_maintenance_tick",
     "similarity_ivfpq_adc_topk",
+    # r10 rotation: the PRODUCTION-K admit gate (K = ⌈n/150⌉ grow-K
+    # discipline, VERDICT r9 #5) joins the artifact next to its fixed-K
+    # twin so the round bench measures the scaling shape a real ingest
+    # runs (substrate-warm regime; the 10× probe row is BASELINE.md r10)
+    "dedup_ingest_admit_gate_growk",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays
@@ -256,6 +261,10 @@ BASELINES = {
     # in-context regime for the tick, broadcast-ADC scan for IVF-PQ
     "similarity_ivf_maintenance_tick": 2.468,
     "similarity_ivfpq_adc_topk": 1.651,
+    # r10 rotation: single-run calibration from the r10 quiet-host
+    # min-of-3 runs (BASELINE.md r10 calibration section); grow-K
+    # quantizer trained once per session (substrate-warm regime)
+    "dedup_ingest_admit_gate_growk": 1.43,
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
@@ -282,16 +291,19 @@ BASELINES = {
 #: host window → normalized ~1.05–1.28, consistent).  The r8 five
 #: (range-search-ivf / neighborhood-fn-ivf / capped attribution /
 #: quality-funnel / t-closeness) got their FIRST artifact read in
-#: BENCH_r08 (raw 1.06–1.23×) and stay fresh for an r9 confirming read.
+#: BENCH_r08 (raw 1.06–1.23×).  GRADUATED r10: those r8 five — the
+#: BENCH_r09 confirming read landed raw 0.92/1.23/1.04/1.11/1.19×
+#: inside the 1.236×-established, load-attributed r9 window →
+#: normalized 0.74–1.00, all at-or-below baseline.  The r9 three
+#: (tick / ivfpq / admit-gate) got their FIRST artifact reads in
+#: BENCH_r09 (2.59/1.77/1.05 raw vs 2.468/1.651/1.178 baselines) and
+#: stay fresh for an r10 confirming read; the r10-registered grow-K
+#: gate enters fresh with its single-run calibration.
 FRESH_ROTATION: list[str] = [
     "similarity_ivf_maintenance_tick",
     "similarity_ivfpq_adc_topk",
-    "similarity_range_search_ivf",
-    "graph_neighborhood_function_ivf",
-    "events_attribution_position_based",
-    "text_quality_funnel",
-    "audit_t_closeness",
     "dedup_ingest_admit_gate",
+    "dedup_ingest_admit_gate_growk",
 ]
 ESTABLISHED = [q for q in BASELINES if q not in FRESH_ROTATION]
 

@@ -2019,6 +2019,162 @@ def dedup_ingest_admit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: grow-K discipline: K = ⌈n_train / GROWK_CELL_TARGET⌉ keeps EXPECTED
+#: CELL OCCUPANCY constant as the corpus grows — the production scaling
+#: shape (per-arrival probe cost stays O(GROWK_CELL_TARGET), flat in n)
+#: vs the registered fixed-K forms (superlinear by design for oracle
+#: tractability).  150 makes K differ across the test SFs (3 at the
+#: 500-vector corpora, 9 at sf0.1's 2000) so the driver row actually
+#: exercises a NON-DEFAULT K, while a 10× probe holds occupancy flat.
+GROWK_CELL_TARGET = 150
+
+
+def _growk_assignment(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """`_frozen_assignment` at the PRODUCTION K: the quantizer is trained
+    on the base corpus with K = ⌈n_base / GROWK_CELL_TARGET⌉ (grow-K,
+    VERDICT r9 #5) instead of the fixed KMEANS_K, then frozen and
+    everyone assigned.  Separate cache slot — both regimes coexist in
+    one session."""
+    key = (spark.sparkContext.applicationId, sf_dir, "growk")
+    if key not in _FROZEN_CACHE:
+        from .similarity import _qtable
+
+        qt = cut_lineage(
+            spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
+        )
+        base = qt.filter(F.expr(_UPSERT_TRAIN_PRED))
+        k = -(-base.count() // GROWK_CELL_TARGET)
+        centroids = train_centroids(base.select("vec_id", "q"), k, KMEANS_ITERS)
+        _FROZEN_CACHE[key] = (
+            cut_lineage(_assign_to_cells(qt, centroids)),
+            centroids,
+        )
+    return _FROZEN_CACHE[key]
+
+
+def _admit_gate_growk_oracle(iters: int = KMEANS_ITERS) -> str:
+    """DuckDB twin of the grow-K admit gate: the generalized Lloyd chain
+    (`_lloyd_parts_on`) trained on the base slice with
+    K = ⌈n_base / GROWK_CELL_TARGET⌉ as a SCALAR SUBQUERY, one final
+    full-corpus assignment against the trained centroids, then the same
+    verdict head as `_admit_gate_oracle`."""
+    from .similarity import COSINE_THRESHOLD
+
+    k_sql = (
+        "(SELECT CAST(CEIL(COUNT(DISTINCT vec_id) / "
+        f"{GROWK_CELL_TARGET}.0) AS BIGINT) FROM qbase)"
+    )
+    parts = [
+        f"""q AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS qv
+      FROM embeddings
+    )""",
+        f"""qbase AS MATERIALIZED (
+      SELECT vec_id, dim, qv FROM q WHERE {_UPSERT_TRAIN_PRED}
+    )""",
+    ]
+    parts.extend(_lloyd_parts_on("qbase", "g", k_sql, iters))
+    parts.append(f"""fa AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT q.vec_id, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cluster) AS rn
+        FROM q JOIN gc{iters - 1} c ON q.dim = c.dim
+        GROUP BY q.vec_id, c.cluster
+      ) WHERE rn = 1
+    )""")
+    parts.append(
+        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    arr AS (SELECT vec_id, cluster FROM fa
+            WHERE NOT ({_UPSERT_TRAIN_PRED})),
+    base AS (SELECT vec_id, cluster FROM fa
+             WHERE {_UPSERT_TRAIN_PRED}),
+    pdots AS (
+      SELECT ar.vec_id AS arrival, b.vec_id AS neighbor,
+             SUM(ea.qv * eb.qv) AS dot
+      FROM arr ar
+      JOIN base b ON b.cluster = ar.cluster
+      JOIN q ea ON ea.vec_id = ar.vec_id
+      JOIN q eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+      GROUP BY 1, 2
+    ),
+    pcos AS (
+      SELECT arrival, neighbor,
+             CAST(dot AS DOUBLE)
+               / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
+               AS cosine
+      FROM pdots
+      JOIN norms na ON na.vec_id = arrival
+      JOIN norms nb ON nb.vec_id = neighbor
+    ),
+    best AS (
+      SELECT arrival, neighbor, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY arrival ORDER BY cosine DESC, neighbor) AS rk
+      FROM pcos
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           COALESCE(b.cosine, -2.0) >= {COSINE_THRESHOLD} AS is_duplicate,
+           CAST(CASE WHEN b.cosine >= {COSINE_THRESHOLD} THEN b.neighbor END
+                AS BIGINT) AS dup_of,
+           b.cosine AS best_cosine
+    FROM arr a
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.arrival = a.vec_id
+    """
+
+
+@query(
+    "dedup_ingest_admit_gate_growk",
+    oracle=None,  # patched below: _lloyd_parts_on is defined later in the module
+    tags=("dedup", "similarity", "ivf", "incremental", "streaming"),
+)
+def dedup_ingest_admit_gate_growk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admit gate at the PRODUCTION K (VERDICT r9 #5): identical
+    verdict semantics to `dedup_ingest_admit_gate`, but the frozen
+    quantizer is trained with K = ⌈n_base / GROWK_CELL_TARGET⌉ — the
+    grow-K discipline that keeps expected cell occupancy (and so
+    per-arrival probe cost) CONSTANT as the corpus grows.  The fixed-K
+    registered forms are superlinear by design (cell occupancy ∝ n);
+    this row puts the scaling shape a 100 TB ingest actually runs under
+    external verification: the oracle re-derives K from the same corpus
+    count inside the SQL (scalar-subquery LIMIT on the seed CTE), so
+    hash equality checks quantizer, assignment, and verdicts at a K the
+    test SFs don't hard-code (3 at sf0.001/0.01, 9 at sf0.1).
+
+    Scale shape: one broadcast-centroid assign (K×D ≤ ~90×64 ints at
+    10× sf0.1 — broadcast-bounded) + one cell-keyed join whose per-cell
+    candidate list is ≤ ~GROWK_CELL_TARGET by construction; doubling
+    the corpus doubles K, not the probe cost.
+
+    Reference basis: extends the §2.8 extension surface (the reference
+    has no streaming/ANN plane; its join machinery is
+    hash_join.rs:43-289)."""
+    assign, _ = _growk_assignment(spark, sf_dir)
+    base = assign.filter(F.expr(_UPSERT_TRAIN_PRED))
+    probe = assign.filter(~F.expr(_UPSERT_TRAIN_PRED)).select(
+        F.col("vec_id").alias("arrival_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn2"),
+        "cell",
+    )
+    from .similarity import COSINE_THRESHOLD
+
+    return _admit_verdicts(probe, base, COSINE_THRESHOLD).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "is_duplicate",
+        F.col("dup_of").cast("long").alias("dup_of"),
+        "best_cosine",
+    )
+
+
 def maintain_ivf_index(
     spark: SparkSession,
     table: str,
@@ -3318,3 +3474,14 @@ def _patch_kcore_ivf_oracle() -> None:
 
 
 _patch_kcore_ivf_oracle()
+
+
+def _patch_admit_gate_growk_oracle() -> None:
+    # the oracle builder needs _lloyd_parts_on, defined below the query
+    _QK["dedup_ingest_admit_gate_growk"] = _dck.replace(
+        _QK["dedup_ingest_admit_gate_growk"],
+        oracle=_admit_gate_growk_oracle(),
+    )
+
+
+_patch_admit_gate_growk_oracle()

@@ -510,6 +510,9 @@ ROTATION: tuple[str, ...] = (
     "dataset_packing_fragmentation_sweep",
     "graph_pagerank_personalized",
     "text_rake_keywords",
+    # --- r10-created (takes the window's spare fresh slots; VERDICT r9
+    # #1 freezes further registrations until the backlog sweep lands) ---
+    "dedup_ingest_admit_gate_growk",
 )
 
 

@@ -1,0 +1,95 @@
+"""Behavioral invariants for the round-10 operators: the grow-K admit
+gate (VERDICT r9 #5 — the production K ∝ n scaling shape as a driver
+row).
+
+(Oracle hash-equality is tests/test_oracle.py's registry sweep; these
+pin the SEMANTIC claims the oracle alone can't state — that K really
+derives from the corpus count, that the expected-occupancy discipline
+holds, and that verdict structure is well-formed.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naive_query_engine_spark.operators.kmeans import (
+    _UPSERT_TRAIN_PRED,
+    GROWK_CELL_TARGET,
+    _growk_assignment,
+)
+from naive_query_engine_spark.queries import QUERIES, t
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_growk_quantizer_k_tracks_corpus_count(spark):
+    """K = ceil(n_base / GROWK_CELL_TARGET): the trained quantizer's cell
+    count is bounded by the formula (Lloyd may drop empty cells, never
+    add), is > 1 at the test SFs (a non-degenerate inverted file), and
+    mean occupancy ~= GROWK_CELL_TARGET by construction."""
+    for sf in (SF_SMOKE, SF_ORACLE):
+        assign, centroids = _growk_assignment(spark, sf)
+        n_base = (
+            t(spark, sf, "embeddings").filter(F.expr(_UPSERT_TRAIN_PRED)).count()
+        )
+        k_formula = -(-n_base // GROWK_CELL_TARGET)
+        assert 1 < len(centroids) <= k_formula
+        n_cells = assign.select("cell").distinct().count()
+        assert n_cells <= k_formula
+        # occupancy discipline: the corpus spreads over ~K cells, so the
+        # MEAN per-cell candidate list is O(GROWK_CELL_TARGET)
+        n_total = assign.count()
+        assert n_total / n_cells <= 2 * GROWK_CELL_TARGET
+
+
+def test_growk_gate_verdicts_well_formed(spark):
+    """Verdict structure: every duplicate names a BASE twin with
+    best_cosine >= tau; every non-duplicate has dup_of NULL and
+    best_cosine < tau (or no candidate at all); one row per arrival."""
+    from naive_query_engine_spark.operators.similarity import COSINE_THRESHOLD
+
+    rows = QUERIES["dedup_ingest_admit_gate_growk"].fn(spark, SF_SMOKE).collect()
+    e = t(spark, SF_SMOKE, "embeddings")
+    base_ids = {
+        r["vec_id"]
+        for r in e.filter(F.expr(_UPSERT_TRAIN_PRED)).select("vec_id").collect()
+    }
+    arrival_ids = {
+        r["vec_id"]
+        for r in e.filter(~F.expr(_UPSERT_TRAIN_PRED)).select("vec_id").collect()
+    }
+    assert {r["vec_id"] for r in rows} == arrival_ids
+    assert any(r["is_duplicate"] for r in rows)  # non-vacuous
+    for r in rows:
+        if r["is_duplicate"]:
+            assert r["dup_of"] in base_ids
+            assert r["best_cosine"] >= COSINE_THRESHOLD
+        else:
+            assert r["dup_of"] is None
+            assert r["best_cosine"] is None or r["best_cosine"] < COSINE_THRESHOLD
+
+
+def test_growk_and_fixed_k_gates_agree_on_strong_twins(spark):
+    """The quantizers differ (K=3 vs K=8 at SF_SMOKE) so cell boundaries
+    differ, but a NEAR-EXACT twin (cosine ~ 1) lands in its duplicate's
+    cell under ANY reasonable quantizer — both gates must flag it.  The
+    planted-pair check is in test_streaming; here: every fixed-K
+    duplicate at cosine >= 0.995 is also a grow-K duplicate, and
+    vice versa."""
+    growk = {
+        r["vec_id"]: r
+        for r in QUERIES["dedup_ingest_admit_gate_growk"].fn(spark, SF_SMOKE).collect()
+    }
+    fixed = {
+        r["vec_id"]: r
+        for r in QUERIES["dedup_ingest_admit_gate"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(growk) == set(fixed)
+    strong = 0
+    for vid, f in fixed.items():
+        if f["is_duplicate"] and f["best_cosine"] >= 0.995:
+            assert growk[vid]["is_duplicate"], vid
+            strong += 1
+    for vid, g in growk.items():
+        if g["is_duplicate"] and g["best_cosine"] >= 0.995:
+            assert fixed[vid]["is_duplicate"], vid

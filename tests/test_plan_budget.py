@@ -398,6 +398,14 @@ BUDGETS = {
     # r6: the (status, priority) count agg + the value-cardinality
     # window's partition-by; the window never sees corpus rows
     "agg_mode_exact": (2, False),
+    # r10: the admit-gate pair — cell-keyed join (probe side), best-twin
+    # window partition-by, the verdict left-join, final select; the
+    # corpus side reuses the cached frozen assignment.  The grow-K twin
+    # must hold the SAME shape as the fixed-K gate (only K differs).
+    "dedup_ingest_admit_gate": (4, False),
+    "dedup_ingest_admit_gate_growk": (4, False),
+    # r10: two admit rounds of the same core (the sequential fold)
+    "similarity_ivf_maintenance_tick": (8, False),
 }
 
 

@@ -41,9 +41,19 @@ def test_window_shape():
     assert list(resample) == list(resample_names())
     for n in resample:
         assert n in DRIVER_SAMPLED and n not in SENTINELS, n
-    # the rest of the window is never-driver-sampled work
-    for n in window[k + RESAMPLE_SLOTS :]:
-        assert n not in DRIVER_SAMPLED, n
+    # the rest of the window is never-driver-sampled work — until the
+    # rotation queue is EXHAUSTED (r10: the backlog is smaller than the
+    # fresh-slot count), after which already-green tail names may pad
+    # the window; no never-sampled name may sit behind a sampled one
+    fresh = window[k + RESAMPLE_SLOTS :]
+    queue_left = {n for n in ROTATION if n not in DRIVER_SAMPLED}
+    seen_sampled = False
+    for n in fresh:
+        if n in DRIVER_SAMPLED:
+            seen_sampled = True
+        else:
+            assert not seen_sampled, n
+    assert queue_left <= set(fresh)
     # every window entry carries a full oracle (rows+schema+hash check)
     for n in window:
         assert QUERIES[n].oracle is not None, n
