@@ -36,6 +36,19 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
+    # r10: long single-JVM sessions (58-query bench, test suite) exhaust
+    # the default 240 MB JIT code cache — thousands of whole-stage-codegen
+    # classes compile over the run, and once the cache fills, later
+    # expression-heavy stages run INTERPRETED (bisected: the map-only VAD
+    # synthesis stage read 2.2 s in a fresh session and 9.5 s after the
+    # 37-query bench prefix with the Python kernel exonerated — the
+    # JVM-only stage inflated identically; 1g + flushing halved it).  On
+    # a real cluster each executor JVM runs one app and the default
+    # usually suffices; locally this is the difference between measuring
+    # the plan and measuring code-cache thrash.
+    "spark.driver.extraJavaOptions": (
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+    ),
     # bucketed-table warehouse (co-located joins); keep out of the repo tree
     "spark.sql.warehouse.dir": "/tmp/nqes-warehouse",
 }
