@@ -29,6 +29,17 @@ INDEX_TABLE = "b_ivf_edge_index"
 
 @pytest.fixture(scope="module")
 def ivf_index(spark):
+    # A crashed prior session can leave the managed-table LOCATION on
+    # disk while the catalog has no such table — saveAsTable then fails
+    # with LOCATION_ALREADY_EXISTS.  Drop both table and orphan dir.
+    spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    if warehouse:
+        import shutil
+
+        shutil.rmtree(f"{warehouse}/{INDEX_TABLE}", ignore_errors=True)
     write_ivf_edge_index(spark, SF_SMOKE, INDEX_TABLE, n_buckets=8)
     yield
     spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}")

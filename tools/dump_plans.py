@@ -408,6 +408,13 @@ ANNOTATED = {
     "under autoBroadcastJoinThreshold and the maintained-table twin's "
     "join becomes broadcast — the index side scans in place with no "
     "exchange, the serving-probe shape)",
+    "dedup_ingest_admit_gate_growk": "the PRODUCTION-K admit gate "
+    "(K = ceil(n_base/150), grow-K): same verdict plan shape as the "
+    "fixed-K gate — broadcast-centroid assign, ONE cell-keyed join, "
+    "WindowGroupLimit-pruned tau-twin argmax — but the quantizer's K "
+    "tracks the corpus count, holding expected cell occupancy (and so "
+    "per-arrival probe cost) flat at any scale; the 10x probe read "
+    "0.24x per-unit cost (BASELINE.md r10)",
     "embedding_hard_negatives_ivf": "cross-label top-k per query over "
     "the shared within-cell pairs frame instead of the query x corpus "
     "broadcast scan — near vectors co-locate in cells, so the "
