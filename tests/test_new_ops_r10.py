@@ -1,15 +1,20 @@
 """Behavioral invariants for the round-10 operators: the grow-K admit
 gate (VERDICT r9 #5 — the production K ∝ n scaling shape as a driver
-row).
+row) and the intra-batch admit-verdict core (VERDICT r9 #3).
 
 (Oracle hash-equality is tests/test_oracle.py's registry sweep; these
 pin the SEMANTIC claims the oracle alone can't state — that K really
 derives from the corpus count, that the expected-occupancy discipline
-holds, and that verdict structure is well-formed.)
+holds, that verdict structure is well-formed, and that the τ-twin
+verdict core matches a plain-Python model on arbitrary inputs.)
 """
 
 from __future__ import annotations
 
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from naive_query_engine_spark.operators.kmeans import (
@@ -93,3 +98,83 @@ def test_growk_and_fixed_k_gates_agree_on_strong_twins(spark):
     for vid, g in growk.items():
         if g["is_duplicate"] and g["best_cosine"] >= 0.995:
             assert fixed[vid]["is_duplicate"], vid
+
+
+_SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_VEC = st.lists(st.integers(1, 12), min_size=3, max_size=3)
+
+
+@given(
+    corpus=st.lists(_VEC, min_size=1, max_size=10),
+    batch=st.lists(_VEC, min_size=1, max_size=8),
+    tau_pct=st.integers(50, 99),
+    with_peers=st.booleans(),
+)
+@_SET
+def test_admit_verdicts_matches_python_model(
+    spark, corpus, batch, tau_pct, with_peers
+):
+    """`_admit_verdicts` == a plain-Python argmax over the candidate set
+    for ANY small input, with and without the intra-batch peers frame:
+    candidates(a) = same-cell corpus ∪ (with peers) same-cell LOWER-ID
+    batch members; best twin by (cosine desc, id asc) with the same
+    double arithmetic (int dot / sqrt·sqrt product); is_duplicate =
+    best_cosine >= τ; no-candidate arrivals get (False, NULL, NULL)."""
+    from naive_query_engine_spark.operators.kmeans import _admit_verdicts
+
+    tau = tau_pct / 100.0
+    # corpus ids 0..n-1, batch ids 100..; cell = a trivial 2-way split
+    crows = [(i, list(v), sum(x * x for x in v), i % 2) for i, v in enumerate(corpus)]
+    brows = [
+        (100 + i, list(v), sum(x * x for x in v), (100 + i) % 2)
+        for i, v in enumerate(batch)
+    ]
+    cdf = spark.createDataFrame(
+        crows, "vec_id long, q array<long>, nrm2 long, cell long"
+    )
+    probe = spark.createDataFrame(
+        brows, "arrival_id long, qq array<long>, qn2 long, cell long"
+    )
+    peers = (
+        spark.createDataFrame(
+            brows, "vec_id long, q array<long>, nrm2 long, cell long"
+        )
+        if with_peers
+        else None
+    )
+    got = {
+        r["vec_id"]: (r["is_duplicate"], r["dup_of"], r["best_cosine"])
+        for r in _admit_verdicts(probe, cdf, tau, peers=peers).collect()
+    }
+
+    def cos(a, an2, b, bn2):
+        return sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(float(an2)) * math.sqrt(float(bn2))
+        )
+
+    assert set(got) == {bid for bid, *_ in brows}
+    for bid, bv, bn2, bcell in brows:
+        cands = [(cid, cv, cn2) for cid, cv, cn2, ccell in crows if ccell == bcell]
+        if with_peers:
+            cands += [
+                (pid, pv, pn2)
+                for pid, pv, pn2, pcell in brows
+                if pcell == bcell and pid < bid
+            ]
+        scored = sorted(
+            ((-cos(bv, bn2, cv, cn2), cid) for cid, cv, cn2 in cands),
+        )
+        is_dup, dup_of, best = got[bid]
+        if not scored:
+            assert (is_dup, dup_of, best) == (False, None, None)
+            continue
+        neg_c, cid = scored[0]
+        want_cos = -neg_c
+        assert best == want_cos
+        assert is_dup == (want_cos >= tau)
+        assert dup_of == (cid if want_cos >= tau else None)
