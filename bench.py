@@ -130,8 +130,11 @@ BENCH_QUERIES = [
     # r10 rotation: the PRODUCTION-K admit gate (K = ⌈n/150⌉ grow-K
     # discipline, VERDICT r9 #5) joins the artifact next to its fixed-K
     # twin so the round bench measures the scaling shape a real ingest
-    # runs (substrate-warm regime; the 10× probe row is BASELINE.md r10)
+    # runs (substrate-warm regime; the 10× probe row is BASELINE.md r10),
+    # and the Gonzalez k-center coreset (the diversity-selection
+    # primitive — T map-only passes + T 1-row reduces, shuffle-free)
     "dedup_ingest_admit_gate_growk",
+    "embedding_kcenter_coreset",
 ]
 
 #: min-of-3, matching BASELINE.md's methodology — the first run pays
@@ -272,6 +275,10 @@ BASELINES = {
     # section); grow-K quantizer trained once per session
     # (substrate-warm regime)
     "dedup_ingest_admit_gate_growk": 1.02,
+    # r10 rotation wave 2: single-session min-of-3 probe at sf0.1
+    # (2.765, warmed tuned session, quiet host) — first in-context
+    # calibration lands with the r10-close runs
+    "embedding_kcenter_coreset": 2.765,
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
@@ -311,6 +318,7 @@ FRESH_ROTATION: list[str] = [
     "similarity_ivfpq_adc_topk",
     "dedup_ingest_admit_gate",
     "dedup_ingest_admit_gate_growk",
+    "embedding_kcenter_coreset",
 ]
 ESTABLISHED = [q for q in BASELINES if q not in FRESH_ROTATION]
 

@@ -2217,3 +2217,133 @@ def embedding_intrinsic_dimension_twonn(
         .cast("long")
         .alias("intrinsic_dim_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (Gonzalez farthest-point sampling) — diversity-
+# based data SELECTION: the seed set a curation pipeline picks when it wants
+# maximum coverage of embedding space with a fixed budget (dataset-distill /
+# active-learning init / eval-set seeding).  2-approximation to the optimal
+# k-center cover; the selection-distance sequence is the coverage-radius
+# curve.
+
+KCENTER_T = 8  #: selection budget (small so the oracle unrolls exactly)
+
+
+def _dist2_to(center: list[int]) -> Column:
+    """Exact integer squared distance from the quantized column ``q`` to a
+    broadcast-literal center (T×D driver-side state, bounded)."""
+    c = F.array(*[F.lit(int(v)) for v in center])
+    return F.aggregate(
+        F.zip_with(F.col("q"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kcenter_oracle(t_picks: int = KCENTER_T) -> str:
+    """DuckDB twin: the same greedy recurrence unrolled — pick i is the
+    argmax of the running min-dist² (tie: lowest vec_id); m{i} folds the
+    new center's distances in with LEAST."""
+    parts = [
+        f"""q AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS qv
+      FROM embeddings
+    )""",
+        "p0 AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id FROM embeddings)",
+        """m1 AS MATERIALIZED (
+      SELECT a.vec_id, SUM((a.qv - b.qv) * (a.qv - b.qv)) AS md2
+      FROM q a JOIN q b ON b.dim = a.dim
+        AND b.vec_id = (SELECT vec_id FROM p0)
+      GROUP BY a.vec_id
+    )""",
+    ]
+    for i in range(1, t_picks):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT vec_id, md2 FROM m{i} ORDER BY md2 DESC, vec_id LIMIT 1
+    )"""
+        )
+        if i < t_picks - 1:
+            parts.append(
+                f"""m{i + 1} AS MATERIALIZED (
+      SELECT m.vec_id, LEAST(m.md2, d.d2) AS md2
+      FROM m{i} m JOIN (
+        SELECT a.vec_id, SUM((a.qv - b.qv) * (a.qv - b.qv)) AS d2
+        FROM q a JOIN q b ON b.dim = a.dim
+          AND b.vec_id = (SELECT vec_id FROM p{i})
+        GROUP BY a.vec_id) d ON d.vec_id = m.vec_id
+    )"""
+            )
+    ctes = ",\n    ".join(parts)
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS pick_order,"
+        " CAST((SELECT vec_id FROM p0) AS BIGINT) AS vec_id,"
+        " CAST(0 AS BIGINT) AS dist2"
+    ]
+    for i in range(1, t_picks):
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT), CAST(vec_id AS BIGINT),"
+            f" CAST(md2 AS BIGINT) FROM p{i}"
+        )
+    union = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH {ctes}
+    {union}
+    """
+
+
+@query(
+    "embedding_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "dataset", "sampling", "iterative", "pipeline"),
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez farthest-point sampling): seed =
+    the lowest vec_id, then KCENTER_T-1 rounds of "pick the vector whose
+    min squared distance to the selected set is LARGEST" (tie: lowest
+    vec_id).  Output = (pick_order, vec_id, dist2) — dist2 is the pick's
+    min-dist² to the prior picks at selection time, i.e. the
+    coverage-radius curve (non-increasing after pick 1; pinned in
+    tests/test_new_ops_r10.py).  This is the diversity-selection
+    primitive of a curation pipeline — dataset distillation seeds,
+    active-learning init, eval-set spread — and a 2-approximation to
+    the optimal k-center cover.
+
+    Scale shape: T passes, each a map-only broadcast-literal distance
+    fold (one new center per round, T×D ints of driver state) plus a
+    1-row scalar argmax reduce; the running-min frame is re-materialized
+    per round (lineage cut), so the plan never deepens.  NO shuffle at
+    any round and nothing corpus-sized ever leaves the executors — at
+    100 TB this is T linear scans, the textbook Gonzalez bound.  All
+    arithmetic is exact integer (quantized dims, integer squared
+    distances), so both engines agree bit-for-bit including ties.
+
+    Reference basis: extends the §2.8 extension surface (no selection /
+    sampling plane in the reference; aggregation machinery is
+    aggregate/mod.rs:30-235)."""
+    from ..queries import spread
+
+    qt = cut_lineage(spread(_qtable(spark, sf_dir).select("vec_id", "q")))
+    # seed + its vector in ONE 1-row reduce: min(struct) carries q along
+    s = qt.agg(F.min(F.struct("vec_id", "q"))).collect()[0][0]
+    seed, center = int(s["vec_id"]), list(s["q"])
+    picks = [(0, seed, 0)]
+    md = qt.select("vec_id", "q", _dist2_to(center).alias("md2"))
+    for i in range(1, KCENTER_T):
+        if i % 2 == 0:
+            md = cut_lineage(md)  # re-materialize every 2 rounds
+        # argmax + its vector in ONE 1-row reduce: (md2 desc, vec_id asc)
+        # decides before q ever compares (nid is unique per row)
+        top = md.agg(
+            F.max(F.struct(F.col("md2"), (-F.col("vec_id")).alias("nid"), "q"))
+        ).collect()[0][0]
+        pid, pd2, center = int(-top["nid"]), int(top["md2"]), list(top["q"])
+        picks.append((i, pid, pd2))
+        md = md.select(
+            "vec_id", "q", F.least(F.col("md2"), _dist2_to(center)).alias("md2")
+        )
+    return spark.createDataFrame(
+        picks, "pick_order long, vec_id long, dist2 long"
+    )

@@ -511,8 +511,10 @@ ROTATION: tuple[str, ...] = (
     "graph_pagerank_personalized",
     "text_rake_keywords",
     # --- r10-created (takes the window's spare fresh slots; VERDICT r9
-    # #1 freezes further registrations until the backlog sweep lands) ---
+    # #1 freezes further registrations until the backlog sweep lands —
+    # the two below fill the 2 spare slots EXACTLY) ---
     "dedup_ingest_admit_gate_growk",
+    "embedding_kcenter_coreset",
 )
 
 

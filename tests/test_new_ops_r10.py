@@ -178,3 +178,73 @@ def test_admit_verdicts_matches_python_model(
         assert best == want_cos
         assert is_dup == (want_cos >= tau)
         assert dup_of == (cid if want_cos >= tau else None)
+
+
+def test_kcenter_coreset_coverage_curve(spark):
+    """Structure of the Gonzalez output: KCENTER_T rows, distinct picks,
+    pick_order 0..T-1, and the selection-distance sequence is
+    NON-INCREASING from pick 1 (each pick can only shrink the running
+    min-dist of every remaining vector — the 2-approximation's core
+    monotonicity)."""
+    from naive_query_engine_spark.operators.similarity import KCENTER_T
+
+    rows = sorted(
+        (r["pick_order"], r["vec_id"], r["dist2"])
+        for r in QUERIES["embedding_kcenter_coreset"].fn(spark, SF_SMOKE).collect()
+    )
+    assert [o for o, _, _ in rows] == list(range(KCENTER_T))
+    assert len({v for _, v, _ in rows}) == KCENTER_T
+    d = [d2 for _, _, d2 in rows]
+    assert d[0] == 0
+    assert all(d[i] >= d[i + 1] for i in range(1, len(d) - 1))
+    assert d[1] > 0  # non-vacuous: the corpus is not a single point
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(0, 9), min_size=2, max_size=2),
+        min_size=2,
+        max_size=12,
+    ),
+)
+@_SET
+def test_kcenter_matches_python_greedy(spark, vecs):
+    """The distributed selection == a plain-Python Gonzalez greedy for
+    arbitrary small inputs (duplicates included): seed = lowest id, then
+    argmax of min-dist2 with lowest-id tie-break."""
+    from naive_query_engine_spark.operators.similarity import (
+        KCENTER_T,
+        _dist2_to,
+    )
+    from naive_query_engine_spark.queries import cut_lineage
+
+    t_picks = min(KCENTER_T, len(vecs))
+    rows = [(i, list(v)) for i, v in enumerate(vecs)]
+    qt = cut_lineage(spark.createDataFrame(rows, "vec_id long, q array<long>"))
+
+    # python model
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    want = [(0, 0, 0)]
+    md = {i: d2(v, vecs[0]) for i, v in rows}
+    for k in range(1, t_picks):
+        pid = max(md, key=lambda i: (md[i], -i))
+        want.append((k, pid, md[pid]))
+        md = {i: min(md[i], d2(vecs[i], vecs[pid])) for i, _ in rows}
+
+    # distributed run (inline, same recurrence as the registered query
+    # but parameterized by t_picks so tiny inputs stay valid)
+    s = qt.agg(F.min(F.struct("vec_id", "q"))).collect()[0][0]
+    got = [(0, int(s["vec_id"]), 0)]
+    mdf = qt.select("vec_id", "q", _dist2_to(list(s["q"])).alias("md2"))
+    for k in range(1, t_picks):
+        top = mdf.agg(
+            F.max(F.struct(F.col("md2"), (-F.col("vec_id")).alias("nid"), "q"))
+        ).collect()[0][0]
+        got.append((k, int(-top["nid"]), int(top["md2"])))
+        mdf = mdf.select(
+            "vec_id", "q",
+            F.least(F.col("md2"), _dist2_to(list(top["q"]))).alias("md2"),
+        )
+    assert got == want

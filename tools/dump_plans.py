@@ -415,6 +415,12 @@ ANNOTATED = {
     "tracks the corpus count, holding expected cell occupancy (and so "
     "per-arrival probe cost) flat at any scale; the 10x probe read "
     "0.24x per-unit cost (BASELINE.md r10)",
+    "embedding_kcenter_coreset": "Gonzalez farthest-point coreset: the "
+    "returned frame is a T-row local relation (the plan to read is the "
+    "per-round shape — a map-only broadcast-literal distance fold plus "
+    "a 1-row struct-argmax reduce, repeated T times, NO shuffle in any "
+    "round; the running-min frame re-materializes every 2 rounds so "
+    "the plan never deepens)",
     "embedding_hard_negatives_ivf": "cross-label top-k per query over "
     "the shared within-cell pairs frame instead of the query x corpus "
     "broadcast scan — near vectors co-locate in cells, so the "
