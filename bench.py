@@ -220,10 +220,12 @@ BASELINES = {
     # round-6 third wave): measured 4.754 min-of-3 in a warm session
     # whose 3-anchor subtotal read 1.048x -> 4.536
     "dataset_dsir_importance_weights": 4.536,
-    # RE-CALIBRATED IN-CONTEXT r7 (same bench_diag experiment as
-    # similarity_cosine_pairs: 3.428 @ 0.998 / 3.476 @ 1.012 quiet,
-    # 3.684 @ 1.79 loaded; hygiene no effect — BASELINE.md r7)
-    "multimodal_audio_vad_segments": 3.43,
+    # RE-CALIBRATED r10 (down): the r7 figure 3.43 embedded the JIT
+    # code-cache tax (session.py bisect) — with the 1g-cache fix the
+    # kernel reads 2.264/2.169 in two full in-context runs (min 2.17;
+    # solo-quiet floor 2.23).  Two confirming post-fix reads per the
+    # discipline (the containment lesson: never calibrate on one).
+    "multimodal_audio_vad_segments": 2.17,
     "embedding_matryoshka_prefix_recall": 1.480,
     "dataset_split_neardup_leakage": 0.535,
     # r6d rotation: per-query MIN over three same-day 44-query runs
@@ -275,10 +277,10 @@ BASELINES = {
     # section); grow-K quantizer trained once per session
     # (substrate-warm regime)
     "dedup_ingest_admit_gate_growk": 1.02,
-    # r10 rotation wave 2: single-session min-of-3 probe at sf0.1
-    # (2.765, warmed tuned session, quiet host) — first in-context
-    # calibration lands with the r10-close runs
-    "embedding_kcenter_coreset": 2.765,
+    # r10 rotation wave 2: first full in-context read 1.914 (run 6,
+    # est 1.074 — session-warm beats the 2.765 solo probe; fresh
+    # rotation confirms over coming rounds)
+    "embedding_kcenter_coreset": 1.91,
 }
 
 #: the calibration population (ADVICE r5): only queries whose baselines
