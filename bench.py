@@ -272,11 +272,11 @@ BASELINES = {
     # in-context regime for the tick, broadcast-ADC scan for IVF-PQ
     "similarity_ivf_maintenance_tick": 2.468,
     "similarity_ivfpq_adc_topk": 1.651,
-    # r10 rotation: calibrated from the three r10 runs (per-query min
-    # 1.022 at day-floor established 1.006 — BASELINE.md r10 calibration
-    # section); grow-K quantizer trained once per session
-    # (substrate-warm regime)
-    "dedup_ingest_admit_gate_growk": 1.02,
+    # r10 rotation: pre-fix calibration read 1.02 (day-floor 1.006);
+    # two POST-code-cache-fix reads landed 0.851/0.996 (runs 6/7 —
+    # position 58 benefits from the fix), so the baseline is the
+    # conservative post-fix figure (BASELINE.md r10 close)
+    "dedup_ingest_admit_gate_growk": 0.95,
     # r10 rotation wave 2: first full in-context read 1.914 (run 6,
     # est 1.074 — session-warm beats the 2.765 solo probe; fresh
     # rotation confirms over coming rounds)
