@@ -52,6 +52,15 @@ KMEANS_ITERS = 4  # assignments; ITERS-1 centroid updates between them
 #: arrives afterwards
 _UPSERT_TRAIN_PRED = "vec_id % 3 <> 0"  #: the index's base corpus
 _UPSERT_BATCH_PREDS = ("vec_id % 6 = 0", "vec_id % 6 = 3")  #: two arrivals
+
+#: grow-K discipline: K = ⌈n_train / GROWK_CELL_TARGET⌉ keeps EXPECTED
+#: CELL OCCUPANCY constant as the corpus grows — the production scaling
+#: shape (per-arrival probe cost stays O(GROWK_CELL_TARGET), flat in n)
+#: vs the registered fixed-K forms (superlinear by design for oracle
+#: tractability).  150 makes K differ across the test SFs (3 at the
+#: 500-vector corpora, 9 at sf0.1's 2000) so the driver row actually
+#: exercises a NON-DEFAULT K, while a 10× probe holds occupancy flat.
+GROWK_CELL_TARGET = 150
 _EDGE_CKSUM = 1_000_003  #: vec_a multiplier in the per-cell edge checksum
 
 
@@ -1624,16 +1633,23 @@ _patch_leakage_safe_split_ivf_oracle()
 #: (cut assignment frame, frozen centroids) per (app, sf_dir) — shared by
 #: the drift gate and the repair query so the base Lloyd training runs
 #: once per session (the _IVF_ASSIGN_CACHE precedent, frozen edition)
-_FROZEN_CACHE: dict[tuple[str, str], tuple[DataFrame, dict]] = {}
+#: keys: (appId, sf_dir) for the fixed-K regime, (appId, sf_dir, "growk")
+#: for the production-K regime
+_FROZEN_CACHE: dict[tuple[str, ...], tuple[DataFrame, dict]] = {}
 
 
 def _frozen_assignment(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, growk: bool = False
 ) -> tuple[DataFrame, dict]:
     """Full-corpus assignment under the FROZEN base-trained quantizer
     (the maintained-index family's regime: train on vec_id % 3 <> 0,
-    assign everyone)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    assign everyone).  ``growk=True`` trains at the production
+    K = ⌈n_base / GROWK_CELL_TARGET⌉ instead of the fixed KMEANS_K
+    (VERDICT r9 #5); each regime has its own cache slot so both coexist
+    in one session."""
+    key = (spark.sparkContext.applicationId, sf_dir) + (
+        ("growk",) if growk else ()
+    )
     if key not in _FROZEN_CACHE:
         from .similarity import _qtable
 
@@ -1641,8 +1657,9 @@ def _frozen_assignment(
             spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
         )
         base = qt.filter(F.expr(_UPSERT_TRAIN_PRED))
+        k = -(-base.count() // GROWK_CELL_TARGET) if growk else KMEANS_K
         centroids = train_centroids(
-            base.select("vec_id", "q"), KMEANS_K, KMEANS_ITERS
+            base.select("vec_id", "q"), k, KMEANS_ITERS
         )
         _FROZEN_CACHE[key] = (
             cut_lineage(_assign_to_cells(qt, centroids)),
@@ -1814,7 +1831,11 @@ def dedup_on_ingest(
     vec_id < a, so two mutual τ-twins arriving together can no longer
     both pass.  This deliberately trades the batching-invariance of
     the bare gate for the composed tick's sequential-fold semantics
-    (which is already batch-boundary-sensitive).
+    (which is already batch-boundary-sensitive).  dup_of contract under
+    intra_batch: the named twin may be a lower-id CO-ARRIVAL that was
+    itself rejected (shadow chains) — a consumer resolving canonical
+    representatives must follow dup_of transitively until it reaches an
+    admitted arrival or a corpus member.
 
     One broadcast-centroid assign + one cell-keyed join against the
     maintained assignment (probe side is the only exchange) — the
@@ -1843,22 +1864,14 @@ def dedup_on_ingest(
         "cell",
     )
     corpus = s.table(f"{table}_assign")
-    peers = None
-    if intra_batch:
-        peers = probe.select(
-            F.col("arrival_id").alias("vec_id"),
-            F.col("qq").alias("q"),
-            F.col("qn2").alias("nrm2"),
-            "cell",
-        )
-    return _admit_verdicts(probe, corpus, tau, peers=peers)
+    return _admit_verdicts(probe, corpus, tau, intra_batch=intra_batch)
 
 
 def _admit_verdicts(
     probe: DataFrame,
     corpus: DataFrame,
     tau: float,
-    peers: DataFrame | None = None,
+    intra_batch: bool = False,
 ) -> DataFrame:
     """The τ-twin verdict core shared by the table-path admit gate
     (`dedup_on_ingest`) and its registered driver query
@@ -1867,21 +1880,31 @@ def _admit_verdicts(
     arrival.  Cell-keyed join (probe side is the only exchange), one
     descending window per arrival for the best-twin argmax.
 
-    ``peers`` (optional, corpus-shaped) is the INTRA-BATCH candidate
-    set — the batch itself, gated lowest-id-wins: a peer row competes
-    for arrival a only when ``peer.vec_id < a`` (VERDICT r9 #3).  One
-    pass, no iteration: arrival a's candidates are corpus ∪ ALL
+    ``intra_batch=True`` adds the INTRA-BATCH candidate set — the
+    probe itself (renamed corpus-shaped HERE, so every caller gets the
+    same frame by construction), gated lowest-id-wins: a batch row
+    competes for arrival a only when its vec_id < a (VERDICT r9 #3).
+    One pass, no iteration: arrival a's candidates are corpus ∪ ALL
     lower-id batch peers (admitted or not), so a mid-chain rejected
     peer still shadows its own later twins — deterministic and
     slightly stricter than an item-at-a-time replay, documented on
-    `maintain_ivf_index`.  Cost: one extra cell-keyed self-join
-    bounded by batch × batch-cell-occupancy, never corpus-sized."""
+    `maintain_ivf_index`.  Consequence for consumers: ``dup_of`` may
+    then name a lower-id CO-ARRIVAL that was itself rejected (never a
+    corpus miss) — resolve dup_of transitively to reach the admitted
+    root.  Cost: one extra cell-keyed self-join bounded by
+    batch × batch-cell-occupancy, never corpus-sized."""
     from pyspark.sql import Window
 
     from .similarity import cosine_q, dot_q
 
     cand = corpus.withColumn("_peer", F.lit(False))
-    if peers is not None:
+    if intra_batch:
+        peers = probe.select(
+            F.col("arrival_id").alias("vec_id"),
+            F.col("qq").alias("q"),
+            F.col("qn2").alias("nrm2"),
+            "cell",
+        )
         cand = cand.unionByName(peers.withColumn("_peer", F.lit(True)))
     cos = cosine_q(dot_q(F.col("qq"), F.col("q")), F.col("qn2"), F.col("nrm2"))
     scored = (
@@ -2019,39 +2042,13 @@ def dedup_ingest_admit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: grow-K discipline: K = ⌈n_train / GROWK_CELL_TARGET⌉ keeps EXPECTED
-#: CELL OCCUPANCY constant as the corpus grows — the production scaling
-#: shape (per-arrival probe cost stays O(GROWK_CELL_TARGET), flat in n)
-#: vs the registered fixed-K forms (superlinear by design for oracle
-#: tractability).  150 makes K differ across the test SFs (3 at the
-#: 500-vector corpora, 9 at sf0.1's 2000) so the driver row actually
-#: exercises a NON-DEFAULT K, while a 10× probe holds occupancy flat.
-GROWK_CELL_TARGET = 150
-
-
 def _growk_assignment(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, dict]:
-    """`_frozen_assignment` at the PRODUCTION K: the quantizer is trained
-    on the base corpus with K = ⌈n_base / GROWK_CELL_TARGET⌉ (grow-K,
-    VERDICT r9 #5) instead of the fixed KMEANS_K, then frozen and
-    everyone assigned.  Separate cache slot — both regimes coexist in
-    one session."""
-    key = (spark.sparkContext.applicationId, sf_dir, "growk")
-    if key not in _FROZEN_CACHE:
-        from .similarity import _qtable
-
-        qt = cut_lineage(
-            spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
-        )
-        base = qt.filter(F.expr(_UPSERT_TRAIN_PRED))
-        k = -(-base.count() // GROWK_CELL_TARGET)
-        centroids = train_centroids(base.select("vec_id", "q"), k, KMEANS_ITERS)
-        _FROZEN_CACHE[key] = (
-            cut_lineage(_assign_to_cells(qt, centroids)),
-            centroids,
-        )
-    return _FROZEN_CACHE[key]
+    """`_frozen_assignment` at the PRODUCTION K — a thin alias for
+    ``_frozen_assignment(spark, sf_dir, growk=True)`` kept as the
+    named entry point the grow-K gate and tests import."""
+    return _frozen_assignment(spark, sf_dir, growk=True)
 
 
 def _admit_gate_growk_oracle(iters: int = KMEANS_ITERS) -> str:
@@ -2210,6 +2207,9 @@ def maintain_ivf_index(
     shadows its own later (higher-id) twins within the batch — the
     safe side for a dedup gate (never admits a pair of twins; may
     reject a transitively-linked non-twin of everything admitted).
+    A rejected arrival's dup_of may therefore name a co-arrival that
+    was itself rejected and never indexed — resolve dup_of chains
+    transitively to find the retained representative.
 
     Returns {"n_arrivals", "n_admitted", "n_rejected"} merged with the
     upsert report ({"touched_cells", "n_edges_written",
@@ -3404,13 +3404,9 @@ def similarity_ivf_maintenance_tick(
             F.col("nrm2").alias("qn2"),
             "cell",
         )
-        peers = probe.select(
-            F.col("arrival_id").alias("vec_id"),
-            F.col("qq").alias("q"),
-            F.col("qn2").alias("nrm2"),
-            "cell",
-        )
-        v = _admit_verdicts(probe, corpus, COSINE_THRESHOLD, peers=peers).select(
+        v = _admit_verdicts(
+            probe, corpus, COSINE_THRESHOLD, intra_batch=True
+        ).select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.lit(i).cast("long").alias("batch"),
             "is_duplicate",

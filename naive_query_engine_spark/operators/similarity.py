@@ -2314,11 +2314,20 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: T passes, each a map-only broadcast-literal distance
     fold (one new center per round, T×D ints of driver state) plus a
     1-row scalar argmax reduce; the running-min frame is re-materialized
-    per round (lineage cut), so the plan never deepens.  NO shuffle at
-    any round and nothing corpus-sized ever leaves the executors — at
-    100 TB this is T linear scans, the textbook Gonzalez bound.  All
-    arithmetic is exact integer (quantized dims, integer squared
-    distances), so both engines agree bit-for-bit including ties.
+    every 2 rounds (lineage cut), so plan depth is bounded at two
+    least()/select layers.  NO shuffle at any round and nothing
+    corpus-sized ever leaves the executors — at 100 TB this is T linear
+    scans, the textbook Gonzalez bound.  All arithmetic is exact integer
+    (quantized dims, integer squared distances), so both engines agree
+    bit-for-bit including ties.
+
+    Degenerate corpora: with fewer than KCENTER_T DISTINCT quantized
+    vectors, every remaining md2 is 0 once the distinct set is
+    exhausted and the argmax (md2 desc, id asc) re-picks the lowest id
+    — BOTH engines do, so hash parity holds, but picks then repeat; the
+    distinct-picks guarantee applies only when the corpus has ≥ T
+    distinct vectors (true at every test SF; pinned in
+    tests/test_new_ops_r10.py).
 
     Reference basis: extends the §2.8 extension surface (no selection /
     sampling plane in the reference; aggregation machinery is

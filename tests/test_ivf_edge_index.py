@@ -29,17 +29,22 @@ INDEX_TABLE = "b_ivf_edge_index"
 
 @pytest.fixture(scope="module")
 def ivf_index(spark):
-    # A crashed prior session can leave the managed-table LOCATION on
+    # A crashed prior session can leave a managed-table LOCATION on
     # disk while the catalog has no such table — saveAsTable then fails
-    # with LOCATION_ALREADY_EXISTS.  Drop both table and orphan dir.
-    spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}")
+    # with LOCATION_ALREADY_EXISTS.  The index write creates FOUR
+    # managed tables ({t}, {t}_assign, {t}_centroids, {t}_conf); drop
+    # every table and sweep every orphan dir.
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse.startswith("file:"):
         warehouse = warehouse[len("file:"):]
-    if warehouse:
-        import shutil
+    for suffix in ("", "_assign", "_centroids", "_conf"):
+        spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}{suffix}")
+        if warehouse:
+            import shutil
 
-        shutil.rmtree(f"{warehouse}/{INDEX_TABLE}", ignore_errors=True)
+            shutil.rmtree(
+                f"{warehouse}/{INDEX_TABLE}{suffix}", ignore_errors=True
+            )
     write_ivf_edge_index(spark, SF_SMOKE, INDEX_TABLE, n_buckets=8)
     yield
     spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}")
@@ -100,6 +105,20 @@ def maint_index(spark):
         build_ivf_vector_index,
     )
 
+    # same crash-recovery sweep as ivf_index: the builder creates FOUR
+    # managed tables; orphaned locations from a killed session would
+    # fail the first saveAsTable with LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    for suffix in ("", "_assign", "_centroids", "_conf"):
+        spark.sql(f"DROP TABLE IF EXISTS {MAINT_TABLE}{suffix}")
+        if warehouse:
+            import shutil
+
+            shutil.rmtree(
+                f"{warehouse}/{MAINT_TABLE}{suffix}", ignore_errors=True
+            )
     build_ivf_vector_index(
         spark, _vectors(spark, "vec_id % 3 <> 0"), MAINT_TABLE, n_buckets=8
     )

@@ -74,30 +74,49 @@ def test_growk_gate_verdicts_well_formed(spark):
             assert r["best_cosine"] is None or r["best_cosine"] < COSINE_THRESHOLD
 
 
-def test_growk_and_fixed_k_gates_agree_on_strong_twins(spark):
-    """The quantizers differ (K=3 vs K=8 at SF_SMOKE) so cell boundaries
-    differ, but a NEAR-EXACT twin (cosine ~ 1) lands in its duplicate's
-    cell under ANY reasonable quantizer — both gates must flag it.  The
-    planted-pair check is in test_streaming; here: every fixed-K
-    duplicate at cosine >= 0.995 is also a grow-K duplicate, and
-    vice versa."""
-    growk = {
-        r["vec_id"]: r
-        for r in QUERIES["dedup_ingest_admit_gate_growk"].fn(spark, SF_SMOKE).collect()
-    }
-    fixed = {
-        r["vec_id"]: r
-        for r in QUERIES["dedup_ingest_admit_gate"].fn(spark, SF_SMOKE).collect()
-    }
-    assert set(growk) == set(fixed)
-    strong = 0
-    for vid, f in fixed.items():
-        if f["is_duplicate"] and f["best_cosine"] >= 0.995:
-            assert growk[vid]["is_duplicate"], vid
-            strong += 1
-    for vid, g in growk.items():
-        if g["is_duplicate"] and g["best_cosine"] >= 0.995:
-            assert fixed[vid]["is_duplicate"], vid
+def test_exact_twin_flagged_under_fixed_and_grow_k(spark):
+    """An EXACT twin (identical quantized vector, new id) is assigned to
+    its source's cell under ANY quantizer (identical vectors get
+    identical argmin), so BOTH gate regimes — the fixed KMEANS_K and
+    the grow-K ⌈n/150⌉ quantizer — must flag the planted arrival with
+    dup_of = the source and cosine ≈ 1.  (A cross-gate comparison at a
+    high cosine threshold was vacuous at SF_SMOKE — the corpus's max
+    duplicate cosine is ~0.43 — and not geometrically guaranteed for
+    merely-near twins, whose cells can differ between quantizers.)"""
+    from naive_query_engine_spark.operators.kmeans import (
+        GROWK_CELL_TARGET,
+        KMEANS_ITERS,
+        KMEANS_K,
+        _admit_verdicts,
+        _assign_to_cells,
+        train_centroids,
+    )
+    from naive_query_engine_spark.operators.similarity import _qtable
+    from naive_query_engine_spark.queries import cut_lineage, spread
+
+    qt = cut_lineage(
+        spread(_qtable(spark, SF_SMOKE).select("vec_id", "q", "nrm2"))
+    )
+    src = qt.orderBy("vec_id").limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(9_100_001, list(src["q"]), src["nrm2"])],
+        "vec_id long, q array<long>, nrm2 long",
+    )
+    n = qt.count()
+    for k in (KMEANS_K, -(-n // GROWK_CELL_TARGET)):
+        cents = train_centroids(qt.select("vec_id", "q"), k, KMEANS_ITERS)
+        corpus = _assign_to_cells(qt, cents)
+        probe = _assign_to_cells(planted, cents).select(
+            F.col("vec_id").alias("arrival_id"),
+            F.col("q").alias("qq"),
+            F.col("nrm2").alias("qn2"),
+            "cell",
+        )
+        v = _admit_verdicts(probe, corpus, 0.99).collect()
+        assert len(v) == 1
+        assert v[0]["is_duplicate"], k
+        assert v[0]["dup_of"] == src["vec_id"], k
+        assert v[0]["best_cosine"] > 0.999, k
 
 
 _SET = settings(
@@ -140,16 +159,11 @@ def test_admit_verdicts_matches_python_model(
     probe = spark.createDataFrame(
         brows, "arrival_id long, qq array<long>, qn2 long, cell long"
     )
-    peers = (
-        spark.createDataFrame(
-            brows, "vec_id long, q array<long>, nrm2 long, cell long"
-        )
-        if with_peers
-        else None
-    )
     got = {
         r["vec_id"]: (r["is_duplicate"], r["dup_of"], r["best_cosine"])
-        for r in _admit_verdicts(probe, cdf, tau, peers=peers).collect()
+        for r in _admit_verdicts(
+            probe, cdf, tau, intra_batch=with_peers
+        ).collect()
     }
 
     def cos(a, an2, b, bn2):
