@@ -45,7 +45,11 @@ DEFAULT_CONF: dict[str, str] = {
     # JVM-only stage inflated identically; 1g + flushing halved it).  On
     # a real cluster each executor JVM runs one app and the default
     # usually suffices; locally this is the difference between measuring
-    # the plan and measuring code-cache thrash.
+    # the plan and measuring code-cache thrash.  NOTE (ADVICE r10):
+    # get_spark() MERGES this with any user/spark-defaults value (theirs
+    # first, ours appended — later -XX wins for same-flag conflicts) and,
+    # like every conf here, it is a NO-OP when getOrCreate() reuses an
+    # already-running JVM — bench calibrations assume a fresh session.
     "spark.driver.extraJavaOptions": (
         "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
     ),
@@ -69,6 +73,15 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = {**DEFAULT_CONF, **(extra_conf or {})}
+    # Append (never clobber) driver JVM options already set via
+    # SPARK_SUBMIT_OPTS-style env or spark-defaults.conf (ADVICE r10 #4):
+    # a user's -Xmx / GC flags survive, and our code-cache flags still
+    # apply because later -XX options win on conflict.
+    jvm_key = "spark.driver.extraJavaOptions"
+    if jvm_key in conf:
+        pre = os.environ.get("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", "").strip()
+        if pre and pre not in conf[jvm_key]:
+            conf[jvm_key] = f"{pre} {conf[jvm_key]}"
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
