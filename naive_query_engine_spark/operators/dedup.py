@@ -46,6 +46,28 @@ from .shingles_sql import (
 #: candidate-bounded downstream), never the raw exploded stream.
 _SPILLABLE = StorageLevel.MEMORY_AND_DISK
 
+#: driver-heap floor below which dedup_substring pins its df-cap join to
+#: shuffle_hash instead of leaving the strategy to AQE (see
+#: _driver_heap_small)
+_SMALL_DRIVER_HEAP = 4 << 30
+
+
+def _driver_heap_small(spark: SparkSession) -> bool:
+    """True when the driver JVM's max heap is too small to safely BUILD a
+    corpus-scale broadcast relation alongside execution — the default
+    1 GiB heap of a bare session (VERDICT r10 #4: the one sf0.1
+    bare-sweep failure was "Not enough memory to build and broadcast"
+    on a ~50 MB table AQE legitimately picked).  Reads the live JVM
+    ``Runtime.maxMemory()`` rather than the ``spark.driver.memory`` conf
+    string, which lies whenever getOrCreate() reused an earlier JVM."""
+    try:
+        return (
+            int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
+            < _SMALL_DRIVER_HEAP
+        )
+    except Exception:  # Connect/mocked session: keep AQE's free choice
+        return False
+
 # MinHash configuration: K hashes in B bands of R rows (K = B*R).
 MINHASH_K = 12
 MINHASH_BANDS = 6
@@ -1110,7 +1132,15 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = wins.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_WINDOW_DF
     ).select("h")
-    wk = wins.join(ok, "h")
+    # Bare-session guard (VERDICT r10 #4): on a default 1 GiB driver heap
+    # at sf0.1, AQE's size-based broadcast of the df-capped hash frame is
+    # the right call for EXECUTORS but OOMs the DRIVER while building the
+    # ~50 MB relation (and shuffle_hash OOMs too — its per-partition
+    # build maps don't spill on the shared local-mode heap).  With a
+    # small heap, pin this one join to sort-merge — fully spillable, so
+    # it completes in any heap; tuned sessions keep AQE's free choice
+    # (no hint), so the de-hinting philosophy and timing are unchanged.
+    wk = wins.join(ok.hint("merge") if _driver_heap_small(spark) else ok, "h")
     x = wk.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     y = wk.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
     return (
