@@ -1937,6 +1937,53 @@ def _admit_verdicts(
     )
 
 
+def resolve_dup_roots(verdicts: DataFrame, max_passes: int = 20) -> DataFrame:
+    """Add ``canonical_dup_of`` to an intra-batch verdict frame: dup_of
+    resolved through REJECTED co-arrivals to the retained representative
+    (an admitted arrival or a corpus member) — the transitive resolution
+    every consumer of intra-batch verdicts would otherwise reimplement
+    (ADVICE r10 #3: under ``intra_batch=True``, dup_of may name a
+    lower-id co-arrival that was itself rejected and never indexed, so
+    joining dup_of against the maintained index misses).
+
+    Pointer-jumping (path doubling) over the REJECTED-ONLY mapping:
+    each pass replaces an ancestor that is itself a rejected co-arrival
+    with that row's own ancestor, halving remaining chain lengths —
+    ⌈log₂ chain⌉ passes, each a self-join of a frame bounded by the
+    BATCH's rejected rows (never corpus-sized; ids strictly decrease
+    along a chain, so termination is structural).  Admitted rows keep
+    ``canonical_dup_of`` NULL, matching their NULL ``dup_of``."""
+    rej = verdicts.filter(F.col("is_duplicate")).select(
+        F.col("vec_id").alias("_rid"), F.col("dup_of").alias("_ranc")
+    )
+    rej_ids = rej.select(F.col("_rid").alias("_kid")).localCheckpoint(eager=False)
+    m = rej.localCheckpoint(eager=False)
+    for _ in range(max_passes):
+        still = m.join(rej_ids, m["_ranc"] == rej_ids["_kid"], "left_semi")
+        if still.isEmpty():
+            break
+        m = (
+            m.alias("a")
+            .join(
+                m.select(
+                    F.col("_rid").alias("_bid"), F.col("_ranc").alias("_banc")
+                ).alias("b"),
+                F.col("a._ranc") == F.col("b._bid"),
+                "left",
+            )
+            .select(
+                F.col("a._rid").alias("_rid"),
+                F.coalesce(F.col("b._banc"), F.col("a._ranc")).alias("_ranc"),
+            )
+            .localCheckpoint(eager=False)  # cut the doubling lineage
+        )
+    return verdicts.join(
+        m.select(F.col("_rid"), F.col("_ranc").alias("canonical_dup_of")),
+        verdicts["vec_id"] == F.col("_rid"),
+        "left",
+    ).drop("_rid")
+
+
 def _admit_gate_oracle(
     k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> str:
@@ -2142,9 +2189,11 @@ def dedup_ingest_admit_gate_growk(spark: SparkSession, sf_dir: str) -> DataFrame
     registered forms are superlinear by design (cell occupancy ∝ n);
     this row puts the scaling shape a 100 TB ingest actually runs under
     external verification: the oracle re-derives K from the same corpus
-    count inside the SQL (scalar-subquery LIMIT on the seed CTE), so
-    hash equality checks quantizer, assignment, and verdicts at a K the
-    test SFs don't hard-code (3 at sf0.001/0.01, 9 at sf0.1).
+    count inside the SQL — a ``CEIL(COUNT(DISTINCT vec_id) /
+    GROWK_CELL_TARGET)`` scalar subquery bounding the DENSE_RANK seed
+    filter in `_admit_gate_growk_oracle` — so hash equality checks
+    quantizer, assignment, and verdicts at a K the test SFs don't
+    hard-code (3 at sf0.001/0.01, 9 at sf0.1).
 
     Scale shape: one broadcast-centroid assign (K×D ≤ ~90×64 ints at
     10× sf0.1 — broadcast-bounded) + one cell-keyed join whose per-cell
@@ -2208,8 +2257,9 @@ def maintain_ivf_index(
     safe side for a dedup gate (never admits a pair of twins; may
     reject a transitively-linked non-twin of everything admitted).
     A rejected arrival's dup_of may therefore name a co-arrival that
-    was itself rejected and never indexed — resolve dup_of chains
-    transitively to find the retained representative.
+    was itself rejected and never indexed — `resolve_dup_roots` adds
+    the ``canonical_dup_of`` column (pointer-jumped to the retained
+    representative) so consumers don't reimplement the chain walk.
 
     Returns {"n_arrivals", "n_admitted", "n_rejected"} merged with the
     upsert report ({"touched_cells", "n_edges_written",

@@ -262,3 +262,44 @@ def test_kcenter_matches_python_greedy(spark, vecs):
             F.least(F.col("md2"), _dist2_to(list(top["q"]))).alias("md2"),
         )
     assert got == want
+
+
+def test_resolve_dup_roots_pointer_jumps_to_retained(spark):
+    """`resolve_dup_roots` (ADVICE r10 #3): canonical_dup_of follows
+    dup_of through REJECTED co-arrivals to the retained representative.
+    Planted 5-deep chain 105→104→103→102→101→7 (7 = corpus member, so
+    not a rejected id) exercises more than one doubling pass; admitted
+    rows keep NULL."""
+    from naive_query_engine_spark.operators.kmeans import resolve_dup_roots
+
+    rows = [
+        (101, True, 7, 0.99),
+        (102, True, 101, 0.99),
+        (103, True, 102, 0.99),
+        (104, True, 103, 0.99),
+        (105, True, 104, 0.99),
+        (200, True, 9, 0.99),   # direct corpus twin: already canonical
+        (300, False, None, 0.4),  # admitted
+    ]
+    v = spark.createDataFrame(
+        rows, "vec_id long, is_duplicate boolean, dup_of long, best_cosine double"
+    )
+    got = {
+        r["vec_id"]: r["canonical_dup_of"]
+        for r in resolve_dup_roots(v).collect()
+    }
+    assert got == {101: 7, 102: 7, 103: 7, 104: 7, 105: 7, 200: 9, 300: None}
+
+
+def test_resolve_dup_roots_preserves_columns_and_rowcount(spark):
+    from naive_query_engine_spark.operators.kmeans import resolve_dup_roots
+
+    v = spark.createDataFrame(
+        [(1, True, 0, 0.99), (2, False, None, 0.1)],
+        "vec_id long, is_duplicate boolean, dup_of long, best_cosine double",
+    )
+    out = resolve_dup_roots(v)
+    assert out.count() == 2
+    assert set(out.columns) == {
+        "vec_id", "is_duplicate", "dup_of", "best_cosine", "canonical_dup_of"
+    }
