@@ -3480,6 +3480,135 @@ def similarity_ivf_maintenance_tick(
 
 
 @query(
+    "streaming_tick_batch_equivalence",
+    oracle=_maintenance_tick_oracle(),
+    tags=("streaming", "dedup", "similarity", "ivf", "incremental"),
+)
+def streaming_tick_batch_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintenance tick executed through the REAL Structured
+    Streaming engine as a driver row (VERDICT r10 #8: the streaming
+    twins were pytest-pinned but never driver-sampled).  The two tick
+    batches are written as parquet files with strictly increasing
+    mod-times, read back via ``readStream`` + ``maxFilesPerTrigger=1``
+    (so the FileStreamSource's mod-time ordering reproduces the fold's
+    batch boundaries), and folded in ``foreachBatch``: each micro-batch
+    is re-quantized from raw embeddings (``quantized`` + ``dot_q`` —
+    the ingest-path arithmetic of `dedup_on_ingest`), assigned under
+    the frozen base quantizer, verdicted with the intra-batch pre-pass,
+    and its admitted arrivals grow the in-closure corpus state.
+
+    The oracle is BYTE-IDENTICAL to `similarity_ivf_maintenance_tick`'s
+    batch-fold SQL, so hash equality IS the stream==batch claim at the
+    driver's own surface: a stream whose micro-batch boundaries,
+    ordering, or state handoff diverged from the sequential fold would
+    mismatch.  Verdict rows are collected per micro-batch (bounded by
+    the BATCH size, never corpus-sized — the foreachBatch sink is
+    driver-side by definition) and re-emitted as one DataFrame so the
+    returned frame is independent of the temp stream dirs, which are
+    removed before returning.
+
+    Reference basis: extends §2.8 (the reference engine is one-shot
+    batch; its datasource registry datasource/mod.rs:20-28 has no
+    ingest path, no streams)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .similarity import COSINE_THRESHOLD, dot_q, quantized
+
+    assign, cents = _frozen_assignment(spark, sf_dir)
+    base = cut_lineage(
+        assign.filter(F.expr(_UPSERT_TRAIN_PRED)).select(
+            "vec_id", "q", "nrm2", "cell"
+        )
+    )
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = _tempfile.mkdtemp(prefix="nqes_stream_tick_")
+    try:
+        src_dir = _os.path.join(root, "arrivals")
+        for i, pred in enumerate(_UPSERT_BATCH_PREDS, start=1):
+            d = _os.path.join(src_dir, f"b{i}")
+            emb.filter(F.expr(pred)).coalesce(1).write.parquet(d)
+            # FileStreamSource orders by modification time; stamp each
+            # batch's files explicitly so batch 1 always folds first
+            # (no sleep, no filesystem-clock dependence)
+            for name in _os.listdir(d):
+                _os.utime(
+                    _os.path.join(d, name),
+                    (1_700_000_000 + i * 10,) * 2,
+                )
+        state = {"corpus": base, "batch": 0, "rows": []}
+
+        def tick(batch_df: DataFrame, _bid: int) -> None:
+            state["batch"] += 1
+            qf = batch_df.select(
+                "vec_id", quantized(F.col("embedding")).alias("q")
+            ).withColumn("nrm2", dot_q(F.col("q"), F.col("q")))
+            probe = _assign_to_cells(qf, cents).select(
+                F.col("vec_id").alias("arrival_id"),
+                F.col("q").alias("qq"),
+                F.col("nrm2").alias("qn2"),
+                "cell",
+            )
+            v = _admit_verdicts(
+                probe, state["corpus"], COSINE_THRESHOLD, intra_batch=True
+            )
+            rows = v.collect()  # batch-sized verdicts, never corpus
+            state["rows"] += [
+                (
+                    r["vec_id"],
+                    state["batch"],
+                    r["is_duplicate"],
+                    r["dup_of"],
+                    r["best_cosine"],
+                )
+                for r in rows
+            ]
+            admitted = probe.join(
+                v.filter(~F.col("is_duplicate")).select(
+                    F.col("vec_id").alias("arrival_id")
+                ),
+                "arrival_id",
+            ).select(
+                F.col("arrival_id").alias("vec_id"),
+                F.col("qq").alias("q"),
+                F.col("qn2").alias("nrm2"),
+                "cell",
+            )
+            state["corpus"] = cut_lineage(
+                state["corpus"].unionByName(admitted)
+            )
+
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(src_dir, "b*"))
+            .writeStream.foreachBatch(tick)
+            .option("checkpointLocation", _os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+        if not finished:
+            q.stop()
+            raise RuntimeError("stream tick did not terminate in 600s")
+        if state["batch"] != len(_UPSERT_BATCH_PREDS):
+            raise RuntimeError(
+                f"expected {len(_UPSERT_BATCH_PREDS)} micro-batches, "
+                f"got {state['batch']}"
+            )
+        return spark.createDataFrame(
+            state["rows"],
+            "vec_id long, batch long, is_duplicate boolean, "
+            "dup_of long, best_cosine double",
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "graph_kcore_ivf",
     oracle=None,  # patched below (splices the per-cell substrate CTEs)
     tags=("similarity", "graph", "ivf", "iterative", "quality"),

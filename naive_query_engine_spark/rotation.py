@@ -735,6 +735,12 @@ ROTATION: tuple[str, ...] = (
     # the two below fill the 2 spare slots EXACTLY) ---
     "dedup_ingest_admit_gate_growk",
     "embedding_kcenter_coreset",
+    # --- r11-created (maintenance mode: each new registration displaces
+    # one oldest-first resample slot) ---
+    # the maintenance tick executed through the REAL Structured
+    # Streaming engine, hash-checked against the batch-fold oracle
+    # (VERDICT r10 #8: one streaming path per round gets a driver row)
+    "streaming_tick_batch_equivalence",
 )
 
 #: actual resample slots this round: the window minus sentinels minus the
