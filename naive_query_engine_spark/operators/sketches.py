@@ -339,9 +339,11 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sketch_countmin_freq",
-    oracle=f"""
+#: shared by the batch row and its streaming-sink twin: hash equality of
+#: BOTH against this one SQL is the "stream-merged partials == one-shot
+#: batch sketch" claim (counter-wise SUM merge is exact, so the two rows
+#: must agree bit-for-bit with each other too)
+_CM_FREQ_ORACLE = f"""
     WITH seeds AS (SELECT UNNEST(range({CM_SEEDS})) AS seed),
     counters AS (
       SELECT seed,
@@ -366,7 +368,12 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.user_id, t.true_cnt, e.cm_est,
            e.cm_est - t.true_cnt AS overcount
     FROM truth t JOIN est e ON t.user_id = e.user_id
-    """,
+    """
+
+
+@query(
+    "sketch_countmin_freq",
+    oracle=_CM_FREQ_ORACLE,
     tags=("sketch", "countmin", "aggregate"),
 )
 def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,3 +982,98 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_f2") / F.col("true_f2").cast("double"),
         ).alias("est_over_true"),
     )
+
+
+@query(
+    "streaming_countmin_sink_equivalence",
+    oracle=_CM_FREQ_ORACLE,
+    tags=("streaming", "sketch", "countmin", "aggregate"),
+)
+def streaming_countmin_sink_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The count-min sketch built through the REAL streaming sink as a
+    driver row (VERDICT r10 #8, second streaming path — a stateless
+    mergeable-sketch sink, where `streaming_tick_batch_equivalence` is a
+    stateful closure fold): event user_ids are split into three
+    micro-batch files, folded through ``readStream`` + ``foreachBatch``
+    with the production `cm_merge_sink` (each batch reduced to its ≤ d×w
+    counter PARTIAL and written to its own ``batch_id=N`` dir with
+    OVERWRITE — the exactly-once replay recipe), then the merged sketch
+    (counter-wise SUM over partials, `cm_merged_sketch`) answers every
+    key's frequency probe.
+
+    The oracle is the BATCH `sketch_countmin_freq` SQL verbatim, so hash
+    equality is the mergeability claim at the driver's surface: a
+    stream-merged sketch equals the one-shot batch sketch counter for
+    counter (SUM merge is exact; batch boundaries cannot matter).  The
+    probe/truth join runs on the batch table — only the sketch side is
+    stream-built.
+
+    Scale shape: per micro-batch the sink moves ≤ d×w rows no matter the
+    batch size (the kilobytes-of-state-per-100 TB-day property); the
+    merge is one bounded aggregation over n_batches × d×w rows.
+
+    Reference basis: extends §2.8 (no streams in the reference;
+    aggregation machinery aggregate/mod.rs:30-235 is one-shot)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..streaming import cm_merge_sink, cm_merged_sketch
+
+    ev = t(spark, sf_dir, "events")
+    root = _tempfile.mkdtemp(prefix="nqes_stream_cm_")
+    try:
+        src_dir = _os.path.join(root, "arrivals")
+        for i in range(3):
+            d = _os.path.join(src_dir, f"b{i}")
+            ev.filter(F.col("event_id") % 3 == i).select("user_id").coalesce(
+                1
+            ).write.parquet(d)
+            # deterministic FileStreamSource order (mod-time stamped);
+            # the SUM merge is order-invariant anyway — stamping just
+            # keeps the micro-batch count reproducible
+            for name in _os.listdir(d):
+                _os.utime(
+                    _os.path.join(d, name), (1_700_000_000 + i * 10,) * 2
+                )
+        sink_dir = _os.path.join(root, "sketch")
+        q = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(src_dir, "b*"))
+            .writeStream.foreachBatch(cm_merge_sink(sink_dir))
+            .option("checkpointLocation", _os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("count-min sink stream did not terminate")
+        counters = cm_merged_sketch(spark, sink_dir)
+        truth = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("true_cnt")
+        )
+        probe = truth.select(
+            "user_id",
+            _seed_rows(F.col("user_id"), CM_SEEDS, CM_HEX_DIGITS).alias("sp"),
+        ).select("user_id", "sp.seed", "sp.pos")
+        est = (
+            probe.join(F.broadcast(counters), ["seed", "pos"])  # d*w — bounded
+            .groupBy("user_id")
+            .agg(F.min("cnt").cast("long").alias("cm_est"))
+        )
+        out = truth.join(est, "user_id").select(
+            "user_id",
+            "true_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("true_cnt")).cast("long").alias("overcount"),
+        )
+        # materialize off the temp sketch dir before it is removed
+        rows = out.collect()  # one row per distinct user — bounded
+        return spark.createDataFrame(
+            rows, "user_id long, true_cnt long, cm_est long, overcount long"
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

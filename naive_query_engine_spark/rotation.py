@@ -741,6 +741,10 @@ ROTATION: tuple[str, ...] = (
     # Streaming engine, hash-checked against the batch-fold oracle
     # (VERDICT r10 #8: one streaming path per round gets a driver row)
     "streaming_tick_batch_equivalence",
+    # the mergeable-sketch streaming sink (stateless partial-merge path,
+    # complementing the tick's stateful fold): count-min built through
+    # foreachBatch partial-overwrite, hash-equal to the batch sketch
+    "streaming_countmin_sink_equivalence",
 )
 
 #: actual resample slots this round: the window minus sentinels minus the
