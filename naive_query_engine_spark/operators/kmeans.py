@@ -2043,6 +2043,136 @@ def _admit_gate_oracle(
     """
 
 
+def _canonical_roots_oracle(
+    k_cells: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """DuckDB twin of the INTRA-BATCH admit gate + `resolve_dup_roots`:
+    the `_admit_gate_oracle` verdict head with the batch's own lower-id
+    members in the candidate set (the `_tick_round_sql` peer shape, one
+    batch = every held-out arrival), then a RECURSIVE chain walk — each
+    rejected arrival follows dup_of through rejected co-arrivals until
+    it reaches a name that is not itself rejected (ids strictly
+    decrease, so the recursion terminates structurally, mirroring the
+    pointer-jumping argument on the Spark side)."""
+    from .similarity import COSINE_THRESHOLD
+
+    parts = _kmeans_sql_parts(k_cells, iters, train_pred=_UPSERT_TRAIN_PRED)
+    parts[0] = parts[0].replace("q AS (", "q AS MATERIALIZED (", 1)
+    parts[-1] = parts[-1].replace(
+        f"a{iters} AS (", f"a{iters} AS MATERIALIZED (", 1
+    )
+    parts.append(
+        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH RECURSIVE {ctes},
+    arr AS (SELECT vec_id, cluster FROM a{iters}
+            WHERE NOT ({_UPSERT_TRAIN_PRED})),
+    base AS (SELECT vec_id, cluster FROM a{iters}
+             WHERE {_UPSERT_TRAIN_PRED}),
+    pdots AS (
+      SELECT ar.vec_id AS arrival, b.vec_id AS neighbor,
+             SUM(ea.qv * eb.qv) AS dot
+      FROM arr ar
+      JOIN (SELECT vec_id, cluster, FALSE AS peer FROM base
+            UNION ALL
+            SELECT vec_id, cluster, TRUE AS peer FROM arr) b
+        ON b.cluster = ar.cluster AND b.vec_id <> ar.vec_id
+           AND (NOT b.peer OR b.vec_id < ar.vec_id)
+      JOIN q ea ON ea.vec_id = ar.vec_id
+      JOIN q eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+      GROUP BY 1, 2
+    ),
+    pcos AS (
+      SELECT arrival, neighbor,
+             CAST(dot AS DOUBLE)
+               / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
+               AS cosine
+      FROM pdots
+      JOIN norms na ON na.vec_id = arrival
+      JOIN norms nb ON nb.vec_id = neighbor
+    ),
+    best AS (
+      SELECT arrival, neighbor, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY arrival ORDER BY cosine DESC, neighbor) AS rk
+      FROM pcos
+    ),
+    v AS MATERIALIZED (
+      SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+             COALESCE(b.cosine, -2.0) >= {COSINE_THRESHOLD} AS is_duplicate,
+             CAST(CASE WHEN b.cosine >= {COSINE_THRESHOLD} THEN b.neighbor END
+                  AS BIGINT) AS dup_of,
+             b.cosine AS best_cosine
+      FROM arr a
+      LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.arrival = a.vec_id
+    ),
+    chain AS (
+      SELECT vec_id, dup_of AS anc FROM v WHERE is_duplicate
+      UNION ALL
+      SELECT c.vec_id, nxt.dup_of
+      FROM chain c JOIN v nxt ON nxt.vec_id = c.anc AND nxt.is_duplicate
+    ),
+    canon AS (
+      SELECT c.vec_id, c.anc AS canonical_dup_of
+      FROM chain c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM v r WHERE r.vec_id = c.anc AND r.is_duplicate)
+    )
+    SELECT v.vec_id, v.is_duplicate, v.dup_of, v.best_cosine,
+           CAST(k.canonical_dup_of AS BIGINT) AS canonical_dup_of
+    FROM v LEFT JOIN canon k ON k.vec_id = v.vec_id
+    """
+
+
+@query(
+    "dedup_ingest_canonical_roots",
+    oracle=_canonical_roots_oracle(),
+    tags=("dedup", "similarity", "ivf", "incremental", "streaming"),
+)
+def dedup_ingest_canonical_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTRA-BATCH admit gate + `resolve_dup_roots` as a driver row
+    (ADVICE r10 #3 under external verification): every held-out arrival
+    (vec_id ≡ 0 mod 3 as ONE batch, so intra-batch shadow chains can
+    form) gets its τ-twin verdict with the lowest-id-wins pre-pass,
+    then ``canonical_dup_of`` — dup_of pointer-jumped through rejected
+    co-arrivals to the retained representative.  The oracle replays the
+    same verdicts and resolves the chains with a RECURSIVE CTE, so hash
+    equality pins both the chain SEMANTICS (what the canonical root is)
+    and the pointer-jumping implementation against an independent
+    recursive formulation.
+
+    Scale shape: the gate is the serving-probe envelope
+    (`dedup_ingest_admit_gate` + one batch-bounded cell-keyed peer
+    join); the resolution frame is bounded by the batch's REJECTED rows
+    and converges in ⌈log₂ chain⌉ batch-sized self-joins.
+
+    Reference basis: extends §2.8 (no ingest path in the reference;
+    recursive resolution ≙ the WITH RECURSIVE surface the reference's
+    SQL planner stubs at sql/planner.rs:58-84)."""
+    from .similarity import COSINE_THRESHOLD
+
+    assign, _ = _frozen_assignment(spark, sf_dir)
+    base = assign.filter(F.expr(_UPSERT_TRAIN_PRED)).select(
+        "vec_id", "q", "nrm2", "cell"
+    )
+    probe = assign.filter(~F.expr(_UPSERT_TRAIN_PRED)).select(
+        F.col("vec_id").alias("arrival_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn2"),
+        "cell",
+    )
+    v = _admit_verdicts(probe, base, COSINE_THRESHOLD, intra_batch=True)
+    return resolve_dup_roots(v).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "is_duplicate",
+        F.col("dup_of").cast("long").alias("dup_of"),
+        "best_cosine",
+        F.col("canonical_dup_of").cast("long").alias("canonical_dup_of"),
+    )
+
+
 @query(
     "dedup_ingest_admit_gate",
     oracle=_admit_gate_oracle(),

@@ -745,6 +745,10 @@ ROTATION: tuple[str, ...] = (
     # complementing the tick's stateful fold): count-min built through
     # foreachBatch partial-overwrite, hash-equal to the batch sketch
     "streaming_countmin_sink_equivalence",
+    # intra-batch shadow-chain resolution (ADVICE r10 #3) pinned against
+    # an independent WITH RECURSIVE formulation; the corpus produces
+    # real chains (1 at sf0.01, 9 at sf0.1), so the row is non-vacuous
+    "dedup_ingest_canonical_roots",
 )
 
 #: actual resample slots this round: the window minus sentinels minus the
