@@ -2244,7 +2244,16 @@ def _dist2_to(center: list[int]) -> Column:
 def _kcenter_oracle(t_picks: int = KCENTER_T) -> str:
     """DuckDB twin: the same greedy recurrence unrolled — pick i is the
     argmax of the running min-dist² (tie: lowest vec_id); m{i} folds the
-    new center's distances in with LEAST."""
+    new center's distances in with LEAST.
+
+    The center side is PRE-FILTERED in its own derived table (64 rows)
+    before the dim join.  The original shape — ``JOIN q b ON b.dim =
+    a.dim AND b.vec_id = (SELECT ...)`` — left DuckDB planning the
+    scalar-subquery predicate as a post-join filter on a dim-only join
+    (n²·D intermediate): at sf0.1 the old oracle ran 383 s and died
+    with an allocation failure in the r11 bare sweep; this form runs
+    the same 8 rounds in 2 s under a 6 GB cap, with hash-identical
+    results at sf0.01 (verified side-by-side at landing)."""
     parts = [
         f"""q AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -2253,9 +2262,10 @@ def _kcenter_oracle(t_picks: int = KCENTER_T) -> str:
     )""",
         "p0 AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id FROM embeddings)",
         """m1 AS MATERIALIZED (
-      SELECT a.vec_id, SUM((a.qv - b.qv) * (a.qv - b.qv)) AS md2
-      FROM q a JOIN q b ON b.dim = a.dim
-        AND b.vec_id = (SELECT vec_id FROM p0)
+      SELECT a.vec_id, SUM((a.qv - c.qv) * (a.qv - c.qv)) AS md2
+      FROM q a JOIN (
+        SELECT dim, qv FROM q WHERE vec_id = (SELECT vec_id FROM p0)) c
+        ON c.dim = a.dim
       GROUP BY a.vec_id
     )""",
     ]
@@ -2270,9 +2280,10 @@ def _kcenter_oracle(t_picks: int = KCENTER_T) -> str:
                 f"""m{i + 1} AS MATERIALIZED (
       SELECT m.vec_id, LEAST(m.md2, d.d2) AS md2
       FROM m{i} m JOIN (
-        SELECT a.vec_id, SUM((a.qv - b.qv) * (a.qv - b.qv)) AS d2
-        FROM q a JOIN q b ON b.dim = a.dim
-          AND b.vec_id = (SELECT vec_id FROM p{i})
+        SELECT a.vec_id, SUM((a.qv - c.qv) * (a.qv - c.qv)) AS d2
+        FROM q a JOIN (
+          SELECT dim, qv FROM q WHERE vec_id = (SELECT vec_id FROM p{i})) c
+          ON c.dim = a.dim
         GROUP BY a.vec_id) d ON d.vec_id = m.vec_id
     )"""
             )
