@@ -883,3 +883,126 @@ def events_absence_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "streaming_state_totals_equivalence",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS total_qv
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "events", "stateful", "aggregate"),
+)
+def streaming_state_totals_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``applyInPandasWithState`` fold as a driver row (VERDICT r10
+    #8, third streaming primitive under external verification — the tick
+    row covers a foreachBatch closure fold, the count-min row a
+    partial-merge sink; this one is the STATE-STORE path: per-key state
+    carried by the engine across micro-batches, update-mode emission).
+    Events are quantized to integer value (``FLOOR(value·1000)`` — float
+    accumulation order must not matter) and split into three mod-stamped
+    batch files; a GroupState processor accumulates per-user
+    (n_events, total_qv); every update-mode emission is recorded per
+    micro-batch, and the FINAL state per user (last emission) must equal
+    the one-shot batch aggregate — which is exactly the oracle SQL.
+
+    A state store that lost state between micro-batches, double-applied
+    a replayed batch, or mis-partitioned keys would diverge; so would an
+    emission layer that reordered updates (the final-emission selection
+    is by micro-batch id, not arrival luck).
+
+    Scale shape: state is partitioned by the group key like any shuffle;
+    per micro-batch the work is one exchange of the BATCH plus bounded
+    state lookups — the registered batch aggregate is the replay twin.
+
+    Reference basis: extends §2.8 (the reference's aggregate machinery
+    aggregate/mod.rs:30-235 is one-shot; no state store exists)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("qv"),
+    )
+    root = _tempfile.mkdtemp(prefix="nqes_stream_state_")
+    try:
+        src_dir = _os.path.join(root, "arrivals")
+        for i in range(3):
+            d = _os.path.join(src_dir, f"b{i}")
+            ev.filter(F.col("event_id") % 3 == i).select(
+                "user_id", "qv"
+            ).coalesce(1).write.parquet(d)
+            for name in _os.listdir(d):
+                _os.utime(
+                    _os.path.join(d, name), (1_700_000_000 + i * 10,) * 2
+                )
+
+        def update(key, pdfs, state: GroupState):
+            n, tot = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                tot += int(pdf["qv"].sum())
+            state.update((n, tot))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_qv": [tot],
+                }
+            )
+
+        totals = (
+            spark.readStream.schema("user_id long, qv long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(src_dir, "b*"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_events long, total_qv long",
+                stateStructType="n long, total long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        emissions: list[tuple] = []
+        n_batches = [0]
+
+        def tick(batch_df: DataFrame, bid: int) -> None:
+            n_batches[0] += 1
+            for r in batch_df.collect():  # ≤ one row per touched user
+                emissions.append(
+                    (bid, r["user_id"], r["n_events"], r["total_qv"])
+                )
+
+        q = (
+            totals.writeStream.foreachBatch(tick)
+            .outputMode("update")
+            .option("checkpointLocation", _os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("state-totals stream did not terminate")
+        if n_batches[0] != 3:
+            raise RuntimeError(f"expected 3 micro-batches, got {n_batches[0]}")
+        final: dict[int, tuple] = {}
+        for bid, uid, n, tot in emissions:
+            if uid not in final or bid > final[uid][0]:
+                final[uid] = (bid, n, tot)
+        return spark.createDataFrame(
+            [(uid, n, tot) for uid, (_, n, tot) in final.items()],
+            "user_id long, n_events long, total_qv long",
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

@@ -749,6 +749,10 @@ ROTATION: tuple[str, ...] = (
     # an independent WITH RECURSIVE formulation; the corpus produces
     # real chains (1 at sf0.01, 9 at sf0.1), so the row is non-vacuous
     "dedup_ingest_canonical_roots",
+    # the applyInPandasWithState state-store fold (third streaming
+    # primitive: engine-carried per-key state, update-mode emission),
+    # final state hash-equal to the one-shot batch aggregate
+    "streaming_state_totals_equivalence",
 )
 
 #: actual resample slots this round: the window minus sentinels minus the
