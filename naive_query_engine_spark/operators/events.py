@@ -1006,3 +1006,134 @@ def streaming_state_totals_equivalence(
         )
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_absence_timeout_equivalence",
+    oracle=f"""
+    WITH nxt AS (
+      SELECT event_id, user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS view_event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS view_ts_us,
+           CASE WHEN next_purchase_ts IS NOT NULL
+                     AND epoch_us(next_purchase_ts) - epoch_us(ts)
+                         <= {ABSENCE_WINDOW_US}
+                THEN 'converted' ELSE 'timeout' END AS outcome
+    FROM nxt WHERE event_type = 'view'
+    """,
+    tags=("streaming", "events", "cep", "absence", "stateful"),
+)
+def streaming_absence_timeout_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EVENT-TIME TIMERS under external verification (VERDICT r10 #8,
+    the surface flagged hardest): the streaming CEP absence detector
+    (`streaming.absence_timeouts` — GroupStateTimeout.EventTimeTimeout,
+    watermark-driven expiry, append-mode exactly-once emission) run over
+    event-time-ordered micro-batch files, hash-checked against the
+    batch absence rule per view.
+
+    Determinism comes from a SENTINEL FLUSH batch: after the three
+    tertile files (ntile over (ts, event_id) — every batch-k timestamp
+    ≤ every batch-k+1 timestamp, so the 40-min watermark's in-order
+    soundness precondition holds exactly), a fourth file carries one
+    far-future no-op event that advances the watermark past every
+    pending deadline and fires ALL remaining timers — so every view is
+    DECIDED (converted or timeout) and the oracle needs no watermark
+    term at all: it is the batch twin's next-purchase frame rule
+    verbatim (strictly-later (ts, event_id), lateness 0 allowed, the
+    ADVICE r6 #3 tie rule).  A state store that dropped a timer, fired
+    one early, double-emitted on replay, or mis-ordered same-timestamp
+    ties would diverge.
+
+    Scale shape: state per user is bounded by views-per-window; each
+    micro-batch is one key exchange of the batch.  The ntile split is
+    TEST PLUMBING (re-creating ordered arrival from a static table),
+    not the operator — a real deployment's source is already ordered in
+    arrival time.
+
+    Reference basis: extends §2.8 (no timers, no state store, no
+    watermarks anywhere in the reference)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..streaming import absence_timeouts
+
+    ev = t(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    tiled = ev.withColumn(
+        "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1 row
+    root = _tempfile.mkdtemp(prefix="nqes_stream_absence_")
+    try:
+        src_dir = _os.path.join(root, "arrivals")
+        for i in (1, 2, 3):
+            d = _os.path.join(src_dir, f"b{i}")
+            tiled.filter(F.col("_tile") == i).drop("_tile").coalesce(
+                1
+            ).write.parquet(d)
+            for name in _os.listdir(d):
+                _os.utime(
+                    _os.path.join(d, name), (1_700_000_000 + i * 10,) * 2
+                )
+        flush = spark.createDataFrame(
+            [(max_ts, -1, -1, "flush")],
+            "ts timestamp, event_id long, user_id long, event_type string",
+        ).select(
+            (F.col("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            "event_id",
+            "user_id",
+            "event_type",
+        )
+        d = _os.path.join(src_dir, "b4")
+        flush.coalesce(1).write.parquet(d)
+        for name in _os.listdir(d):
+            _os.utime(_os.path.join(d, name), (1_700_000_000 + 40,) * 2)
+
+        emissions: list[tuple] = []
+
+        def tick(batch_df: DataFrame, _bid: int) -> None:
+            for r in batch_df.collect():  # decided views only — bounded
+                emissions.append(
+                    (
+                        r["view_event_id"],
+                        r["user_id"],
+                        r["view_ts_us"],
+                        r["outcome"],
+                    )
+                )
+
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_id long, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(src_dir, "b*"))
+        )
+        q = (
+            absence_timeouts(stream)
+            .writeStream.foreachBatch(tick)
+            .outputMode("append")
+            .option("checkpointLocation", _os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("absence stream did not terminate")
+        return spark.createDataFrame(
+            emissions,
+            "view_event_id long, user_id long, view_ts_us long, outcome string",
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

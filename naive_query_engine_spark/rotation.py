@@ -753,6 +753,10 @@ ROTATION: tuple[str, ...] = (
     # primitive: engine-carried per-key state, update-mode emission),
     # final state hash-equal to the one-shot batch aggregate
     "streaming_state_totals_equivalence",
+    # EVENT-TIME TIMERS (the hardest streaming surface): the CEP absence
+    # detector with a sentinel flush batch so every view is decided —
+    # oracle = the batch next-purchase frame rule, no watermark term
+    "streaming_absence_timeout_equivalence",
 )
 
 #: actual resample slots this round: the window minus sentinels minus the
