@@ -379,14 +379,24 @@ def main() -> None:
         reverse=True,
     )
     rereads: dict[str, float] = {}
+    rereads_end: dict[str, float] = {}
     budget = 30.0  # seconds of mid-run readings; worst ratios first
     for name in suspects:
-        if budget <= 0:
-            break
-        budget -= timings[name] * N_RUNS
+        est_cost = timings[name] * N_RUNS
+        if est_cost > budget:
+            # worst-first, but a cheaper later suspect may still fit —
+            # skip rather than stop (ADVICE r11 #2: check cost BEFORE
+            # issuing the re-read, not after)
+            continue
+        budget -= est_cost
         again = round(run_one(spark, name, sf_dir), 3)
+        # Record EVERY re-read, improved or not (ADVICE r11 #2): a
+        # re-read that CONFIRMS the slow mid reading — the signal most
+        # relevant to a real regression — must be distinguishable in the
+        # artifact from "never re-read".
+        rereads[name] = timings[name]
+        rereads_end[name] = again
         if again < timings[name]:
-            rereads[name] = timings[name]
             timings[name] = again
 
     # In-artifact load proxy (VERDICT r8 #6): re-run the three cheapest
@@ -438,6 +448,10 @@ def main() -> None:
         # reported value in "queries" is min(mid, end) — this field is
         # what shows the flush lottery struck and got corrected)
         "reread_mid_sec": rereads,
+        # the matching end-of-run readings, recorded even when they
+        # CONFIRM the slow mid number (ADVICE r11 #2) — end ≈ mid here
+        # is the real-regression signature, not a flush victim
+        "reread_end_sec": rereads_end,
     }
     # The round driver keeps only the LAST 2000 chars of stdout and parses
     # the JSON out of them (BENCH_r08 was unparseable: the 54-query line
@@ -463,7 +477,7 @@ def main() -> None:
         return json.dumps(payload, separators=(",", ":"))
 
     line = _line()
-    for drop in ("reread_mid_sec", "load_proxy_end_sec", "established_baseline_sec", "established_queries"):
+    for drop in ("reread_mid_sec", "reread_end_sec", "load_proxy_end_sec", "established_baseline_sec", "established_queries"):
         if len(line) <= 1900:
             break
         payload.pop(drop, None)

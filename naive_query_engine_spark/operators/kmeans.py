@@ -1958,9 +1958,11 @@ def resolve_dup_roots(verdicts: DataFrame, max_passes: int = 20) -> DataFrame:
     )
     rej_ids = rej.select(F.col("_rid").alias("_kid")).localCheckpoint(eager=False)
     m = rej.localCheckpoint(eager=False)
+    converged = False
     for _ in range(max_passes):
         still = m.join(rej_ids, m["_ranc"] == rej_ids["_kid"], "left_semi")
         if still.isEmpty():
+            converged = True
             break
         m = (
             m.alias("a")
@@ -1977,6 +1979,21 @@ def resolve_dup_roots(verdicts: DataFrame, max_passes: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=False)  # cut the doubling lineage
         )
+    if not converged:
+        # Path doubling resolves chains up to 2^max_passes, unreachable
+        # for any real batch — but if an assumption ever breaks (e.g. a
+        # cyclic dup_of mapping from a caller bug), fail loudly instead
+        # of silently emitting roots that still point at rejected
+        # co-arrivals (ADVICE r11 #4).
+        residual = m.join(
+            rej_ids, m["_ranc"] == rej_ids["_kid"], "left_semi"
+        ).count()
+        if residual:
+            raise RuntimeError(
+                f"resolve_dup_roots: {residual} chains unresolved after "
+                f"{max_passes} passes (chain length > 2^{max_passes} or "
+                "cyclic dup_of mapping)"
+            )
     return verdicts.join(
         m.select(F.col("_rid"), F.col("_ranc").alias("canonical_dup_of")),
         verdicts["vec_id"] == F.col("_rid"),

@@ -36,7 +36,7 @@ from .queries import QUERIES
 
 #: bump when the previous round's window is folded into DRIVER_SAMPLED —
 #: drives the deterministic resample-slot rotation below
-ROUND = 11
+ROUND = 12
 
 # Names with at least one driver-green CORRECTNESS row (union of the key
 # sets of CORRECTNESS_r01.json .. CORRECTNESS_r04.json).  55 names: the
@@ -208,6 +208,15 @@ DRIVER_SAMPLED: frozenset[str] = frozenset(
         "similarity_ivf_maintenance_tick", "similarity_ivfpq_adc_topk",
         "sql_correlated_scalar_subquery", "sql_recursive_chain",
         "text_rake_keywords", "unpivot_part_attrs", "window_value_functions",
+        # --- r11 window (CORRECTNESS_r11.json: 50/50 green, 5 first-ever
+        # rows — the streaming-equivalence quartet plus the ingest
+        # canonical-roots resolver; the other 45 slots were sentinels and
+        # oldest-first resamples of r4/r5-era rows) ---
+        "dedup_ingest_canonical_roots",
+        "streaming_absence_timeout_equivalence",
+        "streaming_countmin_sink_equivalence",
+        "streaming_state_totals_equivalence",
+        "streaming_tick_batch_equivalence",
     }
 )
 
@@ -218,30 +227,10 @@ DRIVER_SAMPLED: frozenset[str] = frozenset(
 #: rows were last externally checked many rounds of shared-helper churn
 #: ago - staleness is the main residual correctness risk).
 _LAST_SAMPLED_BY_ROUND: dict[int, tuple[str, ...]] = {
-    1: (
-        'custom_agg_median_gap', 'dedup_exact',
-    ),
-    3: (
-        'dedup_connected_components',
-    ),
     4: (
-        'agg_cube', 'agg_distinct', 'agg_multi_key_having',
-        'agg_rollup', 'agg_stats_exact', 'agg_ungrouped',
-        'case_in_between_like', 'cast_types', 'distinct_rows',
-        'events_anomaly_outliers', 'events_daily_gapfill',
-        'events_funnel', 'events_retention_cohorts',
-        'events_transition_paths', 'events_value_histogram',
-        'expr_arith_logic', 'filter_project', 'join_anti', 'join_cross',
-        'join_full_outer', 'join_left_outer', 'join_multi_key',
-        'join_right_outer', 'join_semi', 'math_funcs',
-        'q03_shipping_priority', 'q04_order_priority',
-        'q05_region_revenue', 'q06_forecast_revenue',
-        'q10_returned_items', 'q12_priority_by_status',
-        'q14_promo_share', 'q18_large_orders', 'set_except',
-        'set_intersect', 'set_union', 'sort_topk', 'sql_implicit_join',
-        'sql_lateral_join', 'sql_subquery_scalar', 'sql_udtf_lateral',
-        'sql_union_all', 'string_funcs', 'window_range_frame',
-        'window_running_sum',
+        'sql_implicit_join', 'sql_lateral_join', 'sql_subquery_scalar',
+        'sql_udtf_lateral', 'sql_union_all', 'string_funcs',
+        'window_range_frame', 'window_running_sum',
     ),
     5: (
         'asof_join_events_orders', 'dataset_contamination_check',
@@ -361,9 +350,9 @@ _LAST_SAMPLED_BY_ROUND: dict[int, tuple[str, ...]] = {
         'supplier_revenue_gini',
     ),
     10: (
-        'agg_boolean', 'agg_corr_exact', 'agg_grouped_computed_key',
-        'agg_grouping_sets', 'agg_percentiles_exact', 'agg_pivot',
-        'agg_string_concat', 'array_explode_positions', 'array_funcs',
+        'agg_boolean', 'agg_corr_exact', 'agg_grouping_sets',
+        'agg_percentiles_exact', 'agg_pivot', 'agg_string_concat',
+        'array_explode_positions', 'array_funcs',
         'dataset_packing_fragmentation_sweep',
         'dataset_split_neardup_leakage',
         'dataset_split_neardup_leakage_ivf', 'dataset_train_test_split',
@@ -371,20 +360,41 @@ _LAST_SAMPLED_BY_ROUND: dict[int, tuple[str, ...]] = {
         'dedup_ingest_admit_gate_growk', 'embedding_kcenter_coreset',
         'features_pit_backfill', 'graph_kcore_ivf',
         'graph_kcore_peeling', 'graph_pagerank_personalized',
-        'join_inner_chain', 'misc_scalar_funcs',
-        'multimodal_tar_member_index', 'null_handling',
-        'orders_snapshot_diff', 'q01_pricing_summary',
+        'misc_scalar_funcs', 'multimodal_tar_member_index',
+        'null_handling', 'orders_snapshot_diff',
         'q02_top_customer_per_nation', 'q07_nation_trade',
         'q08_market_share', 'q09_profit_by_nation_year',
         'q11_important_balance', 'q13_order_count_distribution',
         'q15_top_supplier', 'q16_supplier_count',
         'q17_small_quantity_revenue', 'q19_disjunctive_filter',
         'q20_excess_stock_analog', 'q21_sole_supplier_orders',
-        'q22_idle_customers', 'scan_project_expr', 'set_ops_all',
+        'q22_idle_customers', 'set_ops_all',
         'similarity_ivf_maintenance_tick', 'similarity_ivfpq_adc_topk',
         'sql_correlated_scalar_subquery', 'sql_recursive_chain',
-        'text_rake_keywords', 'unpivot_part_attrs', 'window_rank',
+        'text_rake_keywords', 'unpivot_part_attrs',
         'window_value_functions',
+    ),
+    11: (
+        'agg_cube', 'agg_distinct', 'agg_grouped_computed_key',
+        'agg_multi_key_having', 'agg_rollup', 'agg_stats_exact',
+        'agg_ungrouped', 'case_in_between_like', 'cast_types',
+        'custom_agg_median_gap', 'dedup_connected_components',
+        'dedup_exact', 'dedup_ingest_canonical_roots', 'distinct_rows',
+        'events_anomaly_outliers', 'events_daily_gapfill',
+        'events_funnel', 'events_retention_cohorts',
+        'events_transition_paths', 'events_value_histogram',
+        'expr_arith_logic', 'filter_project', 'join_anti', 'join_cross',
+        'join_full_outer', 'join_inner_chain', 'join_left_outer',
+        'join_multi_key', 'join_right_outer', 'join_semi', 'math_funcs',
+        'q01_pricing_summary', 'q03_shipping_priority',
+        'q04_order_priority', 'q05_region_revenue',
+        'q06_forecast_revenue', 'q10_returned_items',
+        'q12_priority_by_status', 'q14_promo_share', 'q18_large_orders',
+        'scan_project_expr', 'set_except', 'set_intersect', 'set_union',
+        'sort_topk', 'streaming_absence_timeout_equivalence',
+        'streaming_countmin_sink_equivalence',
+        'streaming_state_totals_equivalence',
+        'streaming_tick_batch_equivalence', 'window_rank',
     ),
 }
 LAST_SAMPLED: dict[str, int] = {

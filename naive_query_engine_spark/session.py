@@ -58,6 +58,41 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def _spark_defaults_value(key: str) -> str:
+    """Read one key from spark-defaults.conf, the way spark-submit would.
+
+    Looks in $SPARK_CONF_DIR then $SPARK_HOME/conf; returns "" when the
+    file or key is absent.  Needed because builder.config() *overrides*
+    (not merges) a spark-defaults value, and for extraJavaOptions we want
+    user flags set there to survive our defaults (ADVICE r11 #1).
+    """
+    conf_dirs = []
+    if os.environ.get("SPARK_CONF_DIR"):
+        conf_dirs.append(os.environ["SPARK_CONF_DIR"])
+    if os.environ.get("SPARK_HOME"):
+        conf_dirs.append(os.path.join(os.environ["SPARK_HOME"], "conf"))
+    for d in conf_dirs:
+        path = os.path.join(d, "spark-defaults.conf")
+        try:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    # spark-defaults.conf separates key from value with
+                    # whitespace (java.util.Properties semantics; '='
+                    # also works).  Match on the key prefix so a '=' in
+                    # the VALUE (-Dfoo=bar) is never treated as the
+                    # separator.
+                    if line == key:
+                        return ""
+                    if line.startswith(key) and line[len(key)] in " \t=":
+                        return line[len(key) + 1 :].strip()
+        except OSError:
+            continue
+    return ""
+
+
 def get_spark(
     app_name: str = "naive-query-engine-spark",
     master: str | None = None,
@@ -73,15 +108,21 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = {**DEFAULT_CONF, **(extra_conf or {})}
-    # Append (never clobber) driver JVM options already set via
-    # SPARK_SUBMIT_OPTS-style env or spark-defaults.conf (ADVICE r10 #4):
-    # a user's -Xmx / GC flags survive, and our code-cache flags still
-    # apply because later -XX options win on conflict.
+    # Append (never clobber) driver JVM options a user already set, from
+    # either source Spark itself would honour (ADVICE r10 #4, r11 #1):
+    # the SPARK_DRIVER_EXTRA_JAVA_OPTIONS env var AND the
+    # spark.driver.extraJavaOptions line in spark-defaults.conf.  Their
+    # -Xmx / GC flags survive, and our code-cache flags still apply
+    # because later -XX options win on conflict.
     jvm_key = "spark.driver.extraJavaOptions"
     if jvm_key in conf:
-        pre = os.environ.get("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", "").strip()
-        if pre and pre not in conf[jvm_key]:
-            conf[jvm_key] = f"{pre} {conf[jvm_key]}"
+        pres = [
+            os.environ.get("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", "").strip(),
+            _spark_defaults_value(jvm_key).strip(),
+        ]
+        for pre in pres:
+            if pre and pre not in conf[jvm_key]:
+                conf[jvm_key] = f"{pre} {conf[jvm_key]}"
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

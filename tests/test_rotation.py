@@ -74,7 +74,10 @@ def test_resample_slots_are_deterministic_oldest_first():
     if outside and a:
         max_inside = max(LAST_SAMPLED.get(n, 0) for n in a)
         min_outside = min(LAST_SAMPLED.get(n, 0) for n in outside)
-        assert max_inside <= min_outside + 1  # ties broken by name
+        # resample_names sorts by (round, name), so even a boundary round
+        # split by name keeps max_inside == min_outside; any strict
+        # inversion is a real staleness bug (ADVICE r11 #3)
+        assert max_inside <= min_outside
 
 
 def test_rotation_has_no_duplicates():
