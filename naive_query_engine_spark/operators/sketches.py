@@ -1070,10 +1070,10 @@ def streaming_countmin_sink_equivalence(
             "cm_est",
             (F.col("cm_est") - F.col("true_cnt")).cast("long").alias("overcount"),
         )
-        # materialize off the temp sketch dir before it is removed
-        rows = out.collect()  # one row per distinct user — bounded
-        return spark.createDataFrame(
-            rows, "user_id long, true_cnt long, cm_est long, overcount long"
-        )
+        # materialize off the temp sketch dir before `finally` removes
+        # it — localCheckpoint keeps the partitions executor-side, so
+        # the per-distinct-user report never funnels through the driver
+        # (VERDICT r11 #2)
+        return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
