@@ -1143,3 +1143,120 @@ def streaming_absence_timeout_equivalence(
         return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_cep_alerts_equivalence",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, p.name AS pattern
+    FROM seq CROSS JOIN (VALUES
+      ('browse_to_buy', 'v.*c.*p'), ('impulse_buy', 'vp'),
+      ('error_before_buy', 'e.*p'), ('signup_first', '^s')
+    ) AS p(name, pat)
+    WHERE regexp_matches(s, p.pat)
+    """,
+    tags=("streaming", "events", "cep", "pattern", "stateful"),
+)
+def streaming_cep_alerts_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSITIVE-sequence CEP under external verification (VERDICT r11
+    #3 — the last streaming surface without a driver row): the
+    `streaming.cep_pattern_alerts` operator (per-user symbol history in
+    an applyInPandasWithState state store, regex re-match on every
+    update, LATEST-WINS versioned emission) run through the REAL
+    Structured Streaming engine over mod-split micro-batch files,
+    hash-checked against the batch sequence-pattern rule.
+
+    The mod-3 split (event_id % 3, NOT time-ordered) is deliberate:
+    events arrive OUT OF EVENT-TIME ORDER across micro-batches, so the
+    row only stays green while the operator's re-sort-then-rematch
+    contract holds for arbitrary interleavings — the non-monotone
+    anchored/adjacency patterns (`^s`, `vp`) are exactly the ones a
+    fire-once design gets wrong under disorder (see the operator's
+    docstring).  The oracle is the batch `events_sequence_patterns`
+    per-user match rule re-shaped to (user, pattern) rows; no
+    streaming term appears in it because latest-wins over ALL arrivals
+    IS the batch answer.
+
+    No driver-side fold (VERDICT r11 #2 applied from birth): update-mode
+    emissions land in a per-batch parquet sink via foreachBatch; the
+    max-version row set per user is a Spark window over the sink; the
+    sentinel NULL pattern rows (which keep superseded match sets
+    visible) are filtered Spark-side.
+
+    Scale shape: state per user is their symbol history (bounded by the
+    same watermark horizon a production deployment would add); each
+    micro-batch is one key exchange of the batch; the sink holds one
+    row set per touched (user, batch) — never collected.
+
+    Reference basis: extends §2.8 (no streams, no state store, no
+    pattern matching in the reference; the funnel family
+    src/physical_plan/aggregate/mod.rs:30-235 is one-shot batch)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..streaming import cep_pattern_alerts
+
+    ev = t(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    root = _tempfile.mkdtemp(prefix="nqes_stream_cep_")
+    try:
+        src_dir = _os.path.join(root, "arrivals")
+        for i in range(3):
+            d = _os.path.join(src_dir, f"b{i}")
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(d)
+            # deterministic FileStreamSource order (mod-time stamped);
+            # the latest-wins contract is interleaving-invariant anyway
+            for name in _os.listdir(d):
+                _os.utime(
+                    _os.path.join(d, name), (1_700_000_000 + i * 10,) * 2
+                )
+        sink_dir = _os.path.join(root, "emsink")
+
+        def tick(batch_df: DataFrame, _bid: int) -> None:
+            batch_df.write.mode("append").parquet(sink_dir)
+
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_id long, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(src_dir, "b*"))
+        )
+        q = (
+            cep_pattern_alerts(stream)
+            .writeStream.foreachBatch(tick)
+            .outputMode("update")
+            .option("checkpointLocation", _os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("cep stream did not terminate")
+        em = spark.read.schema(
+            "user_id long, version long, pattern string"
+        ).parquet(sink_dir)
+        # LATEST-WINS consumer contract: the max-version row set per
+        # user is the current match set; drop the sentinel NULL rows
+        w = Window.partitionBy("user_id")
+        out = (
+            em.withColumn("_vmax", F.max("version").over(w))
+            .filter(
+                (F.col("version") == F.col("_vmax"))
+                & F.col("pattern").isNotNull()
+            )
+            .select("user_id", "pattern")
+        )
+        # materialize off the temp sink dir before `finally` removes it
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

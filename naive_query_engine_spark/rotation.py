@@ -767,6 +767,13 @@ ROTATION: tuple[str, ...] = (
     # detector with a sentinel flush batch so every view is decided —
     # oracle = the batch next-purchase frame rule, no watermark term
     "streaming_absence_timeout_equivalence",
+    # --- r12-created (maintenance mode: displaces one oldest-first
+    # resample slot) ---
+    # POSITIVE-sequence CEP through the real engine (VERDICT r11 #3 —
+    # the last streaming surface without a driver row): mod-split
+    # out-of-order micro-batches, latest-wins versioned emissions to a
+    # per-batch parquet sink, oracle = the batch sequence-pattern rule
+    "streaming_cep_alerts_equivalence",
 )
 
 #: actual resample slots this round: the window minus sentinels minus the
