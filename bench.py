@@ -321,20 +321,19 @@ BASELINES = {
 #: (VERDICT r10 #5): the r9 three (tick / ivfpq / admit-gate) — first
 #: reads BENCH_r09 (2.59/1.77/1.05 raw), confirming reads BENCH_r10
 #: (3.5/2.6/1.2 raw inside the load-decaying 1.19×-established window;
-#: in-context mins that round read 1.01/0.96/0.88 normalized).  Still
-#: fresh: the two r10 registrations — growk (0.95 baseline, two
-#: post-code-cache-fix reads) and kcenter (1.91, SINGLE-read baseline,
-#: PROVISIONAL per ADVICE r11 — needs 2+ post-fix confirming reads
-#: before its first graduation review).  dedup_containment's 1.30
-#: re-calibration is likewise provisional (solo-quiet floor, never a
-#: full-artifact confirming pair) — the r11 re-baseline sweep is its
-#: confirmation venue; it stays in ESTABLISHED (it has 6 rounds of
-#: artifact history) but flag any sweep read ≤1.10 as evidence the
-#: baseline should come back down.
-FRESH_ROTATION: list[str] = [
-    "dedup_ingest_admit_gate_growk",
-    "embedding_kcenter_coreset",
-]
+#: in-context mins that round read 1.01/0.96/0.88 normalized).
+#: GRADUATED r12 (VERDICT r11 #4): the r10 two — growk (0.95 baseline;
+#: BENCH_r11 confirming read 0.85 raw = 0.90 normalized inside the
+#: 0.992× run, third consistent post-code-cache-fix read) and kcenter
+#: (1.91 single-read baseline; BENCH_r11 confirming read 1.73 raw =
+#: 0.90 normalized on run 5, the day-floor run).  dedup_containment's
+#: 1.30 re-calibration CONFIRMED r12 (VERDICT r11 #4/ADVICE r10): the
+#: r12 full-artifact read was 1.752 inside a 1.089× run (normalized
+#: 1.61); the same-day solo min-of-3 read 1.71 with a q09 drift
+#: sentinel at 1.23× in the SAME session → drift-normalized 1.39 ≈
+#: 1.07× the 1.30 baseline.  Nowhere near the old 1.004 — 1.30 is
+#: real; no provisional baselines remain.
+FRESH_ROTATION: list[str] = []
 ESTABLISHED = [q for q in BASELINES if q not in FRESH_ROTATION]
 
 

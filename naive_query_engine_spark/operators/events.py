@@ -1260,3 +1260,142 @@ def streaming_cep_alerts_equivalence(
         return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_sessionize_equivalence",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "events", "session", "watermark", "stateful"),
+)
+def streaming_sessionize_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native WATERMARKED SESSION-WINDOW aggregation through the real
+    Structured Streaming engine — the one streaming shape the r11/r12
+    equivalence rows had not yet externally verified: the engine's OWN
+    stateful windowed aggregation with session MERGING in the state
+    store (the prior rows cover foreachBatch closure folds, a stateless
+    partial-merge sink, applyInPandasWithState, event-time timers, and
+    regex CEP — all CUSTOM state; this one is the built-in
+    `session_window` operator `streaming.sessionized` wires up).
+
+    Determinism comes from the absence row's recipe: events arrive in
+    three event-time-ordered tertile files (every batch-k timestamp ≤
+    every batch-k+1 timestamp, so the 2-hour watermark never drops a
+    row), then a sentinel flush file with one far-future event advances
+    the watermark past every real session's close so append mode emits
+    ALL of them exactly once; the sentinel's own session stays pending
+    in the state store and is never emitted.  A state store that lost a
+    pending session across micro-batches, failed to MERGE two session
+    fragments the tertile boundary split (a user active across the
+    boundary), or emitted a session before its gap truly closed would
+    diverge from the batch rule.  The oracle is the batch
+    `events_sessionize` gap rule verbatim (n_events only — value sums
+    add nothing to the state-machinery claim).
+
+    Scale shape: session state is partitioned by the session key like
+    any shuffle and bounded by the watermark horizon; each micro-batch
+    exchanges only the batch.  Emissions go straight to a parquet sink
+    (append mode, exactly-once) — nothing corpus-scaled touches the
+    driver (VERDICT r11 #2 applied from birth).
+
+    Reference basis: extends §2.8 (the reference has no windows, no
+    watermarks, no state store; its aggregate machinery
+    src/physical_plan/aggregate/mod.rs:30-235 is one-shot batch)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..streaming import sessionized
+
+    ev = t(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    tiled = ev.withColumn(
+        "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1 row
+    root = _tempfile.mkdtemp(prefix="nqes_stream_sess_")
+    try:
+        src_dir = _os.path.join(root, "arrivals")
+        for i in (1, 2, 3):
+            d = _os.path.join(src_dir, f"b{i}")
+            tiled.filter(F.col("_tile") == i).drop("_tile").coalesce(
+                1
+            ).write.parquet(d)
+            for name in _os.listdir(d):
+                _os.utime(
+                    _os.path.join(d, name), (1_700_000_000 + i * 10,) * 2
+                )
+        flush = spark.createDataFrame(
+            [(max_ts, -1, -1, "flush")],
+            "ts timestamp, event_id long, user_id long, event_type string",
+        ).select(
+            (F.col("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            "event_id",
+            "user_id",
+            "event_type",
+        )
+        d = _os.path.join(src_dir, "b4")
+        flush.coalesce(1).write.parquet(d)
+        for name in _os.listdir(d):
+            _os.utime(_os.path.join(d, name), (1_700_000_000 + 40,) * 2)
+
+        sink_dir = _os.path.join(root, "emsink")
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_id long, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(src_dir, "b*"))
+        )
+        q = (
+            sessionized(stream)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", _os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("sessionize stream did not terminate")
+        out = (
+            spark.read.schema(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events long"
+            )
+            .parquet(sink_dir)
+            .filter(F.col("user_id") >= 0)  # belt: sentinel never emits
+            .select(
+                "user_id",
+                F.date_format("session_start", TS_FMT).alias("session_start"),
+                F.date_format("session_end", TS_FMT).alias("session_end"),
+                "n_events",
+            )
+        )
+        # materialize off the temp sink dir before `finally` removes it
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

@@ -774,6 +774,11 @@ ROTATION: tuple[str, ...] = (
     # out-of-order micro-batches, latest-wins versioned emissions to a
     # per-batch parquet sink, oracle = the batch sequence-pattern rule
     "streaming_cep_alerts_equivalence",
+    # the engine's BUILT-IN watermarked session_window aggregation with
+    # state-store session merging (every prior streaming row verified
+    # CUSTOM state; this is the native stateful operator), sentinel
+    # flush so append mode emits every real session exactly once
+    "streaming_sessionize_equivalence",
 )
 
 #: actual resample slots this round: the window minus sentinels minus the
