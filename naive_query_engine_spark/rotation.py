@@ -779,6 +779,15 @@ ROTATION: tuple[str, ...] = (
     # CUSTOM state; this is the native stateful operator), sentinel
     # flush so append mode emits every real session exactly once
     "streaming_sessionize_equivalence",
+    # watermarked stream-stream interval join (dual join state, eager
+    # inner-join emission, watermark eviction) vs the batch interval
+    # join; with this row every BUILT-IN stateful streaming operator
+    # class has an external row
+    "streaming_stream_join_equivalence",
+    # dropDuplicatesWithinWatermark with manufactured cross-batch
+    # duplicates (each tertile re-arrives in the next micro-batch);
+    # expected output is exactly the corpus
+    "streaming_dedup_equivalence",
 )
 
 #: actual resample slots this round: the window minus sentinels minus the
