@@ -17,6 +17,34 @@ from ..queries import dec, query, t
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+class _clamped_shuffle:
+    """Clamp ``spark.sql.shuffle.partitions`` for a streaming harness
+    and restore it on exit.
+
+    Stateful streaming stages run at the session's shuffle-partition
+    count PER MICRO-BATCH (pinned at query start by the checkpoint), so
+    a bare 200-partition driver session spends the equivalence rows'
+    time scheduling near-empty state-store tasks — 93 s → 33 s for the
+    stream-stream join at sf0.01.  On a real cluster this knob is sized
+    to key cardinality, not left at default; clamping inside the
+    harness (and restoring after) models that without touching the
+    caller's session."""
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int = 32) -> None:
+        self._spark = spark
+        self._n = n
+        self._prev: str | None = None
+
+    def __enter__(self) -> None:
+        self._prev = self._spark.conf.get(self.KEY)
+        self._spark.conf.set(self.KEY, str(self._n))
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set(self.KEY, self._prev)
+
+
 @query(
     "events_tumbling_window",
     oracle="""
@@ -986,16 +1014,17 @@ def streaming_state_totals_equivalence(
                 "append"
             ).parquet(sink_dir)
 
-        q = (
-            totals.writeStream.foreachBatch(tick)
-            .outputMode("update")
-            .option("checkpointLocation", _os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("state-totals stream did not terminate")
+        with _clamped_shuffle(spark):
+            q = (
+                totals.writeStream.foreachBatch(tick)
+                .outputMode("update")
+                .option("checkpointLocation", _os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("state-totals stream did not terminate")
         em = spark.read.schema(
             "user_id long, n_events long, total_qv long, _bid long"
         ).parquet(sink_dir)
@@ -1125,17 +1154,18 @@ def streaming_absence_timeout_equivalence(
             .option("maxFilesPerTrigger", 1)
             .parquet(_os.path.join(src_dir, "b*"))
         )
-        q = (
-            absence_timeouts(stream)
-            .writeStream.foreachBatch(tick)
-            .outputMode("append")
-            .option("checkpointLocation", _os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("absence stream did not terminate")
+        with _clamped_shuffle(spark):
+            q = (
+                absence_timeouts(stream)
+                .writeStream.foreachBatch(tick)
+                .outputMode("append")
+                .option("checkpointLocation", _os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("absence stream did not terminate")
         out = spark.read.schema(
             "view_event_id long, user_id long, view_ts_us long, outcome string"
         ).parquet(sink_dir)
@@ -1231,17 +1261,18 @@ def streaming_cep_alerts_equivalence(
             .option("maxFilesPerTrigger", 1)
             .parquet(_os.path.join(src_dir, "b*"))
         )
-        q = (
-            cep_pattern_alerts(stream)
-            .writeStream.foreachBatch(tick)
-            .outputMode("update")
-            .option("checkpointLocation", _os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("cep stream did not terminate")
+        with _clamped_shuffle(spark):
+            q = (
+                cep_pattern_alerts(stream)
+                .writeStream.foreachBatch(tick)
+                .outputMode("update")
+                .option("checkpointLocation", _os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("cep stream did not terminate")
         em = spark.read.schema(
             "user_id long, version long, pattern string"
         ).parquet(sink_dir)
@@ -1369,18 +1400,19 @@ def streaming_sessionize_equivalence(
             .option("maxFilesPerTrigger", 1)
             .parquet(_os.path.join(src_dir, "b*"))
         )
-        q = (
-            sessionized(stream)
-            .writeStream.format("parquet")
-            .option("path", sink_dir)
-            .option("checkpointLocation", _os.path.join(root, "ckpt"))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("sessionize stream did not terminate")
+        with _clamped_shuffle(spark):
+            q = (
+                sessionized(stream)
+                .writeStream.format("parquet")
+                .option("path", sink_dir)
+                .option("checkpointLocation", _os.path.join(root, "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("sessionize stream did not terminate")
         out = (
             spark.read.schema(
                 "user_id long, session_start timestamp, "
@@ -1486,17 +1518,9 @@ def streaming_stream_join_equivalence(
             )
 
         sink_dir = _os.path.join(root, "emsink")
-        # A stream-stream join runs ~5 stateful stages per micro-batch,
-        # each at spark.sql.shuffle.partitions state-store partitions —
-        # in a bare 200-partition session that is thousands of near-empty
-        # state tasks for a tiny equivalence corpus.  Clamp the stream's
-        # state partitioning (pinned at query START by the checkpoint)
-        # and restore the session conf after; on a real cluster this
-        # knob is sized to the key cardinality, not left at default.
-        shuffle_key = "spark.sql.shuffle.partitions"
-        prev_shuffle = spark.conf.get(shuffle_key)
-        spark.conf.set(shuffle_key, "32")
-        try:
+        # A stream-stream join runs ~5 stateful stages per micro-batch —
+        # the clamp matters most here (93 s → 33 s at sf0.01 bare)
+        with _clamped_shuffle(spark):
             q = (
                 purchases_after_clicks(src(), src())
                 .select(
@@ -1516,8 +1540,6 @@ def streaming_stream_join_equivalence(
             if not q.awaitTermination(600):
                 q.stop()
                 raise RuntimeError("stream-stream join did not terminate")
-        finally:
-            spark.conf.set(shuffle_key, prev_shuffle)
         out = spark.read.schema(
             "p_user long, purchase_id long, click_id long, "
             "purchase_ts_us long, click_ts_us long"
@@ -1604,12 +1626,7 @@ def streaming_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(_os.path.join(src_dir, "b*"))
         )
-        # clamp state-store partitioning for the 6 micro-batches (same
-        # rationale as streaming_stream_join_equivalence); restored after
-        shuffle_key = "spark.sql.shuffle.partitions"
-        prev_shuffle = spark.conf.get(shuffle_key)
-        spark.conf.set(shuffle_key, "32")
-        try:
+        with _clamped_shuffle(spark):
             q = (
                 deduplicated(stream, keys=["event_id"])
                 .select(
@@ -1628,8 +1645,6 @@ def streaming_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not q.awaitTermination(600):
                 q.stop()
                 raise RuntimeError("dedup stream did not terminate")
-        finally:
-            spark.conf.set(shuffle_key, prev_shuffle)
         out = spark.read.schema(
             "event_id long, user_id long, ts_us long, event_type string"
         ).parquet(sink_dir)
