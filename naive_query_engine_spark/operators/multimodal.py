@@ -2127,3 +2127,105 @@ def multimodal_tar_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, member_idx long, name string, size long,"
         " data_offset long",
     )
+
+
+# ---------------------------------------------------------------------------
+# audio clipping / silence / DC-offset QA — the recording-level health
+# report that decides whether a clip is worth sending to ASR at all
+# (hard-clipped or near-silent audio wastes transcription compute and
+# poisons loudness normalization).
+
+#: |sample| below this int16 magnitude counts as silence (~3% of full
+#: scale — the conventional -30 dBFS-ish floor, kept integer-exact)
+PCM_SILENCE_ABS = 1024
+
+
+def pcm_clipping_kernel():
+    """mapInPandas kernel: decode int16 LE PCM and reduce each recording
+    to its QA stats — total samples, FULL-SCALE samples (32767 / -32768:
+    the two's-complement rails a hard-clipped ADC parks on), sub-floor
+    silence samples, exact peak |amplitude| and exact DC sum (Σs — the
+    numerator of the mean offset, kept integer so the oracle matches
+    bit-for-bit).  Closure → pickles by value; constants are literals
+    for the same reason as the energy kernel's 256."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            ids, ns, clip, sil, peak, dc = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                s = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").astype(
+                    np.int64
+                )
+                a = np.abs(s)
+                ids.append(doc_id)
+                ns.append(len(s))
+                clip.append(int(((s == 32767) | (s == -32768)).sum()))
+                sil.append(int((a < 1024).sum()))
+                peak.append(int(a.max()) if len(s) else 0)
+                dc.append(int(s.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": ns,
+                    "n_clipped": clip,
+                    "n_silence": sil,
+                    "peak_abs": peak,
+                    "dc_sum": dc,
+                }
+            )
+
+    return extract
+
+
+@query(
+    "multimodal_audio_clipping_qa",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, 512 + doc_id % 512 AS n FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, ((doc_id * 7 + i * 13) % 65536) - 32768 AS s
+      FROM docs, UNNEST(range(0, n)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+           CAST(SUM(CASE WHEN ABS(s) < {PCM_SILENCE_ABS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_silence,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           CAST(SUM(s) AS BIGINT) AS dc_sum
+    FROM samples
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "quality", "pandas-udf", "pipeline"),
+)
+def multimodal_audio_clipping_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recording-level audio QA over raw int16 PCM: clipping census
+    (samples parked on the ±full-scale rails), silence census
+    (|s| < 1024 = ``PCM_SILENCE_ABS``), exact peak amplitude and DC sum —
+    the four numbers a speech-data pipeline gates on BEFORE paying for
+    VAD/ASR (``multimodal_audio_vad_segments`` is the step after this
+    one).  Payloads are the same deterministic int16 waveform the
+    frame-energy query synthesizes (512..1023 samples/doc); the Arrow
+    kernel decodes with ``np.frombuffer`` and reduces each recording to
+    one row.  The oracle recomputes the waveform arithmetic directly —
+    agreement proves encode → decode → integer reductions end-to-end.
+
+    Scale shape: map-only, one row out per recording, no shuffle
+    anywhere (the per-doc reduction happens INSIDE the kernel); at
+    100 TB the decode cost dominates and scales linearly with audio
+    bytes, exactly as it must."""
+    d = spread(t(spark, sf_dir, "documents"))
+    n = (F.lit(512) + F.col("doc_id") % 512).cast("long")
+    payloads = d.select(
+        "doc_id", make_pcm_payload(F.col("doc_id"), n).alias("payload")
+    )
+    return payloads.mapInPandas(
+        pcm_clipping_kernel(),
+        "doc_id long, n_samples long, n_clipped long,"
+        " n_silence long, peak_abs long, dc_sum long",
+    )

@@ -1595,3 +1595,174 @@ def dataset_packing_fragmentation_sweep(
             "split_ratio",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax epoch-capped mixture (Chung et al. 2023): the budget-allocation
+# rule that replaced temperature sampling for multilingual pretraining —
+# spread the token budget as UNIFORMLY as possible across languages, but
+# never take more than ``max_epochs`` passes over any language's data.
+# Low-resource languages saturate at their cap (bounding repetition /
+# memorization risk); the leftover budget re-spreads over the rest.
+
+#: repeat cap: at most this many epochs over any one language's tokens
+UNIMAX_MAX_EPOCHS = 2
+#: budget = (3 · total corpus tokens) / 2 — chosen so this corpus's lang
+#: distribution yields BOTH saturated and unsaturated languages at every
+#: test SF (verified at landing; an all-saturated or all-equal outcome
+#: would leave the waterfilling untested)
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 3, 2
+
+_UNIMAX_TOK_SQL = (
+    "LENGTH(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\r\\f]+'))"
+)
+
+
+@query(
+    "dataset_unimax_mixture",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({_UNIMAX_TOK_SQL}) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang
+    ),
+    capd AS (
+      SELECT *, CAST({UNIMAX_MAX_EPOCHS} * lang_tokens AS BIGINT) AS cap_tokens
+      FROM per
+    ),
+    st1 AS (
+      SELECT *,
+        CAST(SUM(lang_tokens) OVER () AS BIGINT) AS total_tokens,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n_langs,
+        CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS rk,
+        CAST(COALESCE(SUM(cap_tokens) OVER (
+          ORDER BY cap_tokens, lang
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cap_prefix
+      FROM capd
+    ),
+    st2 AS (
+      SELECT *,
+        ({UNIMAX_BUDGET_NUM} * total_tokens) // {UNIMAX_BUDGET_DEN} AS budget,
+        cap_tokens * (n_langs - rk + 1)
+          <= ({UNIMAX_BUDGET_NUM} * total_tokens) // {UNIMAX_BUDGET_DEN}
+             - cap_prefix AS saturated
+      FROM st1
+    ),
+    st3 AS (
+      SELECT *,
+        CAST(COALESCE(SUM(CASE WHEN saturated THEN cap_tokens END)
+                      OVER (), 0) AS BIGINT) AS sat_sum,
+        CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS BIGINT)
+          AS n_sat
+      FROM st2
+    ),
+    fin AS (
+      SELECT lang, n_docs, lang_tokens, cap_tokens,
+        CASE WHEN saturated THEN cap_tokens
+             ELSE (budget - sat_sum) // (n_langs - n_sat)
+                  + CASE WHEN rk - n_sat
+                           <= (budget - sat_sum) % (n_langs - n_sat)
+                         THEN 1 ELSE 0 END
+        END AS alloc_tokens
+      FROM st3
+    )
+    SELECT lang, n_docs, lang_tokens, cap_tokens,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(alloc_tokens * 1000000 // lang_tokens AS BIGINT) AS epochs_ppm
+    FROM fin
+    """,
+    tags=("dataset", "mixture", "sampling", "unimax", "pipeline"),
+)
+def dataset_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a token budget B = 1.5× the corpus as equally
+    as possible across languages subject to an epoch cap of
+    ``UNIMAX_MAX_EPOCHS`` passes over any language — the waterfilling
+    alloc_i = min(cap_i, θ) with θ chosen so Σ alloc = B.  Languages
+    whose full cap fits their equal share SATURATE (their repetition
+    stops at the cap); the spare budget re-spreads uniformly over the
+    rest.  All arithmetic is exact integer: the saturation test uses
+    the multiply form ``cap·(remaining langs) ≤ remaining budget``
+    (monotone down the ascending-cap order, so the saturated set is a
+    prefix — no fixed point iteration needed), θ is an integer
+    division, and the ≤(n-1)-token rounding remainder goes one token
+    apiece to the first ``r`` unsaturated languages in the same
+    deterministic (cap, lang) order.  Output per language: raw tokens,
+    cap, allocation, and achieved epochs in ppm (alloc/tokens ×10⁶).
+
+    Scale shape: one map-side-combined agg over the corpus (the token
+    count), then every window runs on the LANGUAGE-cardinality frame —
+    5 rows here, a few hundred at web scale — so the planning math is
+    free no matter the corpus size."""
+    from .text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("lang_tokens"),
+        )
+        .withColumn(
+            "cap_tokens",
+            (F.lit(UNIMAX_MAX_EPOCHS) * F.col("lang_tokens")).cast("long"),
+        )
+    )
+    wall = Window.partitionBy()
+    worder = Window.partitionBy().orderBy("cap_tokens", "lang")
+    wprefix = worder.rowsBetween(Window.unboundedPreceding, -1)
+    st1 = per.select(
+        "*",
+        F.sum("lang_tokens").over(wall).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_langs"),
+        F.row_number().over(worder).cast("long").alias("rk"),
+        F.coalesce(F.sum("cap_tokens").over(wprefix), F.lit(0))
+        .cast("long")
+        .alias("cap_prefix"),
+    )
+    st2 = st1.withColumn(
+        "budget",
+        floordiv_col(
+            F.lit(UNIMAX_BUDGET_NUM) * F.col("total_tokens"),
+            F.lit(UNIMAX_BUDGET_DEN),
+        ),
+    ).withColumn(
+        "saturated",
+        F.col("cap_tokens") * (F.col("n_langs") - F.col("rk") + 1)
+        <= F.col("budget") - F.col("cap_prefix"),
+    )
+    st3 = st2.select(
+        "*",
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("cap_tokens"))).over(wall),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sat_sum"),
+        F.sum(F.col("saturated").cast("long")).over(wall)
+        .cast("long")
+        .alias("n_sat"),
+    )
+    n_unsat = F.col("n_langs") - F.col("n_sat")
+    spare = F.col("budget") - F.col("sat_sum")
+    alloc = (
+        F.when(F.col("saturated"), F.col("cap_tokens"))
+        .otherwise(
+            floordiv_col(spare, n_unsat)
+            + F.when(F.col("rk") - F.col("n_sat") <= spare % n_unsat, 1)
+            .otherwise(0)
+        )
+        .cast("long")
+    )
+    return st3.select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        "cap_tokens",
+        alloc.alias("alloc_tokens"),
+        floordiv_col(alloc * 1_000_000, F.col("lang_tokens")).alias(
+            "epochs_ppm"
+        ),
+    )

@@ -1077,3 +1077,181 @@ def streaming_countmin_sink_equivalence(
         return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter ingest prefilter — where the sketch family meets the
+# incremental-dedup family: a kilobyte-state membership screen that lets
+# most NOVEL arrivals skip the (shuffle-heavy) shingle-index probe
+# entirely.  Bloom guarantees no false negatives, so "zero bloom hits"
+# is a safe fast-admit; the measured false-positive rate prices the
+# wasted index probes the filter fails to save.
+
+#: Bloom geometry: m = 2^16 bits packed into 32-bit words (BIGINT-safe
+#: shift algebra on BOTH engines — 1 << 31 stays positive), k = 3 hash
+#: functions taken as independent 16-bit slices of md5(shingle).  At
+#: these test scales n/m keeps the textbook FPR ≈ (1-e^{-kn/m})^k in
+#: the few-percent band — large enough that false positives actually
+#: occur and the measurement arm is non-vacuous.
+BLOOM_BITS = 65536
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+#: 1-indexed hex offsets of the three 4-hex-digit (16-bit) md5 slices
+BLOOM_HASH_STARTS = (1, 5, 9)
+
+
+def _bloom_hash_cols(g):
+    """k=3 Column ints in [0, 65536): 16-bit md5 slices of the shingle."""
+    h = F.md5(g)
+    return [
+        F.conv(F.substring(h, s, 4), 16, 10).cast("long")
+        for s in BLOOM_HASH_STARTS
+    ]
+
+
+def _bloom_hash_sql(col: str, start: int) -> str:
+    """DuckDB expr: int value of the 4-hex-digit md5 slice at ``start``
+    (nibble-by-nibble strpos lookup — DuckDB has no hex→int cast)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {start + j}, 1)) - 1)"
+        f" * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    return f"({terms})"
+
+
+def _bloom_prefilter_oracle() -> str:
+    from .shingles_sql import SHINGLES_SQL
+
+    probe_hashes = " UNION ALL ".join(
+        f"SELECT doc_id, g, {_bloom_hash_sql('h', s)} AS hv FROM hx"
+        for s in BLOOM_HASH_STARTS
+    )
+    corpus_hashes = " UNION ALL ".join(
+        f"SELECT {_bloom_hash_sql('h', s)} AS hv FROM hcorp"
+        for s in BLOOM_HASH_STARTS
+    )
+    return f"""
+    WITH {SHINGLES_SQL},
+    corpus_g AS (SELECT DISTINCT g FROM shingles WHERE doc_id % 10 <> 0),
+    batch_g  AS (SELECT doc_id, g FROM shingles WHERE doc_id % 10 = 0),
+    hcorp AS (SELECT md5(g) AS h FROM corpus_g),
+    cpos AS ({corpus_hashes}),
+    bloom AS (
+      SELECT hv // {BLOOM_WORD_BITS} AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (hv % {BLOOM_WORD_BITS})) AS bits
+      FROM cpos GROUP BY 1
+    ),
+    hx AS (SELECT doc_id, g, md5(g) AS h FROM batch_g),
+    ppos AS ({probe_hashes}),
+    phit AS (
+      SELECT p.doc_id, p.g,
+             MIN(CASE WHEN ((b.bits >> (p.hv % {BLOOM_WORD_BITS})) & 1) = 1
+                      THEN 1 ELSE 0 END) AS hit
+      FROM ppos p JOIN bloom b ON b.word_idx = p.hv // {BLOOM_WORD_BITS}
+      GROUP BY p.doc_id, p.g
+    ),
+    verdicts AS (
+      SELECT ph.doc_id, ph.hit,
+             CASE WHEN c.g IS NULL THEN 0 ELSE 1 END AS present
+      FROM phit ph LEFT JOIN corpus_g c ON ph.g = c.g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                         AS n_shingles,
+           CAST(SUM(hit) AS BIGINT)                         AS n_maybe,
+           CAST(SUM(present) AS BIGINT)                     AS n_present,
+           CAST(SUM(hit) - SUM(present) AS BIGINT)          AS n_false_pos,
+           SUM(hit) = 0                                     AS novel_fast
+    FROM verdicts
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_bloom_ingest_prefilter",
+    oracle=_bloom_prefilter_oracle(),
+    tags=("sketch", "dedup", "ingest", "prefilter", "bloom"),
+)
+def dedup_bloom_ingest_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter admit prefilter for ingest dedup: build an m=2^16-bit
+    / k=3 Bloom over the CORPUS shingle set (doc_id % 10 != 0), probe
+    every arriving BATCH document's shingles (doc_id % 10 == 0), and
+    report per document how many shingles the filter flags as
+    maybe-present, how many are EXACTLY present, and the gap — the
+    measured false-positive count.  ``novel_fast`` is the production
+    verdict: a document none of whose shingles hit the filter is
+    DEFINITELY novel (Bloom has no false negatives — pinned in
+    tests) and can be admitted without touching the shingle index at
+    all; everything else falls through to the exact probe
+    (``dedup_incremental``), whose wasted fraction is exactly the FPR
+    this query measures.  (The sibling ``join_bloom_prefilter`` /
+    ``sketch_bloom_membership`` rows prune JOIN KEYS with a 4096-bit
+    (seed,pos) relation; this one gates the ingest-dedup INDEX PROBE
+    over the open-ended shingle universe with word-packed bits — a
+    different consumer, geometry and probe algebra.)
+
+    Scale shape: the filter itself is 2,048 rows (8 KiB) —
+    built with one map-side-combined ``bit_or`` pass over corpus
+    shingles, then BROADCAST to the probe join, so the per-batch cost
+    is one Arrow-free map pass over batch shingles plus a tiny
+    hash-join.  The exact-membership arm (batch ⋈ corpus shingles) is
+    the CALIBRATION measurement — production samples it or skips it;
+    the admit path never shuffles the corpus.  Hashes are 16-bit md5
+    slices, identical algebra on both engines (nibble-lookup SQL vs
+    ``conv``), so the bit pattern — not just the counts — is
+    cross-engine exact."""
+    from .dedup import shingle_rows
+
+    docs = t(spark, sf_dir, "documents")
+    corpus_g = (
+        shingle_rows(docs.filter(F.col("doc_id") % 10 != 0))
+        .select("g")
+        .distinct()
+    )
+    batch_g = shingle_rows(docs.filter(F.col("doc_id") % 10 == 0))
+
+    word = lambda h: (h / BLOOM_WORD_BITS).cast("long")  # noqa: E731
+    cpos = corpus_g.select(
+        F.explode(F.array(*_bloom_hash_cols(F.col("g")))).alias("hv")
+    )
+    bloom = (
+        cpos.select(
+            word(F.col("hv")).alias("word_idx"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(hv % {BLOOM_WORD_BITS} as int))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+    ppos = batch_g.select(
+        "doc_id",
+        "g",
+        F.explode(F.array(*_bloom_hash_cols(F.col("g")))).alias("hv"),
+    )
+    phit = (
+        ppos.join(F.broadcast(bloom), word(F.col("hv")) == F.col("word_idx"))
+        .select(
+            "doc_id",
+            "g",
+            F.expr(
+                f"case when (shiftright(bits, cast(hv % {BLOOM_WORD_BITS} as int)) & 1) = 1"
+                " then 1 else 0 end"
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.min("hit").alias("hit"))
+    )
+    verdicts = phit.join(
+        corpus_g.withColumn("present", F.lit(1)), "g", "left"
+    ).select(
+        "doc_id", "hit", F.coalesce(F.col("present"), F.lit(0)).alias("present")
+    )
+    return verdicts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("hit").cast("long").alias("n_maybe"),
+        F.sum("present").cast("long").alias("n_present"),
+        (F.sum("hit") - F.sum("present")).cast("long").alias("n_false_pos"),
+        (F.sum("hit") == 0).alias("novel_fast"),
+    )

@@ -406,6 +406,15 @@ BUDGETS = {
     "dedup_ingest_admit_gate_growk": (4, False),
     # r10: two admit rounds of the same core (the sequential fold)
     "similarity_ivf_maintenance_tick": (8, False),
+    # r12: two shingle distincts + the 2048-word bit_or agg + per-(doc,g)
+    # hit agg + the exact-membership (calibration) join + doc rollup;
+    # the 8 KiB filter relation is the broadcast
+    "dedup_bloom_ingest_prefilter": (8, True),
+    # r12: the corpus token agg + the language-cardinality (~5-row)
+    # single-partition window frame — planning math rides a tiny frame
+    "dataset_unimax_mixture": (2, False),
+    # r12: map-only kernel; the one exchange is the single-split spread
+    "multimodal_audio_clipping_qa": (1, False),
 }
 
 

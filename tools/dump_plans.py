@@ -479,6 +479,21 @@ ANNOTATED = {
     "the strict < boundary), windowed features as probe-pair "
     "differences — one shuffle on user_id, zero fan-out, vs the "
     "oracle's inequality join that explodes on facts x labels per user",
+    "dedup_bloom_ingest_prefilter": "Bloom admit gate: one "
+    "map-side-combined bit_or pass packs corpus shingles into the "
+    "2048-word (8 KiB) filter, which BROADCASTS into the batch probe "
+    "join; the exact-membership arm (the one corpus-sized join) is the "
+    "calibration measurement production samples — the admit path costs "
+    "one map pass per batch regardless of corpus size",
+    "dataset_unimax_mixture": "UniMax waterfilling: one "
+    "map-side-combined token agg over the corpus, then every window "
+    "(rank, cap prefix, saturation census) runs on the "
+    "language-cardinality frame — 5 rows here, a few hundred at web "
+    "scale; all-integer allocation math, budget filled to the token",
+    "multimodal_audio_clipping_qa": "map-only Arrow kernel: decode "
+    "int16 PCM and reduce each recording to one QA row inside the "
+    "kernel — no shuffle after the single-split spread; decode cost "
+    "scales linearly with audio bytes",
 }
 
 
