@@ -2229,3 +2229,166 @@ def multimodal_audio_clipping_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples long, n_clipped long,"
         " n_silence long, peak_abs long, dc_sum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# video scene-cut detection — the video-curation counterpart of the audio
+# VAD segmenter: find shot boundaries from frame-to-frame luma jumps, the
+# primitive behind keyframe selection / per-scene captioning / dedup of
+# re-encoded clips.
+
+#: pixels per (tiny synthetic) frame — an 8x8 grayscale thumbnail, the
+#: same geometry the aHash family uses
+SCENE_FRAME_PIXELS = 64
+#: |Δ(frame luma sum)| above this is a shot boundary.  The synthetic
+#: waveform separates the classes deterministically: intra-scene jitter
+#: moves the 64-pixel sum by <= 64*8 = 512, scene base jumps move it by
+#: >= 97*64 - 512 = 5696 — the 1024 threshold sits in the dead band, so
+#: the detector's output is exact scene recovery, byte-provable
+SCENE_CUT_THRESHOLD = 1024
+
+
+def make_video_payload(doc_id_expr, nf_expr, slen_expr):
+    """Column expr: ``nf`` frames x 64 one-byte pixels with deterministic
+    scenes — pixel(f, p) = base(scene) + jitter(f, p), where
+    base = (doc_id*31 + (f // slen)*97) % 200 (<= 199) and
+    jitter = (f*13 + p*7) % 9 (<= 8), so every byte stays < 256 with no
+    wrap.  Built JVM-side as hex like ``make_pcm_payload``."""
+    from pyspark.sql import functions as F
+
+    def pixel_hex(f, p):
+        scene = F.floor(f.cast("double") / slen_expr.cast("double"))
+        v = (doc_id_expr * 31 + scene * 97) % 200 + (f * 13 + p * 7) % 9
+        return F.lpad(F.conv(v.cast("string"), 10, 16), 2, "0")
+
+    frame_hex = lambda f: F.array_join(  # noqa: E731
+        F.transform(F.sequence(F.lit(0), F.lit(SCENE_FRAME_PIXELS - 1)),
+                    lambda p: pixel_hex(f, p)),
+        "",
+    )
+    return F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (nf_expr - 1).cast("int")), frame_hex
+            ),
+            "",
+        )
+    )
+
+
+def scene_cut_kernel():
+    """mapInPandas kernel: decode uint8 frames, per-frame luma sum, shot
+    boundary where |Δsum| > 1024 (literal = SCENE_CUT_THRESHOLD; closure
+    pickles by value), gaps-and-islands scene lengths via cumsum of the
+    cut indicator.  One row out per video."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            ids, nfs, cuts, longest, dsum = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                nf = len(b) // 64
+                fsum = b[: nf * 64].reshape(nf, 64).sum(axis=1)
+                delta = np.abs(np.diff(fsum))
+                is_cut = delta > 1024
+                scene_id = np.concatenate(([0], np.cumsum(is_cut)))
+                ids.append(doc_id)
+                nfs.append(nf)
+                cuts.append(int(is_cut.sum()))
+                longest.append(int(np.bincount(scene_id).max()) if nf else 0)
+                dsum.append(int(delta.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfs,
+                    "n_cuts": cuts,
+                    "longest_scene_frames": longest,
+                    "delta_sum": dsum,
+                }
+            )
+
+    return extract
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, 12 + doc_id % 13 AS nf, 3 + doc_id % 4 AS slen
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, f,
+             SUM((doc_id * 31 + (f // slen) * 97) % 200
+                 + (f * 13 + p * 7) % 9) AS fsum
+      FROM docs,
+           UNNEST(range(0, nf)) AS uf(f),
+           UNNEST(range(0, {SCENE_FRAME_PIXELS})) AS up(p)
+      GROUP BY doc_id, f
+    ),
+    d AS (
+      SELECT doc_id, f, fsum,
+             COALESCE(ABS(fsum - LAG(fsum) OVER (PARTITION BY doc_id ORDER BY f)), 0) AS delta
+      FROM px
+    ),
+    cuts AS (
+      SELECT doc_id, f, delta,
+             CASE WHEN delta > {SCENE_CUT_THRESHOLD} THEN 1 ELSE 0 END AS is_cut
+      FROM d
+    ),
+    scenes AS (
+      SELECT doc_id, f,
+             SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                               ROWS UNBOUNDED PRECEDING) AS scene_id
+      FROM cuts
+    ),
+    slens AS (
+      SELECT doc_id, scene_id, COUNT(*) AS len FROM scenes GROUP BY 1, 2
+    )
+    SELECT c.doc_id,
+           CAST(MAX(dd.nf) AS BIGINT)  AS n_frames,
+           CAST(SUM(c.is_cut) AS BIGINT) AS n_cuts,
+           CAST(MAX(s.max_len) AS BIGINT) AS longest_scene_frames,
+           CAST(SUM(c.delta) AS BIGINT)  AS delta_sum
+    FROM cuts c
+    JOIN docs dd ON dd.doc_id = c.doc_id
+    JOIN (SELECT doc_id, MAX(len) AS max_len FROM slens GROUP BY 1) s
+      ON s.doc_id = c.doc_id
+    GROUP BY c.doc_id
+    """,
+    tags=("multimodal", "video", "feature-extraction", "pandas-udf", "pipeline"),
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video SCENE-CUT detection over raw frame bytes — the shot-boundary
+    primitive behind keyframe selection, per-scene captioning and
+    re-encode dedup: per-frame luma sums, a shot boundary wherever the
+    frame-to-frame jump exceeds ``SCENE_CUT_THRESHOLD``, scene lengths
+    via gaps-and-islands on the cut indicator.  Payloads are synthesized
+    JVM-side with deterministic scenes (12..24 frames of 8×8 pixels,
+    scene length 3..6 per video; intra-scene jitter and inter-scene base
+    jumps are separated by construction, so the detector provably
+    recovers the planted scene structure).  The Arrow kernel decodes
+    with ``np.frombuffer``/reshape and reduces each video to one QA row;
+    the oracle recomputes the pixel arithmetic directly — agreement
+    proves byte encode → decode → framed reduction → islands end-to-end.
+
+    Scale shape: map-only, one row per video, the per-frame fan-out and
+    the islands both live INSIDE the kernel; at 100 TB the decode cost
+    scales with video bytes and nothing shuffles.  Real codecs slot in
+    exactly here (the PIL-gated ``decode_image`` pattern): the kernel
+    signature, batch shape and downstream schema are the production
+    ones."""
+    d = spread(t(spark, sf_dir, "documents"))
+    nf = (F.lit(12) + F.col("doc_id") % 13).cast("long")
+    slen = (F.lit(3) + F.col("doc_id") % 4).cast("long")
+    payloads = d.select(
+        "doc_id",
+        make_video_payload(F.col("doc_id"), nf, slen).alias("payload"),
+    )
+    return payloads.mapInPandas(
+        scene_cut_kernel(),
+        "doc_id long, n_frames long, n_cuts long,"
+        " longest_scene_frames long, delta_sum long",
+    )

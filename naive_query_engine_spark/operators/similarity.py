@@ -2367,3 +2367,359 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "pick_order long, vec_id long, dist2 long"
     )
+
+
+# ---------------------------------------------------------------------------
+# graph-based ANN (the NSW/HNSW family shape): beam search over a bounded-
+# degree neighbor graph.  Completes the ANN line-up — brute force (exact),
+# LSH buckets (hash), IVF/PQ (quantizer cells), and now a NAVIGABLE GRAPH:
+# serving cost is hops × beam × degree vertex scorings, independent of
+# corpus size, and the graph build is bucket-bounded (never all-pairs).
+
+#: sign bits per hash family (two families over disjoint leading dims —
+#: single-family graphs are 2^bits disconnected cliques; the second
+#: family's edges bridge buckets, the multi-hash-table LSH idea applied
+#: to graph construction)
+GRAPH_SIGN_BITS = 4
+#: out-degree kept per node PER FAMILY (top-E by exact cosine in-bucket)
+GRAPH_DEGREE = 4
+#: beam width B (>= TOP_K so the final beam can hold a full result set)
+GRAPH_BEAM = 8
+
+
+def _g_bucket_spark(col: Column, offset: int) -> Column:
+    """4-bit sign bucket of dims offset+1..offset+4 (raw float sign —
+    same convention as the LSH bucketer above)."""
+    b = F.lit(0)
+    for i in range(GRAPH_SIGN_BITS):
+        b = b + F.when(
+            F.element_at(col, offset + i + 1) >= 0, F.lit(1 << (GRAPH_SIGN_BITS - 1 - i))
+        ).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def _g_bucket_sql(col: str, offset: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {col}[{offset + i + 1}] >= 0 THEN {1 << (GRAPH_SIGN_BITS - 1 - i)} ELSE 0 END"
+        for i in range(GRAPH_SIGN_BITS)
+    )
+    return f"({terms})"
+
+
+def _graph_ann_oracle() -> str:
+    """Unrolled 2-hop beam search as CTEs (the retrieval_mmr_diversify
+    precedent: sequential algorithm, finite steps, one CTE per step)."""
+
+    def scored(pairs: str, a: str, b: str) -> str:
+        # exact-integer dot + single double division, per (a, b) pair set
+        return f"""(
+      SELECT p.{a}, p.{b},
+             CAST(SUM(ea.v * eb.v) AS DOUBLE)
+               / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE))) AS cosine
+      FROM {pairs} p
+      JOIN e ea ON ea.vec_id = p.{a}
+      JOIN e eb ON eb.vec_id = p.{b} AND eb.i = ea.i
+      JOIN norms na ON na.vec_id = p.{a}
+      JOIN norms nb ON nb.vec_id = p.{b}
+      GROUP BY p.{a}, p.{b}, na.nrm2, nb.nrm2
+    )"""
+
+    E, B, K = GRAPH_DEGREE, GRAPH_BEAM, TOP_K
+    return f"""
+    WITH {_Q_SQL},
+    buck AS (
+      SELECT vec_id,
+             {_g_bucket_sql('embedding', 0)} AS b0,
+             {_g_bucket_sql('embedding', GRAPH_SIGN_BITS)} AS b1
+      FROM embeddings
+    ),
+    corpus AS (SELECT vec_id, b0, b1 FROM buck WHERE vec_id >= {N_QUERY_VECS}),
+    qs AS (SELECT vec_id AS query_id, b0, b1 FROM buck WHERE vec_id < {N_QUERY_VECS}),
+    fpairs AS (
+      SELECT 0 AS fam, a.vec_id AS src, b.vec_id AS dst
+      FROM corpus a JOIN corpus b ON a.b0 = b.b0 AND a.vec_id <> b.vec_id
+      UNION ALL
+      SELECT 1, a.vec_id, b.vec_id
+      FROM corpus a JOIN corpus b ON a.b1 = b.b1 AND a.vec_id <> b.vec_id
+    ),
+    upairs AS (SELECT DISTINCT src, dst FROM fpairs),
+    udots AS MATERIALIZED {scored('upairs', 'src', 'dst')},
+    ranked AS (
+      SELECT f.fam, f.src, f.dst, d.cosine,
+             ROW_NUMBER() OVER (PARTITION BY f.fam, f.src
+                                ORDER BY d.cosine DESC, f.dst) AS rn
+      FROM fpairs f JOIN udots d ON d.src = f.src AND d.dst = f.dst
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ranked WHERE rn <= {E}
+        UNION ALL
+        SELECT dst, src FROM ranked WHERE rn <= {E}
+      )
+    ),
+    qcand AS (
+      SELECT q.query_id, c.vec_id
+      FROM qs q JOIN corpus c ON c.b0 = q.b0 OR c.b1 = q.b1
+    ),
+    qcdots AS {scored('qcand', 'query_id', 'vec_id')},
+    qbest AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM qcdots
+      ) WHERE rn = 1
+    ),
+    entries AS MATERIALIZED (
+      SELECT DISTINCT query_id, vec_id FROM (
+        SELECT query_id, vec_id FROM qbest
+        UNION ALL
+        SELECT q.query_id, (SELECT MIN(vec_id) FROM corpus) FROM qs q
+      )
+    ),
+    v1 AS MATERIALIZED (
+      SELECT DISTINCT query_id, vec_id FROM (
+        SELECT query_id, vec_id FROM entries
+        UNION ALL
+        SELECT en.query_id, ed.dst FROM entries en JOIN edges ed ON ed.src = en.vec_id
+      )
+    ),
+    s1 AS {scored('v1', 'query_id', 'vec_id')},
+    beam1 AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM s1
+      ) WHERE rn <= {B}
+    ),
+    v2 AS MATERIALIZED (
+      SELECT DISTINCT query_id, vec_id FROM (
+        SELECT query_id, vec_id FROM beam1
+        UNION ALL
+        SELECT b.query_id, ed.dst FROM beam1 b JOIN edges ed ON ed.src = b.vec_id
+      )
+    ),
+    s2 AS {scored('v2', 'query_id', 'vec_id')},
+    gtopk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM s2
+      ) WHERE rn <= {K}
+    ),
+    allpairs AS (
+      SELECT q.query_id, c.vec_id FROM qs q CROSS JOIN corpus c
+    ),
+    alldots AS {scored('allpairs', 'query_id', 'vec_id')},
+    etopk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM alldots
+      ) WHERE rn <= {K}
+    ),
+    visited AS (
+      SELECT query_id, COUNT(DISTINCT vec_id) AS n_visited FROM (
+        SELECT query_id, vec_id FROM v1
+        UNION ALL SELECT query_id, vec_id FROM v2
+      ) GROUP BY query_id
+    ),
+    hits AS (
+      SELECT g.query_id, COUNT(*) AS h
+      FROM gtopk g JOIN etopk x ON x.query_id = g.query_id AND x.vec_id = g.vec_id
+      GROUP BY g.query_id
+    )
+    SELECT q.query_id,
+           CAST(v.n_visited AS BIGINT) AS n_visited,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(h.h, 0) AS DOUBLE) / {K} AS recall_at_k
+    FROM qs q
+    JOIN visited v ON v.query_id = q.query_id
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+@query(
+    "similarity_graph_ann_beam",
+    oracle=_graph_ann_oracle(),
+    tags=("similarity", "ann", "graph", "beam", "pipeline"),
+)
+def similarity_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN (the NSW/HNSW family): 2-hop BEAM SEARCH over a
+    bounded-degree navigable neighbor graph, scored only on VISITED
+    vertices — the serving shape whose per-query cost is
+    hops × beam × degree vertex scorings, independent of corpus size.
+
+    Build: two 4-bit sign-hash families over disjoint leading dims; per
+    node and family, keep the top-``GRAPH_DEGREE`` in-bucket neighbors
+    by exact cosine, then symmetrize.  One family alone yields 2^4
+    disconnected cliques; the second family's edges bridge buckets (the
+    multi-hash-table LSH idea applied to graph construction), giving
+    hop-2 reach outside the entry bucket.  Build cost is bucket-bounded
+    (Σ n_b² per family), never corpus all-pairs; at production scale
+    ``GRAPH_SIGN_BITS`` grows with log₂ n (the grow-K IVF discipline) so
+    per-bucket populations — and per-node build cost — stay constant.
+
+    Serve: entries = the best in-bucket vertex per query (an IVF-style
+    probe over matching buckets) plus the deterministic global anchor
+    (min vec_id); expand neighbors, keep a beam of ``GRAPH_BEAM`` by
+    exact score, expand again, report top-``TOP_K`` of the final
+    scored set.  All candidate scoring joins payloads ON DEMAND — no
+    full-corpus score pass in the serving path.  The exact top-k arm
+    (one brute-force pass for 5 queries) is the CALIBRATION
+    measurement: ``recall_at_k`` prices the graph's miss rate, per
+    query, against ground truth (same contract shape as the IVF
+    recall ship-gates).  Ties break on vec_id everywhere; cosines are
+    single double divisions of exact integer dots, so both engines
+    rank identically.
+
+    Reference basis: extends the reference's capability surface (no
+    vector plane at all in the reference); the ANN siblings here are
+    similarity_lsh_bucketed / similarity_ivf_* / similarity_pq_adc_*."""
+    E, B, K = GRAPH_DEGREE, GRAPH_BEAM, TOP_K
+    emb = t(spark, sf_dir, "embeddings")
+    qt = _qtable(spark, sf_dir)
+    buck = emb.select(
+        "vec_id",
+        _g_bucket_spark(F.col("embedding"), 0).alias("b0"),
+        _g_bucket_spark(F.col("embedding"), GRAPH_SIGN_BITS).alias("b1"),
+    )
+    payload = qt.select("vec_id", "q", "nrm2")
+    corpus = buck.filter(F.col("vec_id") >= N_QUERY_VECS)
+    queries = buck.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "b0", "b1"
+    )
+    qpay = payload.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("nq2"),
+    )
+
+    def score(cands: DataFrame) -> DataFrame:
+        """(query_id, vec_id) -> + cosine, payloads joined on demand."""
+        return (
+            cands.join(payload, "vec_id")
+            .join(F.broadcast(qpay), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                cosine_q(
+                    dot_q(F.col("qq"), F.col("q")), F.col("nq2"), F.col("nrm2")
+                ).alias("cosine"),
+            )
+        )
+
+    # --- build: per-family in-bucket top-E by exact cosine, symmetrized
+    a = corpus.select(F.col("vec_id").alias("src"), "b0", "b1")
+    b = corpus.select(F.col("vec_id").alias("dst"), F.col("b0").alias("c0"), F.col("b1").alias("c1"))
+    fpairs = (
+        a.join(b, (F.col("b0") == F.col("c0")) & (F.col("src") != F.col("dst")))
+        .select(F.lit(0).alias("fam"), "src", "dst")
+        .unionAll(
+            a.join(b, (F.col("b1") == F.col("c1")) & (F.col("src") != F.col("dst")))
+            .select(F.lit(1).alias("fam"), "src", "dst")
+        )
+    )
+    pa = payload.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"), F.col("nrm2").alias("na2"))
+    pb = payload.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"), F.col("nrm2").alias("nb2"))
+    fscored = (
+        fpairs.join(pa, "src")
+        .join(pb, "dst")
+        .select(
+            "fam",
+            "src",
+            "dst",
+            cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2")).alias("cosine"),
+        )
+    )
+    wfam = Window.partitionBy("fam", "src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    kept = fscored.withColumn("rn", F.row_number().over(wfam)).filter(F.col("rn") <= E)
+    edges = cut_lineage(
+        kept.select("src", "dst")
+        .unionAll(kept.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+    # --- entries: best in-bucket vertex (IVF-style probe) + global anchor
+    qcand = queries.join(
+        corpus,
+        (corpus.b0 == queries.b0) | (corpus.b1 == queries.b1),
+    ).select("query_id", "vec_id")
+    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    qbest = (
+        score(qcand.distinct())
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id")
+    )
+    anchor = queries.select("query_id").crossJoin(
+        F.broadcast(corpus.agg(F.min("vec_id").alias("vec_id")))
+    )
+    entries = cut_lineage(qbest.unionAll(anchor).distinct())
+
+    # --- 2 beam-search hops (expand -> score visited only -> prune)
+    # each beam frame is query-bounded (<= nq x (B*E + B) rows) but its
+    # lineage re-counts the bucket probe per consumer in the static plan
+    # - cut at every hop so downstream consumers read the materialized
+    # few-row frame (the pagerank/triangle idiom)
+    v1 = cut_lineage(
+        entries.unionAll(
+            entries.join(edges, entries.vec_id == edges.src)
+            .select("query_id", F.col("dst").alias("vec_id"))
+        )
+        .distinct()
+    )
+    beam1 = cut_lineage(
+        score(v1)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= B)
+        .select("query_id", "vec_id")
+    )
+    v2 = cut_lineage(
+        beam1.unionAll(
+            beam1.join(edges, beam1.vec_id == edges.src)
+            .select("query_id", F.col("dst").alias("vec_id"))
+        )
+        .distinct()
+    )
+    gtopk = (
+        score(v2)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "vec_id")
+    )
+
+    # --- calibration arm: exact top-k (5 queries x corpus, one pass)
+    etopk = (
+        score(queries.select("query_id").crossJoin(corpus.select("vec_id")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "vec_id")
+    )
+    visited = (
+        v1.unionAll(v2)
+        .distinct()
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_visited"))
+    )
+    hits = (
+        gtopk.join(etopk, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        queries.select("query_id")
+        .join(visited, "query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_visited",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
+            (F.coalesce(F.col("h"), F.lit(0)).cast("double") / F.lit(float(K))).alias(
+                "recall_at_k"
+            ),
+        )
+    )

@@ -415,6 +415,14 @@ BUDGETS = {
     "dataset_unimax_mixture": (2, False),
     # r12: map-only kernel; the one exchange is the single-split spread
     "multimodal_audio_clipping_qa": (1, False),
+    # r12: bucket-pair edge build + per-(fam,src) top-E window sit behind
+    # the edges/entries/beam lineage cuts (each beam frame is
+    # query-bounded); what remains is the per-hop score/prune and the
+    # calibration brute-force arm; query payloads broadcast
+    "similarity_graph_ann_beam": (10, True),
+    # r12: map-only kernel (islands inside the kernel); the one exchange
+    # is the single-split spread
+    "multimodal_video_scene_cuts": (1, False),
 }
 
 

@@ -494,6 +494,15 @@ ANNOTATED = {
     "int16 PCM and reduce each recording to one QA row inside the "
     "kernel — no shuffle after the single-split spread; decode cost "
     "scales linearly with audio bytes",
+    "similarity_graph_ann_beam": "graph-ANN serving probe: the "
+    "bucket-pair edge build and the per-(family,src) top-E window sit "
+    "behind lineage cuts (edges/entries/beam frames are all "
+    "query- or degree-bounded), so each hop is a tiny join + "
+    "visited-only scoring with the query payloads broadcast; the "
+    "brute-force arm is the recall calibration, not the serving path",
+    "multimodal_video_scene_cuts": "map-only Arrow kernel: per-frame "
+    "luma sums, cut detection and the gaps-and-islands scene lengths "
+    "all inside the kernel — one row per video, nothing shuffles",
 }
 
 
