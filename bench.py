@@ -337,9 +337,9 @@ FRESH_ROTATION: list[str] = []
 ESTABLISHED = [q for q in BASELINES if q not in FRESH_ROTATION]
 
 
-def run_one(spark, name: str, sf_dir: str) -> float:
+def run_one(spark, name: str, sf_dir: str, reps: int = N_RUNS) -> float:
     best = float("inf")
-    for _ in range(N_RUNS):
+    for _ in range(reps):
         t0 = time.perf_counter()
         QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
@@ -381,14 +381,20 @@ def main() -> None:
     rereads_end: dict[str, float] = {}
     budget = 30.0  # seconds of mid-run readings; worst ratios first
     for name in suspects:
-        est_cost = timings[name] * N_RUNS
-        if est_cost > budget:
+        # As many reps as the remaining budget affords, floor 1 rep if
+        # even that fits: r12 caught the WORST suspect (vad at 4.9x,
+        # est 3 reps = 32s) being the one skipped by the all-or-nothing
+        # N_RUNS cost check, while two milder suspects re-read fine.
+        # One end-of-run rep is exactly the lottery evidence the guard
+        # exists to collect; min(mid, end) still never hurts the mid.
+        reps = min(N_RUNS, int(budget // timings[name]))
+        if reps < 1:
             # worst-first, but a cheaper later suspect may still fit —
             # skip rather than stop (ADVICE r11 #2: check cost BEFORE
             # issuing the re-read, not after)
             continue
-        budget -= est_cost
-        again = round(run_one(spark, name, sf_dir), 3)
+        budget -= timings[name] * reps
+        again = round(run_one(spark, name, sf_dir, reps=reps), 3)
         # Record EVERY re-read, improved or not (ADVICE r11 #2): a
         # re-read that CONFIRMS the slow mid reading — the signal most
         # relevant to a real regression — must be distinguishable in the
