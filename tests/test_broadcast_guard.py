@@ -128,6 +128,17 @@ HINT_EXCEPTIONS = {
     # inheriting its bounded 5-row query-set hint (vec_id < N_QUERY_VECS
     # literal filter) — the same inheritance as similarity_recall_at_k.
     "retrieval_rrf_fusion": "inherits bruteforce's vec_id < N_QUERY_VECS hint",
+    # operators/sketches.py: the hinted frame is the Bloom filter — a
+    # grouped aggregate keyed by word_idx, <= BLOOM_WORDS (2048) rows /
+    # 8 KiB by geometry regardless of corpus size (pinned in
+    # tests/test_new_ops_r12.py::test_bloom_state_is_bounded).
+    "dedup_bloom_ingest_prefilter": "bloom relation: word_idx-keyed agg, <= 2048 rows by geometry",
+    # operators/similarity.py: the hinted frame is the query payload —
+    # embeddings filtered to `vec_id < N_QUERY_VECS` (5), the bruteforce
+    # literal-filter justification; the graph/corpus sides stay unhinted
+    # (the global-anchor min() hint is an ungrouped aggregate and passes
+    # the structural rule on its own).
+    "similarity_graph_ann_beam": "query payloads: vec_id < N_QUERY_VECS literal filter",
 }
 
 _MARKER = re.compile(r"[+:]- ")
