@@ -1167,6 +1167,78 @@ def _bloom_prefilter_oracle() -> str:
     """
 
 
+def _bloom_word(h):
+    """word index 0..BLOOM_WORDS-1 of a 16-bit bit position."""
+    return (h / BLOOM_WORD_BITS).cast("long")
+
+
+def _bloom_filter_frames(spark: SparkSession, sf_dir: str):
+    """The admit gate's STATIC state, built once per corpus: the packed
+    Bloom relation (word_idx, bits — <= BLOOM_WORDS rows) and the exact
+    corpus shingle set the calibration arm probes."""
+    from .dedup import shingle_rows
+
+    docs = t(spark, sf_dir, "documents")
+    corpus_g = (
+        shingle_rows(docs.filter(F.col("doc_id") % 10 != 0))
+        .select("g")
+        .distinct()
+    )
+    cpos = corpus_g.select(
+        F.explode(F.array(*_bloom_hash_cols(F.col("g")))).alias("hv")
+    )
+    bloom = (
+        cpos.select(
+            _bloom_word(F.col("hv")).alias("word_idx"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(hv % {BLOOM_WORD_BITS} as int))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return bloom, corpus_g
+
+
+def _bloom_verdicts(batch_docs: DataFrame, bloom: DataFrame, corpus_g: DataFrame) -> DataFrame:
+    """Per-document admit verdicts for a batch of (doc_id, text) rows
+    against the static gate state — the shared core of the batch query
+    and its streaming twin."""
+    from .dedup import shingle_rows
+
+    batch_g = shingle_rows(batch_docs)
+    ppos = batch_g.select(
+        "doc_id",
+        "g",
+        F.explode(F.array(*_bloom_hash_cols(F.col("g")))).alias("hv"),
+    )
+    phit = (
+        ppos.join(F.broadcast(bloom), _bloom_word(F.col("hv")) == F.col("word_idx"))
+        .select(
+            "doc_id",
+            "g",
+            F.expr(
+                f"case when (shiftright(bits, cast(hv % {BLOOM_WORD_BITS} as int)) & 1) = 1"
+                " then 1 else 0 end"
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.min("hit").alias("hit"))
+    )
+    verdicts = phit.join(
+        corpus_g.withColumn("present", F.lit(1)), "g", "left"
+    ).select(
+        "doc_id", "hit", F.coalesce(F.col("present"), F.lit(0)).alias("present")
+    )
+    return verdicts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("hit").cast("long").alias("n_maybe"),
+        F.sum("present").cast("long").alias("n_present"),
+        (F.sum("hit") - F.sum("present")).cast("long").alias("n_false_pos"),
+        (F.sum("hit") == 0).alias("novel_fast"),
+    )
+
+
 @query(
     "dedup_bloom_ingest_prefilter",
     oracle=_bloom_prefilter_oracle(),
@@ -1200,58 +1272,92 @@ def dedup_bloom_ingest_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices, identical algebra on both engines (nibble-lookup SQL vs
     ``conv``), so the bit pattern — not just the counts — is
     cross-engine exact."""
-    from .dedup import shingle_rows
-
+    bloom, corpus_g = _bloom_filter_frames(spark, sf_dir)
     docs = t(spark, sf_dir, "documents")
-    corpus_g = (
-        shingle_rows(docs.filter(F.col("doc_id") % 10 != 0))
-        .select("g")
-        .distinct()
-    )
-    batch_g = shingle_rows(docs.filter(F.col("doc_id") % 10 == 0))
-
-    word = lambda h: (h / BLOOM_WORD_BITS).cast("long")  # noqa: E731
-    cpos = corpus_g.select(
-        F.explode(F.array(*_bloom_hash_cols(F.col("g")))).alias("hv")
-    )
-    bloom = (
-        cpos.select(
-            word(F.col("hv")).alias("word_idx"),
-            F.expr(
-                f"shiftleft(cast(1 as bigint), cast(hv % {BLOOM_WORD_BITS} as int))"
-            ).alias("bit"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("bit").alias("bits"))
+    return _bloom_verdicts(
+        docs.filter(F.col("doc_id") % 10 == 0), bloom, corpus_g
     )
 
-    ppos = batch_g.select(
-        "doc_id",
-        "g",
-        F.explode(F.array(*_bloom_hash_cols(F.col("g")))).alias("hv"),
-    )
-    phit = (
-        ppos.join(F.broadcast(bloom), word(F.col("hv")) == F.col("word_idx"))
-        .select(
-            "doc_id",
-            "g",
-            F.expr(
-                f"case when (shiftright(bits, cast(hv % {BLOOM_WORD_BITS} as int)) & 1) = 1"
-                " then 1 else 0 end"
-            ).alias("hit"),
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.min("hit").alias("hit"))
-    )
-    verdicts = phit.join(
-        corpus_g.withColumn("present", F.lit(1)), "g", "left"
-    ).select(
-        "doc_id", "hit", F.coalesce(F.col("present"), F.lit(0)).alias("present")
-    )
-    return verdicts.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
-        F.sum("hit").cast("long").alias("n_maybe"),
-        F.sum("present").cast("long").alias("n_present"),
-        (F.sum("hit") - F.sum("present")).cast("long").alias("n_false_pos"),
-        (F.sum("hit") == 0).alias("novel_fast"),
-    )
+
+@query(
+    "streaming_bloom_admit_equivalence",
+    oracle=_bloom_prefilter_oracle(),
+    tags=("streaming", "sketch", "dedup", "ingest", "bloom"),
+)
+def streaming_bloom_admit_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Bloom admit gate run as a REAL micro-batch ingest stream — the
+    production shape of ``dedup_bloom_ingest_prefilter``: the static gate
+    state (packed Bloom + exact corpus shingle set) is built ONCE and
+    lineage-cut, then arriving documents stream through ``readStream`` +
+    ``foreachBatch`` in three mod-split micro-batch files; each batch's
+    per-document verdicts are computed by the SAME ``_bloom_verdicts``
+    core and written to the batch's own ``batch_id=N`` dir with OVERWRITE
+    (the exactly-once replay recipe the count-min sink established).
+    The final frame is the union of the per-batch sinks.
+
+    The oracle is the batch prefilter's SQL VERBATIM: per-document
+    verdicts are batch-independent (no cross-document state), so the
+    stream's union must equal the one-shot batch answer row for row —
+    hash equality is exactly that claim at the driver's surface.
+
+    Scale shape: per micro-batch the work is the admit gate's serving
+    cost (one map pass over the batch's shingles + an 8 KiB broadcast
+    join); the static state never rebuilds and nothing corpus-sized
+    crosses a batch boundary or the driver."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..queries import cut_lineage
+    from .events import _clamped_shuffle
+
+    with _clamped_shuffle(spark):
+        bloom, corpus_g = _bloom_filter_frames(spark, sf_dir)
+        bloom = cut_lineage(bloom)
+        corpus_g = cut_lineage(corpus_g)
+        docs = t(spark, sf_dir, "documents")
+        arriving = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+        root = _tempfile.mkdtemp(prefix="nqes_stream_bloom_")
+        try:
+            src_dir = _os.path.join(root, "arrivals")
+            for i in range(3):
+                d = _os.path.join(src_dir, f"b{i}")
+                arriving.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(d)
+                # deterministic FileStreamSource order (mod-time stamped);
+                # verdicts are per-doc so batching cannot matter anyway
+                for name in _os.listdir(d):
+                    _os.utime(
+                        _os.path.join(d, name), (1_700_000_000 + i * 10,) * 2
+                    )
+            sink_dir = _os.path.join(root, "verdicts")
+
+            def admit_sink(bdf, batch_id: int) -> None:
+                out = _bloom_verdicts(bdf, bloom, corpus_g)
+                # overwrite THIS batch's dir: a replayed batch after a
+                # checkpoint restart lands on the same path instead of
+                # double-appending (the cm_merge_sink recipe)
+                out.coalesce(1).write.mode("overwrite").parquet(
+                    _os.path.join(sink_dir, f"batch_id={batch_id}")
+                )
+
+            q = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(_os.path.join(src_dir, "b*"))
+                .writeStream.foreachBatch(admit_sink)
+                .option("checkpointLocation", _os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("bloom admit stream did not terminate")
+            out = spark.read.parquet(_os.path.join(sink_dir, "batch_id=*")).select(
+                "doc_id", "n_shingles", "n_maybe", "n_present", "n_false_pos", "novel_fast"
+            )
+            # materialize off the temp sink before `finally` removes it
+            return out.localCheckpoint(eager=True)
+        finally:
+            _shutil.rmtree(root, ignore_errors=True)
