@@ -379,6 +379,7 @@ def main() -> None:
     )
     rereads: dict[str, float] = {}
     rereads_end: dict[str, float] = {}
+    rereads_skipped: dict[str, float] = {}
     budget = 30.0  # seconds of mid-run readings; worst ratios first
     for name in suspects:
         # As many reps as the remaining budget affords, floor 1 rep if
@@ -391,7 +392,11 @@ def main() -> None:
         if reps < 1:
             # worst-first, but a cheaper later suspect may still fit —
             # skip rather than stop (ADVICE r11 #2: check cost BEFORE
-            # issuing the re-read, not after)
+            # issuing the re-read, not after).  RECORD the skip: a
+            # too-expensive-to-re-read suspect must be distinguishable
+            # in the artifact from "never flagged" — it is exactly the
+            # reading a real regression would produce.
+            rereads_skipped[name] = timings[name]
             continue
         budget -= timings[name] * reps
         again = round(run_one(spark, name, sf_dir, reps=reps), 3)
@@ -457,6 +462,10 @@ def main() -> None:
         # CONFIRM the slow mid number (ADVICE r11 #2) — end ≈ mid here
         # is the real-regression signature, not a flush victim
         "reread_end_sec": rereads_end,
+        # suspects flagged but too expensive for even ONE rep within the
+        # remaining budget — uncorrected mids, NOT cleared: exactly the
+        # reading a real regression would leave behind
+        "reread_skipped_sec": rereads_skipped,
     }
     # The round driver keeps only the LAST 2000 chars of stdout and parses
     # the JSON out of them (BENCH_r08 was unparseable: the 54-query line
@@ -482,7 +491,7 @@ def main() -> None:
         return json.dumps(payload, separators=(",", ":"))
 
     line = _line()
-    for drop in ("reread_mid_sec", "reread_end_sec", "load_proxy_end_sec", "established_baseline_sec", "established_queries"):
+    for drop in ("reread_skipped_sec", "reread_mid_sec", "reread_end_sec", "load_proxy_end_sec", "established_baseline_sec", "established_queries"):
         if len(line) <= 1900:
             break
         payload.pop(drop, None)

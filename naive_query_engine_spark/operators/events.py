@@ -12,37 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries import dec, query, t
+from ..queries import cut_lineage, dec, query, t
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-class _clamped_shuffle:
-    """Clamp ``spark.sql.shuffle.partitions`` for a streaming harness
-    and restore it on exit.
-
-    Stateful streaming stages run at the session's shuffle-partition
-    count PER MICRO-BATCH (pinned at query start by the checkpoint), so
-    a bare 200-partition driver session spends the equivalence rows'
-    time scheduling near-empty state-store tasks — 93 s → 33 s for the
-    stream-stream join at sf0.01.  On a real cluster this knob is sized
-    to key cardinality, not left at default; clamping inside the
-    harness (and restoring after) models that without touching the
-    caller's session."""
-
-    KEY = "spark.sql.shuffle.partitions"
-
-    def __init__(self, spark: SparkSession, n: int = 32) -> None:
-        self._spark = spark
-        self._n = n
-        self._prev: str | None = None
-
-    def __enter__(self) -> None:
-        self._prev = self._spark.conf.get(self.KEY)
-        self._spark.conf.set(self.KEY, str(self._n))
-
-    def __exit__(self, *exc) -> None:
-        self._spark.conf.set(self.KEY, self._prev)
+# shared streaming-harness shuffle clamp (moved to ..streaming r12)
+from ..streaming import clamped_shuffle as _clamped_shuffle
 
 
 @query(
@@ -1010,9 +986,12 @@ def streaming_state_totals_equivalence(
         sink_dir = _os.path.join(root, "emsink")
 
         def tick(batch_df: DataFrame, bid: int) -> None:
+            # overwrite THIS batch's dir (the cm_merge_sink exactly-once
+            # recipe): a replayed batch after a checkpoint restart lands
+            # on the same path instead of double-appending
             batch_df.withColumn("_bid", F.lit(bid)).write.mode(
-                "append"
-            ).parquet(sink_dir)
+                "overwrite"
+            ).parquet(_os.path.join(sink_dir, f"b={bid}"))
 
         with _clamped_shuffle(spark):
             q = (
@@ -1027,7 +1006,7 @@ def streaming_state_totals_equivalence(
                 raise RuntimeError("state-totals stream did not terminate")
         em = spark.read.schema(
             "user_id long, n_events long, total_qv long, _bid long"
-        ).parquet(sink_dir)
+        ).parquet(_os.path.join(sink_dir, "b=*"))
         n_batches = em.select("_bid").distinct().count()  # ≤ n_files — bounded
         if n_batches != 3:
             raise RuntimeError(f"expected 3 micro-batches, got {n_batches}")
@@ -1108,8 +1087,13 @@ def streaming_absence_timeout_equivalence(
     ev = t(spark, sf_dir, "events").select(
         "ts", "event_id", "user_id", "event_type"
     )
-    tiled = ev.withColumn(
-        "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    # materialize the ntile split ONCE: each per-tile write re-executes
+    # this frame's lineage, and the single-partition global sort would
+    # otherwise run once per tertile file written
+    tiled = cut_lineage(
+        ev.withColumn(
+            "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        )
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1 row
     root = _tempfile.mkdtemp(prefix="nqes_stream_absence_")
@@ -1145,7 +1129,12 @@ def streaming_absence_timeout_equivalence(
         sink_dir = _os.path.join(root, "emsink")
 
         def tick(batch_df: DataFrame, _bid: int) -> None:
-            batch_df.write.mode("append").parquet(sink_dir)
+            # overwrite THIS batch's dir (exactly-once on replay; the
+            # append-mode union is otherwise double-counted if a batch
+            # re-delivers after a checkpoint restart)
+            batch_df.write.mode("overwrite").parquet(
+                _os.path.join(sink_dir, f"b={_bid}")
+            )
 
         stream = (
             spark.readStream.schema(
@@ -1168,7 +1157,7 @@ def streaming_absence_timeout_equivalence(
                 raise RuntimeError("absence stream did not terminate")
         out = spark.read.schema(
             "view_event_id long, user_id long, view_ts_us long, outcome string"
-        ).parquet(sink_dir)
+        ).parquet(_os.path.join(sink_dir, "b=*"))
         # materialize off the temp sink dir before `finally` removes it
         return out.localCheckpoint(eager=True)
     finally:
@@ -1252,7 +1241,12 @@ def streaming_cep_alerts_equivalence(
         sink_dir = _os.path.join(root, "emsink")
 
         def tick(batch_df: DataFrame, _bid: int) -> None:
-            batch_df.write.mode("append").parquet(sink_dir)
+            # overwrite THIS batch's dir (exactly-once on replay; the
+            # append-mode union is otherwise double-counted if a batch
+            # re-delivers after a checkpoint restart)
+            batch_df.write.mode("overwrite").parquet(
+                _os.path.join(sink_dir, f"b={_bid}")
+            )
 
         stream = (
             spark.readStream.schema(
@@ -1275,7 +1269,7 @@ def streaming_cep_alerts_equivalence(
                 raise RuntimeError("cep stream did not terminate")
         em = spark.read.schema(
             "user_id long, version long, pattern string"
-        ).parquet(sink_dir)
+        ).parquet(_os.path.join(sink_dir, "b=*"))
         # LATEST-WINS consumer contract: the max-version row set per
         # user is the current match set; drop the sentinel NULL rows
         w = Window.partitionBy("user_id")
@@ -1362,8 +1356,13 @@ def streaming_sessionize_equivalence(
     ev = t(spark, sf_dir, "events").select(
         "ts", "event_id", "user_id", "event_type"
     )
-    tiled = ev.withColumn(
-        "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    # materialize the ntile split ONCE: each per-tile write re-executes
+    # this frame's lineage, and the single-partition global sort would
+    # otherwise run once per tertile file written
+    tiled = cut_lineage(
+        ev.withColumn(
+            "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        )
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1 row
     root = _tempfile.mkdtemp(prefix="nqes_stream_sess_")
@@ -1491,8 +1490,13 @@ def streaming_stream_join_equivalence(
     ev = t(spark, sf_dir, "events").select(
         "ts", "event_id", "user_id", "event_type"
     )
-    tiled = ev.withColumn(
-        "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    # materialize the ntile split ONCE: each per-tile write re-executes
+    # this frame's lineage, and the single-partition global sort would
+    # otherwise run once per tertile file written
+    tiled = cut_lineage(
+        ev.withColumn(
+            "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        )
     )
     root = _tempfile.mkdtemp(prefix="nqes_stream_ssjoin_")
     try:
@@ -1599,8 +1603,13 @@ def streaming_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "ts", "event_id", "user_id", "event_type"
     )
-    tiled = ev.withColumn(
-        "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    # materialize the ntile split ONCE: each per-tile write re-executes
+    # this frame's lineage, and the single-partition global sort would
+    # otherwise run once per tertile file written
+    tiled = cut_lineage(
+        ev.withColumn(
+            "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        )
     )
     root = _tempfile.mkdtemp(prefix="nqes_stream_dedup_")
     try:

@@ -2406,6 +2406,60 @@ def _g_bucket_sql(col: str, offset: int) -> str:
     return f"({terms})"
 
 
+def _g_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, b0, b1): both hash families' buckets per vector."""
+    return emb.select(
+        "vec_id",
+        _g_bucket_spark(F.col("embedding"), 0).alias("b0"),
+        _g_bucket_spark(F.col("embedding"), GRAPH_SIGN_BITS).alias("b1"),
+    )
+
+
+def _g_kept_edges(corpus: DataFrame, payload: DataFrame) -> DataFrame:
+    """Per-family in-bucket top-``GRAPH_DEGREE`` directed edges by exact
+    cosine — the navigable graph's build step, shared by the operator
+    and the degree-bound test (so the test cannot drift from the
+    shipped construction).  Columns: fam, src, dst, cosine, rn."""
+    a = corpus.select(F.col("vec_id").alias("src"), "b0", "b1")
+    b = corpus.select(
+        F.col("vec_id").alias("dst"),
+        F.col("b0").alias("c0"),
+        F.col("b1").alias("c1"),
+    )
+    fpairs = (
+        a.join(b, (F.col("b0") == F.col("c0")) & (F.col("src") != F.col("dst")))
+        .select(F.lit(0).alias("fam"), "src", "dst")
+        .unionAll(
+            a.join(b, (F.col("b1") == F.col("c1")) & (F.col("src") != F.col("dst")))
+            .select(F.lit(1).alias("fam"), "src", "dst")
+        )
+    )
+    pa = payload.select(
+        F.col("vec_id").alias("src"), F.col("q").alias("qa"), F.col("nrm2").alias("na2")
+    )
+    pb = payload.select(
+        F.col("vec_id").alias("dst"), F.col("q").alias("qb"), F.col("nrm2").alias("nb2")
+    )
+    fscored = (
+        fpairs.join(pa, "src")
+        .join(pb, "dst")
+        .select(
+            "fam",
+            "src",
+            "dst",
+            cosine_q(
+                dot_q(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2")
+            ).alias("cosine"),
+        )
+    )
+    wfam = Window.partitionBy("fam", "src").orderBy(
+        F.col("cosine").desc(), F.col("dst")
+    )
+    return fscored.withColumn("rn", F.row_number().over(wfam)).filter(
+        F.col("rn") <= GRAPH_DEGREE
+    )
+
+
 def _graph_ann_oracle() -> str:
     """Unrolled 2-hop beam search as CTEs (the retrieval_mmr_diversify
     precedent: sequential algorithm, finite steps, one CTE per step)."""
@@ -2582,11 +2636,7 @@ def similarity_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     E, B, K = GRAPH_DEGREE, GRAPH_BEAM, TOP_K
     emb = t(spark, sf_dir, "embeddings")
     qt = _qtable(spark, sf_dir)
-    buck = emb.select(
-        "vec_id",
-        _g_bucket_spark(F.col("embedding"), 0).alias("b0"),
-        _g_bucket_spark(F.col("embedding"), GRAPH_SIGN_BITS).alias("b1"),
-    )
+    buck = _g_buckets(emb)
     payload = qt.select("vec_id", "q", "nrm2")
     corpus = buck.filter(F.col("vec_id") >= N_QUERY_VECS)
     queries = buck.filter(F.col("vec_id") < N_QUERY_VECS).select(
@@ -2613,30 +2663,7 @@ def similarity_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # --- build: per-family in-bucket top-E by exact cosine, symmetrized
-    a = corpus.select(F.col("vec_id").alias("src"), "b0", "b1")
-    b = corpus.select(F.col("vec_id").alias("dst"), F.col("b0").alias("c0"), F.col("b1").alias("c1"))
-    fpairs = (
-        a.join(b, (F.col("b0") == F.col("c0")) & (F.col("src") != F.col("dst")))
-        .select(F.lit(0).alias("fam"), "src", "dst")
-        .unionAll(
-            a.join(b, (F.col("b1") == F.col("c1")) & (F.col("src") != F.col("dst")))
-            .select(F.lit(1).alias("fam"), "src", "dst")
-        )
-    )
-    pa = payload.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"), F.col("nrm2").alias("na2"))
-    pb = payload.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"), F.col("nrm2").alias("nb2"))
-    fscored = (
-        fpairs.join(pa, "src")
-        .join(pb, "dst")
-        .select(
-            "fam",
-            "src",
-            "dst",
-            cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2")).alias("cosine"),
-        )
-    )
-    wfam = Window.partitionBy("fam", "src").orderBy(F.col("cosine").desc(), F.col("dst"))
-    kept = fscored.withColumn("rn", F.row_number().over(wfam)).filter(F.col("rn") <= E)
+    kept = _g_kept_edges(corpus, payload)
     edges = cut_lineage(
         kept.select("src", "dst")
         .unionAll(kept.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -1146,9 +1146,10 @@ def _bloom_prefilter_oracle() -> str:
     ppos AS ({probe_hashes}),
     phit AS (
       SELECT p.doc_id, p.g,
-             MIN(CASE WHEN ((b.bits >> (p.hv % {BLOOM_WORD_BITS})) & 1) = 1
+             MIN(CASE WHEN b.bits IS NOT NULL
+                       AND ((b.bits >> (p.hv % {BLOOM_WORD_BITS})) & 1) = 1
                       THEN 1 ELSE 0 END) AS hit
-      FROM ppos p JOIN bloom b ON b.word_idx = p.hv // {BLOOM_WORD_BITS}
+      FROM ppos p LEFT JOIN bloom b ON b.word_idx = p.hv // {BLOOM_WORD_BITS}
       GROUP BY p.doc_id, p.g
     ),
     verdicts AS (
@@ -1212,13 +1213,24 @@ def _bloom_verdicts(batch_docs: DataFrame, bloom: DataFrame, corpus_g: DataFrame
         "g",
         F.explode(F.array(*_bloom_hash_cols(F.col("g")))).alias("hv"),
     )
+    # LEFT join: a probe hash landing in a word NO corpus bit populated
+    # (row absent from the packed relation) is a definite miss and must
+    # score hit=0 — an inner join would silently drop it and min(hit)
+    # over the remaining hashes could flip a novel shingle to
+    # maybe-present (dormant at the shipped SFs, where every word is
+    # populated; real on sparser corpora or a BLOOM_BITS bump)
     phit = (
-        ppos.join(F.broadcast(bloom), _bloom_word(F.col("hv")) == F.col("word_idx"))
+        ppos.join(
+            F.broadcast(bloom),
+            _bloom_word(F.col("hv")) == F.col("word_idx"),
+            "left",
+        )
         .select(
             "doc_id",
             "g",
             F.expr(
-                f"case when (shiftright(bits, cast(hv % {BLOOM_WORD_BITS} as int)) & 1) = 1"
+                f"case when bits is not null and"
+                f" (shiftright(bits, cast(hv % {BLOOM_WORD_BITS} as int)) & 1) = 1"
                 " then 1 else 0 end"
             ).alias("hit"),
         )
@@ -1311,7 +1323,7 @@ def streaming_bloom_admit_equivalence(
     import tempfile as _tempfile
 
     from ..queries import cut_lineage
-    from .events import _clamped_shuffle
+    from ..streaming import clamped_shuffle as _clamped_shuffle
 
     with _clamped_shuffle(spark):
         bloom, corpus_g = _bloom_filter_frames(spark, sf_dir)

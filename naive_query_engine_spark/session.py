@@ -66,13 +66,19 @@ def _spark_defaults_value(key: str) -> str:
     (not merges) a spark-defaults value, and for extraJavaOptions we want
     user flags set there to survive our defaults (ADVICE r11 #1).
     """
-    conf_dirs = []
+    # Spark resolves exactly ONE conf dir: $SPARK_CONF_DIR when set,
+    # else $SPARK_HOME/conf — never both.  Falling through to a stale
+    # $SPARK_HOME file when SPARK_CONF_DIR deliberately omits the key
+    # would resurrect flags the user removed.
     if os.environ.get("SPARK_CONF_DIR"):
-        conf_dirs.append(os.environ["SPARK_CONF_DIR"])
-    if os.environ.get("SPARK_HOME"):
-        conf_dirs.append(os.path.join(os.environ["SPARK_HOME"], "conf"))
+        conf_dirs = [os.environ["SPARK_CONF_DIR"]]
+    elif os.environ.get("SPARK_HOME"):
+        conf_dirs = [os.path.join(os.environ["SPARK_HOME"], "conf")]
+    else:
+        conf_dirs = []
     for d in conf_dirs:
         path = os.path.join(d, "spark-defaults.conf")
+        found = ""
         try:
             with open(path, encoding="utf-8") as fh:
                 for line in fh:
@@ -84,12 +90,15 @@ def _spark_defaults_value(key: str) -> str:
                     # also works).  Match on the key prefix so a '=' in
                     # the VALUE (-Dfoo=bar) is never treated as the
                     # separator.
+                    # java.util.Properties semantics: LAST occurrence
+                    # of a repeated key wins, so keep scanning
                     if line == key:
-                        return ""
-                    if line.startswith(key) and line[len(key)] in " \t=":
-                        return line[len(key) + 1 :].strip()
+                        found = ""
+                    elif line.startswith(key) and line[len(key)] in " \t=":
+                        found = line[len(key) + 1 :].strip()
         except OSError:
             continue
+        return found
     return ""
 
 

@@ -24,6 +24,36 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..queries import dec
 
+
+class clamped_shuffle:
+    """Clamp ``spark.sql.shuffle.partitions`` for a streaming harness
+    and restore it on exit.
+
+    Stateful streaming stages run at the session's shuffle-partition
+    count PER MICRO-BATCH (pinned at query start by the checkpoint), so
+    a bare 200-partition driver session spends the equivalence rows'
+    time scheduling near-empty state-store tasks — 93 s → 33 s for the
+    stream-stream join at sf0.01.  On a real cluster this knob is sized
+    to key cardinality, not left at default; clamping inside the
+    harness (and restoring after) models that without touching the
+    caller's session.  Lives here (not in one operator module) because
+    every streaming equivalence harness — events, sketches, future
+    families — uses it."""
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int = 32) -> None:
+        self._spark = spark
+        self._n = n
+        self._prev: str | None = None
+
+    def __enter__(self) -> None:
+        self._prev = self._spark.conf.get(self.KEY)
+        self._spark.conf.set(self.KEY, str(self._n))
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set(self.KEY, self._prev)
+
 #: schema of the events corpus after nanos→micros normalization
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "

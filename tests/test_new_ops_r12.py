@@ -142,78 +142,63 @@ def test_pcm_clipping_kernel_vs_python(spark):
 
 def test_graph_ann_beam_contract(spark):
     """Per query: recall in [0,1] with hits consistent, the visited set
-    is at least the entry set and bounded by the beam-search fan-out
-    ceiling (entries + hop fan-outs can never exceed
-    (2 + B) * (1 + 2E) vertices — degree is 2E after the two-family
-    union and symmetrization), and at least one query finds a true
+    is at least the entry set and bounded by the DATA-DERIVED fan-out
+    ceiling (entries + beam) x (1 + max symmetrized out-degree) — the
+    symmetrized degree is not bounded by 2E a priori (a cosine hub can
+    be many nodes' top-E choice), so the ceiling is measured from the
+    shipped graph, not assumed — and at least one query finds a true
     neighbor (the graph is navigable on this corpus, not vacuous)."""
     from naive_query_engine_spark.operators.similarity import (
         GRAPH_BEAM,
-        GRAPH_DEGREE,
-        TOP_K,
-    )
-
-    rows = QUERIES["similarity_graph_ann_beam"].fn(spark, SF_SMOKE).collect()
-    assert len(rows) == 5
-    ceiling = (2 + GRAPH_BEAM) * (1 + 2 * GRAPH_DEGREE)
-    for r in rows:
-        assert 0 <= r.hits <= TOP_K
-        assert r.recall_at_k == r.hits / TOP_K
-        assert 1 <= r.n_visited <= ceiling, r
-    assert any(r.hits > 0 for r in rows)
-
-
-def test_graph_ann_edges_bounded_degree(spark):
-    """The navigable graph's out-degree is bounded by 2*E families
-    before symmetrization — the property that caps serving cost per
-    hop.  (Symmetrized in-edges can exceed it; the beam expands along
-    OUT-edges of the symmetrized set, whose degree is bounded by
-    2E + in-degree mass, still corpus-independent in expectation —
-    here we pin the pre-symmetrization invariant exactly.)"""
-    from pyspark.sql import Window
-
-    from naive_query_engine_spark.operators.similarity import (
-        GRAPH_DEGREE,
-        GRAPH_SIGN_BITS,
         N_QUERY_VECS,
-        _g_bucket_spark,
+        TOP_K,
+        _g_buckets,
+        _g_kept_edges,
         _qtable,
-        cosine_q,
-        dot_q,
     )
     from naive_query_engine_spark.queries import t as load
 
     emb = load(spark, SF_SMOKE, "embeddings")
-    qt = _qtable(spark, SF_SMOKE)
-    buck = emb.select(
-        "vec_id",
-        _g_bucket_spark(F.col("embedding"), 0).alias("b0"),
-        _g_bucket_spark(F.col("embedding"), GRAPH_SIGN_BITS).alias("b1"),
-    ).filter(F.col("vec_id") >= N_QUERY_VECS)
-    a = buck.select(F.col("vec_id").alias("src"), "b0", "b1")
-    b = buck.select(
-        F.col("vec_id").alias("dst"),
-        F.col("b0").alias("c0"),
-        F.col("b1").alias("c1"),
+    corpus = _g_buckets(emb).filter(F.col("vec_id") >= N_QUERY_VECS)
+    payload = _qtable(spark, SF_SMOKE).select("vec_id", "q", "nrm2")
+    kept = _g_kept_edges(corpus, payload)
+    sym = (
+        kept.select("src", "dst")
+        .unionAll(kept.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
     )
-    fpairs = (
-        a.join(b, (F.col("b0") == F.col("c0")) & (F.col("src") != F.col("dst")))
-        .select(F.lit(0).alias("fam"), "src", "dst")
-        .unionAll(
-            a.join(b, (F.col("b1") == F.col("c1")) & (F.col("src") != F.col("dst")))
-            .select(F.lit(1).alias("fam"), "src", "dst")
-        )
+    max_deg = (
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).agg(F.max("d")).collect()[0][0]
     )
-    pa = qt.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"), F.col("nrm2").alias("na2"))
-    pb = qt.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"), F.col("nrm2").alias("nb2"))
-    scored = fpairs.join(pa, "src").join(pb, "dst").select(
-        "fam", "src", "dst",
-        cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2")).alias("cosine"),
+    ceiling = (2 + GRAPH_BEAM) * (1 + max_deg)
+
+    rows = QUERIES["similarity_graph_ann_beam"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.hits <= TOP_K
+        assert r.recall_at_k == r.hits / TOP_K
+        assert 1 <= r.n_visited <= ceiling, (r, max_deg)
+    assert any(r.hits > 0 for r in rows)
+
+
+def test_graph_ann_edges_bounded_degree(spark):
+    """The navigable graph's PRE-symmetrization out-degree is bounded by
+    2 x GRAPH_DEGREE (top-E per family) — the property that caps the
+    build's per-node emission.  Uses the operator's own _g_kept_edges
+    helper so the test cannot drift from the shipped construction."""
+    from naive_query_engine_spark.operators.similarity import (
+        GRAPH_DEGREE,
+        N_QUERY_VECS,
+        _g_buckets,
+        _g_kept_edges,
+        _qtable,
     )
-    w = Window.partitionBy("fam", "src").orderBy(F.col("cosine").desc(), F.col("dst"))
-    kept = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= GRAPH_DEGREE
-    )
+    from naive_query_engine_spark.queries import t as load
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    corpus = _g_buckets(emb).filter(F.col("vec_id") >= N_QUERY_VECS)
+    payload = _qtable(spark, SF_SMOKE).select("vec_id", "q", "nrm2")
+    kept = _g_kept_edges(corpus, payload)
     deg = kept.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     assert deg.agg(F.max("d")).collect()[0][0] <= 2 * GRAPH_DEGREE
 
@@ -265,3 +250,51 @@ def test_scene_cut_recovers_planted_structure(spark):
         assert r.n_frames == nf
         assert r.n_cuts == (nf - 1) // slen, r
         assert r.longest_scene_frames <= slen
+
+
+def test_bloom_sparse_filter_scores_empty_words_as_miss(spark):
+    """A probe hash landing in a word with NO corpus bits (row absent
+    from the packed relation) must score hit=0, not vanish: with a
+    one-shingle corpus (3 set bits, 2045 empty words) a novel document
+    is fast-admitted with its shingle COUNTED.  (The original inner
+    join dropped empty-word probes — dormant at shipped SFs where
+    every word is populated, wrong on sparse corpora.)"""
+    from naive_query_engine_spark.operators.dedup import shingle_rows
+    from naive_query_engine_spark.operators.sketches import (
+        _bloom_filter_frames,
+        _bloom_verdicts,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "zeta eta theta")], "doc_id long, text string"
+    )
+    corpus_g = shingle_rows(corpus).select("g").distinct()
+    # reuse the production builder on the tiny frame via the same algebra
+    from pyspark.sql import functions as F
+
+    from naive_query_engine_spark.operators.sketches import (
+        BLOOM_WORD_BITS,
+        _bloom_hash_cols,
+        _bloom_word,
+    )
+
+    cpos = corpus_g.select(
+        F.explode(F.array(*_bloom_hash_cols(F.col("g")))).alias("hv")
+    )
+    bloom = (
+        cpos.select(
+            _bloom_word(F.col("hv")).alias("word_idx"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(hv % {BLOOM_WORD_BITS} as int))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    (row,) = _bloom_verdicts(batch, bloom, corpus_g).collect()
+    assert row.n_shingles == 1
+    assert row.n_maybe == 0
+    assert row.novel_fast
