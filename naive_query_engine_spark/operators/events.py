@@ -17,8 +17,17 @@ from ..queries import cut_lineage, dec, query, t
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-# shared streaming-harness shuffle clamp (moved to ..streaming r12)
-from ..streaming import clamped_shuffle as _clamped_shuffle
+def _clamped_shuffle(spark: SparkSession, n: int = 32):
+    """Shared streaming-harness shuffle clamp (lives in ..streaming).
+
+    Resolved at CALL time, not import time: when ``streaming`` is the
+    entry module it imports ``queries`` → operator registration → this
+    module, and a top-level import back into the partially initialized
+    ``streaming`` package would deadlock (caught by test_streaming's
+    direct import)."""
+    from ..streaming import clamped_shuffle
+
+    return clamped_shuffle(spark, n)
 
 
 @query(
