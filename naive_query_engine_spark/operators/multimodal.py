@@ -2146,10 +2146,13 @@ def pcm_clipping_kernel():
     the two's-complement rails a hard-clipped ADC parks on), sub-floor
     silence samples, exact peak |amplitude| and exact DC sum (Σs — the
     numerator of the mean offset, kept integer so the oracle matches
-    bit-for-bit).  Closure → pickles by value; constants are literals
-    for the same reason as the energy kernel's 256."""
+    bit-for-bit).  Closure → pickles by value; the module constant is
+    bound to a local here so cloudpickle captures it by value and the
+    kernel can never desync from the oracle (ADVICE r12 #2)."""
     import numpy as np
     import pandas as pd
+
+    floor = PCM_SILENCE_ABS
 
     def extract(batches):
         for pdf in batches:
@@ -2163,7 +2166,7 @@ def pcm_clipping_kernel():
                 ids.append(doc_id)
                 ns.append(len(s))
                 clip.append(int(((s == 32767) | (s == -32768)).sum()))
-                sil.append(int((a < 1024).sum()))
+                sil.append(int((a < floor).sum()))
                 peak.append(int(a.max()) if len(s) else 0)
                 dc.append(int(s.sum()))
             yield pd.DataFrame(
@@ -2278,11 +2281,14 @@ def make_video_payload(doc_id_expr, nf_expr, slen_expr):
 
 def scene_cut_kernel():
     """mapInPandas kernel: decode uint8 frames, per-frame luma sum, shot
-    boundary where |Δsum| > 1024 (literal = SCENE_CUT_THRESHOLD; closure
-    pickles by value), gaps-and-islands scene lengths via cumsum of the
-    cut indicator.  One row out per video."""
+    boundary where |Δsum| > SCENE_CUT_THRESHOLD (bound to a local so
+    cloudpickle captures it by value and the kernel can never desync
+    from the oracle — ADVICE r12 #2), gaps-and-islands scene lengths via
+    cumsum of the cut indicator.  One row out per video."""
     import numpy as np
     import pandas as pd
+
+    threshold = SCENE_CUT_THRESHOLD
 
     def extract(batches):
         for pdf in batches:
@@ -2292,7 +2298,7 @@ def scene_cut_kernel():
                 nf = len(b) // 64
                 fsum = b[: nf * 64].reshape(nf, 64).sum(axis=1)
                 delta = np.abs(np.diff(fsum))
-                is_cut = delta > 1024
+                is_cut = delta > threshold
                 scene_id = np.concatenate(([0], np.cumsum(is_cut)))
                 ids.append(doc_id)
                 nfs.append(nf)

@@ -86,16 +86,21 @@ def _spark_defaults_value(key: str) -> str:
                     if not line or line.startswith("#"):
                         continue
                     # spark-defaults.conf separates key from value with
-                    # whitespace (java.util.Properties semantics; '='
-                    # also works).  Match on the key prefix so a '=' in
-                    # the VALUE (-Dfoo=bar) is never treated as the
-                    # separator.
+                    # whitespace or a single '='/':' (java.util.Properties
+                    # semantics).  Match on the key prefix so a '=' in the
+                    # VALUE (-Dfoo=bar) is never treated as the separator,
+                    # and consume at most ONE '='/':' after optional
+                    # whitespace ('key = value' must not yield '= value' —
+                    # ADVICE r12 #1: a bare '=' JVM flag kills the driver).
                     # java.util.Properties semantics: LAST occurrence
                     # of a repeated key wins, so keep scanning
                     if line == key:
                         found = ""
-                    elif line.startswith(key) and line[len(key)] in " \t=":
-                        found = line[len(key) + 1 :].strip()
+                    elif line.startswith(key) and line[len(key)] in " \t=:":
+                        rest = line[len(key) :].lstrip(" \t")
+                        if rest[:1] in ("=", ":"):
+                            rest = rest[1:]
+                        found = rest.strip()
         except OSError:
             continue
         return found
