@@ -1190,65 +1190,121 @@ def make_vad_payload(doc_id_expr, n_expr):
     )
 
 
+_VAD_COLUMNS = [
+    "doc_id",
+    "n_frames",
+    "n_speech_frames",
+    "n_segments",
+    "longest_segment",
+    "speech_ppm",
+]
+
+
+def _vad_analyze():
+    """Per-recording analysis core shared by both kernel forms: decode
+    int16 LE PCM bytes, reduce ``VAD_FRAME``-sample frames to exact
+    integer energies, threshold into speech/silence, roll consecutive
+    speech frames into segments.  Returns the stats tuple, or None for
+    a payload with no full sample.  Constants are bound to locals so
+    cloudpickle captures them by value (ADVICE r12 #2)."""
+    import numpy as np
+
+    frame, threshold = VAD_FRAME, VAD_THRESHOLD
+
+    def analyze(doc_id, b: bytes):
+        s = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").astype(np.int64)
+        n_frames = (len(s) + frame - 1) // frame
+        if n_frames == 0:  # empty/1-byte upload: nothing to segment
+            return None
+        speech = np.array(
+            [
+                int((s[f : f + frame] ** 2).sum()) >= threshold
+                for f in range(0, len(s), frame)
+            ],
+            dtype=bool,
+        )
+        n_speech = int(speech.sum())
+        # runs of True: segment starts where speech and not prev
+        starts = speech & ~np.concatenate(([False], speech[:-1]))
+        n_segments = int(starts.sum())
+        longest = 0
+        run = 0
+        for sp in speech:
+            run = run + 1 if sp else 0
+            longest = max(longest, run)
+        return (
+            doc_id,
+            n_frames,
+            n_speech,
+            n_segments,
+            longest,
+            (1_000_000 * n_speech) // n_frames,
+        )
+
+    return analyze
+
+
 def vad_segments_kernel():
-    """mapInPandas kernel: decode int16 LE PCM, reduce 256-sample frames
-    to exact integer energies, threshold into speech/silence, and roll
-    consecutive speech frames into segments — all per-recording-local
-    numpy, which is exactly why VAD is a map-only stage at any corpus
-    size.  256 / 100_000_000 literals = VAD_FRAME / VAD_THRESHOLD (the
-    closure carries no module refs — pickles by value; change them
-    together with the constants and the oracle)."""
+    """mapInPandas kernel over (doc_id, payload): decode + segment real
+    PCM bytes — the byte-driven reference form, unit-tested directly on
+    hand-built payloads (``tests/test_new_ops_r6b.py``)."""
+    import pandas as pd
+
+    analyze = _vad_analyze()
+
+    def extract(batches):
+        for pdf in batches:
+            rows = [
+                r
+                for r in (
+                    analyze(doc_id, bytes(payload))
+                    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                )
+                if r is not None
+            ]
+            yield pd.DataFrame(rows, columns=list(_VAD_COLUMNS))
+
+    return extract
+
+
+def vad_synth_segments_kernel():
+    """mapInPandas kernel over (doc_id, n): synthesize the deterministic
+    waveform in numpy (the same samples :func:`make_vad_payload` encodes
+    — that JVM-expression builder remains the pinned reference form),
+    roundtrip through the encoded int16 LE byte representation, then run
+    the shared analysis core.
+
+    r13 (guide §4.2/§2.3): the registered query used to build each
+    payload with per-sample JVM string expressions (conv → lpad →
+    2×substring → concat → array_join → unhex — one enormous
+    whole-stage-codegen class that ran INTERPRETED whenever the JIT code
+    cache was under pressure: 2.0 s fresh vs 9.8 s in-bench, bisected
+    r10/r12) and shipped ~3 KB of payload per row through Arrow.  Now
+    the JVM side projects two longs, Arrow moves 16 bytes per row, and
+    the vectorized numpy synthesis replaces the string machinery;
+    ``tests/test_new_ops_r6b.py::test_vad_synth_matches_jvm_payload``
+    pins byte-equality of the two builders."""
     import numpy as np
     import pandas as pd
+
+    seg = VAD_SEG
+    analyze = _vad_analyze()
 
     def extract(batches):
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                s = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").astype(
-                    np.int64
-                )
-                n_frames = (len(s) + 255) // 256
-                if n_frames == 0:  # empty/1-byte upload: nothing to segment
-                    continue
-                speech = np.array(
-                    [
-                        int((s[f : f + 256] ** 2).sum()) >= 100_000_000
-                        for f in range(0, len(s), 256)
-                    ],
-                    dtype=bool,
-                )
-                n_speech = int(speech.sum())
-                # runs of True: segment starts where speech and not prev
-                starts = speech & ~np.concatenate(([False], speech[:-1]))
-                n_segments = int(starts.sum())
-                longest = 0
-                run = 0
-                for sp in speech:
-                    run = run + 1 if sp else 0
-                    longest = max(longest, run)
-                rows.append(
-                    (
-                        doc_id,
-                        n_frames,
-                        n_speech,
-                        n_segments,
-                        longest,
-                        (1_000_000 * n_speech) // n_frames,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "n_frames",
-                    "n_speech_frames",
-                    "n_segments",
-                    "longest_segment",
-                    "speech_ppm",
-                ],
-            )
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                i = np.arange(int(n), dtype=np.int64)
+                loud = ((i // seg) + doc_id) % 2 == 1
+                raw = doc_id * 7 + i * 13
+                s16 = np.where(loud, raw % 65536 - 32768, raw % 256 - 128)
+                # encode → decode roundtrip (two's-complement LE int16):
+                # the analysis core consumes the same byte-level form a
+                # real upload would carry
+                r = analyze(doc_id, (s16 % 65536).astype("<u2").tobytes())
+                if r is not None:
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=list(_VAD_COLUMNS))
 
     return extract
 
@@ -1325,11 +1381,12 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     are integer comparisons/divisions; run lengths are integers."""
     d = spread(t(spark, sf_dir, "documents"))
     n = (F.lit(1024) + F.col("doc_id") % 1024).cast("long")
-    payloads = d.select(
-        "doc_id", make_vad_payload(F.col("doc_id"), n).alias("payload")
-    )
-    out = payloads.mapInPandas(
-        vad_segments_kernel(),
+    # r13: the kernel synthesizes (and byte-roundtrips) the waveform
+    # itself from (doc_id, n) — see vad_segments_kernel for why the
+    # JVM-expression payload build (make_vad_payload) left the hot path
+    sizes = d.select("doc_id", n.alias("n"))
+    out = sizes.mapInPandas(
+        vad_synth_segments_kernel(),
         "doc_id long, n_frames long, n_speech_frames long, "
         "n_segments long, longest_segment long, speech_ppm long",
     )

@@ -534,6 +534,51 @@ def test_vad_kernel_segments_known_patterns():
     assert 4 not in out.index  # empty decode rejected, not divide-by-zero
 
 
+def test_vad_synth_matches_jvm_payload(spark):
+    """r13: the registered query synthesizes its waveform in numpy
+    (vad_synth_segments_kernel) instead of the JVM-expression builder.
+    Pin BYTE equality of the two payload builders over a doc_id/n grid
+    spanning both loud/quiet phases and odd lengths, and pin that the
+    synth kernel's stats equal the byte kernel's on those payloads."""
+    from pyspark.sql import functions as F
+
+    from naive_query_engine_spark.operators.multimodal import (
+        make_vad_payload,
+        vad_segments_kernel,
+        vad_synth_segments_kernel,
+    )
+
+    ids = [0, 1, 2, 7, 1023, 1024, 65535]
+    ns = [1, 255, 256, 767, 768, 769, 1024]
+    grid = spark.createDataFrame(
+        [(d, n) for d, n in zip(ids, ns)], "doc_id long, n long"
+    )
+    jvm = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in grid.select(
+            "doc_id", make_vad_payload(F.col("doc_id"), F.col("n")).alias("payload")
+        ).collect()
+    }
+
+    def synth(doc_id, n):
+        i = np.arange(n, dtype=np.int64)
+        loud = ((i // 768) + doc_id) % 2 == 1
+        raw = doc_id * 7 + i * 13
+        s16 = np.where(loud, raw % 65536 - 32768, raw % 256 - 128)
+        return (s16 % 65536).astype("<u2").tobytes()
+
+    for d, n in zip(ids, ns):
+        assert synth(d, n) == jvm[d], f"payload bytes diverge at doc {d}"
+
+    sizes = pd.DataFrame({"doc_id": ids, "n": ns})
+    payloads = pd.DataFrame(
+        {"doc_id": ids, "payload": [jvm[d] for d in ids]}
+    )
+    via_synth = next(vad_synth_segments_kernel()([sizes]))
+    via_bytes = next(vad_segments_kernel()([payloads]))
+    pd.testing.assert_frame_equal(via_synth, via_bytes)
+
+
 # ---------------------------------------------------------------------------
 # dataset_split_neardup_leakage: audit recomputed from the edge frame
 
