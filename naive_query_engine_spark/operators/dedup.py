@@ -46,28 +46,6 @@ from .shingles_sql import (
 #: candidate-bounded downstream), never the raw exploded stream.
 _SPILLABLE = StorageLevel.MEMORY_AND_DISK
 
-#: driver-heap floor below which dedup_substring pins its df-cap join to
-#: shuffle_hash instead of leaving the strategy to AQE (see
-#: _driver_heap_small)
-_SMALL_DRIVER_HEAP = 4 << 30
-
-
-def _driver_heap_small(spark: SparkSession) -> bool:
-    """True when the driver JVM's max heap is too small to safely BUILD a
-    corpus-scale broadcast relation alongside execution — the default
-    1 GiB heap of a bare session (VERDICT r10 #4: the one sf0.1
-    bare-sweep failure was "Not enough memory to build and broadcast"
-    on a ~50 MB table AQE legitimately picked).  Reads the live JVM
-    ``Runtime.maxMemory()`` rather than the ``spark.driver.memory`` conf
-    string, which lies whenever getOrCreate() reused an earlier JVM."""
-    try:
-        return (
-            int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
-            < _SMALL_DRIVER_HEAP
-        )
-    except Exception:  # Connect/mocked session: keep AQE's free choice
-        return False
-
 # MinHash configuration: K hashes in B bands of R rows (K = B*R).
 MINHASH_K = 12
 MINHASH_BANDS = 6
@@ -101,6 +79,51 @@ def raw_shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return d.filter(size >= n).select("doc_id", F.explode(grams).alias("g"))
+
+
+def pairs_from_postings(
+    wins: DataFrame, max_df: int, min_shared: int, out_col: str
+) -> DataFrame:
+    """(doc_a, doc_b, <out_col>) from a per-doc-distinct posting frame
+    ``wins`` (doc_id, h): group postings by key, df-cap by list size,
+    expand each ≤max_df-doc list into its ordered pairs ROW-LOCALLY, and
+    count shared keys per pair.
+
+    r13 (guide §2.4): this replaces the df-cap-join + inverted-index
+    self-join the substring family used — that shape paid one Exchange
+    for the df aggregate, a join of the posting frame against the
+    surviving keys, a self-join on the key, and a final pair Exchange
+    (plus a persist so the posting frame could feed three consumers).
+    Here the SAME pair multiset comes from ONE Exchange of the posting
+    frame (the groupBy) followed by an in-row pair expansion and the
+    pair Exchange: strictly fewer corpus-scale shuffles, no persist, no
+    broadcast anywhere (which also retires the r10 small-heap guard —
+    there is no join left for AQE to broadcast).  Fan-out stays bounded
+    exactly as before: a key expands to at most C(max_df, 2) pairs
+    in-row (measured 3.0 s → 1.0 s warm on dedup_substring at sf0.1,
+    identical 280-pair output)."""
+    lists = (
+        wins.groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") <= max_df) & (F.size("ds") >= 2))
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias(out_col))
+        .filter(F.col(out_col) >= min_shared)
+    )
 
 
 def shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
@@ -1101,17 +1124,34 @@ MAX_WINDOW_DF = 50
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring near-dup pairs: documents sharing >=
     ``SUBSTR_MIN_SHARED`` verbatim ``SUBSTR_WINDOW``-char windows.
-    Windows are hashed (md5 — identical in both engines) so the inverted
-    index carries 32-byte keys, deduped per doc, df-capped against
-    boilerplate, then self-joined — the same bounded-fan-out index shape
-    as the shingle family, but at CHARACTER granularity: it catches
-    copied spans that word-level Jaccard dilutes away (one long quote
-    inside two otherwise-different pages).
+    Windows are hashed so the inverted index carries fixed-width keys,
+    deduped per doc, df-capped against boilerplate, then self-joined —
+    the same bounded-fan-out index shape as the shingle family, but at
+    CHARACTER granularity: it catches copied spans that word-level
+    Jaccard dilutes away (one long quote inside two otherwise-different
+    pages).
+
+    r13 (guide §2.3/§2.4): window keys are ``xxhash64`` BIGINTs (8 bytes
+    — the hash never reaches the output, only window EQUALITY matters,
+    so the cheap wide-gap hash replaces the md5 hex string the oracle
+    still uses: 4× narrower shuffle keys and far cheaper per-window
+    hashing), the per-doc window dedup is a row-local ``array_distinct``
+    inside the projection instead of a corpus-wide ``.distinct()``, and
+    the df-cap + pair counting run through ONE posting-frame Exchange
+    (:func:`pairs_from_postings`) instead of the old df-cap join +
+    self-join + persist (plans/r13/dedup_substring_{{before,after}}.txt;
+    3.0 s → 1.0 s warm at sf0.1).  The r10 small-heap guard retired with
+    the join it guarded — the plan now contains no join at all, so a
+    bare 1 GiB driver has nothing to broadcast (bare-session sf0.1
+    driver-sim re-proven this round).  Oracle equality over the fixed
+    test corpora proves the hash swap collision-free there; at 64-bit
+    width the collision odds stay negligible at any corpus the stride-1
+    form is honest for.
 
     Scale path: stride-1 windows cost O(total chars) rows — the honest
     exact detector; a 100 TB deployment samples offsets (stride k cuts
     index size k× and still catches runs >= W + k - 1) or moves to
-    suffix-array methods.  The df cap bounds join fan-out exactly as in
+    suffix-array methods.  The df cap bounds pair fan-out exactly as in
     dedup_ngram_jaccard (`tests/test_shingle_cap.py` demonstrates the
     failure it prevents)."""
     d = t(spark, sf_dir, "documents")
@@ -1123,31 +1163,19 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
-                F.transform(idx, lambda i: F.md5(F.substring(F.col("text"), i, SUBSTR_WINDOW)))
+                F.array_distinct(  # per-doc dedup, row-local (no shuffle)
+                    F.transform(
+                        idx,
+                        lambda i: F.xxhash64(
+                            F.substring(F.col("text"), i, SUBSTR_WINDOW)
+                        ),
+                    )
+                )
             ).alias("h"),
         )
-        .distinct()
-        .persist(_SPILLABLE)  # feeds the df cap AND both join sides
     )
-    ok = wins.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_WINDOW_DF
-    ).select("h")
-    # Bare-session guard (VERDICT r10 #4): on a default 1 GiB driver heap
-    # at sf0.1, AQE's size-based broadcast of the df-capped hash frame is
-    # the right call for EXECUTORS but OOMs the DRIVER while building the
-    # ~50 MB relation (and shuffle_hash OOMs too — its per-partition
-    # build maps don't spill on the shared local-mode heap).  With a
-    # small heap, pin this one join to sort-merge — fully spillable, so
-    # it completes in any heap; tuned sessions keep AQE's free choice
-    # (no hint), so the de-hinting philosophy and timing are unchanged.
-    wk = wins.join(ok.hint("merge") if _driver_heap_small(spark) else ok, "h")
-    x = wk.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
-    y = wk.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
-    return (
-        x.join(y, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
-        .filter(F.col("shared_windows") >= SUBSTR_MIN_SHARED)
+    return pairs_from_postings(
+        wins, MAX_WINDOW_DF, SUBSTR_MIN_SHARED, "shared_windows"
     )
 
 
@@ -1185,12 +1213,19 @@ def winnowed_fingerprints(d: DataFrame, k: int = WINNOW_K) -> DataFrame:
     base = spread(d).select("doc_id", hs.alias("hs"))
     # min over each k-window of consecutive hashes (suffix windows
     # truncate, matching the oracle's ROWS frame), then per-doc distinct —
-    # all inside the row
-    sel = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs")),
-            lambda j: F.array_min(F.slice(F.col("hs"), j, k)),
-        )
+    # all inside the row.  The md5 hex MUST drive the min selection (it
+    # is the oracle's winnowing order), but the SELECTED fingerprints are
+    # join keys only from here on — rekey them to xxhash64 BIGINTs so the
+    # df-cap/pair machinery shuffles 8-byte keys, not 32-char hex
+    # (r13, guide §2.3; oracle equality at all SFs pins the rekey).
+    sel = F.transform(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs")),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, k)),
+            )
+        ),
+        lambda h: F.xxhash64(h),
     )
     return base.select("doc_id", F.explode(sel).alias("h"))
 
@@ -1203,23 +1238,11 @@ def substring_strided_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, shared_fps) via the winnowed fingerprint index —
     shared body for the registered query and the planted-span recall test
-    (``tests/test_substring_strided.py``)."""
-    wins = winnowed_fingerprints(d, k).persist(_SPILLABLE)
-    ok = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("h")
-    )
-    wk = wins.join(ok, "h")
-    x = wk.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
-    y = wk.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
-    return (
-        x.join(y, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= min_shared)
-    )
+    (``tests/test_substring_strided.py``).  r13: df-cap + pair counting
+    via :func:`pairs_from_postings` (one posting Exchange, row-local pair
+    expansion) instead of the df-cap join + self-join + persist."""
+    wins = winnowed_fingerprints(d, k)
+    return pairs_from_postings(wins, max_df, min_shared, "shared_fps")
 
 
 @query(

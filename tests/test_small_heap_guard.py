@@ -1,50 +1,38 @@
-"""dedup_substring's bare-session guard (VERDICT r10 #4).
+"""dedup_substring's bare-session story (VERDICT r10 #4, retired r13).
 
-On a DEFAULT 1 GiB driver heap at sf0.1, AQE broadcasts the df-capped
-window-hash frame and the driver OOMs while BUILDING the ~50 MB relation
-("Not enough memory to build and broadcast"); shuffle_hash OOMs too (its
-build maps don't spill on the shared local-mode heap).  The in-query
-guard pins that one join to spillable sort-merge — but ONLY when the
-live JVM heap is small, so the tuned path keeps AQE's free strategy
-choice.  The bare-session end-to-end proof is the /tmp driver-sim sweep
-at sf0.1 (BASELINE.md r11); these tests pin the guard's two branches
-in-process.
+History: on a DEFAULT 1 GiB driver heap at sf0.1, AQE used to broadcast
+the df-capped window-hash frame and the driver OOMed while BUILDING the
+~50 MB relation; an in-query guard pinned that join to spillable
+sort-merge on small heaps.  r13 removed the join itself: the df cap and
+pair counting now run inside one aggregation (pairs_from_postings — group
+postings by window hash, df-cap by list size, expand pairs row-locally),
+so the plan contains NO join and a bare driver has nothing to broadcast.
+These tests pin that structural property — if a join ever reappears in
+this query, the small-heap analysis must be redone before shipping.
+The end-to-end bare-session proof stays the /tmp driver-sim sweep at
+sf0.1.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
-from naive_query_engine_spark.operators import dedup
+from naive_query_engine_spark import plans
 from naive_query_engine_spark.queries import QUERIES
 
 from .conftest import SF_SMOKE
 
 
-def test_tuned_session_keeps_aqe_choice(spark):
-    """The test session runs an 8 GiB driver — the guard must NOT fire,
-    and the analyzed plan must carry no join hint (de-hinting stays)."""
-    assert dedup._driver_heap_small(spark) is False
-    plan = (
-        QUERIES["dedup_substring"]
-        .fn(spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .analyzed()
-        .toString()
-    )
-    assert "UnresolvedHint" not in plan and "ResolvedHint" not in plan
+def test_substring_plan_is_join_free(spark):
+    """No join operator anywhere in the physical plan: the df cap and the
+    pair expansion are aggregation + generate, never a broadcast/hash/
+    sort-merge join a small driver heap could die building."""
+    text = plans.explain_text(QUERIES["dedup_substring"].fn(spark, SF_SMOKE), "simple")
+    assert "Join" not in text, text
+    assert "BroadcastExchange" not in text, text
 
 
-def test_small_heap_branch_pins_merge_and_matches(spark, monkeypatch):
-    """Force the small-heap branch: the merge hint must appear in the
-    plan AND the result must be row-identical to the unhinted plan (a
-    join strategy may never change the answer)."""
-    baseline = sorted(
-        map(tuple, QUERIES["dedup_substring"].fn(spark, SF_SMOKE).collect())
+def test_substring_strided_plan_is_join_free(spark):
+    text = plans.explain_text(
+        QUERIES["dedup_substring_strided"].fn(spark, SF_SMOKE), "simple"
     )
-    monkeypatch.setattr(dedup, "_SMALL_DRIVER_HEAP", 1 << 60)
-    assert dedup._driver_heap_small(spark) is True
-    guarded_df = QUERIES["dedup_substring"].fn(spark, SF_SMOKE)
-    plan = guarded_df._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" in plan and "merge" in plan.lower()
-    assert sorted(map(tuple, guarded_df.collect())) == baseline
+    assert "Join" not in text, text
+    assert "BroadcastExchange" not in text, text
