@@ -126,7 +126,10 @@ BUDGETS = {
     # re-counted per consumer in the STATIC plan — runtime reuses the
     # materialization; budgets pin the static shape all the same
     "text_bm25_topk": (11, True),             # tf index: 5 consumers' lineage
-    "dedup_substring": (11, True),            # window index feeds cap + 2 join sides
+    # r13: row-local window dedup + one posting exchange into the
+    # collect_list df-cap/pair expansion + pair agg + spread — join-free
+    # (was 11 with the df-cap join + self-join + persist lineage)
+    "dedup_substring": (3, False),
     "text_char_bigram_likelihood": (6, True), # tf collapse: 2 consumers' lineage
     "fuzzy_match_part_names": (2, True),      # distinct-names agg + block join
     # r4: third (phonetic consonant-skeleton) blocking pass unions one more
@@ -138,9 +141,10 @@ BUDGETS = {
     # broadcast-centroid assignment is map-only; the final rollup is the
     # single exchange (iterative updates run at construction, cut_lineage)
     "embedding_kmeans_lloyd": (1, False),
-    # winnowed fingerprint index: df-cap agg lineage + 2 join sides +
-    # final pair agg (the fingerprint selection itself is row-local)
-    "dedup_substring_strided": (7, True),
+    # winnowed fingerprint selection is row-local; r13: one posting
+    # exchange into the collect_list df-cap/pair expansion + pair agg +
+    # spread — join-free (was 7 with the df-cap join + self-join)
+    "dedup_substring_strided": (3, False),
     # iterative trainer: all pair-count exchanges are behind per-iteration
     # lineage cuts; the returned frame is the final TakeOrdered over the
     # checkpointed counts
