@@ -128,11 +128,41 @@ def pairs_from_postings(
 
 def shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
     """Distinct shingle set per document — for set-semantics consumers
-    (Jaccard overlap counts, SimHash votes).  explode + distinct (a
-    shuffle), NOT array_distinct: array_distinct on string arrays is
-    quadratic per row, and the shuffle lands the rows keyed the way every
-    downstream shingle-join wants."""
+    whose oracle sees the shingle STRING (SimHash votes, the Bloom hash
+    family).  explode + distinct (a shuffle), NOT array_distinct:
+    array_distinct on string arrays is quadratic per row, and the shuffle
+    lands the rows keyed the way every downstream shingle-join wants."""
     return raw_shingle_rows(d, n).distinct()
+
+
+def hashed_shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc DISTINCT shingles as ``xxhash64`` BIGINTs — for consumers
+    that only ever JOIN/COUNT shingles (the capped-index family: Jaccard,
+    containment, tf-idf, incremental, contamination, cross-source).
+
+    r13 (guide §2.3/§2.4): the hash never reaches any output — only
+    shingle EQUALITY matters downstream — so an 8-byte key replaces the
+    ~20-char shingle string in every one of those consumers' shuffles
+    and joins, and the per-doc dedup becomes a row-local
+    ``array_distinct`` over a primitive array (linear, unlike the string
+    case) instead of a corpus-wide ``.distinct()`` Exchange.  Oracle
+    equality over the fixed corpora at all three SFs pins the swap
+    collision-free there; at 64-bit width collisions stay negligible for
+    any realistic shingle vocabulary.  Consumers whose oracle sees the
+    shingle hash itself (minhash md5, simhash votes, Bloom slices) keep
+    the string forms above."""
+    from .text import tokens  # lazy: avoids import cycle
+
+    d = spread(d)
+    toks = tokens(F.col("text"))
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), size - n),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+    )
+    return d.filter(size >= n).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    )
 
 
 # (shingle oracle SQL lives in shingles_sql.py — leaf module, import-order safe)
@@ -186,12 +216,11 @@ def ngram_jaccard_pairs(
     (VERDICT r4 #3); callers with non-default n/max_df must leave it
     None."""
     if sh is None:
-        # persist the exploded/distinct shingle set: it feeds BOTH the
-        # doc-frequency aggregate and the capped join below, and the
-        # tokenize→explode→distinct pipeline is the dominant cost — without
-        # the persist it would run twice (different downstream keys defeat
-        # ReuseExchange)
-        all_sh = shingle_rows(d, n).persist(_SPILLABLE)
+        # callers with a non-default universe (tests, custom n/max_df):
+        # per-doc-distinct hashed shingles, df-capped.  The df cap is
+        # applied by pairs_from_postings below; sizes must still count
+        # ONLY capped shingles, so materialize the capped index here too.
+        all_sh = hashed_shingle_rows(d, n).persist(_SPILLABLE)
         rare = (
             all_sh.groupBy("g")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -200,11 +229,12 @@ def ngram_jaccard_pairs(
         )
         sh = all_sh.join(rare, "g").persist(_SPILLABLE)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # r13 (guide §2.4): pair counts via one posting Exchange + row-local
+    # pair expansion (pairs_from_postings) instead of the inverted-index
+    # self-join — sh is already df-capped, so the helper's cap re-check
+    # (max_df) never drops anything further
+    shared = pairs_from_postings(
+        sh.select("doc_id", F.col("g").alias("h")), max_df, 1, "shared"
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))
@@ -604,10 +634,17 @@ def lsh_candidates(sig: DataFrame, bands: int = MINHASH_BANDS, r: int = MINHASH_
     hashes — a single pass over the signature frame.  (The r1 version
     unioned B per-band selects, which re-evaluated the post-shuffle
     signature aggregate once per band unless ReuseExchange rescued it —
-    38% of the bench lived in those two union fans.)"""
+    38% of the bench lived in those two union fans.)
+
+    r13: the per-band bucket key is ``xxhash64`` over the band's min-hash
+    columns (the oracle md5s their concatenation) — bucket keys only ever
+    test EQUALITY of the band tuple, so the cheap 8-byte hash replaces
+    the md5 hex string in the bucket self-join; candidates are identical
+    modulo hash collisions, which oracle equality at all SFs pins absent,
+    and every candidate is still verified with true Jaccard anyway."""
     band_sigs = F.array(
         *[
-            F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
+            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
             for b in range(bands)
         ]
     )
@@ -632,8 +669,11 @@ def minhash_lsh_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Dat
     is multiset-invariant, so partial aggregation collapses everything
     map-side and no shingle row ever shuffles for the signature pass.  The
     distinct set is materialized only for the (candidate-bounded) Jaccard
-    verification."""
-    sh = shingle_rows(d).persist(_SPILLABLE)
+    verification — as xxhash64 BIGINTs (r13): the verify join and size
+    counts only test shingle EQUALITY, so the 8-byte key replaces the
+    string and the per-doc dedup is row-local (hashed_shingle_rows); the
+    md5 family stays on the SIGNATURE path, where the oracle sees it."""
+    sh = hashed_shingle_rows(d).persist(_SPILLABLE)
     cand = lsh_candidates(minhash_signatures(raw_shingle_rows(d)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -848,8 +888,13 @@ def capped_shingle_index(d: DataFrame) -> DataFrame:
     per doc minus stop-shingles (doc-freq > MAX_SHINGLE_DF).  This is the
     steady-state TABLE a deployment maintains (see write_shingle_index);
     recomputing it per run, as the self-contained registered query must,
-    is the test-harness stand-in for reading that table."""
-    all_sh = shingle_rows(d).persist(_SPILLABLE)
+    is the test-harness stand-in for reading that table.
+
+    r13: ``g`` is the xxhash64 BIGINT of the shingle (see
+    :func:`hashed_shingle_rows`) — every consumer joins/counts it
+    opaquely, the build loses its corpus-wide distinct Exchange, and all
+    downstream shuffles carry 8-byte keys."""
+    all_sh = hashed_shingle_rows(d).persist(_SPILLABLE)
     rare = (
         all_sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1548,15 +1593,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     sh = cached_capped_index(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # r13: pair counts via pairs_from_postings (one posting Exchange +
+    # row-local expansion), same as dedup_ngram_jaccard
+    shared = pairs_from_postings(
+        sh.select("doc_id", F.col("g").alias("h")), MAX_SHINGLE_DF, 1, "shared"
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))

@@ -270,8 +270,8 @@ def test_stream_incremental_dedup_over_bucketed_index(spark, tmp_path):
     from naive_query_engine_spark.operators.dedup import (
         NEW_BATCH_MOD,
         NEW_BATCH_REM,
+        hashed_shingle_rows,
         incremental_pairs,
-        shingle_rows,
         write_shingle_index,
     )
     from naive_query_engine_spark.queries import QUERIES
@@ -287,9 +287,10 @@ def test_stream_incremental_dedup_over_bucketed_index(spark, tmp_path):
         got: set = set()
 
         def probe_batch(batch_df, _bid):
-            # shingle the arriving docs, cap against the index universe
+            # shingle the arriving docs (hashed keys — the index is
+            # xxhash64-keyed since r13), cap against the index universe
             # (semi-join == the df cap the index was built with)
-            sh_batch = shingle_rows(batch_df).join(
+            sh_batch = hashed_shingle_rows(batch_df).join(
                 index.select("g").distinct(), "g", "left_semi"
             )
             got.update(tuple(r) for r in incremental_pairs(index, sh_batch).collect())
