@@ -1202,25 +1202,28 @@ def dataset_dsir_importance_weights(
         spread(t(spark, sf_dir, "documents"))
         .select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
     )
-    uni = d.select("doc_id", "lang", F.explode("tk").alias("f"))
-    # single-token docs contribute unigrams but no bigrams — filter BEFORE
-    # the sequence (Spark's sequence(1, 0) descends; DuckDB's is empty)
-    big = d.filter(F.size("tk") >= 2).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("tk"), i),
-                    F.element_at(F.col("tk"), i + 1),
-                ),
-            )
-        ).alias("f"),
+    # ONE projection emits unigrams + adjacent bigrams together (r13,
+    # guide §2.3/§1.2): the old unionAll(uni, big) re-scanned and
+    # re-tokenized the corpus once per union branch — and since BOTH
+    # aggregation passes below re-derive this lineage, that was four
+    # corpus scans per run; now it is two (one per pass, the DSIR
+    # minimum).  Single-token docs contribute unigrams but no bigrams —
+    # the size guard keeps the sequence ascending (Spark's
+    # sequence(1, 0) descends; DuckDB's is empty), and CaseWhen only
+    # evaluates the taken branch per row.
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("tk"), i),
+            F.element_at(F.col("tk"), i + 1),
+        ),
+    )
+    feats = F.when(F.size("tk") >= 2, F.concat(F.col("tk"), bigrams)).otherwise(
+        F.col("tk")
     )
     bucket = F.conv(F.substring(F.md5(F.col("f")), 1, 2), 16, 10).cast("long")
-    hashed = uni.unionAll(big).select(
+    hashed = d.select("doc_id", "lang", F.explode(feats).alias("f")).select(
         "doc_id", "lang", bucket.alias("bucket")
     )
     is_t = F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
