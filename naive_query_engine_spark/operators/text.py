@@ -584,7 +584,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    # terms are xxhash64 BIGINTs from here on (r13, guide §2.3): the term
+    # string never reaches the output — tf/df/dl and the probe join only
+    # test term EQUALITY — so the 8-byte key replaces the string in the
+    # tf aggregation shuffle and every downstream join (oracle equality
+    # at all SFs pins the swap collision-free on these corpora)
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("term"))
     # the term-frequency table is THE index: five consumers below (postings,
     # doc lengths, document frequencies, query terms, global stats) — persist
     # spill-safe or the tokenize+aggregate pipeline runs once per consumer
