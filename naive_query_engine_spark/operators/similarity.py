@@ -1526,9 +1526,20 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
     Rayleigh num ≤ 8e34 — all < 1e38.
 
     Scale shape: corpus cost is one map-only Gram pass (batch-count ×
-    D(D+1)/2 partial rows through the one shuffle); the 6 iterations
-    touch only the D²-row cut frame with broadcast 64-row vectors —
-    driver never holds more than a 1-row max."""
+    D(D+1)/2 partial rows through the one shuffle); the iteration state
+    is the D×D Gram — CORPUS-INDEPENDENT, like the K×D centroid table
+    Lloyd training collects — so r13 moved the 6 fixed-point steps onto
+    the driver over the collected Gram (bounded collect: D(D+1)/2 =
+    2,080 rows at D=64, annotated below).  The old form ran each step as
+    Spark jobs over the D²-row frame with an eager localCheckpoint per
+    iteration — ~15 driver-scheduled jobs of 4,096-row work, pure
+    scheduling overhead at any scale (guide §1.2: the distributed
+    algorithm should distribute the corpus pass, not the bounded-state
+    recurrence).  Python ints are exact like DECIMAL(38,0), and the one
+    float step per iteration (floor((u/m)·PC_SCALE)) uses the same
+    correctly-rounded int→double conversions both engines use, so the
+    recurrence stays bit-identical — pinned by tests/test_top_pc.py's
+    independent simulation and the DuckDB oracle."""
     e = t(spark, sf_dir, "embeddings").select("embedding")
 
     def gram_batches(batches):
@@ -1552,52 +1563,35 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
     tri = partials.groupBy("dim_i", "dim_j").agg(
         F.sum(F.col("partial").cast("decimal(38,0)")).alias("gij")
     )
-    full = tri.unionAll(
-        tri.filter(F.col("dim_i") != F.col("dim_j")).select(
-            F.col("dim_j").alias("dim_i"), F.col("dim_i").alias("dim_j"), "gij"
-        )
-    )
-    # D²-row frame consumed by every iteration — materialize once
-    G = cut_lineage(
-        full.select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "gij")
-    )
-    v = G.select("i").distinct().select(
-        F.col("i").alias("j"), F.lit(PC_SCALE).cast("decimal(19,0)").alias("v")
-    )
+    # bounded driver collect: D(D+1)/2 rows (2,080 at D=64) — the Gram is
+    # dimensionality²-bounded regardless of corpus size, the same class
+    # as the K×D centroid collect in kmeans.train_centroids
+    import math
+
+    rows = tri.collect()
+    n = max((int(r["dim_j"]) for r in rows), default=0)
+    G: list[list[int]] = [[0] * n for _ in range(n)]
+    for r in rows:
+        i, j, g = int(r["dim_i"]) - 1, int(r["dim_j"]) - 1, int(r["gij"])
+        G[i][j] = g
+        G[j][i] = g
+    # exact-integer recurrence (Python ints ≡ DECIMAL(38,0)); the single
+    # float step per iteration uses the same correctly-rounded
+    # int→double conversions Spark's decimal→double casts perform
+    v = [int(PC_SCALE)] * n
     for _ in range(PC_ITERS):
-        u = (
-            G.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("gij") * F.col("v")).alias("u"))
-        )
-        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
-        v = cut_lineage(
-            u.crossJoin(F.broadcast(m)).select(
-                F.col("i").alias("j"),
-                F.floor(
-                    (F.col("u").cast("double") / F.col("m").cast("double"))
-                    * F.lit(float(PC_SCALE))
-                )
-                .cast("decimal(19,0)")
-                .alias("v"),
-            )
-        )
-    uf = (
-        G.join(F.broadcast(v), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("gij") * F.col("v")).alias("u"))
-    )
-    vi = v.select(F.col("j").alias("i"), "v")
-    ray = uf.join(vi, "i").agg(
-        F.sum((F.col("v") * F.col("u")).cast("decimal(38,0)")).alias("num"),
-        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("den"),
-    )
-    return vi.crossJoin(F.broadcast(ray)).select(
-        (F.col("i") - 1).cast("long").alias("dim"),
-        F.col("v").cast("long").alias("pc_fixed"),
-        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
-            "eigenvalue"
-        ),
+        u = [sum(G[i][j] * v[j] for j in range(n)) for i in range(n)]
+        m = max(abs(x) for x in u)
+        v = [
+            int(math.floor((float(x) / float(m)) * float(PC_SCALE))) for x in u
+        ]
+    uf = [sum(G[i][j] * v[j] for j in range(n)) for i in range(n)]
+    num = sum(a * b for a, b in zip(v, uf))
+    den = sum(a * a for a in v)
+    eig = float(num) / float(den)
+    return spark.createDataFrame(
+        [(k, int(v[k]), eig) for k in range(n)],
+        "dim long, pc_fixed long, eigenvalue double",
     )
 
 

@@ -219,7 +219,10 @@ BUDGETS = {
     # same Gram build behind a lineage cut; post-cut: the final G.v join's
     # D-row agg + Rayleigh agg + distinct-dim seed (iteration exchanges
     # run at construction behind per-step cuts); v frames broadcast
-    "embedding_top_pc_power_iteration": (3, True),
+    # r13: the corpus pass (Gram kernel + D² reduce) runs at construction
+    # like the kmeans trainer; the returned frame is the 64-row driver
+    # result — the iteration no longer schedules per-step Spark jobs
+    "embedding_top_pc_power_iteration": (0, False),
     # (gold,pred) agg + the langs²-bounded share window
     "text_langid_confusion": (2, False),
     # two 1-row sketch aggregations (one broadcast) + the exact contract
