@@ -1042,26 +1042,92 @@ def make_pixel_payload(doc_id_expr):
     )
 
 
-def ahash_kernel():
-    """mapInPandas kernel: decode 64 uint8 pixels with numpy, compute the
-    AVERAGE HASH — bit i set iff pixel i > integer mean (sum DIV 64) —
-    packed into one BIGINT (bit 0 = pixel 0).  Integer mean keeps the
-    threshold exact and engine-portable.  Closure → pickles by value."""
+def _ahash_analyze():
+    """Per-image analysis core shared by the kernel forms: decode 64
+    uint8 pixels, compute the AVERAGE HASH — bit i set iff pixel i >
+    integer mean (sum DIV 64) — packed into one BIGINT (bit 0 = pixel
+    0; bit 63 wraps to the sign bit like Spark's BIGINT).  Returns None
+    for a malformed (≠ 64 byte) payload."""
     import numpy as np
+
+    def analyze(payload: bytes):
+        # 64 literal = PHASH_PIXELS (closure pickles by value; keep in
+        # sync with the constant + oracle)
+        p = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+        if len(p) != 64:
+            return None  # malformed thumbnail: not hashable
+        mean = int(p.sum()) // 64
+        bits = (p > mean).astype(np.int64)
+        return int((bits << np.arange(64, dtype=np.int64)).sum())
+
+    return analyze
+
+
+def _synth_pixels(flipped: bool):
+    """doc_id → 64 grayscale bytes, numpy-vectorized — the same pixels
+    :func:`make_pixel_payload` / :func:`make_flipped_pixel_payload`
+    encode with JVM expressions (those remain the pinned reference
+    forms; ``tests/test_new_ops_r6b.py::test_pixel_synth_matches_jvm``
+    pins byte equality).  r13 (guide §4.2/§2.3): the registered queries
+    used to build each payload with a 64-iteration conv/lpad/concat
+    string expression and ship it through Arrow; synthesizing in the
+    kernel shrinks the JVM stage to a doc_id projection."""
+    import numpy as np
+
+    group, npx = PHASH_GROUP, PHASH_PIXELS
+
+    def synth(doc_id) -> bytes:
+        i = np.arange(npx, dtype=np.int64)
+        base = np.where(
+            ((doc_id // group) * 131 + i * 17) % 256 >= 128, 224, 32
+        )
+        if flipped:
+            px = np.where(i < doc_id % 5, 256 - base, base)
+        else:
+            px = base + np.where((i + doc_id) % 16 == 0, 8, 0)
+        return px.astype(np.uint8).tobytes()
+
+    return synth
+
+
+def ahash_kernel():
+    """mapInPandas kernel over (doc_id, payload): decode + hash real
+    pixel bytes — the byte-driven reference form, unit-tested directly
+    on hand-built payloads."""
     import pandas as pd
+
+    analyze = _ahash_analyze()
 
     def extract(batches):
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                # 64 literal = PHASH_PIXELS (closure pickles by value;
-                # keep in sync with the constant + oracle)
-                p = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
-                if len(p) != 64:
-                    continue  # malformed thumbnail: not hashable
-                mean = int(p.sum()) // 64
-                bits = (p > mean).astype(np.int64)
-                h = int((bits << np.arange(64, dtype=np.int64)).sum())
+                h = analyze(bytes(payload))
+                if h is None:
+                    continue
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return extract
+
+
+def ahash_synth_kernel(flipped: bool = False):
+    """mapInPandas kernel over (doc_id): synthesize the deterministic
+    pixel payload in numpy (see :func:`_synth_pixels`), roundtrip
+    through the byte representation, then hash via the shared core."""
+    import pandas as pd
+
+    analyze = _ahash_analyze()
+    synth = _synth_pixels(flipped)
+
+    def extract(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id in pdf["doc_id"]:
+                h = analyze(synth(doc_id))
+                if h is None:
+                    continue
                 ids.append(doc_id)
                 hashes.append(h)
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})
@@ -1124,10 +1190,12 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer mean (sum DIV 64) keeps the bit threshold exact in both
     engines; the packed hash wraps to signed 64-bit to match BIGINT."""
     d = spread(t(spark, sf_dir, "documents"))
-    payloads = d.select(
-        "doc_id", make_pixel_payload(F.col("doc_id")).alias("payload")
+    # r13: pixels synthesized (and byte-roundtripped) inside the kernel —
+    # see _synth_pixels for why the JVM-expression payload build left
+    # the hot path
+    hashes = d.select("doc_id").mapInPandas(
+        ahash_synth_kernel(flipped=False), "doc_id long, phash long"
     )
-    hashes = payloads.mapInPandas(ahash_kernel(), "doc_id long, phash long")
     clusters = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("csize"))
     return (
         clusters.groupBy(F.col("csize").cast("long").alias("cluster_size"))
@@ -1663,10 +1731,10 @@ def multimodal_phash_hamming_neardup(
     oracle uses hamming() over the injective bit string — identical
     distances on identical bit patterns."""
     d = spread(t(spark, sf_dir, "documents"))
-    payloads = d.select(
-        "doc_id", make_flipped_pixel_payload(F.col("doc_id")).alias("payload")
+    # r13: pixels synthesized (and byte-roundtripped) inside the kernel
+    hashes = d.select("doc_id").mapInPandas(
+        ahash_synth_kernel(flipped=True), "doc_id long, phash long"
     )
-    hashes = payloads.mapInPandas(ahash_kernel(), "doc_id long, phash long")
     bands = hashes.select(
         "doc_id",
         "phash",
@@ -1762,6 +1830,37 @@ def resize_kernel():
     return resize
 
 
+def resize_synth_kernel():
+    """(doc_id)-driven form of :func:`resize_kernel` used by the
+    registered query (r13): synthesize the plain pixel payload in numpy
+    (byte-roundtripped), then the same box-filter reduction."""
+    import numpy as np
+    import pandas as pd
+
+    synth = _synth_pixels(flipped=False)
+
+    def resize(batches):
+        for pdf in batches:
+            ids, rpos, px = [], [], []
+            for doc_id in pdf["doc_id"]:
+                b = synth(doc_id)
+                if len(b) != 64:
+                    continue
+                img = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                img = img.reshape(8, 8)
+                small = (
+                    img.reshape(4, 2, 4, 2).sum(axis=(1, 3)) // 4
+                )
+                for r in range(4):
+                    for c in range(4):
+                        ids.append(doc_id)
+                        rpos.append(r * 4 + c)
+                        px.append(int(small[r, c]))
+            yield pd.DataFrame({"doc_id": ids, "rpos": rpos, "px": px})
+
+    return resize
+
+
 @query(
     "multimodal_image_resize",
     oracle=f"""
@@ -1801,11 +1900,10 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: exact integer pixel arithmetic end-to-end."""
     d = spread(t(spark, sf_dir, "documents"))
-    payloads = d.select(
-        "doc_id", make_pixel_payload(F.col("doc_id")).alias("payload")
-    )
+    # r13: pixels synthesized (and byte-roundtripped) inside the kernel
     return (
-        payloads.mapInPandas(resize_kernel(), "doc_id long, rpos long, px long")
+        d.select("doc_id")
+        .mapInPandas(resize_synth_kernel(), "doc_id long, rpos long, px long")
         .orderBy("doc_id", "rpos")
     )
 

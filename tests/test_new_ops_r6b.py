@@ -534,6 +534,39 @@ def test_vad_kernel_segments_known_patterns():
     assert 4 not in out.index  # empty decode rejected, not divide-by-zero
 
 
+def test_pixel_synth_matches_jvm(spark):
+    """r13: the phash/resize queries synthesize pixels in the kernel
+    (_synth_pixels) instead of the JVM-expression builders.  Pin BYTE
+    equality of both builder pairs over doc_ids spanning groups, noise
+    positions (i+doc_id % 16) and all five flip counts."""
+    from pyspark.sql import functions as F
+
+    from naive_query_engine_spark.operators.multimodal import (
+        _synth_pixels,
+        make_flipped_pixel_payload,
+        make_pixel_payload,
+    )
+
+    ids = [0, 1, 2, 3, 4, 7, 15, 16, 63, 64, 1023]
+    grid = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+    jvm_plain = {
+        r["doc_id"]: bytes(r["p"])
+        for r in grid.select(
+            "doc_id", make_pixel_payload(F.col("doc_id")).alias("p")
+        ).collect()
+    }
+    jvm_flip = {
+        r["doc_id"]: bytes(r["p"])
+        for r in grid.select(
+            "doc_id", make_flipped_pixel_payload(F.col("doc_id")).alias("p")
+        ).collect()
+    }
+    plain, flip = _synth_pixels(flipped=False), _synth_pixels(flipped=True)
+    for d in ids:
+        assert plain(d) == jvm_plain[d], f"plain pixels diverge at doc {d}"
+        assert flip(d) == jvm_flip[d], f"flipped pixels diverge at doc {d}"
+
+
 def test_vad_synth_matches_jvm_payload(spark):
     """r13: the registered query synthesizes its waveform in numpy
     (vad_synth_segments_kernel) instead of the JVM-expression builder.
