@@ -81,6 +81,23 @@ def raw_shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
     return d.filter(size >= n).select("doc_id", F.explode(grams).alias("g"))
 
 
+def ordered_pair_structs(ds_col: str):
+    """Expression: all ordered pairs (doc_a < doc_b) of an ASCENDING-sorted
+    id array ``ds_col`` as an array of structs — the row-local pair
+    expansion every posting-list consumer shares (each unordered pair of
+    the list appears exactly once because the list is sorted and
+    per-doc-distinct)."""
+    return F.flatten(
+        F.transform(
+            F.col(ds_col),
+            lambda a, i: F.transform(
+                F.slice(F.col(ds_col), i + 2, F.size(F.col(ds_col))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def pairs_from_postings(
     wins: DataFrame, max_df: int, min_shared: int, out_col: str
 ) -> DataFrame:
@@ -108,17 +125,8 @@ def pairs_from_postings(
         .filter((F.size("ds") <= max_df) & (F.size("ds") >= 2))
         .select(F.array_sort("ds").alias("ds"))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        lists.select(F.explode(pair_structs).alias("p"))
+        lists.select(F.explode(ordered_pair_structs("ds")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias(out_col))
@@ -338,8 +346,8 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard: instead of every shingle counting 1, a shingle's weight is
     its idf (rare shared shingles dominate the score; near-boilerplate
     shingles contribute almost nothing even below the hard df cap).  Same
-    inverted-index self-join shape, so it scales the same way — never
-    all-pairs, candidate fan-out bounded by the df cap.
+    grouped-posting-list shape as ``pairs_from_postings``, so it scales
+    the same way — never all-pairs, pair fan-out bounded by the df cap.
 
     Determinism: weights are fixed-point BIGINTs — ONE double division
     floored (identical IEEE expression both engines); dot products and
@@ -358,37 +366,47 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap, output is <= K x n_docs — corpus-linear — while the strongest
     evidence per doc is kept verbatim."""
     d = t(spark, sf_dir, "documents")
-    # the session-cached capped index IS the df<=cap universe; re-counting
-    # df inside it returns the same values the global df aggregate would
+    # the session-cached capped index IS the df<=cap universe; grouping it
+    # by shingle returns the same df values the global df aggregate would
     # for every surviving shingle (an over-cap shingle has no rows here)
     all_sh = cached_capped_index(spark, sf_dir)
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = all_sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w = F.floor(
-        F.lit(TFIDF_SCALE) * (F.col("n_docs").cast("double") / F.col("df"))
-    ).cast("decimal(19,0)")
     from ..queries import cut_lineage
 
-    # three consumers (norms + both self-join sides): cut the lineage so
-    # the weighted index materializes ONCE — as a persist, the static plan
-    # re-counts the whole tokenize→distinct→df pipeline per consumer
-    # (the dedup_minhash_recall_vs_exact idiom)
+    # r13 (guide §2.4): ONE groupBy replaces the old dfreq aggregate +
+    # re-join of the posting frame — the posting list per shingle carries
+    # df as its own length (size(ds)), so the weighted grouped index
+    # (g → sorted doc list, w²) comes from a single Exchange of the
+    # capped index.  Two consumers (norms + pair expansion): cut the
+    # lineage so it materializes once.
     # carry w² (not w): the dot of a pair with tf==1 shingles is the sum of
-    # shared shingles' SQUARED weights, so squaring once per posting row
-    # (corpus-linear) replaces a decimal multiply per candidate pair-posting
-    # (the 10×-probe's dominant term: 51.6M pair-postings vs 2.6M postings
-    # on the replicated corpus) and halves the joined payload
-    wsh = cut_lineage(
-        all_sh.join(dfreq, "g")
+    # shared shingles' SQUARED weights, so squaring once per shingle group
+    # replaces a decimal multiply per candidate pair-posting (the
+    # 10×-probe's dominant term: 51.6M pair-postings vs 2.6M postings on
+    # the replicated corpus)
+    w = F.floor(
+        F.lit(TFIDF_SCALE) * (F.col("n_docs").cast("double") / F.size("ds"))
+    ).cast("decimal(19,0)")
+    gw = cut_lineage(
+        all_sh.groupBy("g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .crossJoin(F.broadcast(nd))  # 1-row ungrouped aggregate
-        .select("doc_id", "g", (w * w).alias("w2"))
+        .select("ds", (w * w).alias("w2"))
     )
-    norms = wsh.groupBy("doc_id").agg(F.sum(F.col("w2")).alias("n2"))
-    x, y = wsh.alias("x"), wsh.alias("y")
+    norms = gw.select(F.explode("ds").alias("doc_id"), "w2").groupBy(
+        "doc_id"
+    ).agg(F.sum(F.col("w2")).alias("n2"))
+    # pair dots by row-local expansion of each shingle's (df-capped ≤
+    # MAX_SHINGLE_DF) posting list — the pairs_from_postings idiom,
+    # weighted: same pair multiset as the old inverted-index self-join,
+    # ONE pair Exchange (map-side-combined) instead of two corpus-scale
+    # join Exchanges
     dots = (
-        x.join(y, (F.col("x.g") == F.col("y.g")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.sum(F.col("x.w2")).alias("dot"))
+        gw.filter(F.size("ds") >= 2)
+        .select(F.explode(ordered_pair_structs("ds")).alias("p"), "w2")
+        .select("p.doc_a", "p.doc_b", "w2")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("w2")).alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
@@ -533,16 +551,27 @@ def dedup_tfidf_cosine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     all_sh = cached_capped_index(spark, sf_dir)
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = all_sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # r13 (guide §2.4): grouped weighted index from ONE Exchange — df is
+    # the posting list's own length, so the old dfreq aggregate + re-join
+    # of the posting frame disappear (see dedup_tfidf_cosine); the flat
+    # (doc_id, g, w2) view every stage below consumes is a row-local
+    # explode of the materialized groups
     w = F.floor(
-        F.lit(TFIDF_SCALE) * (F.col("n_docs").cast("double") / F.col("df"))
+        F.lit(TFIDF_SCALE) * (F.col("n_docs").cast("double") / F.size("ds"))
     ).cast("decimal(19,0)")
-    wsh = cut_lineage(
-        all_sh.join(dfreq, "g")
+    gw = cut_lineage(
+        all_sh.groupBy("g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .crossJoin(F.broadcast(nd))
-        .select("doc_id", "g", (w * w).alias("w2"))
+        .select("g", "ds", (w * w).alias("w2"))
     )
-    norms = wsh.groupBy("doc_id").agg(F.sum(F.col("w2")).alias("n2"))
+    wsh = gw.select("g", F.explode("ds").alias("doc_id"), "w2")
+    # three consumers (prefix-ordering join + both cosine norm joins):
+    # materialize the (n_docs)-row norm table once instead of re-running
+    # the explode+aggregate per consumer
+    norms = cut_lineage(
+        wsh.groupBy("doc_id").agg(F.sum(F.col("w2")).alias("n2"))
+    )
     w_ord = (
         Window.partitionBy("doc_id")
         .orderBy(F.col("w2").desc(), F.col("g"))
@@ -558,16 +587,17 @@ def dedup_tfidf_cosine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "g")
     )
-    px, py = prefix.alias("px"), prefix.alias("py")
+    # candidate pairs by row-local expansion of each shingle's PREFIX
+    # posting list (pairs_from_postings idiom) instead of the prefix
+    # self-join — the same distinct pair set from one groupBy of the
+    # prefix postings; fan-out stays df-cap-bounded (a prefix list is a
+    # subset of the capped posting list)
     cand = (
-        px.join(
-            py,
-            (F.col("px.g") == F.col("py.g"))
-            & (F.col("px.doc_id") < F.col("py.doc_id")),
-        )
-        .select(
-            F.col("px.doc_id").alias("doc_a"), F.col("py.doc_id").alias("doc_b")
-        )
+        prefix.groupBy("g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(ordered_pair_structs("ds")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     a, b = wsh.alias("a"), wsh.alias("b")
