@@ -189,15 +189,21 @@ def train_centroids(
 
             c2 = (C * C).sum(axis=1)
             K, D = C.shape
+            # accumulate across every Arrow batch and emit ONCE per task
+            # (r13, guide §2.4): the update shuffle carries K×D rows per
+            # TASK instead of per batch — the partial aggregation a
+            # combiner would do, done inside the kernel (int64 exact:
+            # |Σq| ≤ task_rows × QUANT ≪ 2⁶³)
+            s = np.zeros((K, D), dtype=np.int64)
+            n = np.zeros(K, dtype=np.int64)
             for pdf in batches:
                 Q = np.array(pdf["q"].tolist(), dtype=np.int64)
                 d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + c2[None, :]
                 a = d.argmin(axis=1)
-                s = np.zeros((K, D), dtype=np.int64)
-                n = np.zeros(K, dtype=np.int64)
                 np.add.at(s, a, Q)
                 np.add.at(n, a, 1)
-                nz = np.flatnonzero(n)
+            nz = np.flatnonzero(n)
+            if len(nz):
                 yield pd.DataFrame(
                     {
                         "cluster": np.repeat(np.array(ids)[nz], D),
