@@ -692,7 +692,11 @@ def lsh_candidates(sig: DataFrame, bands: int = MINHASH_BANDS, r: int = MINHASH_
     )
 
 
-def minhash_lsh_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def minhash_lsh_pairs(
+    d: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Full pipeline: shingle → minhash → band → bucket-join → verify.
 
     Signatures aggregate the RAW (non-distinct) shingle stream — min-hash
@@ -702,8 +706,16 @@ def minhash_lsh_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Dat
     verification — as xxhash64 BIGINTs (r13): the verify join and size
     counts only test shingle EQUALITY, so the 8-byte key replaces the
     string and the per-doc dedup is row-local (hashed_shingle_rows); the
-    md5 family stays on the SIGNATURE path, where the oracle sees it."""
-    sh = hashed_shingle_rows(d).persist(_SPILLABLE)
+    md5 family stays on the SIGNATURE path, where the oracle sees it.
+
+    ``sh`` — a prebuilt per-doc-distinct hashed shingle frame (doc_id, g)
+    for the default n=3 universe: registered queries pass the
+    session-cached :func:`cached_hashed_shingles` (the cached_capped_index
+    idiom) so the tokenize→shingle machinery runs once per session and no
+    per-call persist is left behind; callers with a non-default corpus
+    must leave it None."""
+    if sh is None:
+        sh = hashed_shingle_rows(d).persist(_SPILLABLE)
     cand = lsh_candidates(minhash_signatures(raw_shingle_rows(d)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -777,7 +789,10 @@ def _minhash_oracle() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection (shingle → minhash → band → bucket-join
     → verify).  K=MINHASH_K hashes, MINHASH_BANDS bands × MINHASH_R rows."""
-    return minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        sh=cached_hashed_shingles(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -943,6 +958,29 @@ def capped_shingle_index(d: DataFrame) -> DataFrame:
 #: (doc_id, g) relation.
 _CAPPED_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: session-scoped cache of the UNCAPPED per-doc-distinct hashed shingle
+#: frame (r13) — the substrate one level below the capped index: the
+#: capped build consumes it (df aggregate + stop-shingle join), and
+#: MinHash verification consumes it directly (Jaccard needs the full
+#: per-doc set, cap-free).  Before, each consumer re-ran the
+#: tokenize→shingle→hash pipeline and left its own per-call persist
+#: behind (one new copy per bench rep); one shared persisted frame per
+#: session replaces them.  Same justification as the capped cache: the
+#: maintained-table stand-in, identical relation for every reader.
+_HASHED_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached :func:`hashed_shingle_rows` (default n=3) of the
+    corpus's documents table, persisted MEMORY_AND_DISK.  Lazy: no job
+    runs until a consumer's first action."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _HASHED_SHINGLES_CACHE:
+        _HASHED_SHINGLES_CACHE[key] = hashed_shingle_rows(
+            t(spark, sf_dir, "documents")
+        ).persist(_SPILLABLE)
+    return _HASHED_SHINGLES_CACHE[key]
+
 
 def cached_capped_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached :func:`capped_shingle_index` of the corpus's
@@ -950,9 +988,18 @@ def cached_capped_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     a consumer's first action."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CAPPED_INDEX_CACHE:
-        _CAPPED_INDEX_CACHE[key] = capped_shingle_index(
-            t(spark, sf_dir, "documents")
-        ).persist(_SPILLABLE)
+        # build over the SESSION-CACHED uncapped frame (r13): the df
+        # aggregate + stop-shingle join are the only work left when the
+        # MinHash family already materialized the shingles (or vice
+        # versa) — same relation as capped_shingle_index(documents)
+        all_sh = cached_hashed_shingles(spark, sf_dir)
+        rare = (
+            all_sh.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= MAX_SHINGLE_DF)
+            .select("g")
+        )
+        _CAPPED_INDEX_CACHE[key] = all_sh.join(rare, "g").persist(_SPILLABLE)
     return _CAPPED_INDEX_CACHE[key]
 
 
@@ -1410,7 +1457,11 @@ def dedup_minhash_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     exact = cut_lineage(
         _QQ["dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
     )
-    lsh = cut_lineage(minhash_lsh_pairs(d).select("doc_a", "doc_b"))
+    lsh = cut_lineage(
+        minhash_lsh_pairs(
+            d, sh=cached_hashed_shingles(spark, sf_dir)
+        ).select("doc_a", "doc_b")
+    )
     matched = exact.join(lsh, ["doc_a", "doc_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("matched")
     )
