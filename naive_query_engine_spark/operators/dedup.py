@@ -1868,28 +1868,42 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair double-counts its content in any per-source budget).
 
     Scale shape: reuses the session-cached capped shingle index (11th
-    consumer — the maintained-table probe like every other consumer);
-    the (source, shingle) projection is one distinct, the pair join
-    fans each shingle into at most C(|sources|, 2) rows (source
-    cardinality is bounded — this is the whole reason the SOURCE-level
-    matrix is cheap while the doc-level one needs banding), and the
-    output is |sources|²-bounded.
+    consumer — the maintained-table probe like every other consumer).
+    r13 (guide §2.4): the per-shingle SOURCE SET is collected in one
+    groupBy (collect_set folds the old ``(source, g) distinct`` and the
+    g-keyed self-join into a single corpus-scale Exchange — the set is
+    |sources|-bounded per shingle, which is the whole reason the
+    SOURCE-level matrix is cheap while the doc-level one needs banding);
+    pair counts and per-source vocabulary sizes both expand ROW-LOCALLY
+    from those sets (``ordered_pair_structs`` — the shared posting-list
+    idiom), so the only corpus-scale shuffle is the one groupBy, and
+    Spark's ReuseExchange serves both consumers from it.  The old shape
+    additionally paid the self-join's two Exchanges whose pair-expansion
+    stage was COMPARISON-bound, not byte-bound — AQE's byte-based
+    coalescing serialized it onto ~3 tasks once the r13 8-byte shingle
+    keys shrank the shuffle below the 32-partition floor (measured
+    2.2× in-bench; the fix removes the stage rather than re-tuning the
+    coalescer).  Output stays |sources|²-bounded.
 
     Determinism: exact integer shingle counts; Jaccard as fixed-point
     integer division; total order (jaccard desc, source pair)."""
     d = t(spark, sf_dir, "documents")
     sh = cached_capped_index(spark, sf_dir)
-    sg = (
+    gs = (
         sh.join(d.select("doc_id", "source"), "doc_id")
-        .select("source", "g")
-        .distinct()
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
     )
-    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_g"))
-    a = sg.select(F.col("source").alias("source_a"), "g")
-    b = sg.select(F.col("source").alias("source_b"), "g")
+    sizes = (
+        gs.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+    )
     pair = (
-        a.join(b, "g")
-        .filter(F.col("source_a") < F.col("source_b"))
+        gs.select(F.explode(ordered_pair_structs("ss")).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("source_a"), F.col("p.doc_b").alias("source_b")
+        )
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
