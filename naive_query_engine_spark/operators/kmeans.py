@@ -897,26 +897,39 @@ _IVF_ASSIGN_CACHE: dict[tuple[str, str, int], tuple[DataFrame, dict]] = {}
 
 def _assign_to_cells(qf: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
     """(vec_id, q, nrm2) → + ``cell``: nearest learned centroid by exact
-    integer L2, lowest-cell-id tie-break (the oracle's ROW_NUMBER rule)."""
-    from pyspark.sql import Window
+    integer L2, lowest-cell-id tie-break (the oracle's ROW_NUMBER rule).
 
+    r13 (guide §2.4): ROW-LOCAL argmin — the old shape crossJoined every
+    vector against every centroid row and ranked the N×K fan-out through
+    a window exchange + sort; collecting the K centroids into ONE
+    broadcast row lets `array_min(transform(...))` pick min-(d2, cell)
+    inside the row.  Exact integer d2 (order-free), and ascending struct
+    (d2, c_label) ordering IS the window's ORDER BY d2, c_label — the
+    assignment is map-only past the one-row broadcast."""
     spark = qf.sparkSession
     cent = spark.createDataFrame(
         [(j, centroids[j]) for j in sorted(centroids)],
         "c_label long, centroid array<long>",
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("q"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("c_label", "centroid"))).alias("cents")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    return (
-        qf.crossJoin(F.broadcast(cent))
-        .select("vec_id", "q", "nrm2", "c_label", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "nrm2", F.col("c_label").alias("cell"))
+
+    def _d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("q"), c["centroid"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(_d2(c).alias("d2"), c["c_label"].alias("c_label")),
+        )
+    )
+    return qf.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "q", "nrm2", best["c_label"].alias("cell")
     )
 
 
@@ -946,30 +959,73 @@ def cell_cosine_pairs_from_assignment(
     incremental index maintenance can run it on a partition-pruned
     touched-cells slice instead of the whole corpus.  ``with_cell``
     retains the cell id (every pair is within-cell, so it has exactly
-    one), which the maintained cell-partitioned index needs."""
-    from .similarity import cosine_q, dot_q
+    one), which the maintained cell-partitioned index needs.
 
-    a = assign.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("q").alias("qa"),
-        F.col("nrm2").alias("na2"),
-        "cell",
+    r13 (guide §4.2): the pair dots run as ONE numpy matmul per cell
+    inside a pandas kernel instead of a cell-keyed self-join evaluating
+    a `zip_with` dot per pair in the JVM — the `cosine_block_pairs`
+    idiom applied to the cell blocking.  Arithmetic is bit-identical:
+    quantized components are exact in float64 (|dot| ≤ 64·10¹² ≪ 2⁵³,
+    every partial sum an exactly-representable integer, so BLAS
+    summation order is irrelevant) and the final cosine is the same
+    sqrt/multiply/divide sequence as `cosine_q`.  One groupBy(cell)
+    exchange replaces the self-join, and per-pair work leaves the JVM
+    expression interpreter for vectorized native code.  Per-task memory
+    is one cell's members + its n_c×n_c cosine matrix — bounded by the
+    cell-size discipline (production holds cell size ~constant and
+    grows K with n; the df-cap levers in BASELINE.md probe it)."""
+    import numpy as np
+    import pandas as pd
+
+    grouped = (
+        assign.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "nrm2", "q"))).alias("vs"))
+        .select(
+            "cell",
+            F.transform(F.col("vs"), lambda s: s.vec_id).alias("ids"),
+            F.transform(F.col("vs"), lambda s: s.nrm2).alias("n2s"),
+            F.transform(F.col("vs"), lambda s: s.q).alias("vecs"),
+        )
     )
-    b = assign.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("q").alias("qb"),
-        F.col("nrm2").alias("nb2"),
-        "cell",
+    # spread the K cell rows so each cell's matmul runs on its own task
+    # (the block_pair_frame precedent: repartition BEFORE the expansion)
+    n_parts = max(assign.sparkSession.sparkContext.defaultParallelism, 8)
+    grouped = grouped.repartition(n_parts)
+    emit_cell = bool(with_cell)
+    schema = "vec_a long, vec_b long, cosine double" + (
+        ", cell long" if emit_cell else ""
     )
-    cos = cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
-    cols = ["vec_a", "vec_b", cos.alias("cosine")] + (
-        ["cell"] if with_cell else []
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(*cols)
-    )
+
+    def cell_matmul(batches):
+        got_any = False
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids = np.asarray(row.ids, dtype=np.int64)
+                n = len(ids)
+                if n < 2:
+                    continue
+                mat = np.asarray(list(row.vecs), dtype=np.float64)
+                nrm = np.sqrt(np.asarray(row.n2s, dtype=np.float64))
+                cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+                # ids are array_sort'ed ascending (distinct vec_ids), so the
+                # upper triangle enumerates exactly the vec_a < vec_b pairs
+                iu, ju = np.triu_indices(n, k=1)
+                got_any = True
+                out = {"vec_a": ids[iu], "vec_b": ids[ju], "cosine": cos[iu, ju]}
+                if emit_cell:
+                    out["cell"] = np.full(len(iu), row.cell, dtype=np.int64)
+                yield pd.DataFrame(out)
+        if not got_any:
+            out = {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+            if emit_cell:
+                out["cell"] = pd.Series([], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return grouped.mapInPandas(cell_matmul, schema)
 
 
 def mutual_knn_edges_from_pairs(
@@ -3600,6 +3656,7 @@ def similarity_ivf_maintenance_tick(
         "vec_id", "q", "nrm2", "cell"
     )
     out: DataFrame | None = None
+    n_batches = len(_UPSERT_BATCH_PREDS)
     for i, pred in enumerate(_UPSERT_BATCH_PREDS, start=1):
         probe = assign.filter(F.expr(pred)).select(
             F.col("vec_id").alias("arrival_id"),
@@ -3628,7 +3685,11 @@ def similarity_ivf_maintenance_tick(
             F.col("qn2").alias("nrm2"),
             "cell",
         )
-        corpus = cut_lineage(corpus.unionByName(admitted))
+        # the grown corpus only feeds the NEXT batch's verdicts: cutting
+        # lineage after the last batch would run an eager localCheckpoint
+        # job materializing a frame nothing reads (r13, guide §1.2)
+        if i < n_batches:
+            corpus = cut_lineage(corpus.unionByName(admitted))
     return out
 
 

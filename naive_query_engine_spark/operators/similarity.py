@@ -563,8 +563,6 @@ def _label_cells(
     (vec_id, q, nrm2, cell) and the per-query ``probe`` of its
     ``nprobe`` nearest cells — shared by the exact-rerank IVF search
     and the IVF-PQ composition (mirrors `_ivf_cells_sql`)."""
-    from pyspark.sql import Window
-
     # exact centroid per (label, dim) from quantized components
     cent = (
         qt.select("label", F.posexplode(F.col("q")).alias("pos", "v"))
@@ -575,25 +573,52 @@ def _label_cells(
         .select("label", F.transform(F.col("cs"), lambda s: s.c).alias("centroid"))
     )
     # nearest-centroid assignment (exact doubles; tie-break lowest label)
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("q"), F.col("centroid"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # — ROW-LOCAL ranking (r13, guide §2.4): the old shape crossJoined
+    # every vector against every centroid and ranked the N×L fan-out
+    # through a window exchange + sort; collecting the L centroids into
+    # ONE broadcast row lets `array_sort(transform(...))` rank the cells
+    # inside the row.  d2 is the same zip_with/aggregate left-fold (same
+    # double-summation order), and ascending struct (d2, c_label) order
+    # IS the window's ORDER BY d2, c_label — identical assign and probe.
+    cent_row = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("label").alias("c_label"), "centroid"))
+        ).alias("cents")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    ranked_cells = (
-        qt.crossJoin(F.broadcast(cent.select(F.col("label").alias("c_label"), "centroid")))
-        .select("vec_id", "q", "nrm2", F.col("c_label"), d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_assign))
+
+    def _d2(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                c["centroid"],
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(_d2(c).alias("d2"), c["c_label"].alias("c_label")),
+        )
     )
-    assign = ranked_cells.filter(F.col("rn") == 1).select(
-        "vec_id", "q", "nrm2", F.col("c_label").alias("cell")
+    scored = qt.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "q", "nrm2", ranked.alias("ranked")
     )
-    probe = ranked_cells.filter(
-        (F.col("rn") <= nprobe) & (F.col("vec_id") < N_QUERY_VECS)
-    ).select("vec_id", "q", "nrm2", F.col("c_label").alias("cell"))
+    assign = scored.select(
+        "vec_id", "q", "nrm2", F.element_at("ranked", 1)["c_label"].alias("cell")
+    )
+    probe = (
+        scored.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            "vec_id",
+            "q",
+            "nrm2",
+            F.explode(F.slice(F.col("ranked"), 1, nprobe)).alias("rc"),
+        )
+        .select("vec_id", "q", "nrm2", F.col("rc")["c_label"].alias("cell"))
+    )
     return assign, probe
 
 
@@ -841,8 +866,6 @@ def _pq_parts(qt: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     slice rows, and each vector's nearest-codeword code — shared by the
     flat ADC scan (`similarity_pq_adc_topk`) and the IVF-PQ composition
     (`similarity_ivfpq_adc_topk`)."""
-    from pyspark.sql import Window
-
     K = F.lit(PQ_CENT_SCALE)
     # codebook: per-(label, subspace) sub-centroid arrays, exact BIGINTs
     comps = qt.select("label", "vec_id", F.posexplode(F.col("q")).alias("pos", "v"))
@@ -865,19 +888,34 @@ def _pq_parts(qt: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     subv = qt.select(
         "vec_id", F.posexplode(slices).alias("s_int", "subq")
     ).select("vec_id", F.col("s_int").cast("long").alias("s"), "subq")
-    # encode: nearest sub-centroid per (vector, subspace); exact integer d2
-    d2 = F.aggregate(
-        F.zip_with(F.col("subq"), F.col("subc"), lambda x, y: (K * x - y) * (K * x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # encode: nearest sub-centroid per (vector, subspace) — ROW-LOCAL
+    # argmin over the subspace's codeword list (r13, guide §2.4): the old
+    # shape broadcast-joined every (vector, subspace) row against every
+    # codeword and ranked the N×M×L fan-out through a window exchange +
+    # sort; grouping the codebook per subspace (M tiny rows, broadcast)
+    # lets `array_min(transform(...))` pick min-(d2, label) inside the
+    # row — same exact integer d2, same tie-break (struct ordering IS
+    # the window's ORDER BY d2, label), zero exchanges.
+    cwlists = subcent.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("label", "subc"))).alias("cws")
     )
-    w_code = Window.partitionBy("vec_id", "s").orderBy("d2", "label")
-    codes = (
-        subv.join(F.broadcast(subcent), "s")
-        .select("vec_id", "s", "label", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("label").alias("code"))
+
+    def _d2(cw):
+        return F.aggregate(
+            F.zip_with(
+                F.col("subq"), cw["subc"], lambda x, y: (K * x - y) * (K * x - y)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("cws"), lambda cw: F.struct(_d2(cw).alias("d2"), cw["label"].alias("label"))
+        )
+    )
+    codes = subv.join(F.broadcast(cwlists), "s").select(
+        "vec_id", "s", best["label"].alias("code")
     )
     return subcent, subv, codes
 
