@@ -801,15 +801,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_vote_exprs() -> list[Column]:
     """Per-shingle ±1 bit votes (bit j = nibble j of the md5 >= 8), one
-    aggregate expression per signature bit.  Expects the md5 hex
-    pre-computed in column ``h``.
-
-    The hex is parsed ONCE into three longs (15+15+2 chars — a long holds
-    15 hex digits) and each vote is a shift/mask on those — pure codegen
-    integer arithmetic instead of 32 per-row string-radix conversions
-    (measured ~1.8× on the vote aggregation)."""
-    parts = [(1, 15), (16, 15), (31, 2)]
-    longs = [F.conv(F.substring(F.col("h"), s, ln), 16, 10).cast("long") for s, ln in parts]
+    aggregate expression per signature bit.  Expects the md5 hex parsed
+    into three long columns ``l0, l1, l2`` (15+15+2 hex chars — a long
+    holds 15 hex digits; r13: the conv() radix parses moved into the
+    pre-aggregation projection so they run ONCE per shingle row instead
+    of relying on subexpression elimination across 32 aggregate input
+    expressions); each vote is a shift/mask on those longs — pure
+    codegen integer arithmetic."""
     out = []
     for j in range(SIMHASH_BITS):
         if j < 15:
@@ -819,7 +817,7 @@ def simhash_vote_exprs() -> list[Column]:
         else:
             p, i, length = 2, j - 30, 2
         shift = 4 * (length - 1 - i) + 3  # top bit of the j-th nibble
-        bit = F.shiftright(longs[p], shift).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col(f"l{p}"), shift).bitwiseAND(F.lit(1))
         out.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
     return out
 
@@ -827,7 +825,15 @@ def simhash_vote_exprs() -> list[Column]:
 def simhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, simhash) — signature as a BIGINT bit-field (bit j set when
     the vote sum for bit j is >= 0)."""
-    hashed = shingle_rows(d).select("doc_id", F.md5(F.col("g")).alias("h"))
+    h = F.md5(F.col("g"))
+    parts = [(1, 15), (16, 15), (31, 2)]
+    hashed = shingle_rows(d).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(h, s, ln), 16, 10).cast("long").alias(f"l{p}")
+            for p, (s, ln) in enumerate(parts)
+        ],
+    )
     votes = hashed.groupBy("doc_id").agg(*simhash_vote_exprs())
     sig = sum(
         (F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(0) for j in range(SIMHASH_BITS)),

@@ -2384,8 +2384,13 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = [(0, seed, 0)]
     md = qt.select("vec_id", "q", _dist2_to(center).alias("md2"))
     for i in range(1, KCENTER_T):
-        if i % 2 == 0:
-            md = cut_lineage(md)  # re-materialize every 2 rounds
+        if i % 4 == 0:
+            # re-materialize every 4 rounds: each uncut round only stacks
+            # one least()/select layer (T×D literal ops per row — cheap at
+            # any scale), so the cut exists to bound plan depth, not to
+            # avoid recompute; every-2 spent an extra eager checkpoint job
+            # per 4 rounds for no measured benefit (r13, guide §1.2)
+            md = cut_lineage(md)
         # argmax + its vector in ONE 1-row reduce: (md2 desc, vec_id asc)
         # decides before q ever compares (nid is unique per row)
         top = md.agg(
