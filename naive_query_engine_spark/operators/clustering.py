@@ -37,20 +37,23 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) with component = min vertex id reachable.
 
-    Min-label propagation accelerated with POINTER JUMPING (r13, guide
-    §1.2 "the distributed algorithm"): each round sets
-    ``label(v) = min(label(v), min_u label(u), label(label(v)))`` — the
-    plain neighbor-min term plus one label-of-label hop.  The invariant
-    (a node's label is always the id of some node in its component,
-    monotone nonincreasing) is preserved — ``label(v)`` names a
-    reachable node, so anything that node has already reached is
-    reachable too — and any state stable under this update is stable
-    under plain neighbor-min (the combined min includes that term), so
-    the fixpoint is unchanged: the component's minimum id.  Information
-    now flows along shortcut pointers as well as edges, so convergence
-    drops from O(diameter) rounds (measured: 17 on the sf0.1 semantic
-    graph) to O(log diameter) (measured: 6) — each round is one extra
-    node-keyed join, a win whenever diameter > 2.
+    Min-label propagation, HYBRID-accelerated (r13, guide §1.2 "the
+    distributed algorithm"): the first two rounds are the plain
+    neighbor-min update (one join each — near-dup graphs usually
+    converge here: the sf0.1 jaccard doc graph needs 2 rounds, and the
+    accelerated round's extra joins cost ~3× for nothing on it); from
+    round 3 each round applies
+    ``label(v) = min(label(v), min_u label(u), label(label(v)))``
+    TWICE — the plain term plus one POINTER JUMP per substep.  The
+    invariant (a node's label is always the id of some node in its
+    component, monotone nonincreasing) is preserved — ``label(v)``
+    names a reachable node, so anything that node already reached is
+    reachable too — and any state stable under the combined update is
+    stable under plain neighbor-min (the combined min includes that
+    term), so the fixpoint is unchanged: the component's minimum id.
+    On deep graphs information flows along shortcut pointers as well as
+    edges: the sf0.1 semantic graph converges in 17 plain rounds but 6
+    hybrid rounds.
 
     The convergence probe rides the checkpointed frame: the changed
     flag is computed as a column BEFORE the lineage cut, so the check
@@ -93,22 +96,40 @@ def connected_components(
         )
 
     converged = False
-    for _ in range(max_iter):
-        # two substeps per checkpointed round: the per-round cost is one
-        # eager lineage-cut job + one tiny convergence count regardless of
-        # plan depth at these label-frame sizes, so folding two updates
-        # into each round halves the round count for the same job bill
-        old = labels.select("id", F.col("component").alias("old_component"))
-        stepped = _one_step(_one_step(labels))
-        new_labels = (
-            stepped.join(old, "id")
-            .select(
-                "id",
-                "component",
-                (F.col("component") != F.col("old_component")).alias("chg"),
+    for r in range(max_iter):
+        if r < 2:
+            # plain round: one neighbor-min join; old and new labels live
+            # in the same row, so the changed flag is a free projection
+            neighbor_min = (
+                sym.join(labels, sym.b == labels.id)
+                .groupBy(F.col("a").alias("id"))
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .transform(cut_lineage)
-        )
+            newc = F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            )
+            stepped = labels.join(neighbor_min, "id", "left").select(
+                "id",
+                newc.alias("component"),
+                (newc != F.col("component")).alias("chg"),
+            )
+        else:
+            # accelerated round: two pointer-jumping substeps before the
+            # cut — the per-round cost is one eager lineage-cut job + one
+            # tiny convergence count regardless of plan depth at these
+            # label-frame sizes, so folding two updates into each round
+            # halves the round count for the same job bill
+            old = labels.select("id", F.col("component").alias("old_component"))
+            stepped = (
+                _one_step(_one_step(labels))
+                .join(old, "id")
+                .select(
+                    "id",
+                    "component",
+                    (F.col("component") != F.col("old_component")).alias("chg"),
+                )
+            )
+        new_labels = stepped.transform(cut_lineage)
         changed = new_labels.filter(F.col("chg")).limit(1).count()
         labels = new_labels.select("id", "component")
         if changed == 0:
