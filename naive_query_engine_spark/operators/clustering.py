@@ -222,7 +222,7 @@ _EDGES_SQL = _LEAF_EDGES_SQL
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},
     {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION
       SELECT doc_b, doc_a FROM edges
@@ -260,7 +260,7 @@ def _semantic_oracle() -> str:
       FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
       GROUP BY 1, 2
     ),
-    cedges AS (
+    cedges AS MATERIALIZED (
       SELECT vec_a AS a, vec_b AS b
       FROM dots
       JOIN norms na ON na.vec_id = vec_a
@@ -268,7 +268,7 @@ def _semantic_oracle() -> str:
       WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
             >= {COSINE_THRESHOLD}
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT a, b FROM cedges
       UNION
       SELECT b, a FROM cedges
@@ -634,7 +634,7 @@ def _keep_best_oracle() -> str:
     return rf"""
     WITH RECURSIVE {_SHINGLES_SQL},
     {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION
       SELECT doc_b, doc_a FROM edges
@@ -910,7 +910,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},
     {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION
       SELECT doc_b, doc_a FROM edges
@@ -975,7 +975,7 @@ def _leakage_safe_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLES_SQL},
     {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION
       SELECT doc_b, doc_a FROM edges
@@ -1049,7 +1049,7 @@ BFS_SEED_MOD = 97  # deterministic seed set: doc_id % 97 == 0
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},
     {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION
       SELECT doc_b, doc_a FROM edges
@@ -1218,7 +1218,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},
     {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION
       SELECT doc_b, doc_a FROM edges
@@ -1374,7 +1374,7 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},
     {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION
       SELECT doc_b, doc_a FROM edges
@@ -1839,7 +1839,7 @@ def _tokens_saved_oracle() -> str:
     return rf"""
     WITH RECURSIVE {_SHINGLES_SQL},
     {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION
       SELECT doc_b, doc_a FROM edges

@@ -126,7 +126,10 @@ def _cmatrix(centroids: dict[int, list[int]]):
 
 
 def lloyd_kmeans(
-    qf: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    qf: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    centroids: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """Full Lloyd loop over a quantized frame (vec_id, q: array<long>).
 
@@ -145,8 +148,15 @@ def lloyd_kmeans(
     # spread first: the assignment is map-heavy and a single-split corpus
     # file would serialize it onto one core; pre-split input skips the
     # exchange.  Then cut so ITERS scans hit the materialized frame
-    qf = cut_lineage(spread(qf.select("vec_id", "q")))
-    centroids = train_centroids(qf, k, iters)
+    # (training only — when the caller hands in already-trained
+    # centroids, e.g. the session-cached corpus_centroids, the lineage
+    # cut and its eager job are skipped: the plan is one bare map)
+    qf = qf.select("vec_id", "q")
+    if centroids is None:
+        qf = cut_lineage(spread(qf))
+        centroids = train_centroids(qf, k, iters)
+    else:
+        qf = spread(qf)
     ids, C = _cmatrix(centroids)
 
     def assign(batches, ids=tuple(ids), C=C):
@@ -242,8 +252,11 @@ def _kmeans_sql_parts(
     (frozen quantizer trained on the base corpus, everyone assigned to
     it); empty/default keeps the original train-on-everything chain."""
     seed_w = f" WHERE {train_pred}" if train_pred else ""
+    # r14: q is MATERIALIZED — every a{i}/c{i} round references it and
+    # DuckDB 1.0 inlines plain CTEs, so the unnest chain re-ran ~2×iters
+    # times per consumer.  Pure planner hint: results are bit-identical.
     ctes = [
-        f"""q AS (
+        f"""q AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS qv
       FROM embeddings
@@ -261,7 +274,7 @@ def _kmeans_sql_parts(
             if train_pred and i < iters
             else "q"
         )
-        ctes.append(f"""a{i} AS (
+        ctes.append(f"""a{i} AS MATERIALIZED (
       SELECT vec_id, cluster, dist2 FROM (
         SELECT q.vec_id, c.cluster,
                SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist2,
@@ -273,7 +286,7 @@ def _kmeans_sql_parts(
       ) WHERE rn = 1
     )""")
         if i < iters:
-            ctes.append(f"""c{i} AS (
+            ctes.append(f"""c{i} AS MATERIALIZED (
       SELECT a.cluster, q.dim,
              CAST((SUM(q.qv) - ((SUM(q.qv) % COUNT(*)) + COUNT(*)) % COUNT(*)) / COUNT(*)
                   AS BIGINT) AS cv
@@ -309,7 +322,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (K/iters are KMEANS_K / KMEANS_ITERS.)"""
     e = t(spark, sf_dir, "embeddings")
     qf = e.select("vec_id", quantized(F.col("embedding")).alias("q"))
-    final = lloyd_kmeans(qf)
+    final = lloyd_kmeans(qf, centroids=corpus_centroids(spark, sf_dir))
     return final.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.min("vec_id").cast("long").alias("min_vec_id"),
@@ -330,13 +343,13 @@ def _ivf_kmeans_oracle(
     from .similarity import N_QUERY_VECS, TOP_K
 
     parts = _kmeans_sql_parts(k, iters)
-    parts.append("norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)")
+    parts.append("norms AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)")
     parts.append(f"""dists AS (
       SELECT q.vec_id, c.cluster, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
       FROM q JOIN c{iters - 1} c ON q.dim = c.dim
       GROUP BY q.vec_id, c.cluster
     )""")
-    parts.append("""ranked_cells AS (
+    parts.append("""ranked_cells AS MATERIALIZED (
       SELECT vec_id, cluster,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
       FROM dists
@@ -399,8 +412,8 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .similarity import N_QUERY_VECS, TOP_K, _qtable, cosine_q, dot_q
 
-    qt = cut_lineage(spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2")))
-    centroids = train_centroids(qt, KMEANS_K, KMEANS_ITERS)
+    qt = spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
+    centroids = corpus_centroids(spark, sf_dir)
     cent = spark.createDataFrame(
         [(j, centroids[j]) for j in sorted(centroids)],
         "c_label long, centroid array<long>",
@@ -552,7 +565,7 @@ def embedding_cluster_balanced_sample(
 
     e = t(spark, sf_dir, "embeddings")
     qf = e.select("vec_id", quantized(F.col("embedding")).alias("q"))
-    assigned = lloyd_kmeans(qf)
+    assigned = lloyd_kmeans(qf, centroids=corpus_centroids(spark, sf_dir))
     w = Window.partitionBy("cluster").orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"
     )
@@ -637,8 +650,8 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = _Q["similarity_topk_bruteforce"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    qt = cut_lineage(spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2")))
-    centroids = train_centroids(qt, KMEANS_K, KMEANS_ITERS)
+    qt = spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
+    centroids = corpus_centroids(spark, sf_dir)
     cent = spark.createDataFrame(
         [(j, centroids[j]) for j in sorted(centroids)],
         "c_label long, centroid array<long>",
@@ -720,9 +733,11 @@ def ivf_ccos_sql_parts(
     τ-range search."""
     parts = _kmeans_sql_parts(k_cells, iters)
     parts.append(
-        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+        "norms AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
     )
     ctes = ",\n    ".join(parts)
+    # r14: ccos MATERIALIZED — directed scans it twice; inlined, each
+    # reference re-ran the whole Lloyd + pair-dot chain.
     return f"""{ctes},
     cdots AS (
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster,
@@ -733,7 +748,7 @@ def ivf_ccos_sql_parts(
       JOIN q eb ON eb.vec_id = y.vec_id AND eb.dim = ea.dim
       GROUP BY 1, 2, 3
     ),
-    ccos AS (
+    ccos AS MATERIALIZED (
       SELECT vec_a, vec_b,
              CAST(dot AS DOUBLE)
                / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
@@ -760,12 +775,12 @@ def ivf_edges_sql_parts(
       UNION ALL
       SELECT vec_b, vec_a, cosine FROM ccos
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
       SELECT src, dst,
              ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
       FROM directed
     ),
-    ivf_edges AS (
+    ivf_edges AS MATERIALIZED (
       SELECT x.src AS vec_a, x.dst AS vec_b
       FROM ranked x
       JOIN ranked y ON y.src = x.dst AND y.dst = x.src AND y.rk <= {TOP_K}
@@ -949,6 +964,22 @@ def ivf_corpus_assignment(
         centroids = train_centroids(qt, k_cells, KMEANS_ITERS)
         _IVF_ASSIGN_CACHE[key] = (_assign_to_cells(qt, centroids), centroids)
     return _IVF_ASSIGN_CACHE[key]
+
+
+def corpus_centroids(
+    spark: SparkSession, sf_dir: str, k_cells: int = KMEANS_K
+) -> dict[int, list[int]]:
+    """Session-cached full-corpus Lloyd centroids (K=k_cells,
+    ITERS=KMEANS_ITERS) — the trained coarse quantizer every
+    full-corpus consumer shares (r14; the `_IVF_ASSIGN_CACHE` already
+    held exactly this state for the substrate queries; this exposes it
+    to the direct Lloyd consumers: `embedding_kmeans_lloyd`,
+    `embedding_cluster_balanced_sample`, `similarity_ivf_kmeans_topk`,
+    `similarity_ivf_nprobe_sweep`).  Training is deterministic
+    (min-vec_id seeds, exact integer floor-means), so every trainer of
+    the same (corpus, K, iters) produces this identical table — reuse
+    changes no results."""
+    return ivf_corpus_assignment(spark, sf_dir, k_cells)[1]
 
 
 def cell_cosine_pairs_from_assignment(
@@ -1610,7 +1641,7 @@ def _semantic_dedup_ivf_oracle() -> str:
       SELECT vec_a AS a, vec_b AS b FROM ccos
       WHERE cosine >= {COSINE_THRESHOLD}
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT a, b FROM cedges
       UNION
       SELECT b, a FROM cedges
@@ -2079,7 +2110,7 @@ def _admit_gate_oracle(
         f"a{iters} AS (", f"a{iters} AS MATERIALIZED (", 1
     )
     parts.append(
-        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+        "norms AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
     )
     ctes = ",\n    ".join(parts)
     return f"""
@@ -2141,7 +2172,7 @@ def _canonical_roots_oracle(
         f"a{iters} AS (", f"a{iters} AS MATERIALIZED (", 1
     )
     parts.append(
-        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+        "norms AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
     )
     ctes = ",\n    ".join(parts)
     return f"""
@@ -2341,7 +2372,7 @@ def _admit_gate_growk_oracle(iters: int = KMEANS_ITERS) -> str:
       ) WHERE rn = 1
     )""")
     parts.append(
-        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+        "norms AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
     )
     ctes = ",\n    ".join(parts)
     return f"""
@@ -3336,7 +3367,7 @@ def _ivf_upsert_oracle(
 
     parts = _kmeans_sql_parts(k_cells, iters, train_pred=_UPSERT_TRAIN_PRED)
     parts.append(
-        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+        "norms AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
     )
     ctes = ",\n    ".join(parts)
     return f"""
@@ -3350,7 +3381,7 @@ def _ivf_upsert_oracle(
       JOIN q eb ON eb.vec_id = y.vec_id AND eb.dim = ea.dim
       GROUP BY 1, 2, 3
     ),
-    ccos AS (
+    ccos AS MATERIALIZED (
       SELECT vec_a, vec_b, cell,
              CAST(dot AS DOUBLE)
                / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
@@ -3364,7 +3395,7 @@ def _ivf_upsert_oracle(
       UNION ALL
       SELECT vec_b, vec_a, cosine, cell FROM ccos
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
       SELECT src, dst, cell,
              ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
       FROM directed
@@ -3590,7 +3621,7 @@ def _maintenance_tick_oracle(
         f"a{iters} AS (", f"a{iters} AS MATERIALIZED (", 1
     )
     parts.append(
-        "norms AS (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
+        "norms AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS nrm2 FROM q GROUP BY vec_id)"
     )
     pred1, pred2 = _UPSERT_BATCH_PREDS
     ctes = ",\n    ".join(parts)

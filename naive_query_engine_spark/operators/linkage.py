@@ -101,7 +101,7 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b x JOIN b y ON x.blk = y.blk AND x.name < y.name
       WHERE levenshtein(x.name, y.name) <= {LEV_THRESHOLD}
     ),
-    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
     reach(a, b) AS (
       SELECT a, b FROM sym
       UNION

@@ -360,7 +360,7 @@ def _cascade_oracle() -> str:
     docs_s1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN s1 USING (doc_id)),
     {shingles_s1},
     {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION
       SELECT doc_b, doc_a FROM edges
@@ -384,7 +384,7 @@ def _cascade_oracle() -> str:
       FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
       GROUP BY 1, 2
     ),
-    cedges AS (
+    cedges AS MATERIALIZED (
       SELECT vec_a AS a, vec_b AS b
       FROM dots
       JOIN norms na ON na.vec_id = vec_a
@@ -393,7 +393,7 @@ def _cascade_oracle() -> str:
             / (SQRT(CAST(na.nrm2 AS DOUBLE)) * SQRT(CAST(nb.nrm2 AS DOUBLE)))
             >= {COSINE_THRESHOLD}
     ),
-    sym3 AS (
+    sym3 AS MATERIALIZED (
       SELECT a, b FROM cedges
       UNION
       SELECT b, a FROM cedges

@@ -18,8 +18,12 @@ MAX_SHINGLE_DF = 100
 
 #: DuckDB CTE applying the cap (append after SHINGLES_SQL): `capped` is
 #: the shingle relation every Jaccard consumer should join against.
+#: r14: MATERIALIZED — referenced by cnt AND pair (and, in recursive
+#: consumers, re-inlined per fixpoint iteration); DuckDB 1.0 inlines
+#: plain CTEs, so without the fence every reference re-ran the whole
+#: shingling chain.  Pure planner hint: results are bit-identical.
 CAPPED_SHINGLES_SQL = f"""
-    capped AS (
+    capped AS MATERIALIZED (
       SELECT s.doc_id, s.g
       FROM shingles s
       JOIN (SELECT g FROM shingles GROUP BY g
@@ -37,7 +41,7 @@ SHINGLES_SQL = r"""
     words AS (
       SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok
     ),
-    shingles AS (
+    shingles AS MATERIALIZED (
       SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
       FROM words a
       JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
@@ -58,7 +62,7 @@ EDGES_SQL = f"""
       FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a, doc_b FROM pair
       JOIN cnt ca ON ca.doc_id = doc_a
       JOIN cnt cb ON cb.doc_id = doc_b

@@ -67,14 +67,19 @@ def _qtable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("nrm2", dot_q(F.col("q"), F.col("q")))
 
 
+#: r14: MATERIALIZED — `e` is referenced up to three times per consumer
+#: (dots joins it twice, norms once) and re-inlined per fixpoint
+#: iteration in recursive consumers (dedup_semantic's reach recursion
+#: re-ran the whole unnest chain every round: 298 s → 12 s at sf0.1).
+#: Pure planner hint: results are bit-identical.
 _Q_SQL = f"""
-    e AS (
+    e AS MATERIALIZED (
       SELECT vec_id,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings
     ),
-    norms AS (SELECT vec_id, SUM(v * v) AS nrm2 FROM e GROUP BY vec_id)
+    norms AS MATERIALIZED (SELECT vec_id, SUM(v * v) AS nrm2 FROM e GROUP BY vec_id)
 """
 
 
@@ -1555,29 +1560,34 @@ def _top_pc_oracle() -> str:
     exactly in HUGEINT, then max-normalize back to PC_SCALE fixed point
     through ONE double expression — (u/m)·S floored — identical in both
     engines."""
+    # r14: every CTE in the recurrence is MATERIALIZED — DuckDB 1.0
+    # inlines plain CTEs, and each v_k references u_k twice (via m_k),
+    # so the inlined expansion re-evaluated the Gram join ~2^ITERS times
+    # (21-29 s for a 64×64 recurrence).  Pure planner hint: results are
+    # bit-identical.
     parts = [
-        f"""e AS (
+        f"""e AS MATERIALIZED (
       SELECT vec_id,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings
     )""",
-        """g AS (
+        """g AS MATERIALIZED (
       SELECT a.i AS i, b.i AS j, CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS gij
       FROM e a JOIN e b ON b.vec_id = a.vec_id
       GROUP BY 1, 2
     )""",
-        f"v0 AS (SELECT DISTINCT i AS j, CAST({PC_SCALE} AS HUGEINT) AS v FROM e)",
+        f"v0 AS MATERIALIZED (SELECT DISTINCT i AS j, CAST({PC_SCALE} AS HUGEINT) AS v FROM e)",
     ]
     for k in range(1, PC_ITERS + 1):
         parts.append(
-            f"""u{k} AS (
+            f"""u{k} AS MATERIALIZED (
       SELECT g.i, SUM(g.gij * x.v) AS u FROM g JOIN v{k - 1} x ON x.j = g.j GROUP BY 1
     )"""
         )
-        parts.append(f"m{k} AS (SELECT MAX(ABS(u)) AS m FROM u{k})")
+        parts.append(f"m{k} AS MATERIALIZED (SELECT MAX(ABS(u)) AS m FROM u{k})")
         parts.append(
-            f"""v{k} AS (
+            f"""v{k} AS MATERIALIZED (
       SELECT u{k}.i AS j,
              CAST(FLOOR((CAST(u AS DOUBLE) / CAST(m{k}.m AS DOUBLE))
                         * CAST({PC_SCALE} AS DOUBLE)) AS HUGEINT) AS v

@@ -1013,12 +1013,16 @@ def _bpe_winners_sql_parts(n_iters: int) -> list[str]:
     """DuckDB CTE chain deriving the n_iters merge winners by full
     recount per iteration (the independent spec of ``_bpe_iterate``)."""
     code = lambda i: 1 + (i - 1)  # noqa: E731 — chr code of placeholder i
+    # r14: the recurrence CTEs are MATERIALIZED — DuckDB 1.0 inlines
+    # plain CTEs, and lt{i+1} references lt{i} twice (directly and via
+    # the w{i} scalar subquery), so the inlined expansion re-tokenized
+    # the corpus ~2^n_iters times.  Pure planner hint: bit-identical.
     parts = [
-        r"""tok AS (
+        r"""tok AS MATERIALIZED (
       SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\r\f]+')) AS tok
       FROM documents
     )""",
-        "lt1 AS (SELECT tok FROM tok WHERE length(tok) >= 2)",
+        "lt1 AS MATERIALIZED (SELECT tok FROM tok WHERE length(tok) >= 2)",
     ]
     for i in range(1, n_iters + 1):
         parts.append(
@@ -1027,13 +1031,15 @@ def _bpe_winners_sql_parts(n_iters: int) -> list[str]:
       FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i FROM lt{i})
     )"""
         )
-        parts.append(f"c{i} AS (SELECT pair, COUNT(*) AS cnt FROM p{i} GROUP BY 1)")
         parts.append(
-            f"w{i} AS (SELECT pair AS w FROM c{i} ORDER BY cnt DESC, pair LIMIT 1)"
+            f"c{i} AS MATERIALIZED (SELECT pair, COUNT(*) AS cnt FROM p{i} GROUP BY 1)"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT pair AS w FROM c{i} ORDER BY cnt DESC, pair LIMIT 1)"
         )
         if i < n_iters:
             parts.append(
-                f"""lt{i + 1} AS (
+                f"""lt{i + 1} AS MATERIALIZED (
       SELECT tok FROM (
         SELECT replace(tok, (SELECT w FROM w{i}), chr({code(i)})) AS tok FROM lt{i})
       WHERE length(tok) >= 2

@@ -138,9 +138,12 @@ BUDGETS = {
     "text_bpe_merge_candidates": (2, False),  # repartition + pair agg; TakeOrdered
     "dataset_curriculum_bins": (1, False),    # one lang window; rollup reuses it
     # r4 additions
-    # broadcast-centroid assignment is map-only; the final rollup is the
-    # single exchange (iterative updates run at construction, cut_lineage)
-    "embedding_kmeans_lloyd": (1, False),
+    # broadcast-centroid assignment is map-only; the final rollup is one
+    # exchange.  r14: training rides the session-cached corpus centroids,
+    # so the old eager lineage cut (which HID the spread repartition from
+    # the static plan) is gone — the conditional split-aware spread of
+    # the single-split test file is now the visible second exchange
+    "embedding_kmeans_lloyd": (2, False),
     # winnowed fingerprint selection is row-local; r13: one posting
     # exchange into the collect_list df-cap/pair expansion + pair agg +
     # spread — join-free (was 7 with the df-cap join + self-join)
@@ -182,9 +185,11 @@ BUDGETS = {
     "embedding_label_knn_disagreement": (1, True),
     # learned-quantizer IVF: cell-assignment window (N×K rows) counted
     # once per join side in the static plan + final ranking window; the
-    # centroid and query frames broadcast (quantizer training sits behind
-    # the cut_lineage'd frame)
-    "similarity_ivf_kmeans_topk": (3, True),
+    # centroid and query frames broadcast.  r14: training rides the
+    # session-cached corpus centroids — the eager lineage cut that hid
+    # the spread repartition is gone, so the conditional spread of the
+    # single-split test file is now visible once per join side
+    "similarity_ivf_kmeans_topk": (5, True),
     # r4-late additions
     # first-touch per-user min + per-day count + the calendar-bounded
     # (O(days), never O(events)) global running-sum window
