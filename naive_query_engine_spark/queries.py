@@ -193,6 +193,58 @@ def one() -> Column:
     return F.lit(1).cast("decimal(3,2)")
 
 
+# -- exact LONG fixed-point money arithmetic (r14, guide §1.2 per-task work) --
+#
+# The decimal multiply/sum chain is the dominant per-row cost of the TPC-H
+# bench aggregates (measured sf0.1: SUM over the 2-factor decimal product
+# 0.69 s vs 0.25 s for the same values in int64 fixed point; the 3-factor
+# charge product 0.96 s vs 0.35 s).  Every money column carries at most 2
+# decimal digits by construction, so its cents value is an exact int64 and
+# the whole product/sum tree can run in long arithmetic, converting to
+# DECIMAL only on the aggregated (group-count-bounded) rows — where the
+# conversion is exact and the final decimal->double cast is the same
+# correctly-rounded operation both engines already share.  Bit-identical
+# outputs verified value-by-value against the decimal path at all three SFs
+# (tests/test_fixed_point_sum.py) and against the DuckDB oracle.
+
+#: hi/lo split base for :func:`fpsum`.  A single int64 SUM of per-row
+#: fixed-point values up to ~1e11 would overflow past ~1e8 rows PER GROUP
+#: (real at 100 TB); summing the 10^6-quotient and -remainder separately
+#: bounds each sum by ~1e5/row and ~1e6/row, pushing overflow past ~1e13
+#: rows per group, and costs nothing measurable per row (0.350 vs 0.353 s).
+_FP_SPLIT = 1_000_000
+
+
+def fp100(c: Column) -> Column:
+    """``c`` (a 2-dp money double) as its exact cents LONG — the unscaled
+    value of ``CAST(c AS DECIMAL(p,2))``.  Exact: the true value is k/100
+    for integer k, the stored double is within 2^-30 of it, so ``c*100``
+    lands within ~1e-9 of k and ROUND recovers k itself."""
+    return F.round(c * 100).cast("long")
+
+
+def fpsum(fp: Column, scale: int) -> Column:
+    """Exact SUM over a LONG fixed-point expression (``true value =
+    fp / 10**scale``), emitted as the identical DOUBLE that
+    ``CAST(SUM(<decimal expr>) AS DOUBLE)`` produces.
+
+    Per-row: split ``fp`` at 10^6 (floor-quotient hi, remainder lo — exact
+    for |fp| < 2^53, and every per-row fp here is <= ~1.2e11).  Aggregate:
+    two plain long SUMs (map-side partial aggregation, no decimal).
+    Post-aggregate (group-count-bounded rows only): recombine in
+    decimal(38,0) — exact — and divide by 10^scale, exact for scale <= 6
+    because Spark's decimal-division result scale is >= 6, then cast to
+    double (correctly rounded, same as the decimal path's final cast)."""
+    if scale > 6:
+        raise ValueError("fpsum is exact only for scale <= 6")
+    hi = F.floor(fp / F.lit(_FP_SPLIT)).cast("long")
+    lo = fp - hi * F.lit(_FP_SPLIT)
+    total = F.sum(hi).cast("decimal(38,0)") * F.lit(_FP_SPLIT).cast(
+        "decimal(7,0)"
+    ) + F.sum(lo).cast("decimal(38,0)")
+    return (total / F.lit(10**scale).cast(f"decimal({scale + 1},0)")).cast("double")
+
+
 # ===========================================================================
 # §2.1/2.2 — scan, projection, expressions, filter, limit/offset
 # ===========================================================================
@@ -921,22 +973,26 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 6-value key space; partial aggregation collapses almost everything
     map-side, so it scales linearly with input bytes."""
     li = t(spark, sf_dir, "lineitem")
-    price = dec(F.col("l_extendedprice"))
-    disc = dec(F.col("l_discount"), 4, 2)
-    tax = dec(F.col("l_tax"), 4, 2)
-    qty = dec(F.col("l_quantity"))
+    # r14: exact long fixed point replaces the per-row decimal chain (the
+    # scan-dominant cost — see fp100/fpsum); outputs bit-identical
+    price_c = fp100(F.col("l_extendedprice"))
+    disc_c = fp100(F.col("l_discount"))
+    tax_c = fp100(F.col("l_tax"))
+    qty_c = fp100(F.col("l_quantity"))
+    disc_price_fp = price_c * (F.lit(100) - disc_c)  # scale 4
+    charge_fp = disc_price_fp * (F.lit(100) + tax_c)  # scale 6
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (one() - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (one() - disc) * (one() + tax)).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / n).alias("avg_qty"),
-            (F.sum(price).cast("double") / n).alias("avg_price"),
-            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            fpsum(qty_c, 2).alias("sum_qty"),
+            fpsum(price_c, 2).alias("sum_base_price"),
+            fpsum(disc_price_fp, 4).alias("sum_disc_price"),
+            fpsum(charge_fp, 6).alias("sum_charge"),
+            (fpsum(qty_c, 2) / n).alias("avg_qty"),
+            (fpsum(price_c, 2) / n).alias("avg_price"),
+            (fpsum(disc_c, 2) / n).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -976,12 +1032,15 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    revenue = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
+    # r14: exact long fixed point (scale 4) — see fp100/fpsum
+    revenue_fp = fp100(F.col("l_extendedprice")) * (
+        F.lit(100) - fp100(F.col("l_discount"))
+    )
     return (
         li.join(o.join(c, o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(fpsum(revenue_fp, 4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -1025,7 +1084,10 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
-    revenue = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
+    # r14: exact long fixed point (scale 4) — see fp100/fpsum
+    revenue_fp = fp100(F.col("l_extendedprice")) * (
+        F.lit(100) - fp100(F.col("l_discount"))
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -1036,7 +1098,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(fpsum(revenue_fp, 4).alias("revenue"))
     )
 
 
@@ -1067,9 +1129,10 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec(F.col("l_extendedprice")) * dec(F.col("l_discount"), 4, 2))
-            .cast("double")
-            .alias("revenue"),
+            # r14: exact long fixed point (scale 4) — see fp100/fpsum
+            fpsum(
+                fp100(F.col("l_extendedprice")) * fp100(F.col("l_discount")), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
@@ -1711,7 +1774,8 @@ def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
     sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
-    rev = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2))
+    # r14: exact long fixed point (scale 4) — see fp100/fpsum
+    rev_fp = fp100(F.col("l_extendedprice")) * (F.lit(100) - fp100(F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -1720,7 +1784,7 @@ def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
         .filter(F.col("cnk") != F.col("snk"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year"))
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(fpsum(rev_fp, 4).alias("revenue"))
     )
 
 
@@ -1751,16 +1815,19 @@ def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
-    profit = dec(F.col("l_extendedprice")) * (one() - dec(F.col("l_discount"), 4, 2)) - dec(
-        F.col("p_retailprice")
-    ) * dec(F.col("l_quantity")) * F.lit("0.1").cast("decimal(3,1)")
+    # r14: exact long fixed point — see fp100/fpsum.  The decimal expr is
+    # scale 5 (term1 ep*(1-disc) scale 4, term2 rp*qty*0.1 scale 5), so
+    # term1 scales up by 10 and the sum divides by 10^5.
+    profit_fp = fp100(F.col("l_extendedprice")) * (
+        F.lit(100) - fp100(F.col("l_discount"))
+    ) * 10 - fp100(F.col("p_retailprice")) * fp100(F.col("l_quantity"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.sum(profit).cast("double").alias("profit"))
+        .agg(fpsum(profit_fp, 5).alias("profit"))
     )
 
 
