@@ -365,37 +365,13 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturated corpus otherwise emits a ~quadratic pair list; with the
     cap, output is <= K x n_docs — corpus-linear — while the strongest
     evidence per doc is kept verbatim."""
-    d = t(spark, sf_dir, "documents")
-    # the session-cached capped index IS the df<=cap universe; grouping it
-    # by shingle returns the same df values the global df aggregate would
-    # for every surviving shingle (an over-cap shingle has no rows here)
-    all_sh = cached_capped_index(spark, sf_dir)
-    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    from ..queries import cut_lineage
-
-    # r13 (guide §2.4): ONE groupBy replaces the old dfreq aggregate +
-    # re-join of the posting frame — the posting list per shingle carries
-    # df as its own length (size(ds)), so the weighted grouped index
-    # (g → sorted doc list, w²) comes from a single Exchange of the
-    # capped index.  Two consumers (norms + pair expansion): cut the
-    # lineage so it materializes once.
-    # carry w² (not w): the dot of a pair with tf==1 shingles is the sum of
-    # shared shingles' SQUARED weights, so squaring once per shingle group
-    # replaces a decimal multiply per candidate pair-posting (the
-    # 10×-probe's dominant term: 51.6M pair-postings vs 2.6M postings on
-    # the replicated corpus)
-    w = F.floor(
-        F.lit(TFIDF_SCALE) * (F.col("n_docs").cast("double") / F.size("ds"))
-    ).cast("decimal(19,0)")
-    gw = cut_lineage(
-        all_sh.groupBy("g")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .crossJoin(F.broadcast(nd))  # 1-row ungrouped aggregate
-        .select("ds", (w * w).alias("w2"))
-    )
-    norms = gw.select(F.explode("ds").alias("doc_id"), "w2").groupBy(
-        "doc_id"
-    ).agg(F.sum(F.col("w2")).alias("n2"))
+    # r14: the weighted grouped index (g → sorted doc list, w²) and the
+    # per-doc norm table are the session-cached cached_tfidf_index —
+    # built once per session from ONE Exchange of the capped index (the
+    # r13 grouped-posting shape) and shared with the prefix-filtered
+    # detector.  w² (not w) rides the group: the dot of a pair with
+    # tf==1 shingles is the sum of shared shingles' SQUARED weights.
+    gw, norms = cached_tfidf_index(spark, sf_dir)
     # pair dots by row-local expansion of each shingle's (df-capped ≤
     # MAX_SHINGLE_DF) posting list — the pairs_from_postings idiom,
     # weighted: same pair multiset as the old inverted-index self-join,
@@ -546,32 +522,12 @@ def dedup_tfidf_cosine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL(38,0)/HUGEINT) accumulated over a total per-doc order; the
     keep test compares identical doubles in both engines (the (1−t²)
     literal is inlined from one Python float)."""
-    from ..queries import cut_lineage
-
-    d = t(spark, sf_dir, "documents")
-    all_sh = cached_capped_index(spark, sf_dir)
-    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    # r13 (guide §2.4): grouped weighted index from ONE Exchange — df is
-    # the posting list's own length, so the old dfreq aggregate + re-join
-    # of the posting frame disappear (see dedup_tfidf_cosine); the flat
-    # (doc_id, g, w2) view every stage below consumes is a row-local
-    # explode of the materialized groups
-    w = F.floor(
-        F.lit(TFIDF_SCALE) * (F.col("n_docs").cast("double") / F.size("ds"))
-    ).cast("decimal(19,0)")
-    gw = cut_lineage(
-        all_sh.groupBy("g")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .crossJoin(F.broadcast(nd))
-        .select("g", "ds", (w * w).alias("w2"))
-    )
+    # r14: the weighted grouped index and norm table are the
+    # session-cached cached_tfidf_index (shared with dedup_tfidf_cosine);
+    # the flat (doc_id, g, w2) view every stage below consumes is a
+    # row-local explode of the persisted groups
+    gw, norms = cached_tfidf_index(spark, sf_dir)
     wsh = gw.select("g", F.explode("ds").alias("doc_id"), "w2")
-    # three consumers (prefix-ordering join + both cosine norm joins):
-    # materialize the (n_docs)-row norm table once instead of re-running
-    # the explode+aggregate per consumer
-    norms = cut_lineage(
-        wsh.groupBy("doc_id").agg(F.sum(F.col("w2")).alias("n2"))
-    )
     w_ord = (
         Window.partitionBy("doc_id")
         .orderBy(F.col("w2").desc(), F.col("g"))
@@ -1007,6 +963,52 @@ def cached_capped_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _CAPPED_INDEX_CACHE[key] = all_sh.join(rare, "g").persist(_SPILLABLE)
     return _CAPPED_INDEX_CACHE[key]
+
+
+#: session-scoped cache of the idf-WEIGHTED grouped posting index — one
+#: level above the capped index: (g, sorted posting list ds, squared
+#: fixed-point idf weight w2) plus its per-doc norm table (doc_id, n2)
+#: (r14, guide §1.2/§5).  Both tf-idf cosine detectors (exhaustive +
+#: prefix-filtered, the latter benched) rebuilt this identical frame pair
+#: per invocation — one corpus-scale groupBy Exchange plus a norm
+#: aggregate each — and eagerly localCheckpointed it, leaving a new copy
+#: per call.  One persisted frame pair per session serves both; reuse
+#: changes no results (identical relation, exact integer weights).
+_TFIDF_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def cached_tfidf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Session-cached weighted grouped posting index ``(gw, norms)`` —
+    ``gw = (g, ds, w2)`` with df-capped sorted posting lists and squared
+    idf weights, ``norms = (doc_id, n2)``.  Lazy persists."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TFIDF_INDEX_CACHE:
+        d = t(spark, sf_dir, "documents")
+        all_sh = cached_capped_index(spark, sf_dir)
+        nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+        # df is the posting list's own length (size(ds)) — the capped
+        # index admits a shingle iff its GLOBAL df is <= the cap, so the
+        # grouped list is complete and no separate dfreq aggregate is
+        # needed.  Weights are exact fixed-point BIGINT-in-decimal; w²
+        # rides the group so pair dots sum it directly (tf == 1).
+        w = F.floor(
+            F.lit(TFIDF_SCALE) * (F.col("n_docs").cast("double") / F.size("ds"))
+        ).cast("decimal(19,0)")
+        gw = (
+            all_sh.groupBy("g")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .crossJoin(F.broadcast(nd))  # 1-row ungrouped aggregate
+            .select("g", "ds", (w * w).alias("w2"))
+            .persist(_SPILLABLE)
+        )
+        norms = (
+            gw.select(F.explode("ds").alias("doc_id"), "w2")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w2")).alias("n2"))
+            .persist(_SPILLABLE)
+        )
+        _TFIDF_INDEX_CACHE[key] = (gw, norms)
+    return _TFIDF_INDEX_CACHE[key]
 
 
 def write_shingle_index(d: DataFrame, table: str, n_buckets: int = 32) -> None:
