@@ -3704,23 +3704,31 @@ def similarity_ivf_maintenance_tick(
             F.col("dup_of").cast("long").alias("dup_of"),
             "best_cosine",
         )
-        out = v if out is None else out.unionByName(v)
-        admitted = probe.join(
-            v.filter(~F.col("is_duplicate")).select(
-                F.col("vec_id").alias("arrival_id")
-            ),
-            "arrival_id",
-        ).select(
-            F.col("arrival_id").alias("vec_id"),
-            F.col("qq").alias("q"),
-            F.col("qn2").alias("nrm2"),
-            "cell",
-        )
-        # the grown corpus only feeds the NEXT batch's verdicts: cutting
-        # lineage after the last batch would run an eager localCheckpoint
-        # job materializing a frame nothing reads (r13, guide §1.2)
+        # r14 (guide §1.2: don't compute what you throw away): a
+        # non-final batch's verdict frame has TWO consumers — the output
+        # union arm and the admitted-arrivals filter that grows the next
+        # batch's corpus.  Cut the O(batch)-row verdict frame itself so
+        # batch i's join+window pipeline runs once per tick; the old
+        # shape cut the GROWN CORPUS instead, which both re-materialized
+        # corpus-sized state per tick and still re-ran the verdict
+        # subtree for the output arm.  The last batch's verdicts have one
+        # consumer — no cut (an eager job nothing would re-read).
         if i < n_batches:
-            corpus = cut_lineage(corpus.unionByName(admitted))
+            v = cut_lineage(v)
+        out = v if out is None else out.unionByName(v)
+        if i < n_batches:
+            admitted = probe.join(
+                v.filter(~F.col("is_duplicate")).select(
+                    F.col("vec_id").alias("arrival_id")
+                ),
+                "arrival_id",
+            ).select(
+                F.col("arrival_id").alias("vec_id"),
+                F.col("qq").alias("q"),
+                F.col("qn2").alias("nrm2"),
+                "cell",
+            )
+            corpus = corpus.unionByName(admitted)
     return out
 
 

@@ -2107,63 +2107,87 @@ def embedding_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> Data
     UNSAFE here; an actual Matryoshka checkpoint reads ≥0.9 at 16 dims,
     and that difference is exactly what the gate exists to catch.
 
-    Scale shape: one broadcast-queries × corpus pass per prefix (the
-    brute-force top-k plan, reusing ``slice()`` on the already-quantized
-    vectors — prefix dot products are exact integer sums like everything
-    else in this module); per-query ranking windows are k-bounded.  The
-    recall join is (queries×k)-sized.  At 100 TB the per-prefix passes
-    share the one corpus scan trivially (same stage, four dot columns) —
-    kept as separate passes here for plan clarity.
+    Scale shape (r14, guide §1.2/§2.4): ONE broadcast-queries × corpus
+    pass computes all four prefix cosines as columns of a single
+    candidate frame (prefix dot products are exact integer sums over
+    ``slice()`` of the already-quantized vectors), the four per-query
+    rank windows share one Exchange (same partition key — Spark stacks
+    the Sorts), and the recall rows come from one aggregate over the
+    rank columns: a membership test ``rnk_d <= k AND rnk_64 <= k`` IS
+    the old per-prefix top-k semi-join, row-locally.  The old shape ran
+    a scan+window per prefix and re-evaluated the 64-dim subtree in
+    every recall arm — 4 scans and 8 subtree references instead of 1/0.
 
     Determinism: integer dots, single double division per cosine, rank
     ties broken by neighbor_id — the same total order the other top-k
     operators pin."""
     qt = _qtable(spark, sf_dir)
-    full_k = None
-    rows = []
+
+    def prefix_norms(col, prefix_alias):
+        return [
+            dot_q(F.slice(col, 1, d), F.slice(col, 1, d)).alias(f"{prefix_alias}{d}")
+            for d in MRL_PREFIXES
+        ]
+
+    base = qt.select("vec_id", "q")
+    queries = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        *prefix_norms(F.col("q"), "nq2_"),
+    )
+    corpus = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qn"),
+        *prefix_norms(F.col("q"), "nn2_"),
+    )
+    cand = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        *[
+            cosine_q(
+                dot_q(F.slice(F.col("qq"), 1, d), F.slice(F.col("qn"), 1, d)),
+                F.col(f"nq2_{d}"),
+                F.col(f"nn2_{d}"),
+            ).alias(f"cos{d}")
+            for d in MRL_PREFIXES
+        ],
+    )
     for d in MRL_PREFIXES:
-        qd = qt.select(
-            "vec_id",
-            F.slice(F.col("q"), 1, d).alias("qd"),
-        ).withColumn("n2", dot_q(F.col("qd"), F.col("qd")))
-        queries = qd.filter(F.col("vec_id") < N_QUERY_VECS).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qd").alias("qq"),
-            F.col("n2").alias("nq2"),
-        )
-        corpus = qd.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("qd").alias("qn"),
-            F.col("n2").alias("nn2"),
-        )
-        cos = cosine_q(dot_q(F.col("qq"), F.col("qn")), F.col("nq2"), F.col("nn2"))
         w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
+            F.col(f"cos{d}").desc(), F.col("neighbor_id")
         )
-        topd = (
-            corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", cos.alias("cosine"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= TOP_K)
-            .select("query_id", "neighbor_id")
+        cand = cand.withColumn(f"rnk{d}", F.row_number().over(w))
+    in_full = F.col(f"rnk{MRL_PREFIXES[-1]}") <= TOP_K
+    agg = cand.agg(
+        *[
+            F.sum(((F.col(f"rnk{d}") <= TOP_K) & in_full).cast("int")).alias(f"m{d}")
+            for d in MRL_PREFIXES
+        ],
+        F.sum(in_full.cast("int")).alias("total"),
+    )
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("long").alias("prefix_dims"),
+                            F.col(f"m{d}").cast("long").alias("matched"),
+                            F.col("total").cast("long").alias("total"),
+                            (F.col(f"m{d}").cast("double") / F.col("total")).alias(
+                                "recall"
+                            ),
+                        )
+                        for d in MRL_PREFIXES
+                    ]
+                )
+            ).alias("r")
         )
-        if d == 64:
-            full_k = topd
-        rows.append((d, topd))
-    out = None
-    for d, topd in rows:
-        matched = topd.join(full_k, ["query_id", "neighbor_id"], "left_semi").agg(
-            F.count(F.lit(1)).alias("matched")
-        )
-        total = full_k.agg(F.count(F.lit(1)).alias("total"))
-        row = matched.crossJoin(total).select(
-            F.lit(d).cast("long").alias("prefix_dims"),
-            F.col("matched").cast("long").alias("matched"),
-            F.col("total").cast("long").alias("total"),
-            (F.col("matched").cast("double") / F.col("total")).alias("recall"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("prefix_dims")
+        .select("r.*")
+        .orderBy("prefix_dims")
+    )
 
 
 _Q["embedding_matryoshka_prefix_recall"] = _dc.replace(

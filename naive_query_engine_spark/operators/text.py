@@ -543,6 +543,40 @@ def cached_tf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TF_INDEX_CACHE[key]
 
 
+#: session-scoped cache of the BM25 index SIDE TABLES derived from the tf
+#: index (r14, guide §1.2/§5): doc lengths (doc_id, dl) and document
+#: frequencies (term, df) are index artifacts a deployment maintains next
+#: to the postings — but every text_bm25_topk invocation (and so every
+#: retrieval_rrf_fusion / eval / mmr call, which compose it) re-ran both
+#: corpus-scale aggregations.  One persisted pair per session; reuse
+#: changes no results (identical relations over the cached tf index).
+_BM25_SIDE_CACHE: dict[tuple[str, str], tuple["DataFrame", "DataFrame"]] = {}
+
+
+def cached_bm25_side_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Session-cached ``(dl, dfreq)`` — per-doc length and per-term df —
+    derived from :func:`cached_tf_index`.  Lazy persists."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BM25_SIDE_CACHE:
+        tf = cached_tf_index(spark, sf_dir)
+        dl = (
+            tf.groupBy("doc_id")
+            .agg(F.sum("tf").alias("dl"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        dfreq = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _BM25_SIDE_CACHE[key] = (dl, dfreq)
+    return _BM25_SIDE_CACHE[key]
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_SCALE = 1_000_000
@@ -619,11 +653,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tf = cached_tf_index(spark, sf_dir)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # r14: dl/dfreq are session-cached index side tables (see
+    # cached_bm25_side_tables) — the per-call work left is the probe join
+    # and the (queries × postings)-bounded scoring
+    dl, dfreq = cached_bm25_side_tables(spark, sf_dir)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = tf.filter(F.col("doc_id") < BM25_N_QUERY_DOCS).select(
         F.col("doc_id").alias("query_id"), "term"
     )
