@@ -170,13 +170,23 @@ def near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay job-free."""
     from pyspark import StorageLevel
 
-    from .dedup import cached_capped_index, ngram_jaccard_pairs
+    from .dedup import (
+        cached_capped_index,
+        cached_capped_postings,
+        cached_capped_sizes,
+        ngram_jaccard_pairs,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGE_CACHE:
         d = t(spark, sf_dir, "documents")
         _EDGE_CACHE[key] = (
-            ngram_jaccard_pairs(d, sh=cached_capped_index(spark, sf_dir))
+            ngram_jaccard_pairs(
+                d,
+                sh=cached_capped_index(spark, sf_dir),
+                grouped=cached_capped_postings(spark, sf_dir),
+                sizes=cached_capped_sizes(spark, sf_dir),
+            )
             .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

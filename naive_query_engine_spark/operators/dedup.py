@@ -125,8 +125,18 @@ def pairs_from_postings(
         .filter((F.size("ds") <= max_df) & (F.size("ds") >= 2))
         .select(F.array_sort("ds").alias("ds"))
     )
+    return pairs_from_grouped(lists, min_shared, out_col)
+
+
+def pairs_from_grouped(lists: DataFrame, min_shared: int, out_col: str) -> DataFrame:
+    """Pair counts from an ALREADY-GROUPED posting frame (``ds`` =
+    ascending per-key doc list): row-local pair expansion + one pair
+    Exchange.  Split out of :func:`pairs_from_postings` (r14) so callers
+    holding a session-cached grouped index skip the grouping Exchange
+    entirely."""
     return (
-        lists.select(F.explode(ordered_pair_structs("ds")).alias("p"))
+        lists.filter(F.size("ds") >= 2)
+        .select(F.explode(ordered_pair_structs("ds")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias(out_col))
@@ -213,6 +223,8 @@ def ngram_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     max_df: int = MAX_SHINGLE_DF,
     sh: DataFrame | None = None,
+    grouped: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard, via inverted-index join
     over the stop-shingle-capped universe (see ``MAX_SHINGLE_DF``).
@@ -222,7 +234,10 @@ def ngram_jaccard_pairs(
     session-cached :func:`cached_capped_index` so the tokenize→distinct→
     df machinery runs once per session instead of once per consumer
     (VERDICT r4 #3); callers with non-default n/max_df must leave it
-    None."""
+    None.  ``grouped``/``sizes`` (r14) — the session-cached GROUPED
+    posting view and per-doc size table over the same universe
+    (:func:`cached_capped_postings` / :func:`cached_capped_sizes`): when
+    passed, the per-call grouping and size Exchanges disappear too."""
     if sh is None:
         # callers with a non-default universe (tests, custom n/max_df):
         # per-doc-distinct hashed shingles, df-capped.  The df cap is
@@ -236,14 +251,18 @@ def ngram_jaccard_pairs(
             .select("g")
         )
         sh = all_sh.join(rare, "g").persist(_SPILLABLE)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     # r13 (guide §2.4): pair counts via one posting Exchange + row-local
     # pair expansion (pairs_from_postings) instead of the inverted-index
     # self-join — sh is already df-capped, so the helper's cap re-check
     # (max_df) never drops anything further
-    shared = pairs_from_postings(
-        sh.select("doc_id", F.col("g").alias("h")), max_df, 1, "shared"
-    )
+    if grouped is not None:
+        shared = pairs_from_grouped(grouped, 1, "shared")
+    else:
+        shared = pairs_from_postings(
+            sh.select("doc_id", F.col("g").alias("h")), max_df, 1, "shared"
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))
     jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
@@ -279,7 +298,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (jaccard >= threshold).  The
     single-division double is deterministic across engines — no rounding."""
     return ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), sh=cached_capped_index(spark, sf_dir)
+        t(spark, sf_dir, "documents"),
+        sh=cached_capped_index(spark, sf_dir),
+        grouped=cached_capped_postings(spark, sf_dir),
+        sizes=cached_capped_sizes(spark, sf_dir),
     )
 
 
@@ -982,6 +1004,34 @@ def cached_capped_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CAPPED_INDEX_CACHE[key]
 
 
+#: session-scoped cache of the per-doc CAPPED-shingle size table
+#: (doc_id, n_g) — the denominator every capped-index pair consumer
+#: (jaccard, containment, threshold sweep) re-aggregated per call (r14).
+_CAPPED_SIZES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(g, ds): the capped index grouped by shingle with ascending posting
+    lists — a projection of the session-cached weighted index (r14; no
+    extra persist: ``cached_tfidf_index``'s gw already holds the grouped
+    lists, the weight column is simply not selected)."""
+    gw, _ = cached_tfidf_index(spark, sf_dir)
+    return gw.select("g", "ds")
+
+
+def cached_capped_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, n_g) over the capped universe.  Lazy persist."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CAPPED_SIZES_CACHE:
+        _CAPPED_SIZES_CACHE[key] = (
+            cached_capped_index(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_g"))
+            .persist(_SPILLABLE)
+        )
+    return _CAPPED_SIZES_CACHE[key]
+
+
 #: session-scoped caches of the MinHash and SimHash SIGNATURE tables
 #: (r14, guide §1.2/§5) — the per-doc sketch a deployment maintains next
 #: to the corpus (signatures are incrementally computable per document,
@@ -1649,7 +1699,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~quadratically."""
     d = t(spark, sf_dir, "documents")
     # threshold 0 → every candidate pair with its jaccard, no filter
-    pairs = ngram_jaccard_pairs(d, threshold=0.0, sh=cached_capped_index(spark, sf_dir))
+    pairs = ngram_jaccard_pairs(
+        d,
+        threshold=0.0,
+        sh=cached_capped_index(spark, sf_dir),
+        grouped=cached_capped_postings(spark, sf_dir),
+        sizes=cached_capped_sizes(spark, sf_dir),
+    )
     wk = Window.partitionBy("doc_a").orderBy(
         F.col("jaccard").desc(), F.col("doc_b")
     )
@@ -1731,14 +1787,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanout, never all-pairs), and containment adds only the LEAST() on
     the already-joined size columns.  One extra projection, zero extra
     shuffles beyond the shared pair build."""
-    d = t(spark, sf_dir, "documents")
-    sh = cached_capped_index(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    # r13: pair counts via pairs_from_postings (one posting Exchange +
-    # row-local expansion), same as dedup_ngram_jaccard
-    shared = pairs_from_postings(
-        sh.select("doc_id", F.col("g").alias("h")), MAX_SHINGLE_DF, 1, "shared"
-    )
+    # r14: sizes and the grouped posting view are session-cached (shared
+    # with the jaccard family); pair counts expand row-locally from the
+    # persisted groups — zero corpus-scale Exchanges per call
+    sizes = cached_capped_sizes(spark, sf_dir)
+    shared = pairs_from_grouped(cached_capped_postings(spark, sf_dir), 1, "shared")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))
     na, nb, sh_c = F.col("na"), F.col("nb"), F.col("shared")
