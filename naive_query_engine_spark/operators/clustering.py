@@ -316,12 +316,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed candidates for sub-quadratic); clustering is the same
     label-propagation fixpoint as dedup_connected_components (one keyed
     shuffle per iteration, lineage truncated via localCheckpoint)."""
-    from .similarity import _qtable, cosine_block_pairs
+    from .similarity import _qtable, cached_blocked_frame, cosine_block_pairs
 
     qt = _qtable(spark, sf_dir)
-    edges = cosine_block_pairs(qt).select(
-        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
-    )
+    edges = cosine_block_pairs(
+        qt, blocked=cached_blocked_frame(spark, sf_dir)
+    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     vertices = qt.select(F.col("vec_id").alias("id"))
     return (
         connected_components(vertices, edges)

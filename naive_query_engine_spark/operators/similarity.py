@@ -123,17 +123,25 @@ def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread over B² bounded-memory tasks with nothing resident on the
     driver.  At corpus sizes where even distributed n² is too much, use
     ``similarity_lsh_bucketed`` (bounded fan-out candidates)."""
-    return cosine_block_pairs(_qtable(spark, sf_dir))
+    return cosine_block_pairs(
+        _qtable(spark, sf_dir), blocked=cached_blocked_frame(spark, sf_dir)
+    )
 
 
-def block_pair_frame(qt: DataFrame, block_size: int = COSINE_BLOCK_SIZE) -> DataFrame:
-    """Upper-triangle block-pair frame over a quantized embedding frame
-    (vec_id, q: array<long>, nrm2: long): one row per block pair
-    (bi ≤ bj) carrying both blocks' ids/norms/vectors — the shared
-    enumeration under every distributed all-pairs kernel here
-    (``cosine_block_pairs`` thresholded pairs, ``similarity_mutual_knn``
-    per-row top-k candidates)."""
-    blocked = (
+def _blocked_frame(qt: DataFrame, block_size: int = COSINE_BLOCK_SIZE) -> DataFrame:
+    """(block, ids, n2s, vecs): the corpus grouped into contiguous
+    vec_id blocks — the materialized substrate under the block-pair
+    enumeration.  Eagerly lineage-cut: consumed twice per enumeration
+    (pair keys + a-side payload) through alias-divergent plans that
+    defeat ReuseExchange, so the grouping job must run exactly ONCE and
+    both consumers read the materialized blocks (the triangle-count /
+    pagerank idiom; r2's persist() still re-ran 4 divergent plans).
+    Same trade-offs as graph_triangle_count (ADVICE r2/r4): EAGER —
+    building this frame runs the grouping job (SPARK_GRAFT_LAZY_CUTS=1
+    for job-free plan inspection) — pre-cut exchanges are invisible
+    to the static plan, and the cut is not executor-loss resilient
+    (SPARK_GRAFT_RELIABLE_CHECKPOINT=1 for restartable jobs)."""
+    return (
         qt.groupBy((F.floor(F.col("vec_id") / block_size)).alias("block"))
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "nrm2", "q"))).alias("vs"))
         .select(
@@ -142,18 +150,43 @@ def block_pair_frame(qt: DataFrame, block_size: int = COSINE_BLOCK_SIZE) -> Data
             F.transform(F.col("vs"), lambda s: s.nrm2).alias("n2s"),
             F.transform(F.col("vs"), lambda s: s.q).alias("vecs"),
         )
-        # consumed twice below (pair enumeration + a-side payload) through
-        # alias-divergent plans that defeat ReuseExchange — checkpoint so
-        # the grouping job runs exactly ONCE and both consumers read the
-        # materialized blocks (eager lineage cut, the triangle-count /
-        # pagerank idiom; r2's persist() still re-ran 4 divergent plans).
-        # Same trade-offs as graph_triangle_count (ADVICE r2/r4): EAGER —
-        # building this frame runs the grouping job (SPARK_GRAFT_LAZY_CUTS=1
-        # for job-free plan inspection) — pre-cut exchanges are invisible
-        # to the static plan, and the cut is not executor-loss resilient
-        # (SPARK_GRAFT_RELIABLE_CHECKPOINT=1 for restartable jobs)
         .transform(cut_lineage)
     )
+
+
+#: session-scoped cache of the blocked corpus frame (r14, guide §1.2/§5):
+#: four registered all-pairs consumers (thresholded cosine, mutual k-NN,
+#: TwoNN, semantic components) each re-ran the grouping job + eager cut
+#: per invocation over the identical full-corpus quantized frame.  One
+#: cut frame per session serves them all; reuse changes no results.
+_BLOCKED_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def cached_blocked_frame(
+    spark: SparkSession, sf_dir: str, block_size: int = COSINE_BLOCK_SIZE
+) -> DataFrame:
+    """Session-cached :func:`_blocked_frame` over the corpus ``_qtable``."""
+    key = (spark.sparkContext.applicationId, sf_dir, block_size)
+    if key not in _BLOCKED_CACHE:
+        _BLOCKED_CACHE[key] = _blocked_frame(_qtable(spark, sf_dir), block_size)
+    return _BLOCKED_CACHE[key]
+
+
+def block_pair_frame(
+    qt: DataFrame,
+    block_size: int = COSINE_BLOCK_SIZE,
+    blocked: DataFrame | None = None,
+) -> DataFrame:
+    """Upper-triangle block-pair frame over a quantized embedding frame
+    (vec_id, q: array<long>, nrm2: long): one row per block pair
+    (bi ≤ bj) carrying both blocks' ids/norms/vectors — the shared
+    enumeration under every distributed all-pairs kernel here
+    (``cosine_block_pairs`` thresholded pairs, ``similarity_mutual_knn``
+    per-row top-k candidates).  ``blocked`` — a prebuilt
+    :func:`_blocked_frame`: full-corpus registered queries pass the
+    session-cached :func:`cached_blocked_frame`."""
+    if blocked is None:
+        blocked = _blocked_frame(qt, block_size)
     # upper-triangle enumeration without a pair-key join: block bj knows
     # its own lower partners 0..bj, so one generator emits every (bi, bj)
     # key with the bj payload already attached — no BNLJ, no second
@@ -182,7 +215,9 @@ def block_pair_frame(qt: DataFrame, block_size: int = COSINE_BLOCK_SIZE) -> Data
 
 
 def cosine_block_pairs(
-    qt: DataFrame, block_size: int = COSINE_BLOCK_SIZE
+    qt: DataFrame,
+    block_size: int = COSINE_BLOCK_SIZE,
+    blocked: DataFrame | None = None,
 ) -> DataFrame:
     """Block-pair all-pairs cosine over a quantized frame
     (vec_id, q: array<long>, nrm2: long) — see ``similarity_cosine_pairs``.
@@ -191,7 +226,7 @@ def cosine_block_pairs(
     import numpy as np
     import pandas as pd
 
-    pairs = block_pair_frame(qt, block_size)
+    pairs = block_pair_frame(qt, block_size, blocked=blocked)
 
     def block_matmul(batches):
         # one yield per block pair: peak memory = one input Arrow batch
@@ -1865,7 +1900,9 @@ def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     k = TOP_K
-    pairs = block_pair_frame(_qtable(spark, sf_dir))
+    pairs = block_pair_frame(
+        _qtable(spark, sf_dir), blocked=cached_blocked_frame(spark, sf_dir)
+    )
 
     def block_topk(batches):
         # per block pair: top-k candidate DSTs per row, BOTH directions
@@ -2279,7 +2316,9 @@ def embedding_intrinsic_dimension_twonn(
     import numpy as np
     import pandas as pd
 
-    pairs = block_pair_frame(_qtable(spark, sf_dir))
+    pairs = block_pair_frame(
+        _qtable(spark, sf_dir), blocked=cached_blocked_frame(spark, sf_dir)
+    )
 
     def block_top2(batches):
         got_any = False
