@@ -410,9 +410,10 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from .similarity import N_QUERY_VECS, TOP_K, _qtable, cosine_q, dot_q
+    from .similarity import N_QUERY_VECS, TOP_K, cached_cut_qtable, cosine_q, dot_q
 
-    qt = spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
+    # r14: session-cached cut quantized frame (no per-call spread exchange)
+    qt = cached_cut_qtable(spark, sf_dir)
     centroids = corpus_centroids(spark, sf_dir)
     cent = spark.createDataFrame(
         [(j, centroids[j]) for j in sorted(centroids)],
@@ -956,11 +957,10 @@ def ivf_corpus_assignment(
     share; Lloyd training runs once per (session, corpus, K)."""
     key = (spark.sparkContext.applicationId, sf_dir, k_cells)
     if key not in _IVF_ASSIGN_CACHE:
-        from .similarity import _qtable
+        # r14: the cut quantized frame is itself session-cached
+        from .similarity import cached_cut_qtable
 
-        qt = cut_lineage(
-            spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
-        )
+        qt = cached_cut_qtable(spark, sf_dir)
         centroids = train_centroids(qt, k_cells, KMEANS_ITERS)
         _IVF_ASSIGN_CACHE[key] = (_assign_to_cells(qt, centroids), centroids)
     return _IVF_ASSIGN_CACHE[key]
@@ -1744,11 +1744,11 @@ def _frozen_assignment(
         ("growk",) if growk else ()
     )
     if key not in _FROZEN_CACHE:
-        from .similarity import _qtable
+        # r14: the cut quantized frame is itself session-cached (shared
+        # with the kcenter coreset and any other frozen regime)
+        from .similarity import cached_cut_qtable
 
-        qt = cut_lineage(
-            spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
-        )
+        qt = cached_cut_qtable(spark, sf_dir)
         base = qt.filter(F.expr(_UPSERT_TRAIN_PRED))
         k = -(-base.count() // GROWK_CELL_TARGET) if growk else KMEANS_K
         centroids = train_centroids(
@@ -3452,11 +3452,10 @@ def similarity_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     index rather than a one-shot build."""
     from .similarity import TOP_K
 
-    from .similarity import _qtable
+    from .similarity import cached_cut_qtable
 
-    qt = cut_lineage(
-        spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
-    )
+    # r14: session-cached cut quantized frame
+    qt = cached_cut_qtable(spark, sf_dir)
     base = qt.filter(F.expr(_UPSERT_TRAIN_PRED))
     centroids = train_centroids(base.select("vec_id", "q"), KMEANS_K, KMEANS_ITERS)
     state_assign = cut_lineage(_assign_to_cells(base, centroids))

@@ -58,6 +58,27 @@ def cosine_q(dot: Column, na2: Column, nb2: Column) -> Column:
     return dot.cast("double") / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double")))
 
 
+#: session-scoped cache of the CUT (materialized) quantized corpus frame
+#: (vec_id, q, nrm2) — the substrate iterative vector operators fold over
+#: (r14).  Each consumer previously re-ran the quantize scan + an eager
+#: spread/checkpoint job per invocation; one cut frame per session
+#: serves them (reuse changes no results — identical relation).
+_CUT_QT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_cut_qtable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached ``cut_lineage(spread(_qtable(...)))`` with columns
+    (vec_id, q, nrm2).  EAGER on first build (the cut materializes)."""
+    from ..queries import spread
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CUT_QT_CACHE:
+        _CUT_QT_CACHE[key] = cut_lineage(
+            spread(_qtable(spark, sf_dir).select("vec_id", "q", "nrm2"))
+        )
+    return _CUT_QT_CACHE[key]
+
+
 def _qtable(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     return e.select(
@@ -2524,9 +2545,11 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: extends the §2.8 extension surface (no selection /
     sampling plane in the reference; aggregation machinery is
     aggregate/mod.rs:30-235)."""
-    from ..queries import spread
-
-    qt = cut_lineage(spread(_qtable(spark, sf_dir).select("vec_id", "q")))
+    # r14: the cut quantized frame is the session-cached substrate shared
+    # with the IVF family (cached_cut_qtable) — the per-call eager
+    # spread+checkpoint job disappears; the T sequential argmax reduces
+    # (driver-round latency, inherent to Gonzalez) are what remains.
+    qt = cached_cut_qtable(spark, sf_dir).select("vec_id", "q")
     # seed + its vector in ONE 1-row reduce: min(struct) carries q along
     s = qt.agg(F.min(F.struct("vec_id", "q"))).collect()[0][0]
     seed, center = int(s["vec_id"]), list(s["q"])
