@@ -29,7 +29,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries import query, spread, t
+from ..queries import cut_lineage, query, spread, t
 from .shingles_sql import (
     CAPPED_SHINGLES_SQL as _CAPPED_SQL,
     JACCARD_THRESHOLD,
@@ -1982,43 +1982,80 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: reuses the session-cached capped shingle index (11th
     consumer — the maintained-table probe like every other consumer).
-    r13 (guide §2.4): the per-shingle SOURCE SET is collected in one
-    groupBy (collect_set folds the old ``(source, g) distinct`` and the
-    g-keyed self-join into a single corpus-scale Exchange — the set is
-    |sources|-bounded per shingle, which is the whole reason the
-    SOURCE-level matrix is cheap while the doc-level one needs banding);
-    pair counts and per-source vocabulary sizes both expand ROW-LOCALLY
-    from those sets (``ordered_pair_structs`` — the shared posting-list
-    idiom), so the only corpus-scale shuffle is the one groupBy, and
-    Spark's ReuseExchange serves both consumers from it.  The old shape
-    additionally paid the self-join's two Exchanges whose pair-expansion
-    stage was COMPARISON-bound, not byte-bound — AQE's byte-based
-    coalescing serialized it onto ~3 tasks once the r13 8-byte shingle
-    keys shrank the shuffle below the 32-partition floor (measured
-    2.2× in-bench; the fix removes the stage rather than re-tuning the
-    coalescer).  Output stays |sources|²-bounded.
+    r14 (guide §2.3/§2.4, replacing the r13 collect_set shape): the
+    per-shingle source set is a BITMASK — sources are a bounded label
+    set (the output matrix is |sources|²-bounded by this operator's own
+    contract, and the mask caps at 64 labels), so ``bit_or`` of
+    ``1 << source_idx`` collects the set as one LONG in a codegen
+    HashAggregate with map-side partials, where ``collect_set`` ran as
+    an ObjectHashAggregate (no whole-stage codegen, per-row set
+    allocation) whose n_shingles-row output then fed TWO explode
+    consumers.  The mask frame collapses to ≤2^|sources| rows in a
+    second (map-side-combined, near-free) aggregate, and pair counts /
+    per-source vocabulary sizes expand row-locally from THAT tiny frame
+    weighted by mask multiplicity — the corpus-scale work is exactly one
+    scan of the cached index plus one long-keyed Exchange.
 
     Determinism: exact integer shingle counts; Jaccard as fixed-point
     integer division; total order (jaccard desc, source pair)."""
     d = t(spark, sf_dir, "documents")
     sh = cached_capped_index(spark, sf_dir)
-    gs = (
-        sh.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("g")
-        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    # 1-row frame holding the ascending source vocabulary: each source's
+    # mask bit is its position in this array (no driver collect — the
+    # array rides a broadcast crossJoin into the row-local expressions)
+    lst = (
+        d.select("source")
+        .distinct()
+        .agg(F.sort_array(F.collect_list("source")).alias("all_ss"))
+    )
+    # per-DOC mask bit: the 1-row vocabulary crossJoin (a BNLJ) touches
+    # only the n_docs-row side — the shingle-scale rows below join it by
+    # doc_id hash, never through a nested-loop
+    d_bit = (
+        d.select("doc_id", "source")
+        .crossJoin(F.broadcast(lst))
+        .select(
+            "doc_id",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(array_position(all_ss, source) - 1 AS INT))"
+            ).alias("b"),
+        )
+    )
+    masks = sh.join(d_bit, "doc_id").groupBy("g").agg(F.bit_or("b").alias("m"))
+    # ≤2^|sources| rows: how many shingles carry each exact source set.
+    # CUT here (bounded rows): three consumers read wp (pair, na, nb) and
+    # column pruning specializes their subtrees enough that ReuseExchange
+    # cannot dedup them — uncut, the corpus-scale mask aggregate ran 3×
+    # (measured 0.73 s subtree vs 2.7 s full query at sf0.1)
+    wp = cut_lineage(
+        masks.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(lst))
+        .select(
+            "cnt",
+            # reconstruct the ascending source set from the mask (the
+            # vocabulary array is ascending, filter preserves order)
+            F.expr(
+                "filter(all_ss, (s, i) ->"
+                " (shiftright(m, CAST(i AS INT)) & CAST(1 AS BIGINT)) = 1)"
+            ).alias("ss"),
+        )
     )
     sizes = (
-        gs.select(F.explode("ss").alias("source"))
+        wp.select(F.explode("ss").alias("source"), "cnt")
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_g"))
+        .agg(F.sum("cnt").alias("n_g"))
     )
     pair = (
-        gs.select(F.explode(ordered_pair_structs("ss")).alias("p"))
+        wp.select(F.explode(ordered_pair_structs("ss")).alias("p"), "cnt")
         .select(
-            F.col("p.doc_a").alias("source_a"), F.col("p.doc_b").alias("source_b")
+            F.col("p.doc_a").alias("source_a"),
+            F.col("p.doc_b").alias("source_b"),
+            "cnt",
         )
         .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(F.sum("cnt").alias("shared"))
     )
     na = sizes.select(F.col("source").alias("source_a"), F.col("n_g").alias("na"))
     nb = sizes.select(F.col("source").alias("source_b"), F.col("n_g").alias("nb"))
