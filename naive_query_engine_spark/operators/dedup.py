@@ -1877,13 +1877,19 @@ def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline uses to pick which sources need the heavier
     near-dup cascade.
 
-    Scale shape: one explode (map-side, tiling so ~n_words/W rows), one
-    groupBy on the segment hash for document frequency (the only
-    corpus-sized shuffle — keyed by md5, uniformly distributed, AQE-safe),
-    one hash-join back (same key → same partitioning, AQE reuses the
-    exchange), then a 20-group rollup.  No pairwise compare anywhere; at
-    100 TB both heavy stages are linear in corpus size and the join
-    carries only (hash, df) on the build side.
+    Scale shape (r14, guide §2.3/§2.4): one explode (map-side, tiling so
+    ~n_words/W rows) into per-(doc, hash) occurrence counts — the
+    segment stream is derived ONCE (the old shape re-derived the
+    scan+explode+hash lineage for both sides of the df join), keyed by
+    ``xxhash64`` 8-byte longs instead of md5 strings (the oracle groups
+    raw segments — the OUTPUT never exposes the key, so the engines only
+    need dedup-equivalent keys, not identical ones).  Document frequency
+    is a count over the already-(doc,hash)-distinct rows, the join back
+    carries only (hash, df) on the build side, and the per-doc totals
+    come from the occurrence counts (``n_segs = Σk``,
+    ``dup_segs = Σk·[df≥2]`` — exactly the oracle's per-occurrence
+    sums).  No pairwise compare anywhere; at 100 TB every heavy stage is
+    linear in corpus size.
 
     Exactness: the dup fraction is an integer-division ppm
     (``(1e6 * dup) DIV total``) — no float division, bit-equal across
@@ -1895,26 +1901,32 @@ def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tile into exactly-W-word segments JVM-side; sequence(0, size DIV W)
     # deliberately overshoots by one and the filter drops the partial tail
     # (sequence(0, -1) would generate a DESCENDING range — never go there)
-    seg_expr = F.expr(
+    segs_sql = (
         f"filter(transform(sequence(0, CAST(size(w) DIV {SEGMENT_WORDS} AS INT)),"
         f" i -> concat_ws(' ', slice(w, i*{SEGMENT_WORDS}+1, {SEGMENT_WORDS}))),"
         f" s -> size(split(s, ' ')) = {SEGMENT_WORDS})"
     )
-    # carry only the md5 of each segment past the explode: the shuffle key
-    # and join payload are fixed 32-byte hashes, not 8-word strings (the
-    # oracle groups raw segments — the OUTPUT never exposes the key, so the
-    # engines only need dedup-equivalent keys, not identical ones)
-    segs = spread(d).select(
-        "doc_id", "source", F.explode(seg_expr).alias("seg")
-    ).select("doc_id", "source", F.md5("seg").alias("seg_h"))
-    seg_df = segs.groupBy("seg_h").agg(F.countDistinct("doc_id").alias("df"))
+    hs_expr = F.expr(f"transform({segs_sql}, s -> xxhash64(s))")
+    # source is functionally dependent on doc_id — keep the string OUT of
+    # the corpus-scale exchanges (3×long rows only) and re-attach it from
+    # the documents dim on the per-doc aggregate
+    dhk = (
+        spread(d)
+        .select("doc_id", F.explode(hs_expr).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    seg_df = dhk.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
-        segs.join(seg_df, "seg_h")
-        .groupBy("doc_id", "source")
+        dhk.join(seg_df, "h")
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_segs"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup_segs"),
+            F.sum("k").alias("n_segs"),
+            F.sum(F.when(F.col("df") >= 2, F.col("k")).otherwise(0)).alias(
+                "dup_segs"
+            ),
         )
+        .join(t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
     )
     return (
         per_doc.groupBy("source")
