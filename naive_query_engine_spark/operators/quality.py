@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries import floordiv_col, query, t
+from ..queries import cut_lineage, floordiv_col, query, t
 
 SPLIT_BUCKETS = 16
 TRAIN_BUCKETS = 13  # 13/16 ≈ 81% train
@@ -1249,15 +1249,40 @@ def dataset_dsir_importance_weights(
         * DSIR_FP,
         0,
     ).cast("long")
-    wts = bstats.crossJoin(F.broadcast(tot)).select("bucket", wfp.alias("wfp"))
-    # no broadcast hint on wts: its 256-row bound comes from the md5
-    # bucket width, which the broadcast-guard's structural audit can't
-    # prove — AQE broadcasts it by measured size anyway (the
-    # join_bloom_prefilter discipline)
-    docw = (
-        hashed.join(wts, "bucket")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("wfp").alias("weight_fp"))
+    # CUT the {DSIR_BUCKETS}-row weight table (bounded by the hash width):
+    # uncut, the bstats lineage re-ran once per downstream reference
+    # (wts + tot both derive from it, and docw's two consumers double
+    # everything again — measured 3.3 s full query vs 0.54 s for pass 1
+    # + ~0.9 s for pass 2 at sf0.1)
+    wts = cut_lineage(
+        bstats.crossJoin(F.broadcast(tot)).select("bucket", wfp.alias("wfp"))
+    )
+    # pass 2 is ROW-LOCAL (r14, guide §2.4/§1.2): the per-doc weight is
+    # an array aggregate against the broadcast 256-entry bucket→wfp map —
+    # the old explode + join + groupBy(doc_id) re-materialized the
+    # feature stream as rows and paid a corpus-scale Exchange for a sum
+    # that never leaves its own document.  Every feature's bucket is
+    # present in the map by construction (it contributed to rc), so the
+    # lookup is total — same inner-join semantics.
+    wmap = wts.agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "wfp"))).alias("wm")
+    )
+    docw_expr = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, f: acc
+        + F.element_at(
+            F.col("wm"),
+            F.conv(F.substring(F.md5(f), 1, 2), 16, 10).cast("long"),
+        ),
+    )
+    # CUT the n_docs-row (doc_id, lang, weight) frame: its two consumers
+    # (the global top-k and the per-lang rollup) would otherwise each
+    # re-run the tokenize+hash scan.  Rows are narrow and output-scale.
+    docw = cut_lineage(
+        d.crossJoin(F.broadcast(wmap)).select(
+            "doc_id", "lang", docw_expr.alias("weight_fp")
+        )
     )
     # lang-bounded rollup of the global top-selection (TakeOrdered, k fixed)
     top = (
