@@ -370,7 +370,11 @@ def events_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cum = distributed_prefix_sums(h, [F.col("value")], ["c0", "c1"])
-    n = h.agg(
+    # totals from the prefix-sum frame, which distributed_prefix_sums has
+    # already lineage-cut — aggregating h directly re-ran the events scan
+    # + value groupBy a second time (r14, guide §1.2); column pruning
+    # drops the unused window expressions from this branch
+    n = cum.agg(
         F.sum("c0").alias("n0"),
         F.sum("c1").alias("n1"),
         F.count(F.lit(1)).alias("nv"),
