@@ -1206,10 +1206,13 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("rev")
     )
-    tot = rev.agg(F.sum("rev").alias("total"))
     c = distributed_prefix_sum(
         rev, [F.col("rev").desc(), F.col("l_partkey")], "rev", "cum"
     )
+    # total from the prefix-sum frame, which distributed_prefix_sum has
+    # already lineage-cut — aggregating rev directly re-ran the lineitem
+    # scan + partkey groupBy a second time (r14, guide §1.2)
+    tot = c.agg(F.sum("rev").alias("total"))
     cls = (
         c.crossJoin(F.broadcast(tot))
         .select(

@@ -208,9 +208,13 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = distributed_prefix_sum(
         bounds, [F.col("ts"), F.col("delta"), F.col("user_id")], "delta", "cum"
     )
-    n_sessions = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
-    return run.agg(F.max("cum").cast("long").alias("peak_concurrency")).crossJoin(
-        F.broadcast(n_sessions.select(F.col("n_sessions").cast("long").alias("n_sessions")))
+    # n_sessions from the cut prefix-sum frame (every session contributes
+    # exactly two bound rows, so bounds/2 is integer-exact) — aggregating
+    # sess directly re-ran the events scan + session_window groupBy a
+    # second time (r14, guide §1.2)
+    return run.agg(
+        F.max("cum").cast("long").alias("peak_concurrency"),
+        F.floor(F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
     )
 
 

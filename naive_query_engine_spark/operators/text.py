@@ -2319,12 +2319,15 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("negc", -F.col("c"))
         .withColumn("one", F.lit(1).cast("long"))
     )
-    tot = counts.agg(
-        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_types")
-    )
     from .layout import distributed_prefix_sums
 
     pref = distributed_prefix_sums(counts, ["negc", "tok"], ["c", "one"])
+    # totals from the cut prefix-sum frame — aggregating counts directly
+    # re-ran the corpus tokenize + token groupBy a second time (r14,
+    # guide §1.2); column pruning drops the unused window expressions
+    tot = pref.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_types")
+    )
     return (
         pref.filter(F.col("one_cum").isin([k for k in COVERAGE_KS]))
         .crossJoin(F.broadcast(tot))

@@ -279,9 +279,10 @@ BUDGETS = {
     "dedup_threshold_sweep": (25, True),
     # distributed sweep: session agg + the range repartition sits behind
     # the lineage cut; post-cut the in-partition running sum needs NO
-    # exchange (partitionBy _pid matches the cut layout) — remaining:
-    # session-count side + final 1-row reduces
-    "events_peak_concurrency": (4, True),
+    # exchange beyond the _pid re-group, and r14 folded n_sessions into
+    # the same 1-row reduce (bounds/2) — the session-count branch and its
+    # broadcast crossJoin are gone
+    "events_peak_concurrency": (2, False),
     # first-order agg + (cohort, month) cell agg + the months^2-bounded
     # cumulative window; customer side broadcast at oracle SF
     "orders_cohort_ltv_curve": (3, True),
