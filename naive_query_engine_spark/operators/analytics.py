@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries import query, t
+from ..queries import cut_lineage, query, t
 
 
 @query(
@@ -3124,7 +3124,11 @@ def events_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataF
         F.col("tts").desc(), F.col("touch_id").desc()
     )
     n_kept = F.least(F.col("n_pre"), F.lit(MT_MAX_TOUCH))
-    ranked = (
+    # CUT the ranked frame (≤ MT_MAX_TOUCH rows per conversion —
+    # output-scale): its two consumers (the credit projection and the
+    # organic anti-join's build side) otherwise each re-ran the
+    # purchase×touch join + recency window (r14, guide §1.2)
+    ranked = cut_lineage(
         joined0.select(
             "conv_id",
             "value",
