@@ -447,28 +447,45 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery — fingerprint groupBy, inverted-index Jaccard + label
     propagation, blocked-matmul cosine + label propagation — is exactly
     the already-proven operators re-scoped to survivor frames."""
+    from ..queries import cut_lineage
     from .clustering import connected_components
-    from .dedup import ngram_jaccard_pairs
-    from .similarity import _qtable, cosine_block_pairs
+    from .dedup import MAX_SHINGLE_DF, cached_hashed_shingles, ngram_jaccard_pairs
+    from .similarity import cached_cut_qtable, cosine_block_pairs
     from .text import fingerprint
 
     d = t(spark, sf_dir, "documents")
     n0 = d.count()
 
-    s1_ids = (
+    # CUT the survivor-id frame (r14, guide §1.2): its consumers (the n1
+    # count, the stage-2 shingle restriction and the comp2 vertex set)
+    # otherwise each re-ran the fingerprint scan + groupBy
+    s1_ids = cut_lineage(
         d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    docs_s1 = d.join(s1_ids, "doc_id")
-    n1 = docs_s1.count()
+    n1 = s1_ids.count()
 
-    edges2 = ngram_jaccard_pairs(docs_s1).select(
+    # stage-2 shingles: the SESSION-CACHED corpus shingle frame restricted
+    # to survivors (per-doc shingle sets are doc-local, so the restriction
+    # is exactly hashed_shingle_rows(survivor docs)); the df cap is then
+    # applied within the survivor universe, as the oracle does.  The old
+    # shape re-ran tokenize→shingle→hash over the survivors and left two
+    # per-call spillable persists behind; the cut below replaces them.
+    all_sh = cached_hashed_shingles(spark, sf_dir).join(s1_ids, "doc_id")
+    rare = (
+        all_sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("g")
+    )
+    sh_s1 = cut_lineage(all_sh.join(rare, "g"))
+    edges2 = ngram_jaccard_pairs(d, sh=sh_s1).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     comp2 = connected_components(
-        docs_s1.select(F.col("doc_id").alias("id")), edges2
+        s1_ids.select(F.col("doc_id").alias("id")), edges2
     )
     s2_ids = comp2.select(F.col("component").alias("vec_id")).distinct()
     n2 = s2_ids.count()
@@ -480,7 +497,8 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors while edges exist only among the embedded ones.  (The
     # first draft ran components over the embedded subset only, silently
     # discarding un-embedded survivors — caught by the sf0.1 oracle.)
-    qt = _qtable(spark, sf_dir).join(s2_ids, "vec_id")
+    # r14: the quantized corpus frame is the session-cached cut qtable.
+    qt = cached_cut_qtable(spark, sf_dir).join(s2_ids, "vec_id")
     edges3 = cosine_block_pairs(qt).select(
         F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
     )
